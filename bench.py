@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on one shared local[$SPARK_GRAFT_CPUS]
+session and prints ONE JSON line:
+
+    {"metric": "suite_wall_sec", "value": N, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1}
+
+Each query is executed with a `noop` write — full plan execution on the
+executors, zero driver materialization — so the timing measures the
+engine, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> int:
+    from projektdataengineering_spark.queries import load_registry
+    from projektdataengineering_spark.session import get_spark
+
+    spark = get_spark(app_name="pde-bench")
+    registry = load_registry()
+
+    timings: dict[str, float] = {}
+    t_suite = time.perf_counter()
+    # Warm the session (JVM/codegen) on the flagship before timing.
+    from projektdataengineering_spark.flagship import flagship
+
+    flagship(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    for name in sorted(registry):
+        qd = registry[name]
+        t0 = time.perf_counter()
+        try:
+            qd.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # record failures, keep benching
+            timings[name] = -1.0
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+
+    wall = round(time.perf_counter() - t_suite, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_sec",
+                "value": wall,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_of(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,61 @@
+"""SparkSession factory.
+
+Scale posture: every setting here is chosen so the same code runs on a
+1000-executor cluster — AQE handles post-shuffle partition sizing and skew
+at any scale, the session timezone is pinned UTC (the reference pins
+Europe/Berlin via env — SURVEY.md §1.2 — we standardize on UTC and treat
+event-time columns as UTC), and Arrow is enabled for the few Pandas-UDF
+operators. Only `master`/`shuffle.partitions` defaults are local-test
+conveniences; production callers pass their own.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "projektdataengineering_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    On a real cluster, pass ``master=None`` with spark-submit providing the
+    master URL, and size ``shuffle_partitions`` to ~2-3× total cores (AQE
+    coalesces the excess at runtime).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions if shuffle_partitions else cpus),
+        )
+        # Read timestamp[ns] parquet as raw long nanos (Spark's vectorized
+        # reader has no NANOS timestamp); catalog.load_table converts to a
+        # µs TIMESTAMP matching the DuckDB oracle's truncation.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        .config("spark.ui.enabled", "false")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_GRAFT_NO_LOCAL_MASTER"):
+        builder = builder.master(f"local[{cpus}]").config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
