@@ -39,9 +39,12 @@ def main() -> int:
     timings: dict[str, float] = {}
     t_suite = time.perf_counter()
     # Warm the session (JVM/codegen) on the flagship before timing.
-    from projektdataengineering_spark.flagship import flagship
+    try:
+        from projektdataengineering_spark.flagship import flagship
 
-    flagship(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        flagship(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    except Exception as exc:
+        print(f"bench: warm-up failed: {exc}", file=sys.stderr)
 
     for name in sorted(registry):
         qd = registry[name]

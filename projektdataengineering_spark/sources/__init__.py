@@ -1,0 +1,108 @@
+"""Sources & sinks.
+
+Generalizes the reference's connectivity surface (SURVEY.md §2.1):
+R1 CSV landing-zone scan, R3/R8 JDBC scan/append, R10 processed-file
+archival. Parquet is the engine's native at-rest format (columnar,
+stats-pruned); CSV/JSON/JDBC are edge formats.
+
+Everything here takes/returns DataFrames and keeps explicit schemas —
+never ``inferSchema`` (SURVEY §1.2: correctness must not depend on
+sampling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# The reference-domain weather schema: all columns arrive as strings from
+# CSV (header only, no inference — weather_task.py:59), then a cast layer
+# types 5 of them (weather_task.py:61-67). We keep decimal for money-like
+# precision columns instead of the reference's lossy double
+# (postgres/init.sql:8,11-12 declares NUMERIC).
+WEATHER_COLUMNS = (
+    "EventId",
+    "Type",
+    "Severity",
+    "StartTimeUTC",
+    "EndTimeUTC",
+    "PrecipitationIn",
+    "TimeZone",
+    "AirportCode",
+    "LocationLat",
+    "LocationLng",
+    "City",
+    "County",
+    "State",
+    "ZipCode",
+)
+
+WEATHER_CASTS: dict[str, str] = {
+    "StartTimeUTC": "timestamp",
+    "EndTimeUTC": "timestamp",
+    "PrecipitationIn": "decimal(7,2)",
+    "LocationLat": "decimal(9,6)",
+    "LocationLng": "decimal(9,6)",
+}
+
+
+def weather_raw_schema() -> T.StructType:
+    """All-string arrival schema (schema-on-read, explicit)."""
+    return T.StructType(
+        [T.StructField(c, T.StringType(), c != "EventId") for c in WEATHER_COLUMNS]
+    )
+
+
+def read_csv_with_casts(
+    spark: SparkSession,
+    path: str,
+    casts: dict[str, str] | None = None,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """CSV scan with an explicit all-string schema + a typed cast layer.
+
+    Reproduces R1+R2 (weather_task.py:59-67) as one reusable source.
+    Cast semantics: unparseable values become NULL, never an error
+    (FIXTURES.md §B scenario 5). The reference ran Spark 3.5 where plain
+    ``cast`` behaves that way; under Spark 4's default ANSI mode the
+    equivalent is ``try_cast`` — used here so the rest of the engine
+    keeps ANSI's integrity checks. Casts to decimal avoid the
+    reference's double round-trip for NUMERIC columns.
+    """
+    casts = WEATHER_CASTS if casts is None else casts
+    schema = weather_raw_schema() if schema is None else schema
+    df = spark.read.option("header", True).schema(schema).csv(path)
+    for col_name, dtype in casts.items():
+        df = df.withColumn(col_name, F.expr(f"try_cast({col_name} AS {dtype})"))
+    return df
+
+
+def write_parquet_append(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()):
+    """Warehouse append sink — the engine-native stand-in for the
+    reference's JDBC append (R8, weather_task.py:95-99). Partitioned
+    parquet so the incremental filter prunes on re-read."""
+    writer = df.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_jdbc_append(
+    df: DataFrame,
+    url: str,
+    table: str,
+    properties: dict[str, str],
+    num_partitions: int = 8,
+    batchsize: int = 10_000,
+) -> None:
+    """JDBC append with explicit parallelism/batching — the reference
+    leaves both at defaults (SURVEY §4.1 "JDBC write parallelism").
+    Untested locally (no database in the harness); kept thin on purpose.
+    """
+    (
+        df.repartition(num_partitions)
+        .write.mode("append")
+        .options(batchsize=str(batchsize), isolationLevel="READ_COMMITTED")
+        .jdbc(url, table, properties=properties)
+    )
