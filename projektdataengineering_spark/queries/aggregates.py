@@ -71,6 +71,144 @@ def agg_groupby_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """countDistinct per group. Spark plans this as a two-phase expand +
+    aggregate; the distinct key set (custkey) shuffles once — at scale
+    prefer approx_count_distinct (below) when exactness isn't required."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle=f"""
+    SELECT o_custkey,
+           {SQL_DSUM.format(x="o_totalprice")} AS total_spend,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING {SQL_DSUM.format(x="o_totalprice")} > 1500000
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING) — in DataFrame algebra simply a
+    filter above the agg; Catalyst keeps it after the final aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            dsum("o_totalprice").alias("total_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .filter(F.col("total_spend") > 1500000)
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {SQL_DSUM.format(x="l_quantity")} AS sum_qty,
+           COUNT(*) AS n_rows,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) with GROUPING() indicators
+    distinguishing data-NULLs from subtotal-NULLs. Spark expands the
+    grouping sets map-side; still one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           {SQL_DSUM.format(x="o_totalprice")} AS sum_price,
+           COUNT(*) AS n_orders,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping sets in one pass."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        dsum("o_totalprice").alias("sum_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+    )
+
+
+@query("agg_approx_distinct", oracle=None)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event_type (rows-only check; the
+    exact-bound property — within 5% of countDistinct — is asserted in
+    tests/test_operators.py). At 100 TB this replaces agg_distinct's
+    exact shuffle with fixed-size sketches merged map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_PIVOT_COLS_SQL = ",\n".join(
+    "      CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))) "
+    f"FILTER (WHERE event_type = '{t}'), 0) AS DOUBLE) AS {t}"
+    for t in _PIVOT_TYPES
+)
+
+
+@query(
+    "agg_pivot",
+    oracle=f"""
+    SELECT user_id,
+{_PIVOT_COLS_SQL}
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type into per-type value sums per user. The pivot
+    value list is declared explicitly: at scale this avoids the extra
+    distinct-values job AND keeps the output schema static (a driver
+    contract requirement). Oracle = conditional aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(F.coalesce(F.sum(money("value")), F.lit(0)).cast("double"))
+    )
+
+
+@query(
     "agg_scalar_max",
     oracle="SELECT CAST(MAX(ts) AS TIMESTAMP) AS max_ts FROM events",
 )

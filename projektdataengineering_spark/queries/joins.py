@@ -1,1 +1,245 @@
-"""joins queries — populated in later phases."""
+"""Join queries (SURVEY.md §2.3 "Joins") — pure north-star
+generalization: the reference contains no joins at all (§2.1), its
+serving client pages a single flat table. This family is where the
+100-TB design posture shows most:
+
+* fixed-cardinality dims (nation, region) are always ``broadcast()`` —
+  no shuffle for the small side, ever;
+* fact⋈fact joins shuffle on their equi keys and rely on AQE for
+  runtime coalescing + skew splitting;
+* the non-equi cases (theta-range, as-of) are expressed so the equi
+  component drives partitioning and the range predicate stays a
+  post-join filter / window carry — never a cartesian product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import revenue_expr
+from ..operators.asof import asof_join
+from . import query
+
+
+@query(
+    "join_inner_equi",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+           o.o_orderkey, o.o_totalprice, o.o_orderstatus
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders on custkey. Catalyst/AQE picks broadcast-hash
+    while customer fits the threshold and falls back to sort-merge at
+    scale — exactly the adaptivity we want; no hint."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "inner").select(
+        "c_custkey", "c_name", "c_mktsegment", "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⟕ orders — unmatched customers keep NULL order columns."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, c.c_custkey, c.c_name,
+           COALESCE(s.s_nationkey, c.c_nationkey) AS nationkey
+    FROM supplier s FULL OUTER JOIN customer c ON s.s_nationkey = c.c_nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier ⟗ customer on nationkey (many-to-many full outer)."""
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    return s.join(c, s.s_nationkey == c.c_nationkey, "full").select(
+        "s_suppkey",
+        "s_name",
+        "c_custkey",
+        "c_name",
+        F.coalesce("s_nationkey", "c_nationkey").alias("nationkey"),
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having ≥1 order (EXISTS). Semi join never duplicates
+    the left side and only ships the key column of the right side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no URGENT orders (NOT EXISTS) — the same anti join
+    that powers dedup_incremental. (The filter on the right side keeps
+    the result non-empty at every scale factor: every customer has
+    *some* order, not every customer has an urgent one.)"""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, s.s_name, n.n_name, r.r_name
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact table joined to an explicitly broadcast dim chain
+    (supplier→nation→region). The three broadcasts mean the 100-TB
+    lineitem scan streams through map-side hash joins with zero
+    shuffle — the plan every star-schema query should have."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("l_orderkey", "l_linenumber", "s_name", "n_name", "r_name")
+    )
+
+
+@query(
+    "join_multiway",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 5-way chain with revenue rollup per nation.
+    Join order: facts joined first on their natural keys (one shuffle
+    each), dims broadcast last — Catalyst reorders equivalently via
+    its join-reorder rules; the explicit broadcasts pin the dims."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(revenue_expr()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT o.o_orderkey, l.l_linenumber, o.o_orderdate, l.l_shipdate
+    FROM orders o
+    JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >  o.o_orderdate
+     AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range θ-join: lineitems shipped within 30 days of their
+    order date. The equi key (orderkey) drives the shuffle partitioning;
+    the range predicate is evaluated inside the sort-merge join — the
+    scalable pattern for range joins (a range-only join would be a
+    cartesian; always pair the range with a key or a bucketized band).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > o.o_orderdate)
+        & (li.l_shipdate <= F.date_add(o.o_orderdate, 30).cast("timestamp"))
+    )
+    return li.join(o, cond).select("o_orderkey", "l_linenumber", "o_orderdate", "l_shipdate")
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest click by the same user
+    at-or-before the purchase (NULL if none). Implemented with the
+    union+window operator (operators/asof.py) — one shuffle on user_id,
+    no per-key cross product. Oracle: DuckDB's native ASOF JOIN.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload={"ts": "last_click_ts"},
+    )
