@@ -62,6 +62,7 @@ _MODULES = (
     "similarity",
     "streaming_batch",
     "udfs",
+    "multimodal",
 )
 
 

@@ -1,1 +1,322 @@
-"""similarity queries — populated in later phases."""
+"""Similarity & near-duplicate queries over documents/embeddings — the
+approximate half of the LLM-data-pipeline surface (MinHash-LSH,
+random-hyperplane ANN, exact n-gram Jaccard, brute-force cosine top-k).
+
+Determinism policy (driver re-runs must hash identically): every hash
+family is a fixed function of the data only — xxhash64 with literal salt
+strings, hyperplanes from a seeded RNG materialized as plan literals.
+No rand(), no monotonically_increasing_id.
+
+Scale design, per operator:
+* brute-force cosine is the *verifier*, quadratic by construction — it
+  exists to calibrate recall of the LSH paths at small SF (see
+  tests/test_operators.py), and to serve exact top-k when one side is
+  small enough to broadcast (the implementation broadcasts the right
+  side: N×k comparisons stream map-side, no shuffle).
+* the LSH paths (MinHash bands, hyperplane buckets) are the 100-TB
+  answer: candidate generation becomes an equi-join on (band, hash) /
+  bucket keys — linear shuffle volume, per-bucket quadratic only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import query
+
+# ---- shared embedding helpers (pure column expressions) ----------------
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def _embeddings_normed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with precomputed L2 norm — computed once per row
+    map-side so pair comparisons only pay the dot product."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = _as_double(F.col("embedding"))
+    return emb.select("vec_id", vec.alias("vec"), _norm(vec).alias("norm"))
+
+
+@query("sim_cosine_topk", oracle=None)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global top-50 most-similar embedding pairs by cosine.
+
+    Brute force with the right side broadcast: every executor streams
+    its left rows against the in-memory right table; TakeOrderedAndProject
+    keeps a 50-row heap per task. Quadratic — the calibration baseline
+    for the ANN path, not the scale path (rows-only check; verified
+    against numpy in tests/test_operators.py)."""
+    e = _embeddings_normed(spark, sf_dir)
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a"), F.col("norm").alias("norm_a")
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("norm").alias("norm_b")
+    )
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("vec_a"), F.col("vec_b")) / (F.col("norm_a") * F.col("norm_b"))
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "id_a", "id_b")
+        .limit(50)
+    )
+
+
+# Multi-table random-hyperplane LSH: 4 tables × 4 hyperplanes (16-bucket
+# tables, OR-amplified across tables). AND within a table gives
+# precision, OR across tables gives recall — a single wide table (e.g.
+# 8 bits) is near-random for moderate-angle neighbors. Seeded +
+# materialized as plan literals: identical across runs and executors.
+_N_TABLES = 4
+_BITS_PER_TABLE = 4
+_PLANES = np.random.RandomState(42).normal(size=(_N_TABLES * _BITS_PER_TABLE, 64)).tolist()
+
+
+@query("sim_cosine_ann_lsh", oracle=None)
+def sim_cosine_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors: multi-table random-hyperplane LSH,
+    then exact cosine top-3 per query over the union of its buckets'
+    candidates.
+
+    The scale path: bucketing is a map-side projection; candidate
+    generation is an equi-join on (table, bucket) — shuffle volume
+    linear in N·tables — and the quadratic cost is confined to
+    per-bucket blocks. Recall vs the exact baseline is asserted in
+    tests/test_operators.py."""
+    e = _embeddings_normed(spark, sf_dir)
+    tables = []
+    for t in range(_N_TABLES):
+        bucket = F.lit(0)
+        for j in range(_BITS_PER_TABLE):
+            plane = _PLANES[t * _BITS_PER_TABLE + j]
+            pl = F.array(*[F.lit(float(v)) for v in plane])
+            bucket = bucket + F.when(_dot(F.col("vec"), pl) >= 0, F.lit(1 << j)).otherwise(
+                F.lit(0)
+            )
+        tables.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket")))
+    bucketed = e.select(
+        "vec_id", "vec", "norm", F.explode(F.array(*tables)).alias("tb")
+    ).select("vec_id", "vec", "norm", "tb.tbl", "tb.bucket")
+
+    q = bucketed.select(
+        F.col("vec_id").alias("id_q"), F.col("vec").alias("vec_q"),
+        F.col("norm").alias("norm_q"), "tbl", "bucket",
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("id_n"), F.col("vec").alias("vec_n"),
+        F.col("norm").alias("norm_n"), "tbl", "bucket",
+    )
+    cos = _dot(F.col("vec_q"), F.col("vec_n")) / (F.col("norm_q") * F.col("norm_n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id_q").orderBy(F.col("cos_sim").desc(), F.col("id_n"))
+    return (
+        q.join(c, on=["tbl", "bucket"])
+        .filter(F.col("id_q") != F.col("id_n"))
+        .select("id_q", "id_n")
+        .distinct()  # a pair may collide in several tables — count once
+        .join(
+            bucketed.select("vec_id", "vec", "norm").distinct().withColumnsRenamed(
+                {"vec_id": "id_q", "vec": "vec_q", "norm": "norm_q"}
+            ),
+            "id_q",
+        )
+        .join(
+            bucketed.select("vec_id", "vec", "norm").distinct().withColumnsRenamed(
+                {"vec_id": "id_n", "vec": "vec_n", "norm": "norm_n"}
+            ),
+            "id_n",
+        )
+        .select("id_q", "id_n", cos.alias("cos_sim"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+_N_MINHASH = 16
+_BAND_SIZE = 4  # → 4 bands of 4 hashes
+
+
+def _shingles(text_col, n: int = 3):
+    """n-token shingles as strings (array-side positional transform)."""
+    toks = F.split(text_col, " ")
+    joined = [
+        F.expr(
+            f"transform(slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - {n - 1}, 0)),"
+            + " (x, i) -> concat_ws(' ', "
+            + ", ".join(f"element_at(split(text, ' '), i + {k + 1})" for k in range(n))
+            + "))"
+        )
+    ]
+    return F.array_distinct(joined[0])
+
+
+def _minhash_signature(shingle_arr):
+    """16 deterministic minhashes: min over xxhash64(shingle || salt_i)."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingle_arr, lambda s, i=i: F.xxhash64(F.concat(s, F.lit(f"#mh{i}"))))
+            )
+            for i in range(_N_MINHASH)
+        ]
+    )
+
+
+@query("sim_minhash_lsh", oracle=None)
+def sim_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidates: 3-token shingles → 16 minhashes →
+    4 bands of 4 → candidates share any full band; estimated Jaccard =
+    fraction of matching minhash components.
+
+    Scale shape: signatures are fixed-width regardless of document size
+    (the shuffle ships 16 longs + ids, never text); the band join is an
+    equi-join on (band_idx, band_hash). Rows-only check — calibrated
+    against exact Jaccard in tests/test_operators.py."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = docs.select(
+        "doc_id", _minhash_signature(_shingles(F.col("text"), 3)).alias("sig")
+    ).filter(F.size("sig") > 0)
+
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[F.element_at("sig", b * _BAND_SIZE + j + 1) for j in range(_BAND_SIZE)])
+                        ).alias("band_hash"),
+                    )
+                    for b in range(_N_MINHASH // _BAND_SIZE)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "sig", "band.band_idx", "band.band_hash")
+
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band_idx", "band_hash"
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band_idx", "band_hash"
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+        / F.lit(float(_N_MINHASH))
+    )
+    return (
+        left.join(right, on=["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+    )
+
+
+@query("sim_simhash", oracle=None)
+def sim_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document + near-dup pairs at Hamming ≤ 16.
+
+    SimHash: each token votes its xxhash64 bit pattern (+1/-1 per bit);
+    the signature takes the sign per bit. Candidate pairs here join on a
+    16-bit prefix band (same principle as MinHash bands: a near-dup pair
+    almost certainly agrees on some 16-bit slice); Hamming distance via
+    bit_count(xor). Fixed-width signatures → linear shuffle volume."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.array_distinct(F.split("text", " "))
+    h = docs.select("doc_id", F.explode(toks).alias("tok"))
+    h = h.withColumn("th", F.xxhash64(F.col("tok"), F.lit("#simhash")))
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    sim = votes.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"b{b}") > 0, F.lit(1 << b) if b < 63 else F.lit(-(1 << 63))).otherwise(F.lit(0)))
+            for b in range(64)
+        ).alias("simhash"),
+    )
+    banded = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band_idx"),
+                               F.shiftrightunsigned(F.col("simhash"), 16 * b)
+                               .bitwiseAND(F.lit(0xFFFF)).alias("band_val"))
+                      for b in range(4)])
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    left = banded.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band_idx", "band_val")
+    right = banded.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band_idx", "band_val")
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        left.join(right, on=["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 16)
+    )
+
+
+@query(
+    "sim_ngram_jaccard",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id, source,
+             list_distinct([toks[i] || ' ' || toks[i+1]
+                            for i in range(1, len(toks))]) AS gs
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+            FROM documents)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                 / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))),
+                 6) AS jaccard
+    FROM grams a JOIN grams b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    """,
+)
+def sim_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bigram-set Jaccard for all document pairs within the same
+    source (the blocked-exact pattern: a cheap equi-key — here source,
+    in production an LSH band — bounds the quadratic pair space, then
+    exact set math runs inside each block). Fully SQL-expressible →
+    oracle-checked, which also pins the LSH estimators' ground truth."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.array_distinct(
+        F.expr(
+            "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
+            " (x, i) -> concat(x, ' ', element_at(split(text, ' '), i + 2)))"
+        )
+    )
+    g = docs.select("doc_id", "source", bigrams.alias("gs"))
+    a = g.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"), F.col("gs").alias("gs_a"))
+    b = g.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"), F.col("gs").alias("gs_b"))
+    inter = F.size(F.array_intersect("gs_a", "gs_b")).cast("double")
+    union = F.size("gs_a") + F.size("gs_b") - F.size(F.array_intersect("gs_a", "gs_b"))
+    return (
+        a.join(b, (F.col("src_a") == F.col("src_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
+    )

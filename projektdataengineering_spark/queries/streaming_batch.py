@@ -1,1 +1,129 @@
-"""streaming_batch queries — populated in later phases."""
+"""Streaming-equivalent operators, run in batch mode for driver
+determinism (SURVEY.md §2.3 "Streaming-equivalent operators"; grounding
+O2 — the reference silently drops late data, we make lateness an
+explicit, checkable policy). The same transformation functions run
+unmodified under ``readStream`` — see ``streaming/`` and
+tests/test_streaming.py for the streaming-mode mirrors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..streaming import session_windows, sliding_avg, tumbling_counts
+from . import query
+
+_DSUM_VALUE = "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+
+
+@query(
+    "stream_tumbling_counts",
+    oracle=f"""
+    SELECT
+      date_trunc('hour', ts) AS window_start,
+      date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+      event_type,
+      COUNT(*) AS n_events,
+      {_DSUM_VALUE} AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event_type. Spark windows are aligned
+    to the epoch, so for a whole-hour width they coincide with
+    date_trunc('hour') — which is the oracle."""
+    return tumbling_counts(load_table(spark, sf_dir, "events"), "1 hour")
+
+
+@query(
+    "stream_sliding_avg",
+    oracle="""
+    WITH slid AS (
+      SELECT
+        make_timestamp(
+          (epoch_us(ts) // 900000000) * 900000000 - k * 900000000
+        ) AS window_start,
+        value
+      FROM events, range(4) t(k)
+    )
+    SELECT
+      window_start,
+      window_start + INTERVAL 1 HOUR AS window_end,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS avg_value
+    FROM slid
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 15 min (each event in exactly 4
+    windows). Oracle materializes the same 4 epoch-aligned window starts
+    per event via floor-division on epoch microseconds."""
+    return sliding_avg(load_table(spark, sf_dir, "events"), "1 hour", "15 minutes")
+
+
+@query(
+    "stream_session_windows",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessions per user via session_window — the batch
+    call of the exact operator the streaming mirror uses. Oracle is the
+    gaps-and-islands formulation: a new session starts when the gap to
+    the previous event is ≥ the inactivity gap (session windows are
+    half-open [start, last+gap)), session_end = last event + gap."""
+    return session_windows(load_table(spark, sf_dir, "events"), "30 minutes")
+
+
+@query(
+    "stream_late_data_policy",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) FILTER (WHERE ts <  (SELECT MAX(ts) FROM events) - INTERVAL 1 HOUR)
+             AS n_dropped,
+           COUNT(*) FILTER (WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 1 HOUR)
+             AS n_kept
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 made explicit: with the stream head at max(ts) and a 1-hour
+    watermark, count per type how many rows would be dropped as late vs
+    kept. The head is a 1-row aggregate broadcast back — the scalable
+    form of a 'scalar subquery' (no driver round-trip in the plan)."""
+    ev = load_table(spark, sf_dir, "events")
+    head = ev.agg(F.max("ts").alias("head_ts"))
+    cutoff = F.col("head_ts") - F.expr("INTERVAL 1 HOUR")
+    return (
+        ev.crossJoin(F.broadcast(head))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("ts") < cutoff, 1)).alias("n_dropped"),
+            F.count(F.when(F.col("ts") >= cutoff, 1)).alias("n_kept"),
+        )
+    )

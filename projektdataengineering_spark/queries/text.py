@@ -1,1 +1,202 @@
-"""text queries — populated in later phases."""
+"""Text-analysis queries over the documents table — the LLM-training-
+data-pipeline surface (language ID, quality scoring, token counting,
+fingerprinting, n-grams, word counts).
+
+All of these stay JVM-side (split/explode/filter/aggregate/sha2 —
+whole-stage codegen; zero Python in the hot path). At 100 TB the
+explode-based token pipelines are shuffle-heavy by nature; the designs
+below aggregate *before* shuffling where possible (map-side partial
+aggregation on (word) keys) and hash long strings before any exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import query
+
+# Tiny per-language stopword lists for the heuristic language-ID op.
+# Deliberately minimal + deterministic; a production list would be much
+# larger but the operator shape (token-membership scoring + argmax) is
+# identical.
+_STOP_EN = ("the", "a", "of", "and")
+_STOP_ES = ("el", "la", "de", "y")
+_STOP_DE = ("der", "die", "das", "und")
+
+
+def _sql_list(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+@query(
+    "text_tokenize_wordcount",
+    oracle="""
+    SELECT tok AS word,
+           COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    )
+    GROUP BY tok
+    """,
+)
+def text_tokenize_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize → per-word occurrence and document frequency. The
+    explode shuffles (word) keys with map-side combine — the classic
+    distributed wordcount plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+@query(
+    "text_ngram",
+    oracle="""
+    SELECT lang, bigram, COUNT(*) AS n
+    FROM (
+      SELECT lang,
+             unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))])
+               AS bigram
+      FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents)
+    )
+    GROUP BY lang, bigram
+    """,
+)
+def text_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram counts per language. Bigrams are built array-side with a
+    positional transform (no self-join): element j of the sliced array
+    pairs with element j+2 of the original (1-based element_at)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.expr(
+        "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
+        " (x, i) -> concat(x, ' ', element_at(split(text, ' '), i + 2)))"
+    )
+    return (
+        docs.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    SELECT doc_id, lang AS labeled_lang,
+           CAST(en_hits AS BIGINT) AS en_hits,
+           CAST(es_hits AS BIGINT) AS es_hits,
+           CAST(de_hits AS BIGINT) AS de_hits,
+           CASE
+             WHEN en_hits = 0 AND es_hits = 0 AND de_hits = 0 THEN 'und'
+             WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+             WHEN es_hits >= de_hits THEN 'es'
+             ELSE 'de'
+           END AS predicted_lang
+    FROM (
+      SELECT doc_id, lang,
+             len(list_filter(toks, x -> list_contains({_sql_list(_STOP_EN)}, x))) AS en_hits,
+             len(list_filter(toks, x -> list_contains({_sql_list(_STOP_ES)}, x))) AS es_hits,
+             len(list_filter(toks, x -> list_contains({_sql_list(_STOP_DE)}, x))) AS de_hits
+      FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+    )
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: count stopword hits per candidate language
+    over the token array, argmax with a fixed priority order (en→es→de,
+    'und' when no evidence). Pure array expressions, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def hits(words) -> F.Column:
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x))).cast("long")
+
+    en, es, de = hits(_STOP_EN), hits(_STOP_ES), hits(_STOP_DE)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        en.alias("en_hits"),
+        es.alias("es_hits"),
+        de.alias("de_hits"),
+        F.when((en == 0) & (es == 0) & (de == 0), "und")
+        .when((en >= es) & (en >= de), "en")
+        .when(es >= de, "es")
+        .otherwise("de")
+        .alias("predicted_lang"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           round(CAST(length(text) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS avg_token_len,
+           round(CAST(len(list_filter(string_split(text, ' '),
+                     x -> list_contains({_sql_list(_STOP_EN)}, x))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS stopword_ratio,
+           (length(text) >= 100 AND len(string_split(text, ' ')) >= 20)
+             AS passes_quality
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals per document: char/token counts, mean token
+    length, stopword ratio, and a boolean gate — the standard cheap
+    pre-filter stage of a training-data pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(w) for w in _STOP_EN])
+    n_tokens = F.size(toks)
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(F.length("text").cast("double") / n_tokens, 4).alias("avg_token_len"),
+        F.round(
+            F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("double")
+            / n_tokens,
+            4,
+        ).alias("stopword_ratio"),
+        ((F.length("text") >= 100) & (n_tokens >= 20)).alias("passes_quality"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           sha256(lower(trim(text))) AS content_fp,
+           substring(sha256(lower(trim(text))), 1, 16) AS content_fp64,
+           sha256(array_to_string(list_slice(string_split(text, ' '), 1, 5), ' '))
+             AS prefix_shingle_fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprints: normalized content hash, a
+    64-bit-prefix short form, and a leading-5-token shingle hash (the
+    building block the MinHash family in queries/similarity.py extends
+    to full shingle sets)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.sha2(F.lower(F.trim(F.col("text"))), 256)
+    return docs.select(
+        "doc_id",
+        norm.alias("content_fp"),
+        F.substring(norm, 1, 16).alias("content_fp64"),
+        F.sha2(F.array_join(F.slice(F.split("text", " "), 1, 5), " "), 256).alias(
+            "prefix_shingle_fp"
+        ),
+    )

@@ -1,0 +1,117 @@
+"""Structured Streaming mirrors of the windowed operators.
+
+Design (SURVEY.md §2.3 "Streaming-equivalent operators", §7 phase 4):
+the windowed transformations are written once as DataFrame→DataFrame
+functions over an input that may be a batch OR a streaming DataFrame —
+Spark's unified API makes the same ``window``/``session_window`` code
+path valid under ``readStream``. The batch registry queries
+(queries/streaming_batch.py) call these on a batch scan (deterministic,
+oracle-checkable); ``open_event_stream`` + ``run_to_memory_sink`` drive
+the identical transforms under a real streaming query for the
+streaming-mode tests.
+
+The reference's late-data behavior (O2: silently dropped below the
+high-water mark, weather_task.py:82) maps to ``withWatermark`` — late
+rows are dropped *with an explicit, configurable bound* instead of
+implicitly.
+
+Scale notes: watermark + windowed aggregation keeps state bounded (old
+windows evict at the watermark); session windows shuffle on the session
+key exactly like the batch gaps-and-islands plan. Checkpointing is the
+production story for exactly-once; tests use the memory sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import money
+
+EVENT_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Per-(window, event_type) counts + value sums over tumbling
+    event-time windows. Works identically on batch and stream inputs."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(money("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_avg(events: DataFrame, width: str = "1 hour", slide: str = "15 minutes") -> DataFrame:
+    """Sliding-window average value: each event lands in width/slide
+    overlapping windows (4 here). Spark expands the windows map-side."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(money("value")).cast("double") / F.count("value")).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows with a fixed inactivity gap; a session's
+    end is last-event-time + gap (Spark session_window semantics)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(money("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def open_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a bounded file stream (for tests/demos).
+
+    The raw parquet is TIMESTAMP(NANOS); as in catalog.load_table the
+    scan reads nanos-as-long and converts to µs.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    return (
+        spark.readStream.schema(raw_schema)
+        .parquet(f"{sf_dir}")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def run_to_memory_sink(df: DataFrame, name: str, output_mode: str = "complete"):
+    """Drive a (bounded) streaming DataFrame to completion into an
+    in-memory table; returns the stopped query. Test/demo helper — a
+    production sink would be a checkpointed parquet/Kafka writer."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,127 @@
+"""Property/calibration tests for the approximate & non-SQL operators
+(SURVEY.md §5.2 items 4-5): HLL error bound, cosine-vs-numpy ground
+truth, ANN recall, MinHash-vs-exact-Jaccard calibration.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from projektdataengineering_spark.queries import load_registry
+
+REGISTRY = load_registry()
+
+
+def test_approx_distinct_within_bound(spark, sf_dir):
+    """HLL++ at rsd=2% must land within 5% of the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from projektdataengineering_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in REGISTRY["agg_approx_distinct"].fn(spark, sf_dir).collect()
+    }
+    for k, exact_n in exact.items():
+        assert abs(approx[k] - exact_n) <= max(1, 0.05 * exact_n), (k, exact_n, approx[k])
+
+
+@pytest.fixture(scope="module")
+def emb_matrix(sf_dir):
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    m = np.array([r[1] for r in rows], dtype=np.float64)
+    return ids, m
+
+
+def _numpy_cosine_matrix(m: np.ndarray) -> np.ndarray:
+    n = m / np.linalg.norm(m, axis=1, keepdims=True)
+    return n @ n.T
+
+
+def test_cosine_topk_matches_numpy(spark, sf_dir, emb_matrix):
+    ids, m = emb_matrix
+    cos = _numpy_cosine_matrix(m)
+    iu = np.triu_indices(len(ids), k=1)
+    flat = sorted(
+        zip(cos[iu], ids[iu[0]], ids[iu[1]]), key=lambda t: (-t[0], t[1], t[2])
+    )[:50]
+    expected = {(int(a), int(b)) for _, a, b in flat}
+
+    got_rows = REGISTRY["sim_cosine_topk"].fn(spark, sf_dir).collect()
+    got = {(r["id_a"], r["id_b"]) for r in got_rows}
+    assert got == expected
+    # values agree to float tolerance
+    exp_by_pair = {(int(a), int(b)): c for c, a, b in flat}
+    for r in got_rows:
+        assert abs(r["cos_sim"] - exp_by_pair[(r["id_a"], r["id_b"])]) < 1e-9
+
+
+def test_ann_recall_vs_exact(spark, sf_dir, emb_matrix):
+    """LSH-bucketed ANN: every reported neighbor must be a real vector,
+    ranked correctly within its bucket; overall recall@3 against the
+    exact top-3 should beat random-bucketing noise by a wide margin."""
+    ids, m = emb_matrix
+    cos = _numpy_cosine_matrix(m)
+    np.fill_diagonal(cos, -np.inf)
+    exact_top3 = {
+        int(ids[i]): {int(ids[j]) for j in np.argsort(-cos[i], kind="stable")[:3]}
+        for i in range(len(ids))
+    }
+    got = REGISTRY["sim_cosine_ann_lsh"].fn(spark, sf_dir).collect()
+    by_q: dict[int, set[int]] = {}
+    for r in got:
+        by_q.setdefault(r["id_q"], set()).add(r["id_n"])
+    hits = sum(len(by_q.get(q, set()) & exact) for q, exact in exact_top3.items())
+    recall = hits / (3 * len(exact_top3))
+    # 8 hyperplanes / 256 buckets over 500 random vectors: random chance
+    # would be <2%; the LSH structure must do far better.
+    assert recall > 0.10, f"ANN recall@3 suspiciously low: {recall:.3f}"
+
+
+def test_minhash_estimates_track_exact_jaccard(spark, sf_dir):
+    """For candidate pairs the band-LSH surfaces, the minhash estimate
+    must track exact shingle Jaccard within the sketch's resolution."""
+    from pyspark.sql import functions as F
+
+    from projektdataengineering_spark.catalog import load_table
+    from projektdataengineering_spark.queries.similarity import _shingles
+
+    cands = REGISTRY["sim_minhash_lsh"].fn(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _shingles(F.col("text"), 3).alias("gs")
+    )
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("gs").alias("gs_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("gs").alias("gs_b"))
+    joined = cands.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("gs_a", "gs_b")).cast("double")
+    union = (F.size("gs_a") + F.size("gs_b") - F.size(F.array_intersect("gs_a", "gs_b"))).cast(
+        "double"
+    )
+    rows = joined.select("est_jaccard", (inter / union).alias("exact_j")).collect()
+    assert rows, "band-LSH produced no candidate pairs at all"
+    # 16-hash sketch → standard error ~ sqrt(j(1-j)/16) ≤ 0.125; allow 3σ.
+    for r in rows:
+        assert abs(r["est_jaccard"] - r["exact_j"]) <= 0.40, r
+
+
+def test_simhash_hamming_symmetry(spark, sf_dir):
+    """SimHash candidates: hamming distances are within the declared
+    threshold and every pair is reported once (a<b)."""
+    rows = REGISTRY["sim_simhash"].fn(spark, sf_dir).collect()
+    seen = set()
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0 <= r["hamming"] <= 16
+        assert (r["doc_a"], r["doc_b"]) not in seen
+        seen.add((r["doc_a"], r["doc_b"]))
