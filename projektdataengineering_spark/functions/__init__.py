@@ -67,3 +67,23 @@ def revenue_expr() -> Column:
 SQL_DSUM = "CAST(SUM(CAST({x} AS DECIMAL(18,2))) AS DOUBLE)"
 SQL_DAVG = "CAST(SUM(CAST({x} AS DECIMAL(18,2))) AS DOUBLE) / COUNT({x})"
 SQL_REVENUE = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+
+def token_ngrams(toks: str | Column, n: int) -> Column:
+    """n-token shingles ("a b c") from a *bound* token-array column — O(L).
+
+    The token array MUST be a materialized column of a prior projection,
+    not an inline split(...) expression: each position then reads its
+    n-1 right neighbors via element_at on the shared array. Inlining the
+    split would make every element access re-split the text — O(L²·n)
+    per document, which is exactly the plan CollapseProject would build
+    if the array were cheap enough to inline (it isn't, so the
+    projection boundary holds and the split runs once per row).
+    """
+    c = F.col(toks) if isinstance(toks, str) else toks
+    return F.transform(
+        F.slice(c, F.lit(1), F.greatest(F.size(c) - (n - 1), F.lit(0))),
+        lambda x, i: F.concat_ws(
+            " ", x, *[F.element_at(c, i + k + 1) for k in range(1, n)]
+        ),
+    )

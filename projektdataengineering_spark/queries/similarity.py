@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions import token_ngrams
 from . import query
 
 # ---- shared embedding helpers (pure column expressions) ----------------
@@ -150,30 +151,37 @@ _N_MINHASH = 16
 _BAND_SIZE = 4  # → 4 bands of 4 hashes
 
 
-def _shingles(text_col, n: int = 3):
-    """n-token shingles as strings (array-side positional transform)."""
-    toks = F.split(text_col, " ")
-    joined = [
-        F.expr(
-            f"transform(slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - {n - 1}, 0)),"
-            + " (x, i) -> concat_ws(' ', "
-            + ", ".join(f"element_at(split(text, ' '), i + {k + 1})" for k in range(n))
-            + "))"
-        )
-    ]
-    return F.array_distinct(joined[0])
+def _shingle_hashes(docs: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id + distinct xxhash64 per n-token shingle, O(text length).
 
-
-def _minhash_signature(shingle_arr):
-    """16 deterministic minhashes: min over xxhash64(shingle || salt_i)."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingle_arr, lambda s, i=i: F.xxhash64(F.concat(s, F.lit(f"#mh{i}"))))
-            )
-            for i in range(_N_MINHASH)
-        ]
+    Two projection boundaries on purpose: `toks` binds the split once
+    (token_ngrams requires a bound array — see its docstring), and `hs`
+    binds the per-shingle base hashes once so the 16 minhash lanes
+    rehash longs instead of recomputing shingle strings."""
+    toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    return toked.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(token_ngrams("toks", n), lambda s: F.xxhash64(s))
+        ).alias("hs"),
     )
+
+
+def _minhash_lane(hs_col, lane: int):
+    """One minhash lane: min over xxhash64(base_hash, lane).
+
+    The lane constant is closed over by a SINGLE-parameter lambda on
+    purpose: a two-parameter lambda (e.g. ``lambda h, i=lane``) would be
+    treated by Spark as an (element, index) function and the array index
+    column would silently overwrite the lane default — every lane would
+    then compute the identical (element, position) min."""
+    return F.array_min(F.transform(hs_col, lambda h: F.xxhash64(h, F.lit(lane))))
+
+
+def _minhash_signature(hs_col):
+    """16 deterministic minhashes over a bound base-hash array — long+int
+    rehash per lane, no string work."""
+    return F.array(*[_minhash_lane(hs_col, i) for i in range(_N_MINHASH)])
 
 
 @query("sim_minhash_lsh", oracle=None)
@@ -183,13 +191,21 @@ def sim_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of matching minhash components.
 
     Scale shape: signatures are fixed-width regardless of document size
-    (the shuffle ships 16 longs + ids, never text); the band join is an
-    equi-join on (band_idx, band_hash). Rows-only check — calibrated
-    against exact Jaccard in tests/test_operators.py."""
+    (the shuffle ships 16 longs + ids, never text). Candidate generation
+    is a single groupBy on (band_idx, band_hash) with array-side pair
+    expansion inside each bucket — the signature pipeline runs ONCE (a
+    band self-join would execute it twice, once per side) and only
+    buckets with ≥2 members survive. Per-bucket cost is quadratic in
+    bucket size, which LSH keeps at near-dup-cluster scale; at 100 TB a
+    pathological hot bucket is handled by capping/salting the band key,
+    not by this query. Rows-only check — calibrated against exact
+    Jaccard in tests/test_operators.py."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sig = docs.select(
-        "doc_id", _minhash_signature(_shingles(F.col("text"), 3)).alias("sig")
-    ).filter(F.size("sig") > 0)
+    sig = (
+        _shingle_hashes(docs, 3)
+        .filter(F.size("hs") > 0)  # <3-token docs have no shingles
+        .select("doc_id", _minhash_signature(F.col("hs")).alias("sig"))
+    )
 
     bands = sig.select(
         "doc_id",
@@ -209,20 +225,35 @@ def sim_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band"),
     ).select("doc_id", "sig", "band.band_idx", "band.band_hash")
 
-    left = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band_idx", "band_hash"
+    # sort_array orders members by doc_id (first struct field) so every
+    # pair comes out (smaller id, larger id) regardless of which band
+    # produced it — making the cross-band distinct() a true dedup.
+    buckets = (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sig"))).alias("members"))
+        .filter(F.size("members") > 1)
     )
-    right = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band_idx", "band_hash"
+    pairs = F.flatten(
+        F.transform(
+            "members",
+            lambda a, i: F.transform(
+                F.slice("members", i + 2, F.size("members")),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        )
     )
     est = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
         / F.lit(float(_N_MINHASH))
     )
     return (
-        left.join(right, on=["band_idx", "band_hash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.a.sig").alias("sig_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.b.sig").alias("sig_b"),
+        )
         .distinct()
         .select("doc_a", "doc_b", est.alias("est_jaccard"))
     )
@@ -304,14 +335,10 @@ def sim_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact set math runs inside each block). Fully SQL-expressible →
     oracle-checked, which also pins the LSH estimators' ground truth."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    bigrams = F.array_distinct(
-        F.expr(
-            "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
-            " (x, i) -> concat(x, ' ', element_at(split(text, ' '), i + 2)))"
-        )
+    toked = docs.select("doc_id", "source", F.split("text", " ").alias("toks"))
+    g = toked.select(
+        "doc_id", "source", F.array_distinct(token_ngrams("toks", 2)).alias("gs")
     )
-    g = docs.select("doc_id", "source", bigrams.alias("gs"))
     a = g.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"), F.col("gs").alias("gs_a"))
     b = g.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"), F.col("gs").alias("gs_b"))
     inter = F.size(F.array_intersect("gs_a", "gs_b")).cast("double")

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions import token_ngrams
 from . import query
 
 # Tiny per-language stopword lists for the heuristic language-ID op.
@@ -73,16 +74,12 @@ def text_tokenize_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram counts per language. Bigrams are built array-side with a
-    positional transform (no self-join): element j of the sliced array
-    pairs with element j+2 of the original (1-based element_at)."""
+    positional transform (no self-join) over a bound token array — see
+    functions.token_ngrams for why the split must be bound once."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    bigrams = F.expr(
-        "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
-        " (x, i) -> concat(x, ' ', element_at(split(text, ' '), i + 2)))"
-    )
+    toked = docs.select("lang", F.split("text", " ").alias("toks"))
     return (
-        docs.select("lang", F.explode(bigrams).alias("bigram"))
+        toked.select("lang", F.explode(token_ngrams("toks", 2)).alias("bigram"))
         .groupBy("lang", "bigram")
         .agg(F.count(F.lit(1)).alias("n"))
     )

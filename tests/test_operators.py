@@ -95,12 +95,14 @@ def test_minhash_estimates_track_exact_jaccard(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from projektdataengineering_spark.catalog import load_table
-    from projektdataengineering_spark.queries.similarity import _shingles
+    from projektdataengineering_spark.queries.similarity import _shingle_hashes
 
     cands = REGISTRY["sim_minhash_lsh"].fn(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", _shingles(F.col("text"), 3).alias("gs")
-    )
+    # exact Jaccard over the hashed shingle sets — identical to Jaccard
+    # over the shingle strings up to xxhash64 collisions (~0 at this N)
+    docs = _shingle_hashes(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), 3
+    ).withColumnRenamed("hs", "gs")
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("gs").alias("gs_a"))
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("gs").alias("gs_b"))
     joined = cands.join(a, "doc_a").join(b, "doc_b")
