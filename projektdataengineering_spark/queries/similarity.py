@@ -21,6 +21,7 @@ Scale design, per operator:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -55,34 +56,74 @@ def _embeddings_normed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact global top-50 most-similar embedding pairs by cosine.
 
-    Brute force with the right side broadcast: every executor streams
-    its left rows against the in-memory right table; TakeOrderedAndProject
-    keeps a 50-row heap per task. Quadratic — the calibration baseline
-    for the ANN path, not the scale path (rows-only check; verified
-    against numpy in tests/test_operators.py)."""
-    e = _embeddings_normed(spark, sf_dir)
-    a = e.select(
-        F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a"), F.col("norm").alias("norm_a")
-    )
-    b = e.select(
-        F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("norm").alias("norm_b")
-    )
-    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-    cos = _dot(F.col("vec_a"), F.col("vec_b")) / (F.col("norm_a") * F.col("norm_b"))
+    Blocked brute force, the one place this engine drops to Python on
+    purpose: a 64-dim float matmul is exactly what interpreted Column
+    higher-order functions are worst at and what BLAS is best at. The
+    full (small) side ships to every worker as a broadcast numpy matrix;
+    mapInPandas streams Arrow batches of left rows, computes a
+    block × all cosine matrix with one BLAS call, and emits only its
+    block-local top 50 — so the global sort sees ≤50 rows per batch.
+    Block-local selection uses the same (-cos, id_a, id_b) total order
+    as the final sort, so ties at the cutoff are globally consistent.
+    Quadratic by construction — the calibration baseline for the ANN
+    path, exact only while ONE side fits in a broadcast (rows-only
+    check; verified against numpy in tests/test_operators.py)."""
+    import numpy as np
+    # pandas imported at module level (annotation resolution needs it)
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    right = emb.toPandas()  # the broadcast side — same role as F.broadcast
+    ids_r = right["vec_id"].to_numpy()
+    mat_r = np.stack([np.asarray(v, dtype=np.float64) for v in right["embedding"]])
+    norms_r = np.linalg.norm(mat_r, axis=1)
+    bc = spark.sparkContext.broadcast((ids_r, mat_r, norms_r))
+
+    def topk_blocks(batches):
+        ids_r, mat_r, norms_r = bc.value
+        sub = 1024  # bounds the cos matrix at sub × N doubles per step
+        for pdf in batches:
+            ids_b = pdf["vec_id"].to_numpy()
+            mat_b = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            norms_b = np.linalg.norm(mat_b, axis=1)
+            for s in range(0, len(ids_b), sub):
+                ids_l, mat_l, norms_l = ids_b[s:s+sub], mat_b[s:s+sub], norms_b[s:s+sub]
+                cos = (mat_l @ mat_r.T) / np.outer(norms_l, norms_r)
+                cos[ids_l[:, None] >= ids_r[None, :]] = -np.inf  # each pair once
+                flat = cos.ravel()
+                if flat.size > 50:
+                    # keep EVERY pair tied with the 50th value, then break
+                    # ties under the global (-cos, id_a, id_b) order — a
+                    # plain top-50-by-value could split a tie arbitrarily
+                    thresh = np.partition(flat, -50)[-50]
+                    if not np.isfinite(thresh):  # <50 valid pairs in block
+                        thresh = np.finfo(np.float64).min
+                    cand = np.nonzero(flat >= thresh)[0]
+                else:
+                    cand = np.arange(flat.size)
+                cand = cand[np.isfinite(flat[cand])]
+                ia, ib = np.unravel_index(cand, cos.shape)
+                c = cos[ia, ib]
+                order = np.lexsort((ids_r[ib], ids_l[ia], -c))[:50]
+                yield pd.DataFrame(
+                    {"id_a": ids_l[ia][order], "id_b": ids_r[ib][order], "cos_sim": c[order]}
+                )
+
     return (
-        pairs.select("id_a", "id_b", cos.alias("cos_sim"))
+        emb.mapInPandas(topk_blocks, schema="id_a long, id_b long, cos_sim double")
         .orderBy(F.col("cos_sim").desc(), "id_a", "id_b")
         .limit(50)
     )
 
 
-# Multi-table random-hyperplane LSH: 4 tables × 4 hyperplanes (16-bucket
+# Multi-table random-hyperplane LSH: 4 tables × 6 hyperplanes (64-bucket
 # tables, OR-amplified across tables). AND within a table gives
-# precision, OR across tables gives recall — a single wide table (e.g.
-# 8 bits) is near-random for moderate-angle neighbors. Seeded +
-# materialized as plan literals: identical across runs and executors.
+# precision, OR across tables gives recall; bits/table sets bucket
+# occupancy and must grow with N — at 4 bits the sf0.1 fixture put 23%
+# of ALL pairs into candidates (measured), i.e. half of brute force.
+# Seeded + materialized as plan literals: identical across runs and
+# executors.
 _N_TABLES = 4
-_BITS_PER_TABLE = 4
+_BITS_PER_TABLE = 6
 _PLANES = np.random.RandomState(42).normal(size=(_N_TABLES * _BITS_PER_TABLE, 64)).tolist()
 
 
@@ -92,11 +133,15 @@ def sim_cosine_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     then exact cosine top-3 per query over the union of its buckets'
     candidates.
 
-    The scale path: bucketing is a map-side projection; candidate
-    generation is an equi-join on (table, bucket) — shuffle volume
-    linear in N·tables — and the quadratic cost is confined to
-    per-bucket blocks. Recall vs the exact baseline is asserted in
-    tests/test_operators.py."""
+    Scale shape: bucketing (16 plane dots per vector) is a map-side
+    projection that runs ONCE — candidates come from a groupBy on
+    (table, bucket) with a double explode of the member-id list, so
+    nothing heavier than ids ever shuffles and no vector arrays go
+    through distinct(). Exact cosine then runs only on the deduped
+    candidate pairs, with the (small) vector table joined back in —
+    AQE broadcasts it. Per-bucket cost is quadratic in bucket size;
+    at larger N raise _BITS_PER_TABLE so bucket occupancy stays flat.
+    Recall vs the exact baseline is asserted in tests/test_operators.py."""
     e = _embeddings_normed(spark, sf_dir)
     tables = []
     for t in range(_N_TABLES):
@@ -108,40 +153,39 @@ def sim_cosine_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0)
             )
         tables.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket")))
-    bucketed = e.select(
-        "vec_id", "vec", "norm", F.explode(F.array(*tables)).alias("tb")
-    ).select("vec_id", "vec", "norm", "tb.tbl", "tb.bucket")
+    bucketed = e.select("vec_id", F.explode(F.array(*tables)).alias("tb")).select(
+        "vec_id", "tb.tbl", "tb.bucket"
+    )
 
-    q = bucketed.select(
-        F.col("vec_id").alias("id_q"), F.col("vec").alias("vec_q"),
-        F.col("norm").alias("norm_q"), "tbl", "bucket",
+    cand = (
+        bucketed.groupBy("tbl", "bucket")
+        .agg(F.collect_list("vec_id").alias("members"))
+        .filter(F.size("members") > 1)
+        .select(F.explode("members").alias("id_q"), "members")
+        .select("id_q", F.explode("members").alias("id_n"))
+        .filter(F.col("id_q") != F.col("id_n"))
+        .distinct()  # a pair may collide in several tables — count once
     )
-    c = bucketed.select(
-        F.col("vec_id").alias("id_n"), F.col("vec").alias("vec_n"),
-        F.col("norm").alias("norm_n"), "tbl", "bucket",
-    )
-    cos = _dot(F.col("vec_q"), F.col("vec_n")) / (F.col("norm_q") * F.col("norm_n"))
+    # Exact cosine on the candidate pairs via an Arrow-vectorized pandas
+    # UDF — one einsum per batch. The interpreted alternative (zip_with +
+    # aggregate per row) is ~50× slower on millions of pairs, and this
+    # path must survive candidate volumes where that matters.
+    # pandas imported at module level (annotation resolution needs it)
+
+    @F.pandas_udf("double")
+    def _cos_pd(va: pd.Series, vb: pd.Series) -> pd.Series:
+        ma = np.stack([np.asarray(v, dtype=np.float64) for v in va])
+        mb = np.stack([np.asarray(v, dtype=np.float64) for v in vb])
+        num = np.einsum("ij,ij->i", ma, mb)
+        return pd.Series(num / (np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)))
+
     from pyspark.sql import Window
 
     w = Window.partitionBy("id_q").orderBy(F.col("cos_sim").desc(), F.col("id_n"))
     return (
-        q.join(c, on=["tbl", "bucket"])
-        .filter(F.col("id_q") != F.col("id_n"))
-        .select("id_q", "id_n")
-        .distinct()  # a pair may collide in several tables — count once
-        .join(
-            bucketed.select("vec_id", "vec", "norm").distinct().withColumnsRenamed(
-                {"vec_id": "id_q", "vec": "vec_q", "norm": "norm_q"}
-            ),
-            "id_q",
-        )
-        .join(
-            bucketed.select("vec_id", "vec", "norm").distinct().withColumnsRenamed(
-                {"vec_id": "id_n", "vec": "vec_n", "norm": "norm_n"}
-            ),
-            "id_n",
-        )
-        .select("id_q", "id_n", cos.alias("cos_sim"))
+        cand.join(e.select(F.col("vec_id").alias("id_q"), F.col("vec").alias("vec_q")), "id_q")
+        .join(e.select(F.col("vec_id").alias("id_n"), F.col("vec").alias("vec_n")), "id_n")
+        .select("id_q", "id_n", _cos_pd("vec_q", "vec_n").alias("cos_sim"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
     )
@@ -333,17 +377,38 @@ def sim_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     source (the blocked-exact pattern: a cheap equi-key — here source,
     in production an LSH band — bounds the quadratic pair space, then
     exact set math runs inside each block). Fully SQL-expressible →
-    oracle-checked, which also pins the LSH estimators' ground truth."""
+    oracle-checked, which also pins the LSH estimators' ground truth.
+
+    The pairwise intersect runs on xxhash64(bigram) longs, not bigram
+    strings: set sizes — and therefore jaccard — are identical up to a
+    64-bit collision inside one document's ~10² grams (P≈2⁻⁵⁰), and the
+    integer intersect is several times cheaper than the string one on
+    the quadratic pair side. The oracle intersects the strings."""
     docs = load_table(spark, sf_dir, "documents")
     toked = docs.select("doc_id", "source", F.split("text", " ").alias("toks"))
     g = toked.select(
-        "doc_id", "source", F.array_distinct(token_ngrams("toks", 2)).alias("gs")
+        "doc_id",
+        "source",
+        F.array_distinct(
+            F.transform(token_ngrams("toks", 2), lambda s: F.xxhash64(s))
+        ).alias("gs"),
     )
     a = g.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"), F.col("gs").alias("gs_a"))
     b = g.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"), F.col("gs").alias("gs_b"))
-    inter = F.size(F.array_intersect("gs_a", "gs_b")).cast("double")
-    union = F.size("gs_a") + F.size("gs_b") - F.size(F.array_intersect("gs_a", "gs_b"))
+    # bind the intersect size once — referencing array_intersect in both
+    # numerator and denominator would evaluate it twice per pair
     return (
         a.join(b, (F.col("src_a") == F.col("src_b")) & (F.col("doc_a") < F.col("doc_b")))
-        .select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("gs_a", "gs_b")).alias("ni"),
+            F.size("gs_a").alias("na"),
+            F.size("gs_b").alias("nb"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni")), 6).alias("jaccard"),
+        )
     )
