@@ -55,6 +55,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_events_since(spark: SparkSession, sf_dir: str, hwm) -> DataFrame:
+    """events with ``ts > hwm``, with the predicate rewritten onto the
+    RAW nanos long so it reaches the parquet scan.
+
+    Filtering the converted µs column (``timestamp_micros(ts div 1000)``)
+    puts the predicate above a projection Catalyst cannot invert — the
+    scan would read every row group. In µs space ``floor(ns/1000) > H``
+    iff ``ns > H*1000 + 999``, so the equivalent raw predicate is exact
+    and shows up in the scan's PushedFilters (asserted in
+    tests/test_plans.py). At 100 TB on a ts-partitioned layout this is
+    the difference between pruning to new partitions and a full scan.
+
+    ``hwm`` may be None (bootstrap O3: take everything), a datetime, or
+    an ISO string interpreted as UTC.
+    """
+    from datetime import datetime, timedelta, timezone
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if hwm is not None:
+        if isinstance(hwm, str):
+            hwm = datetime.fromisoformat(hwm)
+        if hwm.tzinfo is None:
+            hwm = hwm.replace(tzinfo=timezone.utc)
+        epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
+        hwm_us = (hwm - epoch) // timedelta(microseconds=1)
+        df = df.filter(F.col("ts") > F.lit(hwm_us * 1000 + 999))
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Register each table as a temp view for the spark.sql surface."""
     for name in tables:

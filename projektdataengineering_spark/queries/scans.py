@@ -12,8 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
-from ..operators.incremental import incremental_filter
+from ..catalog import load_events_since, load_table
 from . import query
 
 # Mid-range literal over the events table's Jan-2024 span; several
@@ -58,11 +57,14 @@ def scan_project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def filter_highwater(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's incremental predicate (O1): strict > on event time
-    (weather_task.py:82). Pure pushdown filter — on a ts-partitioned
-    layout this prunes to only new partitions.
+    (weather_task.py:82), pushed into the scan.
+
+    Uses load_events_since, which rewrites the predicate onto the raw
+    nanos column — filtering the converted µs timestamp would strand the
+    predicate above a projection and force a full scan (the plan test
+    asserts PushedFilters is non-empty here).
     """
-    ev = load_table(spark, sf_dir, "events")
-    return incremental_filter(ev, "ts", HWM_LITERAL)
+    return load_events_since(spark, sf_dir, HWM_LITERAL)
 
 
 @query(

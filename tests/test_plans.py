@@ -1,0 +1,116 @@
+"""Physical-plan audits — "would this plan survive 100 TB?" as tests.
+
+Each assertion encodes a scale property SURVEY.md §4 demands: filters
+reach the parquet scan (row-group pruning), projections prune the read
+schema (column-store bandwidth), fixed-cardinality dims broadcast
+(no shuffle of the fact side), global sort+limit stays a TakeOrdered
+(no range-partitioned total sort), aggregations are partial-then-final
+around exactly one exchange. These are static-plan facts — AQE can only
+improve on them at runtime, never regress them (see plans/__init__.py).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from projektdataengineering_spark.plans import plan_facts
+from projektdataengineering_spark.queries import load_registry
+
+REGISTRY = load_registry()
+
+
+@pytest.fixture(scope="module")
+def facts_of(spark, sf_dir):
+    cache = {}
+
+    def get(name):
+        if name not in cache:
+            cache[name] = plan_facts(REGISTRY[name].fn(spark, sf_dir))
+        return cache[name]
+
+    return get
+
+
+def test_scan_project_prunes_columns_and_avoids_shuffle(facts_of):
+    f = facts_of("scan_project_cast")
+    assert f.shuffles == 0, f.nodes
+    (cols,) = f.read_schemas  # exactly one scan
+    # 5 of 11 lineitem columns — casts must not widen the read schema
+    assert sorted(cols) == sorted(
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate"]
+    )
+
+
+def test_highwater_filter_is_pushed_to_scan(facts_of):
+    """The O1 incremental predicate must reach parquet despite the ns→µs
+    conversion sitting between the scan and the query's ts column."""
+    f = facts_of("filter_highwater")
+    assert any("GreaterThan(ts" in p for p in f.pushed_filters), f.pushed_filters
+
+
+def test_compound_filter_is_pushed_to_scan(facts_of):
+    f = facts_of("filter_compound")
+    assert f.pushed_filters and any(
+        "o_totalprice" in p for p in f.pushed_filters
+    ), f.pushed_filters
+    (cols,) = f.read_schemas
+    assert len(cols) == 6, cols  # 5 projected + 1 filter-only column
+
+
+def test_dim_joins_broadcast_not_shuffle(facts_of):
+    """supplier→nation→region chain on lineitem: every dim side must be
+    a broadcast hash join; the fact table must never shuffle."""
+    f = facts_of("join_broadcast")
+    assert f.broadcast_joins == 3, f.nodes
+    assert f.sort_merge_joins == 0 and f.shuffles == 0, f.nodes
+    assert f.cartesian_like == 0
+
+
+def test_multiway_join_broadcasts_all_dims(facts_of):
+    """5-way chain: the only exchange allowed is the final aggregation's."""
+    f = facts_of("join_multiway")
+    assert f.broadcast_joins == 4, f.nodes
+    assert f.sort_merge_joins == 0, f.nodes
+    assert f.shuffles == 1, f.nodes  # partial→final agg exchange only
+    assert f.count("HashAggregate") == 2  # map-side partial + final
+
+
+def test_sort_limit_is_take_ordered_not_global_sort(facts_of):
+    """S1/S2 serving shape: orderBy+limit must plan as
+    TakeOrderedAndProject (per-partition heap + driver merge), not a
+    range-partitioned global sort."""
+    for name in ("sort_limit_asc", "sort_limit_desc"):
+        f = facts_of(name)
+        assert f.count("TakeOrderedAndProject") == 1, (name, f.nodes)
+        assert f.count("Sort") == 0 and f.shuffles == 0, (name, f.nodes)
+
+
+def test_groupby_agg_is_partial_then_final(facts_of):
+    f = facts_of("agg_groupby_multi")
+    assert f.count("HashAggregate") == 2, f.nodes  # map-side combine on
+    assert f.shuffles == 1, f.nodes
+    # the date filter must also reach the scan
+    assert any("l_shipdate" in p for p in f.pushed_filters), f.pushed_filters
+
+
+def test_asof_join_is_single_shuffle_window_not_cross_product(facts_of):
+    """The as-of union+window plan: one exchange on the key, one sort,
+    one window — and never a nested-loop/cartesian fallback."""
+    f = facts_of("join_asof")
+    assert f.count("Window") >= 1, f.nodes
+    assert f.cartesian_like == 0, f.nodes
+    assert f.shuffles == 1, f.nodes
+
+
+def test_no_query_plans_a_cartesian_product(spark, sf_dir):
+    """No registered query may fall back to CartesianProduct; the only
+    BroadcastNestedLoopJoin allowed is the 1-row scalar-subquery
+    broadcast in the late-data policy (O(n) by construction — every
+    probe row meets exactly one broadcast row). Even the theta/range
+    joins must plan hash joins on their equi component."""
+    allowed_bnlj = {"stream_late_data_policy"}
+    for name, qd in REGISTRY.items():
+        f = plan_facts(qd.fn(spark, sf_dir))
+        assert f.count("CartesianProduct") == 0, (name, f.nodes)
+        if name not in allowed_bnlj:
+            assert f.count("BroadcastNestedLoopJoin") == 0, (name, f.nodes)
