@@ -1,0 +1,101 @@
+"""End-to-end batch pipeline tests: the reference's weather_task main()
+re-expressed Spark-first (pipeline.run_incremental_batch), over real
+temp directories — bootstrap, incremental second batch, replay
+idempotence, archive layout (O6), and the single-action row count (O5).
+"""
+
+from __future__ import annotations
+
+import os
+import textwrap
+from datetime import datetime, timezone
+
+import pytest
+
+from projektdataengineering_spark.pipeline import run_incremental_batch
+from projektdataengineering_spark.sources import WEATHER_CASTS, weather_raw_schema
+
+BATCH1 = textwrap.dedent(
+    """\
+    EventId,Type,Severity,StartTimeUTC,EndTimeUTC,PrecipitationIn,TimeZone,AirportCode,LocationLat,LocationLng,City,County,State,ZipCode
+    W-1,Rain,Light,2022-01-01 00:00:00,2022-01-01 01:30:00,0.03,US/Eastern,KJFK,40.6413,-73.7781,New York,Queens,NY,11430
+    W-2,Snow,Heavy,2022-01-01 00:20:00,2022-01-01 04:00:00,0.71,US/Central,KORD,41.9742,-87.9073,Chicago,Cook,IL,60666
+    """
+)
+
+# W-3 is strictly newer; W-LATE is at exactly the batch-1 HWM (must be
+# dropped: strict >, O1); W-OLD is older (late data, dropped: O2).
+BATCH2 = textwrap.dedent(
+    """\
+    EventId,Type,Severity,StartTimeUTC,EndTimeUTC,PrecipitationIn,TimeZone,AirportCode,LocationLat,LocationLng,City,County,State,ZipCode
+    W-3,Fog,Severe,2022-01-01 02:00:00,2022-01-01 02:40:00,0.00,US/Pacific,KLAX,33.9416,-118.4085,Los Angeles,Los Angeles,CA,90045
+    W-LATE,Rain,Light,2022-01-01 00:20:00,2022-01-01 01:00:00,0.10,US/Eastern,KBOS,42.3656,-71.0096,Boston,Suffolk,MA,02128
+    W-OLD,Hail,Severe,2021-12-31 20:00:00,2021-12-31 21:00:00,0.50,US/Eastern,KPHL,39.8729,-75.2437,Philadelphia,Philadelphia,PA,19153
+    """
+)
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    return {
+        "landing": landing,
+        "warehouse": str(tmp_path / "warehouse"),
+        "archive": str(tmp_path / "archive"),
+    }
+
+
+def _run(spark, dirs, when):
+    return run_incremental_batch(
+        spark,
+        landing_path=str(dirs["landing"]),
+        warehouse_path=dirs["warehouse"],
+        archive_root=dirs["archive"],
+        dataset="weather_data",
+        ts_col="StartTimeUTC",
+        casts=WEATHER_CASTS,
+        schema=weather_raw_schema(),
+        now=when,
+    )
+
+
+def test_bootstrap_then_incremental_then_replay(spark, dirs):
+    t1 = datetime(2022, 1, 8, 12, 0, 0, tzinfo=timezone.utc)
+    (dirs["landing"] / "b1.csv").write_text(BATCH1)
+    r1 = _run(spark, dirs, t1)
+    assert r1.rows_written == 2  # O3: empty warehouse takes everything
+    assert r1.high_water_mark is None
+    assert len(r1.archived) == 1
+
+    # landing dir now empty (file archived); second batch arrives
+    (dirs["landing"] / "b2.csv").write_text(BATCH2)
+    t2 = datetime(2022, 1, 15, 12, 0, 0, tzinfo=timezone.utc)
+    r2 = _run(spark, dirs, t2)
+    assert r2.rows_written == 1  # only W-3: O1 strict > drops W-LATE, O2 drops W-OLD
+    assert r2.high_water_mark == datetime(2022, 1, 1, 0, 20, 0)
+
+    wh = spark.read.parquet(dirs["warehouse"])
+    assert sorted(r["EventId"] for r in wh.select("EventId").collect()) == [
+        "W-1",
+        "W-2",
+        "W-3",
+    ]
+
+    # replay the same batch (crash-between-write-and-archive scenario):
+    # HWM now at W-3's ts → zero rows, warehouse unchanged
+    (dirs["landing"] / "b2_replay.csv").write_text(BATCH2)
+    r3 = _run(spark, dirs, datetime(2022, 1, 15, 13, 0, 0, tzinfo=timezone.utc))
+    assert r3.rows_written == 0
+    assert spark.read.parquet(dirs["warehouse"]).count() == 3
+
+
+def test_archive_layout_is_dated_o6(spark, dirs):
+    (dirs["landing"] / "b1.csv").write_text(BATCH1)
+    when = datetime(2022, 1, 8, 9, 30, 45, tzinfo=timezone.utc)
+    r = _run(spark, dirs, when)
+    (dst,) = r.archived
+    assert dst.endswith("archive/weather_data/2022-01-08/093045_b1.csv"), dst
+    assert os.path.exists(dst.removeprefix("file:"))
+    # source file is gone from the landing zone
+    assert list(dirs["landing"].glob("*.csv")) == []
