@@ -76,3 +76,32 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     existing = ev.filter(F.col("ts") <= F.lit(HWM_LITERAL))
     return _dedup_incremental(ev, existing, "event_id")
+
+
+@query("dedup_embedding_cosine", oracle=None)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-duplicate assignment: vectors whose cosine
+    to a lower-id vector exceeds 0.95 are marked duplicates of the
+    SMALLEST such id (a one-hop canonicalization — the standard cheap
+    approximation of connected components for dedup sweeps; full CC is
+    an iterative join loop this engine would run to fixpoint offline).
+
+    Candidates come from the hyperplane-LSH buckets (queries/similarity
+    .sim_cosine_ann_lsh) so the pair space stays linear-ish; cosine runs
+    in the same Arrow/numpy kernel. Rows-only check: threshold + LSH
+    recall are not SQL-expressible.
+
+    Threshold note: production near-dup means cos ≥ ~0.95. The fixture
+    embeddings are seeded-random (no planted duplicates; measured top
+    pair ≈ 0.6), so the registered query uses 0.45 — the top of the
+    corpus's own similarity scale — purely so the assignment mechanism
+    executes non-trivially at every SF."""
+    from .similarity import sim_cosine_ann_lsh
+
+    pairs = sim_cosine_ann_lsh(spark, sf_dir)
+    dups = (
+        pairs.filter((F.col("cos_sim") >= 0.45) & (F.col("id_n") < F.col("id_q")))
+        .groupBy(F.col("id_q").alias("vec_id"))
+        .agg(F.min("id_n").alias("dup_of"))
+    )
+    return dups.orderBy("vec_id")

@@ -197,3 +197,35 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prefix_shingle_fp"
         ),
     )
+
+
+# A BPE-ish pre-tokenization pattern (word pieces, numbers, single
+# non-space punctuation) — RE2/Java-compatible subset, no lookarounds,
+# so Spark and DuckDB extract identical token streams.
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+@query(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS bpe_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting per document: whitespace tokens (the quality
+    gate's unit) and BPE-ish regex tokens (the budget unit an LLM
+    pipeline actually bills in — words, numbers and punctuation counted
+    separately). Pure codegen'd regex on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0))).cast("long").alias(
+            "bpe_tokens"
+        ),
+        F.length("text").cast("long").alias("n_chars"),
+    )

@@ -46,3 +46,71 @@ def test_stream_session_windows_with_watermark(spark, sf_dir):
     emitted = set(_canon(spark.table("session_out")))
     assert emitted, "watermarked session stream emitted nothing"
     assert emitted <= batch, "streaming emitted a session batch mode doesn't have"
+
+
+def test_stateful_dedup_first_wins(spark, sf_dir, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): cross-batch
+    first-wins dedup. Two files + maxFilesPerTrigger=1 force two
+    micro-batches through one query; keyed state must carry the
+    first-seen timestamp across them and count every later duplicate."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from projektdataengineering_spark.streaming.stateful import dedup_stream_first_wins
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    b1 = pd.DataFrame(
+        {
+            "key": ["a", "a", "b"],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:10:00", "2024-01-01 00:05:00"]
+            ),
+        }
+    )
+    b1.to_parquet(src / "batch1.parquet", coerce_timestamps="us")
+    b2 = pd.DataFrame(
+        {
+            "key": ["a", "b", "b"],
+            "ts": pd.to_datetime(
+                ["2024-01-02 00:00:00", "2024-01-02 00:01:00", "2024-01-02 00:02:00"]
+            ),
+        }
+    )
+    b2.to_parquet(src / "batch2.parquet", coerce_timestamps="us")
+    # file source orders micro-batches by modification time — pin it
+    now = time.time()
+    os.utime(src / "batch1.parquet", (now - 60, now - 60))
+    os.utime(src / "batch2.parquet", (now, now))
+
+    stream = (
+        spark.readStream.schema("key string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = dedup_stream_first_wins(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # update-mode memory sink appends each micro-batch's emissions; the
+    # final state per key is the row with the highest drop count
+    rows = spark.table("dedup_out").collect()
+    assert len(rows) == 4, rows  # (a,b) emitted in both micro-batches
+    final = {}
+    for r in rows:
+        if r["key"] not in final or r["n_dropped"] > final[r["key"]]["n_dropped"]:
+            final[r["key"]] = r
+    assert final["a"]["n_dropped"] == 2  # 1 in-batch dup + 1 cross-batch
+    assert final["b"]["n_dropped"] == 2  # 2 cross-batch dups
+    # first-seen timestamps survive across micro-batches in keyed state
+    assert final["a"]["first_ts"] == pd.Timestamp("2024-01-01 00:00:00")
+    assert final["b"]["first_ts"] == pd.Timestamp("2024-01-01 00:05:00")
