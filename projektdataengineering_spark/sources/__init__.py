@@ -106,3 +106,30 @@ def write_jdbc_append(
         .options(batchsize=str(batchsize), isolationLevel="READ_COMMITTED")
         .jdbc(url, table, properties=properties)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    path: str,
+    bucket_cols: tuple[str, ...],
+    n_buckets: int = 16,
+    sort_cols: tuple[str, ...] | None = None,
+) -> None:
+    """Bucketed parquet table (external, at ``path``) registered in the
+    session catalog.
+
+    Bucketing pre-shuffles the data ONCE at write time: every later
+    equi-join or aggregation on the bucket columns between tables with
+    the same bucket count plans with ZERO exchanges (asserted in
+    tests/test_plans.py). This is the at-rest answer to the repeated
+    shuffle cost of a 100-TB fact⋈fact join — the write pays the
+    shuffle, every read amortizes it. sort_cols additionally pre-sorts
+    within buckets, upgrading sort-merge joins to merge-only.
+    """
+    writer = df.write.mode("overwrite").option("path", path).bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(name)

@@ -127,3 +127,37 @@ def test_simhash_hamming_symmetry(spark, sf_dir):
         assert 0 <= r["hamming"] <= 16
         assert (r["doc_a"], r["doc_b"]) not in seen
         seen.add((r["doc_a"], r["doc_b"]))
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """salted_join must be result-identical to the plain equi-join —
+    on a genuinely skewed probe side (orders keyed to one hot custkey)."""
+    from pyspark.sql import functions as F
+
+    from projektdataengineering_spark.catalog import load_table
+    from projektdataengineering_spark.operators.skew import salted_join
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # manufacture skew: fold 90% of orders onto one key
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    hot = cust.agg(F.min("c_custkey")).first()[0]
+    skewed = orders.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 10 < 9, F.lit(hot)).otherwise(F.col("o_custkey")),
+    ).withColumnRenamed("o_custkey", "c_custkey")
+
+    plain = skewed.join(cust, "c_custkey").select("o_orderkey", "c_custkey", "c_name")
+    salted = salted_join(skewed, cust, "c_custkey", n_salts=4).select(
+        "o_orderkey", "c_custkey", "c_name"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    # left-join form: unmatched probe rows must survive exactly once
+    orphan = skewed.withColumn("c_custkey", F.col("c_custkey") + 10_000_000)
+    plain_l = orphan.join(cust, "c_custkey", "left").select(
+        "o_orderkey", "c_custkey", "c_name"
+    )
+    salted_l = salted_join(orphan, cust, "c_custkey", n_salts=4, how="left").select(
+        "o_orderkey", "c_custkey", "c_name"
+    )
+    assert sorted(map(tuple, plain_l.collect())) == sorted(map(tuple, salted_l.collect()))

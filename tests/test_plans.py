@@ -114,3 +114,22 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         assert f.count("CartesianProduct") == 0, (name, f.nodes)
         if name not in allowed_bnlj:
             assert f.count("BroadcastNestedLoopJoin") == 0, (name, f.nodes)
+
+
+def test_bucketed_join_has_zero_exchanges(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts must
+    join with NO shuffle exchange — the write-once/amortize-forever
+    co-location contract of sources.write_bucketed."""
+    from projektdataengineering_spark.catalog import load_table
+    from projektdataengineering_spark.sources import write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    write_bucketed(orders, "orders_b", str(tmp_path / "orders_b"), ("o_custkey",), 8)
+    try:
+        a = spark.table("orders_b")
+        b = spark.table("orders_b").groupBy("o_custkey").count()
+        joined = a.join(b, "o_custkey")
+        f = plan_facts(joined)
+        assert f.shuffles == 0, f.nodes  # agg AND join ride the buckets
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
