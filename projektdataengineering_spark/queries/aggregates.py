@@ -223,3 +223,49 @@ def agg_scalar_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     return ev.agg(F.max("ts").alias("max_ts"))
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {SQL_DSUM.format(x="l_quantity")} AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (neither rollup- nor cube-shaped),
+    expressed through the engine's SQL surface over a registered view —
+    the DataFrame API has no grouping-sets verb, and SQL text is itself
+    a first-class entry point of this engine (the reference's serving
+    client is raw SQL; SURVEY §3.3)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query("agg_stats_moments", oracle=None)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per event type: sample stddev/variance,
+    skewness, kurtosis, and value↔hour-of-day correlation. Rows-only
+    check on purpose: running-moment aggregation over doubles is
+    order-dependent at the last few ulps, so distributed results differ
+    from any serial oracle below round-off — correctness here is the
+    row-count + schema contract plus the property test bounds."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.stddev_samp("value").alias("stddev_value"),
+        F.var_samp("value").alias("var_value"),
+        F.skewness("value").alias("skew_value"),
+        F.kurtosis("value").alias("kurt_value"),
+        F.corr("value", F.hour("ts").cast("double")).alias("corr_value_hour"),
+    )

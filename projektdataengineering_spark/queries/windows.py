@@ -189,3 +189,39 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.sum(money("value")).over(w).cast("double").alias("trailing_7d_value"),
     )
+
+
+@query(
+    "window_first_last",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           first_value(o_totalprice) OVER w AS cheapest_in_status,
+           last_value(o_totalprice) OVER w AS priciest_in_status,
+           nth_value(o_totalprice, 2) OVER w AS second_cheapest
+    FROM orders
+    WINDOW w AS (
+      PARTITION BY o_orderstatus
+      ORDER BY o_totalprice, o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value over an explicit full-partition ROWS frame —
+    the frame matters: the default frame for last_value would be
+    up-to-current-row (i.e. each row's own value). Unique o_orderkey
+    tiebreaker keeps both engines' orderings identical."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.first("o_totalprice").over(w).alias("cheapest_in_status"),
+        F.last("o_totalprice").over(w).alias("priciest_in_status"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_cheapest"),
+    )
