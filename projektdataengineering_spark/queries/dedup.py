@@ -23,6 +23,17 @@ from . import query
 from .scans import HWM_LITERAL
 
 
+def dedup_exact_frame(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-key row per sha256(text_col) — idempotent
+    (dedup∘dedup == dedup, property-tested in tests/test_properties.py).
+
+    Hash is computed map-side; the shuffle key is the digest, so the
+    exchange never carries document bodies."""
+    hashed = df.withColumn("content_sha256", F.sha2(F.col(text_col), 256))
+    w = Window.partitionBy("content_sha256").orderBy(F.col(key_col).asc())
+    return hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+
+
 @query(
     "dedup_exact",
     oracle="""
@@ -39,19 +50,10 @@ from .scans import HWM_LITERAL
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact content dedup: keep the lowest doc_id per sha256(text).
-
-    Hash is computed map-side; the shuffle key is the digest, so the
-    exchange never carries document bodies. Spark's sha2 and DuckDB's
-    sha256 both emit lowercase hex → directly comparable.
-    """
+    Spark's sha2 and DuckDB's sha256 both emit lowercase hex →
+    directly comparable."""
     docs = load_table(spark, sf_dir, "documents")
-    hashed = docs.withColumn("content_sha256", F.sha2(F.col("text"), 256))
-    w = Window.partitionBy("content_sha256").orderBy(F.col("doc_id").asc())
-    return (
-        hashed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "lang", "source", "content_sha256")
-    )
+    return dedup_exact_frame(docs).select("doc_id", "lang", "source", "content_sha256")
 
 
 @query(
