@@ -30,6 +30,7 @@ def explain_string(df: DataFrame, mode: str = "formatted") -> str:
 # Node names as they appear in formatted explain, e.g. "(4) Exchange".
 _NODE_RE = re.compile(r"^\(\d+\)\s+([A-Za-z][A-Za-z0-9 ]*?)(?:\s+\[codegen id : \d+\])?\s*$", re.M)
 _PUSHED_RE = re.compile(r"PushedFilters:\s*\[([^\]]*)\]")
+_PARTFILTER_RE = re.compile(r"PartitionFilters:\s*\[([^\]]*)\]")
 _READSCHEMA_RE = re.compile(r"ReadSchema:\s*struct<([^>]*)>")
 
 
@@ -39,6 +40,7 @@ class PlanFacts:
 
     nodes: list[str] = field(default_factory=list)
     pushed_filters: list[str] = field(default_factory=list)  # one entry per scan
+    partition_filters: list[str] = field(default_factory=list)  # per partitioned scan
     read_schemas: list[list[str]] = field(default_factory=list)  # column names per scan
 
     def count(self, node_prefix: str) -> int:
@@ -67,6 +69,9 @@ def plan_facts(df: DataFrame) -> PlanFacts:
     text = explain_string(df, "formatted")
     facts = PlanFacts(nodes=[m.group(1).strip() for m in _NODE_RE.finditer(text)])
     facts.pushed_filters = [m.group(1).strip() for m in _PUSHED_RE.finditer(text)]
+    facts.partition_filters = [
+        m.group(1).strip() for m in _PARTFILTER_RE.finditer(text) if m.group(1).strip()
+    ]
     for m in _READSCHEMA_RE.finditer(text):
         cols = [c.split(":", 1)[0] for c in m.group(1).split(",") if ":" in c]
         facts.read_schemas.append(cols)

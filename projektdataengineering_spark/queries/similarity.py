@@ -191,6 +191,35 @@ def sim_cosine_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucket_pairs(bands: DataFrame, key_cols: list[str], member_cols: list[str]) -> DataFrame:
+    """LSH candidate generation shared by the MinHash/SimHash paths:
+    groupBy the bucket key, sort-collect member structs (ordered by the
+    first member column, so every pair is emitted (smaller, larger) no
+    matter which band produced it), expand pairs array-side, dedup
+    across bands. The upstream signature pipeline executes ONCE — a
+    band self-join would run it once per side. Returns columns a, b
+    (structs of member_cols)."""
+    buckets = (
+        bands.groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_list(F.struct(*member_cols))).alias("members"))
+        .filter(F.size("members") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            "members",
+            lambda a, i: F.transform(
+                F.slice("members", i + 2, F.size("members")),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .distinct()
+    )
+
+
 _N_MINHASH = 16
 _BAND_SIZE = 4  # → 4 bands of 4 hashes
 
@@ -269,66 +298,65 @@ def sim_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band"),
     ).select("doc_id", "sig", "band.band_idx", "band.band_hash")
 
-    # sort_array orders members by doc_id (first struct field) so every
-    # pair comes out (smaller id, larger id) regardless of which band
-    # produced it — making the cross-band distinct() a true dedup.
-    buckets = (
-        bands.groupBy("band_idx", "band_hash")
-        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sig"))).alias("members"))
-        .filter(F.size("members") > 1)
-    )
-    pairs = F.flatten(
-        F.transform(
-            "members",
-            lambda a, i: F.transform(
-                F.slice("members", i + 2, F.size("members")),
-                lambda b: F.struct(a.alias("a"), b.alias("b")),
-            ),
-        )
-    )
+    pairs = _bucket_pairs(bands, ["band_idx", "band_hash"], ["doc_id", "sig"])
     est = (
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+        F.size(
+            F.filter(F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y), lambda m: m)
+        )
         / F.lit(float(_N_MINHASH))
     )
-    return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select(
-            F.col("p.a.doc_id").alias("doc_a"),
-            F.col("p.a.sig").alias("sig_a"),
-            F.col("p.b.doc_id").alias("doc_b"),
-            F.col("p.b.sig").alias("sig_b"),
-        )
-        .distinct()
-        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        est.alias("est_jaccard"),
     )
+
+
+# Bit masks for the 64 signature positions; bit 63 is the long sign bit.
+_BIT_MASKS = [1 << b for b in range(63)] + [-(1 << 63)]
 
 
 @query("sim_simhash", oracle=None)
 def sim_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document + near-dup pairs at Hamming ≤ 16.
 
-    SimHash: each token votes its xxhash64 bit pattern (+1/-1 per bit);
-    the signature takes the sign per bit. Candidate pairs here join on a
-    16-bit prefix band (same principle as MinHash bands: a near-dup pair
-    almost certainly agrees on some 16-bit slice); Hamming distance via
-    bit_count(xor). Fixed-width signatures → linear shuffle volume."""
+    SimHash: each distinct token votes its xxhash64 bit pattern (+1/-1
+    per bit); the signature takes the sign per bit. The signature is
+    computed ENTIRELY map-side with an array aggregate over the token
+    hashes — the previous formulation exploded tokens into a
+    64-column groupBy, shuffling every token of every document; this one
+    shuffles only (band_val, doc_id, simhash). Candidates join on 16-bit
+    bands (a near-dup pair almost certainly agrees on some 16-bit
+    slice); Hamming via bit_count(xor)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.array_distinct(F.split("text", " "))
-    h = docs.select("doc_id", F.explode(toks).alias("tok"))
-    h = h.withColumn("th", F.xxhash64(F.col("tok"), F.lit("#simhash")))
-    votes = h.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{b}")
-            for b in range(64)
-        ]
+    toked = docs.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(F.split("text", " ")),
+            lambda t: F.xxhash64(t, F.lit("#simhash")),
+        ).alias("ths"),
+    )
+    masks = F.array(*[F.lit(p) for p in _BIT_MASKS])
+    votes = toked.select(
+        "doc_id",
+        F.aggregate(
+            "ths",
+            F.expr("array_repeat(0, 64)"),
+            lambda acc, th: F.zip_with(
+                acc,
+                F.transform(masks, lambda p: F.when(th.bitwiseAND(p) != 0, 1).otherwise(-1)),
+                lambda a, v: a + v,
+            ),
+        ).alias("votes"),
     )
     sim = votes.select(
         "doc_id",
-        sum(
-            (F.when(F.col(f"b{b}") > 0, F.lit(1 << b) if b < 63 else F.lit(-(1 << 63))).otherwise(F.lit(0)))
-            for b in range(64)
+        F.aggregate(
+            F.zip_with(
+                "votes", masks, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc.bitwiseOR(x),
         ).alias("simhash"),
     )
     banded = sim.select(
@@ -340,16 +368,15 @@ def sim_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                                .bitwiseAND(F.lit(0xFFFF)).alias("band_val"))
                       for b in range(4)])
         ).alias("band"),
-    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
-    left = banded.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band_idx", "band_val")
-    right = banded.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band_idx", "band_val")
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ).select("band.band_idx", "band.band_val", "doc_id", "simhash")
+    pairs = _bucket_pairs(banded, ["band_idx", "band_val"], ["doc_id", "simhash"])
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        left.join(right, on=["band_idx", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .distinct()
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
         .filter(F.col("hamming") <= 16)
     )
 

@@ -133,3 +133,26 @@ def test_bucketed_join_has_zero_exchanges(spark, sf_dir, tmp_path):
         assert f.shuffles == 0, f.nodes  # agg AND join ride the buckets
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_b")
+
+
+def test_partitioned_write_prunes_partitions_on_read(spark, sf_dir, tmp_path):
+    """A warehouse written with partitionBy must turn an equality filter
+    on the partition column into PartitionFilters (directory pruning —
+    the scan never lists the other partitions' files), with the
+    remaining predicate still pushed to parquet."""
+    from projektdataengineering_spark.catalog import load_table
+    from projektdataengineering_spark.sources import write_parquet_append
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    path = str(tmp_path / "events_part")
+    write_parquet_append(ev, path, partition_by=("event_type",))
+
+    df = spark.read.parquet(path).filter(
+        "event_type = 'click' AND value > 10.0"
+    )
+    f = plan_facts(df)
+    assert any("event_type" in p for p in f.partition_filters), f.partition_filters
+    assert any("value" in p for p in f.pushed_filters), f.pushed_filters
+    # the partition column must NOT appear in the parquet data schema read
+    (cols,) = f.read_schemas
+    assert "event_type" not in cols, cols
