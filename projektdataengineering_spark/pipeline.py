@@ -79,3 +79,49 @@ def run_incremental_batch(
     when = now or datetime.now(timezone.utc)
     moved = archive_files(spark, list(df.inputFiles()), archive_root, dataset, when)
     return BatchResult(rows_written=n_written, high_water_mark=hwm, archived=moved)
+
+
+def run_streaming_ingest(
+    spark: SparkSession,
+    landing_path: str,
+    warehouse_path: str,
+    archive_root: str,
+    checkpoint_path: str,
+    casts: dict[str, str],
+    schema,
+) -> int:
+    """Continuous form of the batch pipeline: Structured Streaming file
+    source over the landing zone, cast layer, parquet sink, with the
+    source's native archive lifecycle (``cleanSource=archive`` — Spark
+    moves each fully-processed file under ``archive_root`` itself, the
+    streaming-native replacement for sources/archive.py).
+
+    Exactly-once comes from the checkpoint: re-running after a crash
+    resumes from the last committed offsets, so no HWM filter is needed
+    — the source's file tracking IS the high-water mark. Runs with
+    availableNow (drain-everything-then-stop) so batch replays and tests
+    are deterministic; a production deployment drops the trigger for
+    continuous micro-batches. Returns rows written this run.
+    """
+    raw = (
+        spark.readStream.schema(schema)
+        .option("header", True)
+        .option("cleanSource", "archive")
+        .option("sourceArchiveDir", archive_root)
+        .csv(landing_path)
+    )
+    for col_name, dtype in casts.items():
+        raw = raw.withColumn(col_name, F.expr(f"try_cast({col_name} AS {dtype})"))
+
+    q = (
+        raw.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", warehouse_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # the file sink reports numOutputRows=-1; source-side input rows are
+    # exact here (append sink, no filtering between source and sink)
+    return sum(int(p["numInputRows"]) for p in q.recentProgress)

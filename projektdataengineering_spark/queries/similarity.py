@@ -10,12 +10,14 @@ No rand(), no monotonically_increasing_id.
 Scale design, per operator:
 * brute-force cosine is the *verifier*, quadratic by construction — it
   exists to calibrate recall of the LSH paths at small SF (see
-  tests/test_operators.py), and to serve exact top-k when one side is
-  small enough to broadcast (the implementation broadcasts the right
-  side: N×k comparisons stream map-side, no shuffle).
+  tests/test_operators.py), and to serve exact top-k while one side
+  fits in a broadcast: the right matrix ships to every worker and
+  mapInPandas computes blocked BLAS cosine, emitting ≤k rows per block.
 * the LSH paths (MinHash bands, hyperplane buckets) are the 100-TB
-  answer: candidate generation becomes an equi-join on (band, hash) /
-  bucket keys — linear shuffle volume, per-bucket quadratic only.
+  answer: signatures are fixed-width regardless of document size, the
+  signature pipeline runs once (groupBy-bucket pair expansion, not a
+  band self-join), and the quadratic cost is confined to per-bucket
+  blocks whose size the band/bit parameters control.
 """
 
 from __future__ import annotations

@@ -7,6 +7,7 @@ idempotence, archive layout (O6), and the single-action row count (O5).
 from __future__ import annotations
 
 import os
+import pathlib
 import textwrap
 from datetime import datetime, timezone
 
@@ -99,3 +100,63 @@ def test_archive_layout_is_dated_o6(spark, dirs):
     assert os.path.exists(dst.removeprefix("file:"))
     # source file is gone from the landing zone
     assert list(dirs["landing"].glob("*.csv")) == []
+
+
+def test_streaming_ingest_with_native_archive(spark, dirs, tmp_path):
+    """Streaming-native ingest: file source + cleanSource=archive. The
+    checkpoint is the high-water mark — re-running with no new files
+    writes nothing; processed files leave the landing zone."""
+    import time
+
+    from projektdataengineering_spark.pipeline import run_streaming_ingest
+
+    (dirs["landing"] / "b1.csv").write_text(BATCH1)
+    ckpt = str(tmp_path / "ckpt")
+    n1 = run_streaming_ingest(
+        spark,
+        landing_path=str(dirs["landing"]),
+        warehouse_path=dirs["warehouse"],
+        archive_root=dirs["archive"],
+        checkpoint_path=ckpt,
+        casts=WEATHER_CASTS,
+        schema=weather_raw_schema(),
+    )
+    assert n1 == 2
+    wh = spark.read.parquet(dirs["warehouse"])
+    assert wh.count() == 2
+    assert dict(wh.dtypes)["StartTimeUTC"] == "timestamp"
+
+    # replay with nothing new: checkpoint suppresses re-ingest
+    n2 = run_streaming_ingest(
+        spark,
+        landing_path=str(dirs["landing"]),
+        warehouse_path=dirs["warehouse"],
+        archive_root=dirs["archive"],
+        checkpoint_path=ckpt,
+        casts=WEATHER_CASTS,
+        schema=weather_raw_schema(),
+    )
+    assert n2 == 0
+    assert spark.read.parquet(dirs["warehouse"]).count() == 2
+
+    # a NEW file advances the log; committing the next batch lets the
+    # async cleaner archive the fully-processed earlier file
+    (dirs["landing"] / "b2.csv").write_text(BATCH2)
+    n3 = run_streaming_ingest(
+        spark,
+        landing_path=str(dirs["landing"]),
+        warehouse_path=dirs["warehouse"],
+        archive_root=dirs["archive"],
+        checkpoint_path=ckpt,
+        casts=WEATHER_CASTS,
+        schema=weather_raw_schema(),
+    )
+    assert n3 == 3
+    assert spark.read.parquet(dirs["warehouse"]).count() == 5
+
+    deadline = time.time() + 20
+    while time.time() < deadline and (dirs["landing"] / "b1.csv").exists():
+        time.sleep(0.5)
+    assert not (dirs["landing"] / "b1.csv").exists()
+    archived = [str(p) for p in pathlib.Path(dirs["archive"]).rglob("b1.csv")]
+    assert archived, "b1.csv not found under the archive root"
