@@ -243,3 +243,59 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="ts",
         right_payload={"ts": "last_click_ts"},
     )
+
+
+@query(
+    "join_range_bucketized",
+    oracle="""
+    SELECT p.event_id, COUNT(c.event_id) AS n_nearby_clicks
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts + INTERVAL 30 MINUTE
+    GROUP BY p.event_id
+    """,
+)
+def join_range_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE range join (no equi key): clicks within ±30 min of each
+    purchase, by ANY user. Without help this is a cartesian product —
+    the scalable plan manufactures an equi key by bucketing time into
+    30-minute bands: the build side lands in its own band, the probe
+    side explodes into its 3 candidate bands, the join is an equi-join
+    on band, and the exact interval predicate filters inside. Shuffle
+    volume is 3× the probe side instead of |probe|×|build|.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    width_us = 30 * 60 * 1_000_000  # band width == interval half-width
+
+    # integer `div`, not double division + cast: a double quotient can
+    # land one ulp below an exact band boundary and truncate into the
+    # wrong band, silently losing boundary matches
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.unix_micros("ts").alias("c_us"),
+        F.expr(f"unix_micros(ts) div {width_us}").alias("band"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("event_id"), F.unix_micros("ts").alias("p_us")
+    )
+    probed = purchases.select(
+        "event_id",
+        "p_us",
+        F.explode(
+            F.array(
+                *[
+                    (F.expr(f"p_us div {width_us}") + d).alias("band")
+                    for d in (-1, 0, 1)
+                ]
+            )
+        ).alias("band"),
+    )
+    hits = (
+        probed.join(clicks, "band")
+        .filter(F.abs(F.col("c_us") - F.col("p_us")) <= width_us)
+        .groupBy("event_id")
+        .agg(F.countDistinct("c_id").alias("n_nearby_clicks"))
+    )
+    return purchases.select("event_id").join(hits, "event_id", "left").select(
+        "event_id", F.coalesce("n_nearby_clicks", F.lit(0)).alias("n_nearby_clicks")
+    )

@@ -84,3 +84,32 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers only in the even half (EXCEPT DISTINCT = subtract)."""
     even, odd = _order_halves(spark, sf_dir)
     return even.select("o_custkey").subtract(odd.select("o_custkey"))
+
+
+@query(
+    "unpivot_metrics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+           l_quantity AS val FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+    """,
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) of three lineitem measures — the inverse
+    of agg_pivot. Spark's unpivot is a Generate (map-side row expansion,
+    no shuffle); the oracle spells it as UNION ALL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    ).withColumn(
+        "metric",
+        F.when(F.col("metric") == "l_quantity", "quantity")
+        .when(F.col("metric") == "l_discount", "discount")
+        .otherwise("tax"),
+    )

@@ -225,3 +225,34 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(w).alias("priciest_in_status"),
         F.nth_value("o_totalprice", 2).over(w).alias("second_cheapest"),
     )
+
+
+@query(
+    "window_percentiles",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           CAST(ntile(10) OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS decile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice)
+    """,
+)
+def window_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position analytics: percent_rank/cume_dist ordered
+    by value alone (ties share positions — both engines agree), decile
+    via ntile with a unique tiebreaker (ntile assigns by ROW, so without
+    the tiebreaker tied rows could land in different tiles per engine).
+    The doubles are exact integer ratios — bit-identical across engines."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    wt = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(10).over(wt).cast("long").alias("decile"),
+    )

@@ -156,3 +156,23 @@ def test_partitioned_write_prunes_partitions_on_read(spark, sf_dir, tmp_path):
     # the partition column must NOT appear in the parquet data schema read
     (cols,) = f.read_schemas
     assert "event_type" not in cols, cols
+
+
+def test_dynamic_partition_pruning_on_dim_filter(spark, sf_dir, tmp_path):
+    """Star-schema staple: a filter on the DIM side must prune the
+    partitioned FACT side at runtime (dynamicpruningexpression in the
+    scan's PartitionFilters) — at 100 TB this is what turns 'scan the
+    fact table' into 'scan the partitions the dim filter selects'."""
+    from projektdataengineering_spark.catalog import load_table
+    from projektdataengineering_spark.plans import explain_string
+    from projektdataengineering_spark.sources import write_parquet_append
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    path = str(tmp_path / "fact_part")
+    write_parquet_append(ev, path, partition_by=("event_type",))
+    dim = spark.createDataFrame(
+        [("click", 1), ("purchase", 2)], "event_type string, w int"
+    )
+    fact = spark.read.parquet(path)
+    j = fact.join(dim.filter("w = 2"), "event_type").groupBy("event_type").count()
+    assert "dynamicpruningexpression" in explain_string(j, "formatted").lower()
