@@ -63,6 +63,7 @@ _MODULES = (
     "streaming_batch",
     "udfs",
     "multimodal",
+    "mlprep",
 )
 
 

@@ -269,3 +269,108 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.kurtosis("value").alias("kurt_value"),
         F.corr("value", F.hour("ts").cast("double")).alias("corr_value_hour"),
     )
+
+
+@query(
+    "subquery_avg_yearly",
+    oracle=f"""
+    SELECT {SQL_DSUM.format(x="l.l_extendedprice")} / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN (
+      SELECT l_partkey,
+             0.2 * ({SQL_DAVG.format(x="l_quantity")}) AS qty_thr
+      FROM lineitem
+      GROUP BY l_partkey
+    ) t ON l.l_partkey = t.l_partkey
+    WHERE l.l_quantity < t.qty_thr
+    """,
+)
+def subquery_avg_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — a correlated scalar subquery, decorrelated the
+    way Catalyst (and every modern planner) rewrites it: the per-part
+    average becomes a grouped aggregate joined back on the correlation
+    key, turning O(parts × lineitem) re-execution into one agg + one
+    equi-join. Revenue below the 0.2×avg-quantity threshold, scaled to
+    a yearly figure.
+
+    The per-part aggregate output is small (one row per partkey), so AQE
+    plans the join-back as a broadcast at bench scale; at 100 TB it
+    degrades gracefully to a shuffle join on the same key the aggregate
+    already partitioned by — no extra exchange on the big side beyond
+    the one the join needs. Mean goes through exact DECIMAL (see
+    functions.davg) so the 0.2× threshold is bit-identical to the
+    oracle's."""
+    li = load_table(spark, sf_dir, "lineitem")
+    thr = (
+        li.groupBy("l_partkey")
+        .agg((F.lit(0.2) * davg("l_quantity")).alias("qty_thr"))
+    )
+    return (
+        li.join(thr, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .agg((dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+@query(
+    "agg_corr_exact",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n_rows,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n_rows,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS corr_qty_price
+    FROM s
+    """,
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity↔price per returnflag, computed
+    from exact-decimal co-moments instead of F.corr's running-moment
+    kernel. The five sums are DECIMAL (order-independent, exact — the
+    2-dp inputs multiply into DECIMAL(25,4) without rounding), and the
+    final corr is one fixed sequence of IEEE double ops on those exact
+    scalars — so unlike `agg_stats_moments` this IS bit-stable across
+    partitionings and hash-matches the oracle.
+
+    Scale shape: identical to any grouped sum — partial co-moment
+    aggregation map-side, a K-row exchange, one final projection. This
+    is how you get distributed-deterministic statistics at 100 TB:
+    push exactness into the associative part, keep floating point for
+    the final scalar step only. That last step is rounded to 9 dp on
+    both sides because the engines' DECIMAL(38,4)→DOUBLE casts can
+    differ by one ulp (DuckDB's conversion is not correctly rounded);
+    everything upstream of the cast is exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(12,2)")
+    p = F.col("l_extendedprice").cast("decimal(12,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(p).cast("double").alias("sy"),
+        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(p * p).cast("double").alias("syy"),
+        F.sum(q * p).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "l_returnflag",
+        "n_rows",
+        F.round(
+            (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9
+        ).alias("corr_qty_price"),
+    )

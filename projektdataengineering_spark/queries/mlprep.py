@@ -1,0 +1,197 @@
+"""Training-data preparation queries — deterministic splits, stratified
+sampling, CDC-style compaction, and table profiling.
+
+These generalize the reference's ingest bookkeeping (the sha256/metadata
+side-channel in /root/reference/dags/ingestion/ingestion.py:58-75 and the
+keep-newest O1 semantics of spark_tasks/weather_task.py:82) into the
+operations a large-scale training corpus actually needs before a model
+ever sees it: which rows are train vs held-out, a reproducible sample
+per stratum, one surviving version per logical key, and per-column
+health stats.
+
+Determinism policy (same as the rest of the engine): assignment hashes
+are md5 over a decimal string key — identical bytes in Spark and DuckDB,
+so every split/sample is oracle-checked row for row, and a re-run at
+100 TB lands every document in the same split. No rand(), no
+sample() — a seeded `rand()` is only reproducible for a fixed
+partitioning, which a cluster does not guarantee.
+
+Scale notes: split/sample/compaction are all one map-side hash plus at
+most one shuffle on the stratum or key — no driver participation, no
+skew-prone keys (md5 is uniform by construction). Profiling is a single
+pass per table (one shuffle-free partial-agg tree per column batch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import query
+
+# First byte of md5(doc_id) partitions [0x00, 0xff] into 80/10/10:
+# < 0xcd → train (205/256), < 0xe7 → val (26/256), else test (25/256).
+# Two lowercase hex chars compare lexicographically as bytes, so the
+# same CASE works verbatim in both engines.
+_SPLIT_CASE_SQL = """CASE WHEN bucket < 'cd' THEN 'train'
+                          WHEN bucket < 'e7' THEN 'val'
+                          ELSE 'test' END"""
+
+
+@query(
+    "split_train_test",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lang,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, bucket, {_SPLIT_CASE_SQL} AS split FROM b
+    """,
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by content key.
+
+    The split is a pure function of doc_id (first md5 byte), so it is
+    reproducible across runs, partitionings, and engines — the property
+    that makes held-out sets trustworthy. Map-side only: no shuffle,
+    no sort, nothing leaves the scan stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2).alias("bucket"),
+    ).withColumn("split", F.expr(_SPLIT_CASE_SQL))
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) t
+    WHERE rn <= 50
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible stratified sample: 50 documents per language, chosen
+    by md5 order (a deterministic stand-in for uniform randomness —
+    md5 is uniform over doc_ids, and the choice is stable across
+    engines and re-runs, unlike `TABLESAMPLE`/`rand(seed)` whose output
+    depends on physical partitioning).
+
+    One shuffle on the stratum key; the per-stratum sort is bounded by
+    stratum size. At 100 TB with heavy strata, swap row_number for a
+    per-partition top-50 (`rank over md5` after a repartition on lang
+    stays the same plan shape — AQE handles the stragglers)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .drop("rn")
+    )
+
+
+@query(
+    "dedup_keep_latest",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts, value
+    FROM (
+      SELECT event_id, user_id, event_type, ts, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) t
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style compaction: one surviving row per logical key
+    (user_id, event_type) — the newest by event time, event_id breaking
+    ties. This is the keep-newest counterpart of the reference's O1
+    keep-after-HWM semantics: a replayed or duplicated upstream batch
+    collapses back to one row per key, making the sink idempotent.
+
+    Single shuffle on the logical key; the per-key sort is bounded by
+    version-chain length. At 100 TB this is the standard log-compaction
+    plan (same shape as Delta/Hudi snapshot reads)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.select("event_id", "user_id", "event_type", "ts", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# Profile columns: (name, decimal cast used for the exact mean).
+_PROFILE_COLS = (
+    ("o_orderkey", "decimal(18,2)"),
+    ("o_custkey", "decimal(18,2)"),
+    ("o_totalprice", "decimal(18,2)"),
+)
+
+
+def _profile_sql_one(col: str) -> str:
+    return f"""
+    SELECT '{col}' AS col_name,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT({col}) AS n_nulls,
+           COUNT(DISTINCT {col}) AS n_distinct,
+           CAST(MIN({col}) AS DOUBLE) AS min_val,
+           CAST(MAX({col}) AS DOUBLE) AS max_val,
+           CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE) / COUNT({col}) AS avg_val
+    FROM orders
+    """
+
+
+@query(
+    "profile_numeric_stats",
+    oracle=" UNION ALL ".join(_profile_sql_one(c) for c, _ in _PROFILE_COLS),
+)
+def profile_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of the orders table: row count,
+    null count, exact distinct count, min/max, and an exact-decimal mean
+    (see functions.dsum/davg for why the mean goes through DECIMAL —
+    double summation order varies with partitioning).
+
+    One row per profiled column. Each column's stats are a single
+    partial-agg tree (map-side combine, one tiny shuffle of K aggregate
+    states); the per-column frames are unioned, so profiling N columns
+    is N independent scans Catalyst can share via plan reuse. The
+    distinct count is exact here because profiling feeds schema/QA
+    decisions; the HLL variant for dashboards is `agg_approx_distinct`."""
+    orders = load_table(spark, sf_dir, "orders")
+    frames = []
+    for col, dec in _PROFILE_COLS:
+        frames.append(
+            orders.agg(
+                F.lit(col).alias("col_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(col)).alias("n_nulls"),
+                F.countDistinct(col).alias("n_distinct"),
+                F.min(col).cast("double").alias("min_val"),
+                F.max(col).cast("double").alias("max_val"),
+                (F.sum(F.col(col).cast(dec)).cast("double") / F.count(col)).alias("avg_val"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
