@@ -107,3 +107,26 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("id_n").alias("dup_of"))
     )
     return dups.orderBy("vec_id")
+
+
+@query("dedup_cluster_cc", oracle=None)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: MinHash-LSH candidate pairs promoted to
+    transitive dedup groups via distributed connected components
+    (operators/graph.py) — A~B, B~C ⇒ {A,B,C} share one group even
+    though A~C was never emitted. Each document maps to its component's
+    minimum doc_id, the canonical survivor a dedup sweep would keep;
+    docs with no near-dup pair are (correctly) absent.
+
+    This is the one iterative operator in the engine — diameter-bounded
+    label-propagation rounds of join+groupBy with checkpointed lineage.
+    Rows-only check: transitive closure needs recursion SQL-92 lacks;
+    exactness vs a union-find is pinned in tests/test_operators.py."""
+    from ..operators.graph import connected_components
+    from .similarity import sim_minhash_lsh
+
+    pairs = sim_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    ).orderBy("doc_id")

@@ -193,6 +193,159 @@ def sim_cosine_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IVF (inverted-file) ANN: a deterministic spherical k-means coarse
+# quantizer; queries probe their _IVF_NPROBE nearest cells. The
+# LSH path above needs no training but its bucket sizes are at the mercy
+# of the hash family; IVF adapts cells to the data distribution, which
+# is why it is the standard scale path for embedding search.
+_IVF_K = 16
+_IVF_NPROBE = 2
+_IVF_ITERS = 2
+_IVF_DIM = 64
+
+
+def _ivf_train_centroids(spark: SparkSession, e: DataFrame) -> "np.ndarray":
+    """Deterministic spherical k-means: init = unit vectors of the
+    _IVF_K smallest vec_ids (no rand()), then _IVF_ITERS Lloyd rounds.
+
+    Each round is one distributed pass: a mapInPandas assigns cells with
+    a broadcast centroid matrix (BLAS argmax), emits (cell, pos, val)
+    components, and the new means come from a groupBy with DECIMAL sums
+    — order-independent, so the trained centroids are bit-identical
+    across runs and partitionings (double partial sums would drift and
+    move boundary vectors between cells). Only K×dim scalars ever reach
+    the driver. At 100 TB the component explosion would be replaced by
+    per-batch partial sums in the same mapInPandas (one row per
+    cell×dim per batch); the plan shape is otherwise identical."""
+    init = [r["vec"] for r in e.orderBy("vec_id").limit(_IVF_K).collect()]
+    cents = np.stack([np.asarray(v, dtype=np.float64) for v in init])
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    for _ in range(_IVF_ITERS):
+        bc = spark.sparkContext.broadcast(cents)
+
+        def components(batches):
+            c = bc.value
+            for pdf in batches:
+                mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+                unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+                cell = np.argmax(unit @ c.T, axis=1)  # ties → lowest cell
+                yield pd.DataFrame(
+                    {
+                        "cell": np.repeat(cell, _IVF_DIM).astype("int32"),
+                        "pos": np.tile(np.arange(_IVF_DIM, dtype="int32"), len(cell)),
+                        "val": mat.ravel(),
+                    }
+                )
+
+        sums = (
+            e.select("vec")
+            .mapInPandas(components, "cell int, pos int, val double")
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum(F.col("val").cast("decimal(28,14)")).cast("double").alias("s"),
+                F.count("val").alias("c"),
+            )
+            .collect()
+        )
+        new = cents.copy()  # empty cells keep their previous centroid
+        means: dict[int, np.ndarray] = {}
+        for r in sums:
+            means.setdefault(r["cell"], np.zeros(_IVF_DIM))[r["pos"]] = r["s"] / r["c"]
+        for cell, m in means.items():
+            n = np.linalg.norm(m)
+            if n > 0:
+                new[cell] = m / n
+        cents = new
+    return cents
+
+
+@query("sim_cosine_ivf", oracle=None)
+def sim_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via IVF: spherical-k-means coarse
+    quantizer (_IVF_K cells), each vector indexed in its nearest cell,
+    each query probing its _IVF_NPROBE nearest cells; exact BLAS cosine
+    top-3 within the probed cells.
+
+    Scale shape: training touches only K×dim scalars driver-side;
+    index + probe assignment is one map-side pass (broadcast centroids);
+    the quadratic work is confined to applyInPandas per cell, where
+    queries × members is a single BLAS call — vectors shuffle ONCE per
+    role (member + nprobe probe copies), never per candidate pair. A
+    cell holds ~N/K members, so per-group memory is bounded by K, which
+    grows with N (faiss-style nlist≈√N). Recall vs the exact baseline
+    is asserted in tests/test_operators.py; rows-only check (ANN is not
+    SQL-expressible).
+
+    The corpus frame and the assignment frame are each consumed by
+    several jobs (init collect + one pass per Lloyd round + probe;
+    members and probes both read the assignment), so both are
+    localCheckpoint'd — one materialization instead of per-consumer
+    recompute. At 100 TB the same seam becomes
+    persist(MEMORY_AND_DISK) on a real cluster."""
+    e = _embeddings_normed(spark, sf_dir).select("vec_id", "vec").localCheckpoint()
+    cents = _ivf_train_centroids(spark, e)
+    bc = spark.sparkContext.broadcast(cents)
+
+    def assign(batches):
+        c = bc.value
+        for pdf in batches:
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+            unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            dots = unit @ c.T
+            order = np.argsort(-dots, kind="stable", axis=1)[:, :_IVF_NPROBE]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "vec": list(pdf["vec"]),
+                    "cell": order[:, 0].astype("int32"),
+                    "probes": list(order.astype("int32")),
+                }
+            )
+
+    a = e.mapInPandas(
+        assign, "vec_id long, vec array<double>, cell int, probes array<int>"
+    ).localCheckpoint()
+    members = a.select("cell", F.lit(0).alias("role"), "vec_id", "vec")
+    probes = a.select(
+        F.explode("probes").alias("cell"), F.lit(1).alias("role"), "vec_id", "vec"
+    )
+    both = members.unionByName(probes)
+
+    def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = pdf[pdf["role"] == 0]
+        q = pdf[pdf["role"] == 1]
+        if len(m) == 0 or len(q) == 0:
+            return pd.DataFrame({"id_q": [], "id_n": [], "cos_sim": []}).astype(
+                {"id_q": "int64", "id_n": "int64", "cos_sim": "float64"}
+            )
+        mm = np.stack([np.asarray(v, dtype=np.float64) for v in m["vec"]])
+        qm = np.stack([np.asarray(v, dtype=np.float64) for v in q["vec"]])
+        mu = mm / np.linalg.norm(mm, axis=1, keepdims=True)
+        qu = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        ids_m = m["vec_id"].to_numpy()
+        ids_q = q["vec_id"].to_numpy()
+        cos = qu @ mu.T
+        cos[ids_q[:, None] == ids_m[None, :]] = -np.inf  # no self-pairs
+        out_q, out_n, out_c = [], [], []
+        for i in range(len(ids_q)):
+            row = cos[i]
+            order = np.lexsort((ids_m, -row))[:3]  # same total order as final sort
+            keep = order[np.isfinite(row[order])]
+            out_q.extend([ids_q[i]] * len(keep))
+            out_n.extend(ids_m[keep])
+            out_c.extend(row[keep])
+        return pd.DataFrame({"id_q": out_q, "id_n": out_n, "cos_sim": out_c})
+
+    from pyspark.sql import Window
+
+    res = both.groupBy("cell").applyInPandas(cell_topk, "id_q long, id_n long, cos_sim double")
+    # a member belongs to exactly one cell, so a (query, neighbor) pair
+    # occurs in at most one probed cell — no distinct needed
+    w = Window.partitionBy("id_q").orderBy(F.col("cos_sim").desc(), F.col("id_n"))
+    return res.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3).drop("rk")
+
+
 def _bucket_pairs(bands: DataFrame, key_cols: list[str], member_cols: list[str]) -> DataFrame:
     """LSH candidate generation shared by the MinHash/SimHash paths:
     groupBy the bucket key, sort-collect member structs (ordered by the

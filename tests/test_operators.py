@@ -161,3 +161,73 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
         "o_orderkey", "c_custkey", "c_name"
     )
     assert sorted(map(tuple, plain_l.collect())) == sorted(map(tuple, salted_l.collect()))
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir, emb_matrix):
+    """IVF ANN: every reported neighbor is a real vector with a correct
+    cosine; recall@3 against the exact top-3 must beat the fraction of
+    the corpus a query scans (nprobe/K = 12.5% — random probing would
+    land recall near that)."""
+    ids, m = emb_matrix
+    cos = _numpy_cosine_matrix(m)
+    np.fill_diagonal(cos, -np.inf)
+    exact_top3 = {
+        int(ids[i]): {int(ids[j]) for j in np.argsort(-cos[i], kind="stable")[:3]}
+        for i in range(len(ids))
+    }
+    idx = {int(v): i for i, v in enumerate(ids)}
+    got = REGISTRY["sim_cosine_ivf"].fn(spark, sf_dir).collect()
+    by_q: dict[int, set[int]] = {}
+    for r in got:
+        assert r["id_q"] != r["id_n"]
+        assert abs(r["cos_sim"] - cos[idx[r["id_q"]], idx[r["id_n"]]]) < 1e-9
+        by_q.setdefault(r["id_q"], set()).add(r["id_n"])
+    assert all(len(v) <= 3 for v in by_q.values())
+    hits = sum(len(by_q.get(q, set()) & exact) for q, exact in exact_top3.items())
+    recall = hits / (3 * len(exact_top3))
+    assert recall > 0.15, f"IVF recall@3 suspiciously low: {recall:.3f}"
+
+
+def _union_find_components(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_matches_union_find(spark, sf_dir):
+    """dedup_cluster_cc must assign exactly the labels a serial
+    union-find derives from the same MinHash pair set — including
+    transitive merges the pair list never states directly."""
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in REGISTRY["sim_minhash_lsh"].fn(spark, sf_dir).collect()
+    ]
+    expected = _union_find_components(pairs)
+    got = {
+        r["doc_id"]: r["component"]
+        for r in REGISTRY["dedup_cluster_cc"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_connected_components_synthetic_chain(spark):
+    """A path graph is the worst case for min-label propagation (label
+    must travel the full diameter); a disjoint triangle must stay its
+    own component."""
+    from projektdataengineering_spark.operators.graph import connected_components
+
+    edges = [(2, 3), (3, 4), (4, 5), (5, 6), (1, 2), (10, 11), (11, 12), (12, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["comp"] for r in connected_components(df, "src", "dst").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10, 12: 10}
