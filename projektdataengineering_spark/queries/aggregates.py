@@ -313,6 +313,41 @@ def subquery_avg_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_histogram",
+    oracle=f"""
+    SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+           {SQL_DSUM.format(x="o_totalprice")} AS sum_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (25k-wide buckets) with
+    per-bucket count/min/max/exact sum — the distribution profile a
+    data-quality dashboard draws.
+
+    The bucket id is `floor(x / width)` — one double divide, identical
+    IEEE result in both engines, no width_bucket dialect differences.
+    Plan shape is a plain partial→final hash aggregate on a few dozen
+    keys: histogramming 100 TB moves only per-bucket states."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / 25000.0).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").cast("double").alias("min_price"),
+            F.max("o_totalprice").cast("double").alias("max_price"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+@query(
     "agg_corr_exact",
     oracle="""
     WITH s AS (

@@ -299,3 +299,59 @@ def join_range_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return purchases.select("event_id").join(hits, "event_id", "left").select(
         "event_id", F.coalesce("n_nearby_clicks", F.lit(0)).alias("n_nearby_clicks")
     )
+
+
+@query(
+    "join_fuzzy_levenshtein",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_name, p_size,
+             string_split(p_name, ' ')[2] AS noun
+      FROM part
+    )
+    SELECT a.p_partkey AS partkey_a, b.p_partkey AS partkey_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM p a JOIN p b
+      ON a.noun = b.noun AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 5
+    """,
+)
+def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching as a blocked self-join: part names that
+    differ by ≤5 edits within the same (product noun, size) block —
+    the entity-resolution pattern (same family, variant qualifier).
+
+    Scale shape: the O(n²) edit-distance work is confined to blocks by
+    an equi-key the planner can shuffle on, exactly like the LSH-band
+    trick for documents — never a cross join. levenshtein runs JVM-side
+    (codegen'd built-in); both engines implement the same unweighted
+    edit distance, so the query is fully oracle-checked. At 100 TB the
+    block key would gain a salt for hot nouns (operators/skew.py)."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_size", F.split("p_name", " ").getItem(1).alias("noun")
+    )
+    a = p.select(
+        F.col("p_partkey").alias("partkey_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_size").alias("size_a"),
+        F.col("noun").alias("noun_a"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("partkey_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_size").alias("size_b"),
+        F.col("noun").alias("noun_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("noun_a") == F.col("noun_b"))
+            & (F.col("size_a") == F.col("size_b"))
+            & (F.col("partkey_a") < F.col("partkey_b")),
+        )
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("edit_dist") <= 5)
+        .select("partkey_a", "partkey_b", "name_a", "name_b", "edit_dist")
+    )

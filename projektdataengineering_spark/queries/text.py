@@ -229,3 +229,36 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.length("text").cast("long").alias("n_chars"),
     )
+
+
+@query(
+    "text_redact_pattern",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(text, '\b(a|the)\b', '<STOP>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text, '\b(a|the)\b')) AS BIGINT)
+             AS n_redactions
+    FROM documents
+    """,
+)
+def text_redact_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scrubbing — the PII-redaction plumbing of a training-data
+    pipeline (emails, phone numbers, IDs), exercised here on a pattern
+    the synthetic corpus actually contains (standalone articles).
+    Replacement plus an audit count of how many spans were redacted —
+    production redaction always logs what it removed.
+
+    Purely map-side JVM regex (codegen'd; no shuffle, no Python), so it
+    streams at scan speed no matter the corpus size. The pattern sticks
+    to the regex intersection of Java's engine and RE2 (no backrefs or
+    lookaround) — which is also the rule for a portable redaction
+    library, and why the oracle can check it verbatim."""
+    docs = load_table(spark, sf_dir, "documents")
+    pat = r"\b(a|the)\b"
+    return docs.select(
+        "doc_id",
+        F.regexp_replace("text", pat, "<STOP>").alias("redacted"),
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0))
+        .cast("long")
+        .alias("n_redactions"),
+    )

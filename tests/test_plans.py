@@ -176,3 +176,57 @@ def test_dynamic_partition_pruning_on_dim_filter(spark, sf_dir, tmp_path):
     fact = spark.read.parquet(path)
     j = fact.join(dim.filter("w = 2"), "event_type").groupBy("event_type").count()
     assert "dynamicpruningexpression" in explain_string(j, "formatted").lower()
+
+def test_split_and_redact_are_map_side_only(facts_of):
+    """Deterministic split assignment and regex redaction must stream at
+    scan speed: no exchange, no sort, no Python in the plan."""
+    for name in ("split_train_test", "text_redact_pattern"):
+        f = facts_of(name)
+        assert f.shuffles == 0, (name, f.nodes)
+        assert f.count("Sort") == 0, (name, f.nodes)
+        assert f.count("BatchEvalPython") == 0 and f.count("ArrowEvalPython") == 0, (
+            name,
+            f.nodes,
+        )
+
+
+def test_compaction_and_sample_are_single_shuffle_windows(facts_of):
+    """Keep-latest compaction and stratified sampling: exactly one
+    exchange (the partition key) feeding one window — rank-filter plans
+    that re-shuffle per window function would be quadratic waste."""
+    for name in ("dedup_keep_latest", "sample_stratified"):
+        f = facts_of(name)
+        assert f.shuffles == 1, (name, f.nodes)
+        assert f.count("Window") >= 1, (name, f.nodes)
+
+
+def test_histogram_and_profile_aggregate_partial_then_final(facts_of):
+    """Histogram: map-side combine around one exchange. Profile: every
+    per-column scan reads exactly its one column (pruning is the whole
+    point of a profiling pass over a columnar store)."""
+    f = facts_of("agg_histogram")
+    assert f.count("HashAggregate") == 2, f.nodes
+    assert f.shuffles == 1, f.nodes
+    p = facts_of("profile_numeric_stats")
+    assert all(len(cols) == 1 for cols in p.read_schemas), p.read_schemas
+
+
+def test_fuzzy_join_is_hash_or_merge_on_block_key(facts_of):
+    """The levenshtein self-join must join on the (noun, size) equi
+    block key — never a nested-loop over all part pairs."""
+    f = facts_of("join_fuzzy_levenshtein")
+    assert f.cartesian_like == 0, f.nodes
+    assert f.sort_merge_joins + f.count("ShuffledHashJoin") + f.broadcast_joins >= 1, f.nodes
+
+
+def test_subquery_decorrelation_joins_on_aggregated_key(facts_of):
+    """Q17 shape: the per-part average must appear as a grouped
+    aggregate joined back on the key (decorrelated), with lineitem's
+    scans pruned to the three referenced columns."""
+    f = facts_of("subquery_avg_yearly")
+    assert f.cartesian_like == 0, f.nodes
+    assert f.count("HashAggregate") >= 2, f.nodes
+    assert all(
+        set(cols) <= {"l_partkey", "l_quantity", "l_extendedprice"}
+        for cols in f.read_schemas
+    ), f.read_schemas
