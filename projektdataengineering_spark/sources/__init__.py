@@ -78,6 +78,42 @@ def read_csv_with_casts(
     return df
 
 
+def read_json_lines(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """JSON-lines scan with a REQUIRED explicit schema.
+
+    JSON is the third edge format next to CSV (R1) and JDBC (R3); the
+    engine-internal `scalar_json` family parses JSON *columns*, this
+    reads JSON *files*. Schema is mandatory by design: Spark's JSON
+    inference scans the data once just to guess types and can flip
+    types between batches — the exact failure SURVEY §1.2's explicit-
+    schema rule exists to prevent. Corrupt lines land in
+    `_corrupt_record` (PERMISSIVE) rather than failing the batch,
+    mirroring the CSV reader's null-on-unparseable cast policy.
+    Spark refuses plans that reference ONLY `_corrupt_record` over a
+    raw scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — callers auditing
+    corrupt rows alone must `.cache()` the frame first, per Spark's
+    own guidance."""
+    corrupt = T.StructField("_corrupt_record", T.StringType(), True)
+    full = T.StructType([*schema.fields, corrupt])
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
+def write_json_lines(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) -> None:
+    """JSON-lines sink (one object per line, ignoreNullFields off so the
+    schema round-trips losslessly through read_json_lines). An edge
+    format for interchange — parquet stays the at-rest format; JSON
+    costs ~5-10× parquet in bytes and scan time at 100 TB."""
+    writer = df.write.mode("overwrite").option("ignoreNullFields", "false")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.json(path)
+
+
 def write_parquet_append(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()):
     """Warehouse append sink — the engine-native stand-in for the
     reference's JDBC append (R8, weather_task.py:95-99). Partitioned

@@ -160,3 +160,39 @@ def test_streaming_ingest_with_native_archive(spark, dirs, tmp_path):
     assert not (dirs["landing"] / "b1.csv").exists()
     archived = [str(p) for p in pathlib.Path(dirs["archive"]).rglob("b1.csv")]
     assert archived, "b1.csv not found under the archive root"
+
+
+def test_json_lines_roundtrip_and_corrupt_records(spark, tmp_path):
+    """JSON edge format: write→read round-trips values and nulls
+    losslessly under the explicit schema; a malformed line surfaces in
+    _corrupt_record instead of failing the batch."""
+    from pyspark.sql import types as T
+
+    from projektdataengineering_spark.sources import read_json_lines, write_json_lines
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("score", T.DoubleType(), True),
+        ]
+    )
+    rows = [(1, "alpha", 0.5), (2, None, 2.25), (3, "gamma", None)]
+    df = spark.createDataFrame(rows, schema)
+    out = str(tmp_path / "json_out")
+    write_json_lines(df, out)
+    back = read_json_lines(spark, out, schema).cache()
+    got = sorted(
+        (r["id"], r["name"], r["score"]) for r in back.select("id", "name", "score").collect()
+    )
+    assert got == sorted(rows)
+    assert back.filter("_corrupt_record IS NOT NULL").count() == 0
+
+    corrupt_dir = tmp_path / "json_corrupt"
+    corrupt_dir.mkdir()
+    (corrupt_dir / "part-0.json").write_text(
+        '{"id": 7, "name": "ok", "score": 1.0}\nnot json at all\n'
+    )
+    mixed = read_json_lines(spark, str(corrupt_dir), schema).cache()
+    assert mixed.filter("_corrupt_record IS NOT NULL").count() == 1
+    assert mixed.filter("id = 7").count() == 1

@@ -146,3 +146,70 @@ def test_asof_join_matches_pandas_merge_asof(sp, left, right):
         for r in want_df.itertuples()
     }
     assert got == want
+
+
+@SET_PROFILE
+@given(ids=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=40, unique=True))
+def test_split_is_stable_under_subsetting(sp, ids):
+    """The md5 split must be a pure function of the key: any subset of
+    the corpus assigns its members exactly as the full corpus does (the
+    property that keeps train/test membership fixed as data accretes),
+    and every row lands in exactly one of the three splits."""
+    from pyspark.sql import functions as F
+
+    df = sp.createDataFrame([(i,) for i in ids], "doc_id long")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    case = """CASE WHEN bucket < 'cd' THEN 'train'
+                   WHEN bucket < 'e7' THEN 'val'
+                   ELSE 'test' END"""
+    full = {
+        r["doc_id"]: r["split"]
+        for r in df.withColumn("bucket", bucket).withColumn("split", F.expr(case)).collect()
+    }
+    half_ids = ids[: max(1, len(ids) // 2)]
+    half = sp.createDataFrame([(i,) for i in half_ids], "doc_id long")
+    sub = {
+        r["doc_id"]: r["split"]
+        for r in half.withColumn("bucket", bucket).withColumn("split", F.expr(case)).collect()
+    }
+    assert all(full[i] == s for i, s in sub.items())
+    assert set(full.values()) <= {"train", "val", "test"}
+
+
+@SET_PROFILE
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # user
+            st.integers(min_value=0, max_value=3),   # type
+            st.integers(min_value=0, max_value=50),  # ts offset
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_keep_latest_is_idempotent_and_newest(sp, rows):
+    """Keep-latest compaction: applying it twice equals once, and the
+    survivor per key is the max (ts, event_id) under the same total
+    order the operator sorts by."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    data = [(i, u, str(t), o) for i, (u, t, o) in enumerate(rows)]
+    df = sp.createDataFrame(data, "event_id long, user_id long, event_type string, ts long")
+
+    def compact(d):
+        w = Window.partitionBy("user_id", "event_type").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+
+    once = sorted(map(tuple, compact(df).collect()))
+    twice = sorted(map(tuple, compact(compact(df)).collect()))
+    assert once == twice
+    expected = {}
+    for i, (u, t, o) in enumerate(rows):
+        k = (u, str(t))
+        if k not in expected or (o, i) > (expected[k][3], expected[k][0]):
+            expected[k] = (i, u, str(t), o)
+    assert once == sorted(expected.values())
