@@ -127,3 +127,38 @@ def stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("ts") >= cutoff, 1)).alias("n_kept"),
         )
     )
+
+
+@query(
+    "stream_native_tumbling",
+    oracle=f"""
+    SELECT
+      date_trunc('hour', ts) AS window_start,
+      date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+      event_type,
+      COUNT(*) AS n_events,
+      {_DSUM_VALUE} AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_native_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-window aggregate executed as an ACTUAL Structured
+    Streaming query — readStream file source over the events parquet,
+    availableNow trigger, complete-mode memory sink — then returned as
+    the sink table. Same transformation function, same oracle as
+    `stream_tumbling_counts`: the driver hash-check therefore proves
+    the unified-API claim (batch plan ≡ streaming plan results) on real
+    streaming execution, not just on the batch twin.
+
+    Decimal-exact value sums keep the result bit-stable regardless of
+    how the file source micro-batches the input. In production the
+    memory sink becomes a checkpointed parquet/Kafka writer and
+    availableNow becomes a continuous trigger; state stays bounded
+    because completed hour windows stop receiving rows once a
+    watermark is attached (see tests/test_streaming.py)."""
+    from ..streaming import open_event_stream, run_to_memory_sink, tumbling_counts
+
+    stream = tumbling_counts(open_event_stream(spark, sf_dir))
+    run_to_memory_sink(stream, "stream_native_tumbling_sink", output_mode="complete")
+    return spark.table("stream_native_tumbling_sink")
