@@ -312,6 +312,31 @@ def subquery_avg_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("agg_approx_quantile", oracle=None)
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p25/p50/p75/p99 of order totals per orderstatus via
+    the Greenwald–Khanna sketch (`percentile_approx`, relative error
+    1e-4 here). The mergeable-sketch counterpart of
+    `window_percentiles`' exact answer: at 100 TB an exact grouped
+    percentile needs a full sort per group, while GK states merge in
+    the partial→final aggregate tree like any sum — the same trade
+    `agg_approx_distinct` makes with HLL. Rows-only check (sketch
+    merge order varies with partitioning below the accuracy bound);
+    tests/test_operators.py pins each estimate inside the rank-error
+    window around DuckDB's exact quantiles."""
+    orders = load_table(spark, sf_dir, "orders")
+    qs = F.expr(
+        "percentile_approx(o_totalprice, array(0.25, 0.5, 0.75, 0.99), 10000)"
+    )
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        qs.getItem(0).alias("p25"),
+        qs.getItem(1).alias("p50"),
+        qs.getItem(2).alias("p75"),
+        qs.getItem(3).alias("p99"),
+    )
+
+
 @query(
     "agg_histogram",
     oracle=f"""

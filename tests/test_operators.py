@@ -231,3 +231,27 @@ def test_connected_components_synthetic_chain(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r["node"]: r["comp"] for r in connected_components(df, "src", "dst").collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_approx_quantiles_within_rank_error(spark, sf_dir):
+    """percentile_approx(accuracy=10000): each reported quantile must
+    sit within the ±1/accuracy rank window of the exact order
+    statistics per group."""
+    import duckdb
+
+    got = {
+        r["o_orderstatus"]: r
+        for r in REGISTRY["agg_approx_quantile"].fn(spark, sf_dir).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT o_orderstatus, list(o_totalprice ORDER BY o_totalprice) "
+        f"FROM '{sf_dir}/orders.parquet' GROUP BY 1"
+    ).fetchall()
+    for status, vals in rows:
+        n = len(vals)
+        for p, col in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.99, "p99")):
+            est = got[status][col]
+            eps = 1.0 / 10000
+            lo = vals[max(0, int((p - eps) * n) - 1)]
+            hi = vals[min(n - 1, int((p + eps) * n) + 1)]
+            assert lo <= est <= hi, (status, col, est, lo, hi)
