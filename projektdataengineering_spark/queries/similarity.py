@@ -152,7 +152,12 @@ def sim_cosine_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs, with the (small) vector table joined back in —
     AQE broadcasts it. Per-bucket cost is quadratic in bucket size;
     at larger N raise _BITS_PER_TABLE so bucket occupancy stays flat.
-    Recall vs the exact baseline is asserted in tests/test_operators.py."""
+    Recall vs the exact baseline is asserted in tests/test_operators.py.
+
+    (Measured: localCheckpoint'ing the shared embedding frame here does
+    NOT pay — unlike sim_cosine_ivf's many-pass training loop, the
+    recompute is a single small scan+normalize, and the checkpoint job
+    costs what it saves.)"""
     e = _embeddings_normed(spark, sf_dir)
     tables = []
     for t in range(_N_TABLES):

@@ -262,3 +262,33 @@ def text_redact_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_redactions"),
     )
+
+
+@query(
+    "text_normalize",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+           sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+             AS norm_sha256
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization — the step that runs BEFORE exact dedup in a
+    training pipeline, so that case and whitespace variants of the same
+    document collapse to one hash: lowercase, whitespace runs to single
+    spaces, trim, plus the canonical-form sha256 (feed it to
+    dedup_exact's groupBy and trivially-different duplicates fold).
+
+    Map-side codegen'd string ops only — no shuffle, no Python; at
+    100 TB this runs at scan bandwidth. Unicode NFC/NFKC folding (the
+    production next step) needs an ICU pass — that belongs in an Arrow
+    pandas_udf behind the same column contract, gated on the icu lib."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.sha2(norm, 256).alias("norm_sha256"),
+    )
