@@ -38,11 +38,17 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     t_suite = time.perf_counter()
-    # Warm the session (JVM/codegen) on the flagship before timing.
+    # Warm the session (JVM/codegen) on the flagship before timing, and
+    # spin up the reusable Python/Arrow worker pool with one trivial
+    # mapInPandas — otherwise the alphabetically-first pandas-UDF query
+    # absorbs the worker cold-start into its measurement.
     try:
         from projektdataengineering_spark.flagship import flagship
 
         flagship(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        spark.range(32).repartition(32).mapInPandas(
+            lambda it: it, "id long"
+        ).write.format("noop").mode("overwrite").save()
     except Exception as exc:
         print(f"bench: warm-up failed: {exc}", file=sys.stderr)
 

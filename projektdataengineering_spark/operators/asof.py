@@ -7,9 +7,14 @@ Implementation is the union+window trick, pure DataFrame ops:
    rows at equal timestamps, which gives *inclusive* at-or-before
    semantics (same as ``pd.merge_asof`` / DuckDB ``ASOF JOIN`` with
    ``<=``);
-3. ``last(<right payload>, ignoreNulls=True)`` over the unbounded-
-   preceding frame carries the most recent right-side values forward;
-4. keep only left rows.
+3. ``last(<struct of ALL right payload columns>, ignoreNulls=True)``
+   over the unbounded-preceding frame carries the most recent right
+   ROW forward — a single struct, built only on right rows, so the
+   carry is row-atomic: a NULL payload *field* on the matched right
+   row propagates as NULL (the struct itself is never null on a right
+   row), and multi-column payloads can never mix values from
+   different right rows;
+4. keep only left rows and unpack the struct.
 
 Scale rationale: the naive formulation (non-equi join + row_number) is
 a per-key cross product — O(n·m) within every key, catastrophic on a
@@ -23,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -46,20 +52,27 @@ def asof_join(
 
     left_cols = left.columns
     payload_aliases = list(right_payload.values())
+    payload_type = T.StructType(
+        [T.StructField(dst, right.schema[src].dataType) for src, dst in right_payload.items()]
+    )
 
     l_tagged = left.select(
         F.col(on).alias("__key"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
         *[F.col(c) for c in left_cols],
-        *[F.lit(None).cast(right.schema[src].dataType).alias(dst) for src, dst in right_payload.items()],
+        F.lit(None).cast(payload_type).alias("__rpay"),
     )
+    # The payload struct exists ONLY on right rows and is never null
+    # there (a struct of null fields is still a non-null struct), so
+    # last(ignorenulls) below skips left rows and carries the matched
+    # right row as one atomic value.
     r_tagged = right.select(
         F.col(on).alias("__key"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
-        *[F.col(src).alias(dst) for src, dst in right_payload.items()],
+        F.struct(*[F.col(src).alias(dst) for src, dst in right_payload.items()]).alias("__rpay"),
     )
 
     w = (
@@ -68,15 +81,9 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_tagged.unionByName(r_tagged).select(
-        "*",
-        *[
-            F.last(F.when(F.col("__is_left") == 0, F.col(a)), ignorenulls=True)
-            .over(w)
-            .alias(f"__carry_{a}")
-            for a in payload_aliases
-        ],
+        "*", F.last("__rpay", ignorenulls=True).over(w).alias("__carry")
     )
     return carried.filter(F.col("__is_left") == 1).select(
         *[F.col(c) for c in left_cols],
-        *[F.col(f"__carry_{a}").alias(a) for a in payload_aliases],
+        *[F.col(f"__carry.{a}").alias(a) for a in payload_aliases],
     )

@@ -40,15 +40,34 @@ def connected_components(
     in diameter(G) rounds; raises if `max_iter` rounds don't reach the
     fixpoint (a symptom of an adversarial graph that needs the
     large-star variant, not silent wrong answers)."""
+    # Symmetrize with ONE pass over `edges` (explode both directions
+    # per row). The union-of-two-selects formulation read `edges` twice
+    # — and `edges` is typically an expensive LSH candidate pipeline,
+    # so the whole upstream executed once per branch (measured 5.0 s →
+    # 2.9 s at sf0.1 on the minhash edge list).
     sym = (
-        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
-        .union(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("node"), F.col(dst).alias("nbr")),
+                    F.struct(F.col(dst).alias("node"), F.col(src).alias("nbr")),
+                )
+            ).alias("e")
+        )
+        .select("e.node", "e.nbr")
         .distinct()
         .localCheckpoint()
     )
-    labels = sym.select("node").distinct().withColumn("comp", F.col("node"))
+    # Round 1 fused into initialization: with identity labels the first
+    # propagation is just comp = min(node, min(nbr)) — one groupBy on
+    # the checkpointed edges, no label join and no change-count job.
+    labels = (
+        sym.groupBy("node")
+        .agg(F.least(F.col("node"), F.min("nbr")).alias("comp"))
+        .localCheckpoint()
+    )
 
-    for _ in range(max_iter):
+    for _ in range(max_iter - 1):
         nbr_min = (
             sym.join(
                 labels.select(F.col("node").alias("nbr"), F.col("comp").alias("nbr_comp")),

@@ -26,6 +26,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# The shared incremental high-water-mark literal (reference O4 semantics).
+# Lives here — not in scans.py — because several query modules embed it in
+# their oracle SQL, and importing scans from another query module would
+# register scans' queries out of _MODULES order (the driver's correctness
+# window records the first 50 registry entries, so order is contractual).
+HWM_LITERAL = "2024-01-15 00:00:00"
+
 
 @dataclass(frozen=True)
 class QueryDef:
@@ -50,20 +57,30 @@ def query(name: str, oracle: str | None = None, family: str = "misc"):
     return deco
 
 
+# Registration order is part of the driver contract: the driver's
+# correctness pass records the FIRST 50 registry entries, so the
+# families whose queries still lack a driver correctness row must come
+# first.  Round 1 verified scans/joins/aggregates/windows/setops/
+# scalars (+ dedup_exact) — round 2 front-loads the 30 queries the
+# 50-entry window missed (text/similarity/streaming/udfs/multimodal/
+# mlprep/dedup) plus the new pipeline_ops family, and pushes the
+# already-green families past the cap (they stay regression-guarded by
+# tests/test_oracle.py, which checks the WHOLE registry).
 _MODULES = (
-    "scans",
-    "joins",
-    "aggregates",
-    "windows",
-    "setops",
-    "scalars",
-    "dedup",
     "text",
     "similarity",
     "streaming_batch",
     "udfs",
     "multimodal",
     "mlprep",
+    "dedup",
+    "pipeline_ops",
+    "scans",
+    "joins",
+    "aggregates",
+    "windows",
+    "setops",
+    "scalars",
 )
 
 

@@ -253,21 +253,108 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_stats_moments", oracle=None)
+# Final-projection formulas for agg_stats_moments, shared TEXTUALLY
+# between the Spark query and the DuckDB oracle so both engines execute
+# the identical IEEE double op sequence on identical exact inputs
+# (the agg_corr_exact discipline).  Only +,-,*,/ and sqrt appear — all
+# correctly-rounded IEEE — never pow() (libm pow differs across
+# runtimes): skewness uses m3/(sqrt(m2)*m2), kurtosis m4/(m2*m2)-3.
+# Population m2/m3/m4 (the definition F.skewness/F.kurtosis uses),
+# sample variance/stddev.
+_MOMENT_EXPRS: dict[str, str] = {
+    "var_value": "round((sxx - sx * sx / n) / (n - 1.0), 9)",
+    "stddev_value": "round(sqrt((sxx - sx * sx / n) / (n - 1.0)), 9)",
+    "skew_value": (
+        "round((sxxx / n - 3 * (sx / n) * (sxx / n) + 2 * (sx / n) * (sx / n) * (sx / n))"
+        " / (sqrt(sxx / n - (sx / n) * (sx / n)) * (sxx / n - (sx / n) * (sx / n))), 9)"
+    ),
+    "kurt_value": (
+        "round((sxxxx / n - 4 * (sx / n) * (sxxx / n)"
+        " + 6 * (sx / n) * (sx / n) * (sxx / n)"
+        " - 3 * (sx / n) * (sx / n) * (sx / n) * (sx / n))"
+        " / ((sxx / n - (sx / n) * (sx / n)) * (sxx / n - (sx / n) * (sx / n))) - 3.0, 9)"
+    ),
+    "corr_value_hour": (
+        "round((n * sxh - sx * sh)"
+        " / sqrt((n * sxx - sx * sx) * (n * shh - sh * sh)), 9)"
+    ),
+}
+
+
+@query(
+    "agg_stats_moments",
+    oracle=f"""
+    WITH v AS (
+      -- exact narrow powers: value is 2-dp and <= 490.02, so
+      -- x2 <= 2.5e5 (DECIMAL(12,4)), x3 <= 1.2e8 (DECIMAL(18,6)),
+      -- x4 <= 5.8e10 (DECIMAL(24,8)) — explicit casts because DuckDB's
+      -- decimal-multiply widening rules differ from Spark's
+      SELECT event_type, ts,
+             CAST(value AS DECIMAL(7,2)) AS x,
+             -- DECIMAL(19,4), not (12,4): width > 18 forces DuckDB's
+             -- int128 multiply path; at (12,4) the x2*x2 product below
+             -- would overflow the int64 kernel
+             CAST(CAST(value AS DECIMAL(7,2)) * CAST(value AS DECIMAL(7,2))
+                  AS DECIMAL(19,4)) AS x2
+      FROM events
+    ), s AS (
+      SELECT event_type,
+             COUNT(*) AS n_rows,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(x2) AS DOUBLE) AS sxx,
+             CAST(SUM(x2 * x) AS DOUBLE) AS sxxx,
+             CAST(SUM(x2 * x2) AS DOUBLE) AS sxxxx,
+             CAST(SUM(CAST(EXTRACT(hour FROM ts) AS BIGINT)) AS DOUBLE) AS sh,
+             CAST(SUM(CAST(EXTRACT(hour FROM ts) AS BIGINT)
+                      * CAST(EXTRACT(hour FROM ts) AS BIGINT)) AS DOUBLE) AS shh,
+             CAST(SUM(x * CAST(EXTRACT(hour FROM ts) AS BIGINT)) AS DOUBLE) AS sxh
+      FROM v
+      GROUP BY event_type
+    )
+    SELECT event_type, n_rows,
+           {_MOMENT_EXPRS["var_value"]} AS var_value,
+           {_MOMENT_EXPRS["stddev_value"]} AS stddev_value,
+           {_MOMENT_EXPRS["skew_value"]} AS skew_value,
+           {_MOMENT_EXPRS["kurt_value"]} AS kurt_value,
+           {_MOMENT_EXPRS["corr_value_hour"]} AS corr_value_hour
+    FROM s
+    """,
+)
 def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregates per event type: sample stddev/variance,
-    skewness, kurtosis, and value↔hour-of-day correlation. Rows-only
-    check on purpose: running-moment aggregation over doubles is
-    order-dependent at the last few ulps, so distributed results differ
-    from any serial oracle below round-off — correctness here is the
-    row-count + schema contract plus the property test bounds."""
+    """Statistical aggregates per event type — sample stddev/variance,
+    population skewness/kurtosis, value↔hour-of-day correlation —
+    hash-checked against DuckDB (upgraded from round 1's rows-only).
+
+    F.skewness/F.kurtosis run an order-dependent running-moment kernel,
+    so their raw output can never hash-match a serial oracle. Instead
+    the moments are rebuilt from EXACT power sums: value is 2-dp data
+    (DECIMAL(7,2)-exact, checked at load in tests), its powers stay
+    inside DECIMAL(31,8), and decimal sums are order-independent. The
+    final projection is one fixed IEEE sequence over those exact
+    scalars, textually identical in both engines (_MOMENT_EXPRS), so
+    the result is bit-stable across partitionings.
+
+    Scale shape: identical to any grouped sum — partial decimal power
+    sums map-side, a K-row exchange, scalar projection."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.stddev_samp("value").alias("stddev_value"),
-        F.var_samp("value").alias("var_value"),
-        F.skewness("value").alias("skew_value"),
-        F.kurtosis("value").alias("kurt_value"),
-        F.corr("value", F.hour("ts").cast("double")).alias("corr_value_hour"),
+    d = F.col("value").cast("decimal(7,2)")
+    h = F.hour("ts").cast("bigint")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(d).cast("double").alias("sx"),
+        F.sum(d * d).cast("double").alias("sxx"),
+        F.sum((d * d) * d).cast("double").alias("sxxx"),
+        F.sum((d * d) * (d * d)).cast("double").alias("sxxxx"),
+        F.sum(h).cast("double").alias("sh"),
+        F.sum(h * h).cast("double").alias("shh"),
+        F.sum(d * h).cast("double").alias("sxh"),
+    )
+    return s.select(
+        "event_type",
+        "n_rows",
+        *[F.expr(expr).alias(name) for name, expr in _MOMENT_EXPRS.items()],
     )
 
 

@@ -17,7 +17,7 @@ from . import query
 
 # Mid-range literal over the events table's Jan-2024 span; several
 # thousand rows land on each side at every scale factor.
-HWM_LITERAL = "2024-01-15 00:00:00"
+from . import HWM_LITERAL  # re-export (historical home); definition moved to queries/__init__
 
 
 @query(

@@ -67,6 +67,20 @@ def test_cosine_topk_matches_numpy(spark, sf_dir, emb_matrix):
         assert abs(r["cos_sim"] - exp_by_pair[(r["id_a"], r["id_b"])]) < 1e-9
 
 
+def test_cosine_topk_broadcast_guard_fails_loudly(spark, sf_dir):
+    """The exact-topk precondition (one side fits a broadcast) must be
+    ENFORCED, not assumed: past the cell limit the collect refuses with
+    an error naming the ANN alternatives instead of OOMing the driver."""
+    import pytest
+
+    from projektdataengineering_spark.catalog import load_table
+    from projektdataengineering_spark.queries.similarity import _collect_broadcast_matrix
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    with pytest.raises(ValueError, match="sim_cosine_ann_lsh"):
+        _collect_broadcast_matrix(emb, 64, max_cells=1)
+
+
 def test_ann_recall_vs_exact(spark, sf_dir, emb_matrix):
     """LSH-bucketed ANN: every reported neighbor must be a real vector,
     ranked correctly within its bucket; overall recall@3 against the
@@ -87,6 +101,54 @@ def test_ann_recall_vs_exact(spark, sf_dir, emb_matrix):
     # 8 hyperplanes / 256 buckets over 500 random vectors: random chance
     # would be <2%; the LSH structure must do far better.
     assert recall > 0.10, f"ANN recall@3 suspiciously low: {recall:.3f}"
+
+
+def test_embedding_dedup_is_threshold_complete(spark):
+    """The dedup sweep must see EVERY candidate pair ≥ τ, not the ANN
+    query's top-3 — plant a cluster where the minimal-id near-dup is
+    only the 4th-closest neighbor: a top-3-capped composition would
+    canonicalize to a non-minimal id; the uncapped stage must find id 0.
+    """
+    from projektdataengineering_spark.queries.similarity import (
+        _lsh_candidate_pairs,
+        _pair_cosine,
+    )
+    from pyspark.sql import functions as F
+
+    v = np.zeros(64); v[0] = 1.0
+    def tilted(cos, seed):
+        d = np.random.RandomState(seed).normal(size=64)
+        d -= d @ v * v
+        d /= np.linalg.norm(d)
+        return cos * v + np.sqrt(1 - cos * cos) * d
+    rows = [
+        (0, tilted(0.96, 1)),   # the MINIMAL id, ranked 4th by cosine
+        (1, tilted(0.995, 2)),
+        (2, tilted(0.994, 3)),
+        (3, tilted(0.993, 4)),
+        (10, v),                # the query vector
+        (20, -v),               # far-away filler
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vec]) for i, vec in rows],
+        "vec_id long, vec array<double>",
+    )
+    e = df.select(
+        "vec_id", "vec",
+        F.sqrt(F.aggregate(F.transform("vec", lambda x: x * x), F.lit(0.0),
+                           lambda a, x: a + x)).alias("norm"),
+    )
+    pairs = _lsh_candidate_pairs(e).filter(F.col("id_n") < F.col("id_q"))
+    scored = _pair_cosine(e, pairs)
+    dups = (
+        scored.filter(F.col("cos_sim") >= 0.9)
+        .groupBy(F.col("id_q").alias("vec_id"))
+        .agg(F.min("id_n").alias("dup_of"))
+    )
+    got = {r["vec_id"]: r["dup_of"] for r in dups.collect()}
+    # the LSH tables must surface the (10, 0) pair for this to be a real
+    # test — all five planted vectors are within 16° of each other
+    assert got.get(10) == 0, f"expected canonical id 0 for vec 10, got {got}"
 
 
 def test_minhash_estimates_track_exact_jaccard(spark, sf_dir):

@@ -148,6 +148,30 @@ def test_asof_join_matches_pandas_merge_asof(sp, left, right):
     assert got == want
 
 
+def test_asof_join_payload_is_row_atomic(sp):
+    """The matched right row must be carried as ONE atomic struct: a
+    NULL payload field on the matched row propagates as NULL (not
+    backfilled from an older right row), and a multi-column payload
+    never mixes values from different right rows (the pd.merge_asof /
+    DuckDB ASOF row semantics)."""
+    from projektdataengineering_spark.operators.asof import asof_join
+
+    ldf = sp.createDataFrame([(1, 0, 100)], "lid long, k long, lts long")
+    # Older right row has non-null fields; the MATCHED (latest ≤ lts)
+    # right row has v1 NULL and a different v2.
+    rdf = sp.createDataFrame(
+        [(0, 10, 7, 70), (0, 50, None, 71)],
+        "k long, rts long, v1 long, v2 long",
+    )
+    [row] = asof_join(
+        ldf, rdf, on="k", left_ts="lts", right_ts="rts",
+        right_payload={"rts": "m_rts", "v1": "m_v1", "v2": "m_v2"},
+    ).collect()
+    assert row["m_rts"] == 50
+    assert row["m_v1"] is None  # NOT 7 — no backfill across right rows
+    assert row["m_v2"] == 71
+
+
 @SET_PROFILE
 @given(ids=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=40, unique=True))
 def test_split_is_stable_under_subsetting(sp, ids):
