@@ -124,6 +124,60 @@ def write_parquet_append(df: DataFrame, path: str, partition_by: tuple[str, ...]
     writer.parquet(path)
 
 
+def jdbc_pushed_query(sql: str, alias: str = "pushed") -> str:
+    """Wrap arbitrary SQL as a JDBC `dbtable` subquery — the reference's
+    R3 pushdown trick (/root/reference/spark_tasks/weather_task.py:72-76
+    reads ``(SELECT MAX(...) FROM ...) AS t``), which makes the REMOTE
+    database execute the aggregate and ship one row, instead of Spark
+    scanning the table to compute it."""
+    return f"({sql}) AS {alias}"
+
+
+def read_jdbc_pushdown(
+    spark: SparkSession,
+    url: str,
+    table_or_query: str,
+    properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """JDBC scan with pushdown enabled — R3 parity
+    (weather_task.py:68-78) generalized.
+
+    ``table_or_query`` is a table name or a ``jdbc_pushed_query(...)``
+    subquery. Beyond the subquery trick the DSv2 pushdown flags are set
+    so Catalyst also pushes predicates/aggregates/limits it discovers in
+    the surrounding plan. For large tables pass the four partitioning
+    options — otherwise JDBC reads on ONE task, the classic whole-table-
+    through-a-straw mistake (the reference reads a 1-row aggregate, so
+    it rightly doesn't partition; a 100-TB fact-table ingest must).
+
+    No database ships in this sandbox, so the wrapper is exercised by a
+    boundary test (tests/test_pipeline.py): the options must reach
+    Spark's JDBC source — which then fails on the missing driver class,
+    proving the wiring, not the network."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table_or_query)
+        .option("pushDownPredicate", "true")
+        .option("pushDownAggregate", "true")
+        .option("pushDownLimit", "true")
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    return reader.load()
+
+
 def write_jdbc_append(
     df: DataFrame,
     url: str,

@@ -104,11 +104,12 @@ def test_asof_join_is_single_shuffle_window_not_cross_product(facts_of):
 
 def test_no_query_plans_a_cartesian_product(spark, sf_dir):
     """No registered query may fall back to CartesianProduct; the only
-    BroadcastNestedLoopJoin allowed is the 1-row scalar-subquery
-    broadcast in the late-data policy (O(n) by construction — every
-    probe row meets exactly one broadcast row). Even the theta/range
-    joins must plan hash joins on their equi component."""
-    allowed_bnlj = {"stream_late_data_policy"}
+    BroadcastNestedLoopJoin allowed is a 1-row scalar-subquery
+    broadcast (O(n) by construction — every probe row meets exactly one
+    broadcast row): the late-data policy's high-water mark and the
+    language-balance min-class-size scalar. Even the theta/range joins
+    must plan hash joins on their equi component."""
+    allowed_bnlj = {"stream_late_data_policy", "pipeline_lang_balance"}
     for name, qd in REGISTRY.items():
         f = plan_facts(qd.fn(spark, sf_dir))
         assert f.count("CartesianProduct") == 0, (name, f.nodes)
