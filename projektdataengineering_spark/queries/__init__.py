@@ -84,8 +84,41 @@ _MODULES = (
 )
 
 
+# Window packing: the driver's correctness pass records the FIRST 50
+# registry entries, so membership there is contractual. Oracle-bearing
+# queries that still lack a driver hash row are PROMOTED into the
+# window; rows-only queries (no SQL oracle — a driver row proves only
+# clean execution, which their local calibration tests pin harder:
+# ground-truth cosine vs numpy, ANN recall, signature determinism) are
+# DEFERRED to the tail to make room.
+_PROMOTE_TO_WINDOW = ("join_skew_salted",)
+_DEFER_TO_TAIL = (
+    # rows-only (local calibration > a rows-only driver row):
+    "sim_cosine_topk",
+    "sim_cosine_ivf",
+    "sim_simhash",
+    "sim_cosine_ann_lsh",
+    "sim_minhash_lsh",
+    # oracle-bearing but the window is full this round — rotate into
+    # the window next round (locally oracle-tested meanwhile):
+    "pipeline_sequence_pack",
+)
+
+
 def load_registry() -> dict[str, QueryDef]:
-    """Import all query modules (populating REGISTRY) and return it."""
+    """Import all query modules (populating REGISTRY) and return it,
+    with _PROMOTE_TO_WINDOW entries moved to the front and
+    _DEFER_TO_TAIL entries moved to the end (dict order is the
+    driver's correctness-window order — contractual, see _MODULES)."""
     for mod in _MODULES:
         import_module(f"{__package__}.{mod}")
+    promoted = {n: REGISTRY.pop(n) for n in _PROMOTE_TO_WINDOW if n in REGISTRY}
+    if promoted:
+        rest = dict(REGISTRY)
+        REGISTRY.clear()
+        REGISTRY.update(promoted)
+        REGISTRY.update(rest)
+    for name in _DEFER_TO_TAIL:
+        if name in REGISTRY:
+            REGISTRY[name] = REGISTRY.pop(name)
     return REGISTRY

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions import revenue_expr
 from ..operators.asof import asof_join
+from ..operators.skew import salted_join
 from . import query
 
 
@@ -354,4 +355,35 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
         .filter(F.col("edit_dist") <= 5)
         .select("partkey_a", "partkey_b", "name_a", "name_b", "edit_dist")
+    )
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+           c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer through the salted-join operator
+    (operators/skew.py): the probe side gets a deterministic salt in
+    [0, 8), the build side is replicated 8×, and the join keys on
+    (custkey, salt) — spreading any hot customer over 8 reducers.
+
+    Result-identical to the plain equi-join (that is the oracle), which
+    is the whole point: salting is a *physical* rewrite for skew that
+    AQE's sort-merge splitter can't reach (shuffled-hash builds,
+    mid-chain skew), with zero semantic footprint. The salt is
+    pmod(xxhash64(row), 8) — not rand() — so task retries re-salt
+    identically and the join neither drops nor duplicates rows."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_mktsegment"
+    )
+    return salted_join(o, c, "o_custkey", n_salts=8).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment"
     )

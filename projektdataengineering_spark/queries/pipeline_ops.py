@@ -732,16 +732,29 @@ def pipeline_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pipeline_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-value decile profile: count/min/max/exact-sum per global
-    price decile — the spend-distribution report. The global NTILE is
-    the one single-partition sort in this module (inherent to exact
-    global quantile assignment); the 100-TB form swaps it for
-    percentile_approx banding (`agg_approx_quantile`), trading
-    exactness for a mergeable sketch — both are first-class here, this
-    query is the exact anchor the sketch calibrates against."""
+    price decile — the spend-distribution report, with NO
+    single-partition stage. Round 1 used a bare global-window NTILE
+    (all rows sorted in ONE task — the plan shape that dies first at
+    100 TB); the decile is now rebuilt exactly from the distributed
+    two-phase rank (operators/rank.py: range-repartition + local
+    row_number + broadcast partition offsets) and NTILE's integer
+    bucket-size contract, with the total count a 1-row broadcast. Same
+    oracle as before — bit-identical deciles, scalable plan (asserted
+    single-partition-free in tests/test_plans.py). The approx sibling
+    (`agg_approx_quantile`) stays the sketch this exact anchor
+    calibrates."""
+    from ..operators.rank import exact_ntile, global_row_number
+
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    banded = orders.select(
-        "o_totalprice", F.ntile(10).over(w).cast("bigint").alias("decile")
+    ranked = global_row_number(
+        orders.select("o_totalprice", "o_orderkey"),
+        ["o_totalprice", "o_orderkey"],
+        rank_col="rank",
+    )
+    total = ranked.agg(F.count(F.lit(1)).alias("__total"))
+    banded = ranked.crossJoin(F.broadcast(total)).select(
+        "o_totalprice",
+        exact_ntile(F.col("rank"), F.col("__total"), 10).alias("decile"),
     )
     return banded.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -780,4 +793,190 @@ def pipeline_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.count("props")).alias("n_null_props"),
         F.min("ts").alias("min_ts"),
         F.max("ts").alias("max_ts"),
+    )
+
+
+@query(
+    "pipeline_scd2_history",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, ts, event_type,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS rid
+      FROM o
+    ),
+    spans AS (
+      SELECT user_id, rid, event_type,
+             MIN(ts) AS valid_from,
+             COUNT(*) AS n_events
+      FROM runs GROUP BY user_id, rid, event_type
+    )
+    SELECT user_id, event_type, valid_from, n_events,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY rid)
+             AS valid_to,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY rid) IS NULL
+             AS is_current
+    FROM spans
+    """,
+)
+def pipeline_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 history build from an event log: compress each user's
+    consecutive same-event_type runs into validity intervals
+    [valid_from, valid_to) with an is_current flag — the CDC-to-
+    dimension-table transform every warehouse load runs (the interval
+    form of `dedup_keep_latest`, which keeps only the last row).
+
+    Shape: gaps-and-islands (lag → change flag → running sum = run id)
+    then one aggregate per run, then lead for the closing bound. All
+    three windows and the aggregate cluster on user_id, so Catalyst
+    plans ONE user_id exchange — the aggregate and final window reuse
+    the window sort's partitioning (same single-shuffle discipline as
+    pipeline_sessionize). event_id tiebreaks equal timestamps on both
+    engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    chg = F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
+    runs = ev.withColumn(
+        "rid",
+        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    spans = runs.groupBy("user_id", "rid", "event_type").agg(
+        F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_events")
+    )
+    wlead = Window.partitionBy("user_id").orderBy("rid")
+    valid_to = F.lead("valid_from").over(wlead)
+    return spans.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        "n_events",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "pipeline_embedding_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, e,
+             list_aggregate(list_transform(e, x -> abs(x)), 'max') AS scale
+      FROM v
+    ),
+    q AS (
+      SELECT vec_id, scale,
+             list_transform(e, x -> floor(x / scale * 127.0 + 0.5)) AS qv,
+             e
+      FROM s WHERE scale > 0
+    )
+    SELECT vec_id, scale,
+           CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+           CAST(list_aggregate(qv, 'min') AS BIGINT) AS q_min,
+           CAST(list_aggregate(qv, 'max') AS BIGINT) AS q_max,
+           list_aggregate(
+             list_transform(list_zip(qv, e),
+                            p -> abs(p[1] / 127.0 * scale - p[2])),
+             'max') AS err_max
+    FROM q
+    """,
+)
+def pipeline_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the memory
+    move that makes a 100-TB ANN index fit (64 float32 → 64 int8 + one
+    scale, 4× smaller, dot products in integer SIMD). Per vector:
+    max-abs scale, q = floor(x/scale·127 + 0.5) (floor(+0.5) — NOT
+    round(), whose half-even/half-up convention differs across engines;
+    floor is correctly-rounded IEEE in both), and the reconstruction
+    error bound err_max = max|q/127·scale − x| — the number an ANN
+    recall budget is set against. Output pins the quantized content via
+    exact q_sum/q_min/q_max scalars (array columns don't hash portably
+    across engines). Pure map-side — zero shuffles, streams at scan
+    speed; the quantized form feeds the same LSH/IVF index builds
+    (similarity.py) with 4× more vectors per executor-GB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    with_scale = emb.select(
+        "vec_id",
+        e.alias("e"),
+        F.array_max(F.transform(e, lambda x: F.abs(x))).alias("scale"),
+    ).filter(F.col("scale") > 0)
+    qv = F.transform(
+        "e", lambda x: F.floor(x / F.col("scale") * F.lit(127.0) + F.lit(0.5))
+    )
+    return with_scale.select(
+        "vec_id",
+        "scale",
+        F.aggregate(qv, F.lit(0).cast("double"), lambda a, x: a + x)
+        .cast("bigint")
+        .alias("q_sum"),
+        F.array_min(qv).cast("bigint").alias("q_min"),
+        F.array_max(qv).cast("bigint").alias("q_max"),
+        F.array_max(
+            F.zip_with(
+                qv,
+                F.col("e"),
+                lambda q, x: F.abs(q / F.lit(127.0) * F.col("scale") - x),
+            )
+        ).alias("err_max"),
+    )
+
+
+@query(
+    "pipeline_sequence_pack",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+             CAST(SUM(len(string_split(text, ' ')))
+                  OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_toks
+      FROM documents
+    )
+    SELECT doc_id, source, n_toks,
+           (cum_toks - n_toks) // 2048 AS pack_id,
+           (cum_toks - n_toks) % 2048 AS pack_offset
+    FROM t
+    """,
+)
+def pipeline_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: concatenate each source's documents
+    in doc_id order into fixed 2048-token sequences and report, per
+    document, which pack it starts in and at what token offset — the
+    assembly step between a curated corpus and a causal-LM dataloader
+    (documents straddle pack boundaries, as in standard pretraining
+    packing). One running-sum window per source (same single-exchange
+    shape as pipeline_token_budget), then pure integer math; floor-div
+    and mod on exact BIGINT token counts are engine-portable."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("bigint").alias("n_toks")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_toks").over(w) - F.col("n_toks")
+    return toked.select(
+        "doc_id",
+        "source",
+        "n_toks",
+        F.floor(start / 2048).cast("bigint").alias("pack_id"),
+        (start % 2048).cast("bigint").alias("pack_offset"),
     )

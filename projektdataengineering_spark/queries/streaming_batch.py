@@ -162,3 +162,54 @@ def stream_native_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = tumbling_counts(open_event_stream(spark, sf_dir))
     run_to_memory_sink(stream, "stream_native_tumbling_sink", output_mode="complete")
     return spark.table("stream_native_tumbling_sink")
+
+
+@query(
+    "stream_dedup_stateful",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS key,
+           MIN(ts) AS first_ts,
+           COUNT(*) - 1 AS n_dropped
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch first-wins dedup executed as a REAL streaming query
+    with a CUSTOM STATEFUL OPERATOR — applyInPandasWithState
+    (streaming/stateful.py): per-key state remembers the first-seen row
+    and counts every later duplicate, the streaming form of the batch
+    ``dedup_incremental`` anti-join (reference O4 idempotence made
+    continuous). readStream file source → keyed state → update-mode
+    memory sink; the sink's per-key LAST update (max n_dropped, and the
+    first_ts every update repeats) is the final state, which the
+    groupBy below extracts deterministically regardless of how many
+    micro-batches the source chose.
+
+    Determinism bound: first-wins in a live stream is processing-order
+    defined. Under availableNow over this bounded fixture the whole
+    corpus is one replayable batch, so first-seen ≡ global min ts and
+    the query is exactly the SQL oracle — which is precisely the
+    replay/backfill situation where a pipeline must be idempotent.
+    State is hash-partitioned by key across executors (no single-node
+    key set); production bounds it with a TTL/watermark
+    (streaming/stateful.py scale notes)."""
+    from ..streaming import open_event_stream, run_to_memory_sink
+    from ..streaming.stateful import dedup_stream_first_wins
+
+    keyed = open_event_stream(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("key"), "ts"
+    )
+    run_to_memory_sink(
+        dedup_stream_first_wins(keyed),
+        "stream_dedup_stateful_sink",
+        output_mode="update",
+    )
+    return (
+        spark.table("stream_dedup_stateful_sink")
+        .groupBy("key")
+        .agg(
+            F.min("first_ts").alias("first_ts"),
+            F.max("n_dropped").alias("n_dropped"),
+        )
+    )

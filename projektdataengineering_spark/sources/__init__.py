@@ -223,3 +223,51 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.format("parquet").saveAsTable(name)
+
+
+# Extension → modality for media ingested from a landing directory.
+MEDIA_MODALITIES = {
+    "jpg": "image/jpeg",
+    "jpeg": "image/jpeg",
+    "png": "image/png",
+    "wav": "audio/wav",
+    "mp3": "audio/mpeg",
+    "mp4": "video/mp4",
+    "bin": "application/octet-stream",
+}
+
+
+def read_binary_dir(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Media landing-zone ingest: Spark's `binaryFile` source over a
+    directory → one row per file with the blob as an opaque ``payload``
+    binary column plus the typed metadata the multimodal operators key
+    on (modality from the extension, byte length, sha256 checksum —
+    the reference's R11 checksum idea applied to blobs).
+
+    This is the REAL ingest seam for operators/multimodal.py (whose
+    fixture adapter fakes payloads from text): downstream
+    ``extract_features`` runs unchanged on either. Scale notes: the
+    source parallelizes per file and prunes the ``content`` column when
+    a plan only touches metadata — keep metadata queries off the blob
+    column and they never read the bytes. Files over
+    `spark.sql.sources.binaryFile.maxLength` (default 2 GiB) error
+    loudly rather than truncate."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    modality_map = F.create_map(
+        *[F.lit(x) for kv in MEDIA_MODALITIES.items() for x in kv]
+    )
+    return raw.select(
+        F.col("path"),
+        F.col("content").alias("payload"),
+        F.coalesce(modality_map[ext], F.lit("application/octet-stream")).alias(
+            "modality"
+        ),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.sha2(F.col("content"), 256).alias("checksum"),
+    )

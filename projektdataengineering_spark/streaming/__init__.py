@@ -124,3 +124,39 @@ def run_to_memory_sink(df: DataFrame, name: str, output_mode: str = "complete"):
     )
     q.awaitTermination()
     return q
+
+
+def write_stream_idempotent(
+    df: DataFrame, path: str, checkpoint: str, partition_cols: tuple[str, ...] = ()
+) -> None:
+    """Exactly-once parquet sink via foreachBatch + epoch-partitioned
+    dynamic overwrite — the production replacement for the memory sink.
+
+    Structured Streaming's contract is at-least-once delivery of each
+    micro-batch to foreachBatch; the same (checkpoint, epoch_id) can
+    replay after a crash. Writing each batch into its own ``__epoch``
+    partition with DYNAMIC partition overwrite makes the replay
+    overwrite its previous attempt instead of appending duplicates —
+    idempotence from the sink side, exactly-once end-to-end when
+    combined with the checkpoint (tests/test_streaming.py proves a
+    re-run with the same checkpoint adds zero rows). Scale notes: the
+    epoch partition column also gives downstream readers incremental
+    slices; compaction of many small epoch partitions is
+    write_parquet_append's partition_by + a periodic rewrite."""
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        out = batch_df.withColumn("__epoch", F.lit(epoch_id))
+        writer = (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*(*partition_cols, "__epoch"))
+        )
+        writer.parquet(path)
+
+    q = (
+        df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

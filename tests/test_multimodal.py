@@ -43,3 +43,60 @@ def test_rerun_is_deterministic(spark, sf_dir):
 def test_real_decode_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         decode_media(b"\x89PNG...", "image/png")
+
+
+def test_binary_dir_ingest_feeds_feature_extraction(spark, tmp_path):
+    """read_binary_dir (the REAL binaryFile ingest seam) must produce
+    the payload+metadata shape extract_features consumes, with sha256
+    checksums and modality mapping matching a pure-Python recompute."""
+    import hashlib
+
+    from projektdataengineering_spark.operators.multimodal import extract_features
+    from projektdataengineering_spark.sources import read_binary_dir
+
+    blobs = {
+        "a.jpg": b"\xff\xd8\xff fake jpeg bytes",
+        "b.wav": b"RIFF fake wav payload \x00\x01\x02",
+        "c.weird": b"unknown extension bytes",
+    }
+    for name, data in blobs.items():
+        (tmp_path / name).write_bytes(data)
+
+    df = read_binary_dir(spark, str(tmp_path))
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == set(blobs)
+    for name, data in blobs.items():
+        r = rows[name]
+        assert bytes(r["payload"]) == data
+        assert r["n_bytes"] == len(data)
+        assert r["checksum"] == hashlib.sha256(data).hexdigest()
+    assert rows["a.jpg"]["modality"] == "image/jpeg"
+    assert rows["b.wav"]["modality"] == "audio/wav"
+    assert rows["c.weird"]["modality"] == "application/octet-stream"
+
+    # the downstream featurizer runs unchanged on the ingested frame
+    # (it keys on doc_id + payload/modality/n_bytes/checksum)
+    from pyspark.sql import functions as F
+
+    feat = extract_features(
+        df.select(
+            F.xxhash64("path").alias("doc_id"),
+            "payload",
+            "modality",
+            "n_bytes",
+            "checksum",
+        ),
+        fake=True,
+    )
+    out = feat.collect()
+    assert len(out) == 3 and all(r["feat_mean"] > 0 for r in out)
+
+    # metadata-only projection must NOT read the content column
+    meta_plan = (
+        read_binary_dir(spark, str(tmp_path))
+        .select("path", "n_bytes")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "content" not in meta_plan

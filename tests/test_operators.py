@@ -317,3 +317,47 @@ def test_approx_quantiles_within_rank_error(spark, sf_dir):
             lo = vals[max(0, int((p - eps) * n) - 1)]
             hi = vals[min(n - 1, int((p + eps) * n) + 1)]
             assert lo <= est <= hi, (status, col, est, lo, hi)
+
+
+def test_global_row_number_matches_global_window(spark, sf_dir):
+    """The distributed two-phase rank (operators/rank.py) must agree
+    row-for-row with the single-partition global window it replaces,
+    and exact_ntile must agree with SQL NTILE for several bucket
+    counts (including k > n rows)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from projektdataengineering_spark.catalog import load_table
+    from projektdataengineering_spark.operators.rank import exact_ntile, global_row_number
+
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    got = global_row_number(orders, ["o_totalprice", "o_orderkey"], rank_col="r")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    want = orders.select(
+        "o_orderkey",
+        F.row_number().over(w).cast("long").alias("r"),
+        F.ntile(7).over(w).cast("long").alias("n7"),
+    )
+    joined = (
+        got.crossJoin(F.broadcast(got.agg(F.count(F.lit(1)).alias("tot"))))
+        .select(
+            "o_orderkey",
+            F.col("r").alias("got_r"),
+            exact_ntile(F.col("r"), F.col("tot"), 7).alias("got_n7"),
+        )
+        .join(want, "o_orderkey")
+    )
+    bad = joined.filter(
+        (F.col("got_r") != F.col("r")) | (F.col("got_n7") != F.col("n7"))
+    ).count()
+    assert bad == 0
+
+    # k larger than the row count: each row gets its own bucket.
+    tiny = orders.orderBy("o_orderkey").limit(3)
+    tr = global_row_number(tiny, ["o_totalprice", "o_orderkey"], rank_col="r")
+    rows = (
+        tr.crossJoin(F.broadcast(tr.agg(F.count(F.lit(1)).alias("tot"))))
+        .select("r", exact_ntile(F.col("r"), F.col("tot"), 10).alias("b"))
+        .collect()
+    )
+    assert sorted((r["r"], r["b"]) for r in rows) == [(1, 1), (2, 2), (3, 3)]

@@ -109,7 +109,11 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
     broadcast row): the late-data policy's high-water mark and the
     language-balance min-class-size scalar. Even the theta/range joins
     must plan hash joins on their equi component."""
-    allowed_bnlj = {"stream_late_data_policy", "pipeline_lang_balance"}
+    allowed_bnlj = {
+        "stream_late_data_policy",
+        "pipeline_lang_balance",
+        "pipeline_price_deciles",  # 1-row total-count broadcast for exact_ntile
+    }
     for name, qd in REGISTRY.items():
         f = plan_facts(qd.fn(spark, sf_dir))
         assert f.count("CartesianProduct") == 0, (name, f.nodes)
@@ -231,3 +235,27 @@ def test_subquery_decorrelation_joins_on_aggregated_key(facts_of):
         set(cols) <= {"l_partkey", "l_quantity", "l_extendedprice"}
         for cols in f.read_schemas
     ), f.read_schemas
+
+
+def test_price_deciles_has_no_global_window(spark, sf_dir):
+    """pipeline_price_deciles must NOT plan a whole-table
+    single-partition window (the round-1 ntile shape). The local-rank
+    stage lives behind the operator's localCheckpoint (a Scan
+    ExistingRDD in this plan), so the visible signature of the
+    distributed rank is: no ntile anywhere, and the partition-offset
+    BroadcastHashJoin on the range-partition id. Bounded
+    SinglePartition stages (the 1-row total count and the
+    <=shuffle-partitions offsets prefix-sum) are allowed; the ranking
+    window itself is asserted partitioned in the operator test
+    (tests/test_operators.py::test_global_row_number_matches_global_window
+    checks rank values; the window runs per __gr_pid by construction,
+    operators/rank.py)."""
+    plan = (
+        REGISTRY["pipeline_price_deciles"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ntile" not in plan, plan
+    assert "__gr_pid" in plan and "BroadcastHashJoin" in plan, plan

@@ -114,3 +114,33 @@ def test_stateful_dedup_first_wins(spark, sf_dir, tmp_path):
     # first-seen timestamps survive across micro-batches in keyed state
     assert final["a"]["first_ts"] == pd.Timestamp("2024-01-01 00:00:00")
     assert final["b"]["first_ts"] == pd.Timestamp("2024-01-01 00:05:00")
+
+
+def test_foreachbatch_sink_is_idempotent(spark, sf_dir, tmp_path):
+    """write_stream_idempotent: replaying the stream with the SAME
+    checkpoint must add zero rows (epoch-partitioned dynamic overwrite
+    absorbs at-least-once replays); a fresh checkpoint re-processes."""
+    from projektdataengineering_spark.streaming import (
+        open_event_stream,
+        write_stream_idempotent,
+    )
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = open_event_stream(spark, sf_dir).select("event_id", "ts", "event_type")
+
+    write_stream_idempotent(stream, out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    assert n1 > 0
+
+    # same checkpoint: source is exhausted, no new epochs, same rows
+    stream2 = open_event_stream(spark, sf_dir).select("event_id", "ts", "event_type")
+    write_stream_idempotent(stream2, out, ckpt)
+    n2 = spark.read.parquet(out).count()
+    assert n2 == n1
+
+    # every event exactly once vs the batch read
+    from projektdataengineering_spark.catalog import load_table
+
+    n_batch = load_table(spark, sf_dir, "events").count()
+    assert n1 == n_batch
