@@ -63,3 +63,66 @@ def dedup_incremental(batch: DataFrame, existing: DataFrame, key: str) -> DataFr
     zero rows, fixing the reference's duplicate-on-error risk (O4).
     """
     return batch.join(existing.select(key), on=key, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance: mergeable per-key state
+# ---------------------------------------------------------------------------
+
+def agg_state(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Partial aggregate STATE for incremental rollup maintenance:
+    per key — row count, non-null value count, exact decimal sum,
+    min, max. Every field is MERGEABLE (sum of sums, min of mins …),
+    which is the algebraic property that lets a warehouse keep a
+    rollup current by folding in each new batch's state instead of
+    re-scanning history — the aggregate twin of the HWM load above.
+
+    The value sum is exact DECIMAL(28,2): fp addition is non-
+    associative, so a float state would drift per merge order; decimal
+    state makes merge results independent of batching (the
+    finalize_agg_state float division happens ONCE, at read time)."""
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(value_col).alias("n_vals"),
+        F.sum(F.col(value_col).cast("decimal(28,2)")).cast("decimal(28,2)").alias("sum_val"),
+        F.min(value_col).alias("min_val"),
+        F.max(value_col).alias("max_val"),
+    )
+
+
+def merge_agg_states(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
+    """Fold two state frames into one (same schema as agg_state).
+    union + one re-aggregate on the key — at scale both sides are
+    key-cardinality-sized, orders of magnitude smaller than the fact
+    data they summarize."""
+    return (
+        a.unionByName(b)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("n_vals").alias("n_vals"),
+            # cast back so the state schema is CLOSED under merge
+            # (Spark widens decimal sums to (38,2); chained merges must
+            # not drift the schema). (28,2) holds ~1e26 — no overflow
+            # risk from 2-dp telemetry values at any realistic count.
+            F.sum("sum_val").cast("decimal(28,2)").alias("sum_val"),
+            F.min("min_val").alias("min_val"),
+            F.max("max_val").alias("max_val"),
+        )
+    )
+
+
+def finalize_agg_state(state: DataFrame) -> DataFrame:
+    """Read-time projection of the state into the user-facing rollup
+    (count / exact sum as double / min / max / mean). The single float
+    step happens here, after all merging — bit-stable regardless of
+    how many increments built the state."""
+    return state.select(
+        *[c for c in state.columns if c not in
+          ("n_rows", "n_vals", "sum_val", "min_val", "max_val")],
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("sum_val").cast("double").alias("sum_value"),
+        F.col("min_val").alias("min_value"),
+        F.col("max_val").alias("max_value"),
+        (F.col("sum_val").cast("double") / F.col("n_vals")).alias("avg_value"),
+    )

@@ -95,3 +95,116 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, modality string, width int, height int, "
+    "payload binary, n_bytes long, checksum string"
+)
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for an image resample: width×height bytes
+    sampled from the payload at evenly-spaced offsets (nearest-neighbor
+    over the byte stream). Preserves the real op's contract — output
+    size is a pure function of (width, height), content a pure function
+    of the input bytes — so partitioning/memory behavior is faithful."""
+    n = width * height
+    if not payload:
+        return bytes(n)
+    step = len(payload) / n
+    return bytes(payload[int(i * step)] for i in range(n))
+
+
+def resize_media(df: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
+    """Image resize over binary payloads via mapInPandas — the second
+    stage of the media pipeline (decode → RESIZE → featurize).
+    Production swaps _fake_resize for PIL `Image.resize` after
+    decode_media; the stub boundary is the same one extract_features
+    documents. Output payloads are width×height bytes with refreshed
+    n_bytes/sha256 metadata (the checksum change is how lineage tells
+    a derived asset from its source — reference R11's checksum idea).
+
+    Scale: output partition bytes ≈ rows × width × height — resize
+    SHRINKS partitions for thumbnailing (the common case); repartition
+    AFTER enlarging resizes, before is wasted shuffle."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if fake:
+                out = [_fake_resize(p, width, height) for p in pdf["payload"]]
+            else:  # pragma: no cover — needs codec libs
+                out = [decode_media(p, m) for p, m in zip(pdf["payload"], pdf["modality"])]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "width": width,
+                    "height": height,
+                    "payload": out,
+                    "n_bytes": [len(b) for b in out],
+                    "checksum": [hashlib.sha256(b).hexdigest() for b in out],
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "doc_id long, modality string, frame_idx int, "
+    "payload binary, n_bytes long, checksum string"
+)
+
+
+def _fake_frames(payload: bytes, n_frames: int, frame_bytes: int = 64) -> list[bytes]:
+    """Deterministic stand-in for video frame sampling: n_frames
+    evenly-spaced fixed-size byte slices (zero-padded at the tail) —
+    the uniform-stride sampling policy every video curriculum uses."""
+    if not payload:
+        return [bytes(frame_bytes)] * n_frames
+    out = []
+    for k in range(n_frames):
+        start = (k * len(payload)) // n_frames
+        chunk = payload[start : start + frame_bytes]
+        out.append(chunk + bytes(frame_bytes - len(chunk)))
+    return out
+
+
+def sample_frames(df: DataFrame, n_frames: int, fake: bool = True) -> DataFrame:
+    """Video frame sampling via mapInPandas: each input blob expands to
+    n_frames rows (doc_id, frame_idx, frame payload) — the 1→N
+    expansion that turns a video corpus into an image corpus for
+    training. Production replaces _fake_frames with pyav keyframe
+    striding behind the decode_media stub boundary.
+
+    Scale: output rows = input rows × n_frames and output bytes can
+    EXCEED input bytes (decoded frames vs compressed video) — the one
+    media stage where you must repartition AFTER expansion; metadata
+    stays per-frame so column pruning spares the bytes downstream."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "modality": [], "frame_idx": [],
+                "payload": [], "n_bytes": [], "checksum": [],
+            }
+            for doc_id, modality, payload in zip(
+                pdf["doc_id"], pdf["modality"], pdf["payload"]
+            ):
+                frames = (
+                    _fake_frames(payload, n_frames)
+                    if fake
+                    else decode_media(payload, modality)  # pragma: no cover
+                )
+                for k, fr in enumerate(frames):
+                    rows["doc_id"].append(doc_id)
+                    rows["modality"].append(modality)
+                    rows["frame_idx"].append(k)
+                    rows["payload"].append(fr)
+                    rows["n_bytes"].append(len(fr))
+                    rows["checksum"].append(hashlib.sha256(fr).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)

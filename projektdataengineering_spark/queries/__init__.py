@@ -102,6 +102,7 @@ _DEFER_TO_TAIL = (
     # oracle-bearing but the window is full this round — rotate into
     # the window next round (locally oracle-tested meanwhile):
     "pipeline_sequence_pack",
+    "pipeline_incremental_rollup",
 )
 
 

@@ -980,3 +980,44 @@ def pipeline_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(start / 2048).cast("bigint").alias("pack_id"),
         (start % 2048).cast("bigint").alias("pack_offset"),
     )
+
+
+@query(
+    "pipeline_incremental_rollup",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / COUNT(value)
+             AS avg_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def pipeline_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained rollup: the per-type stats state is
+    built SEPARATELY for the warehouse history (ts ≤ HWM) and the new
+    batch (ts > HWM), merged with merge_agg_states, and finalized —
+    and the oracle is the DIRECT aggregate over all of events, so the
+    hash check proves merge ≡ recompute (the algebraic-state contract
+    of operators/incremental.py). At 100 TB this is the difference
+    between folding a day's state into a rollup and re-scanning years
+    of history; exact decimal state makes the equivalence bit-stable
+    regardless of how many increments built it."""
+    from ..operators.incremental import (
+        agg_state,
+        finalize_agg_state,
+        merge_agg_states,
+    )
+    from . import HWM_LITERAL
+
+    ev = load_table(spark, sf_dir, "events")
+    history = agg_state(
+        ev.filter(F.col("ts") <= F.lit(HWM_LITERAL)), ["event_type"], "value"
+    )
+    batch = agg_state(
+        ev.filter(F.col("ts") > F.lit(HWM_LITERAL)), ["event_type"], "value"
+    )
+    return finalize_agg_state(merge_agg_states(history, batch, ["event_type"]))

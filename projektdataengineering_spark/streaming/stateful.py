@@ -70,3 +70,77 @@ def dedup_stream_first_wins(keyed: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# Stateful sessionizer: custom session windows with carry-over state.
+SESSION_OUTPUT_SCHEMA = (
+    "key string, session_start timestamp, session_last timestamp, "
+    "n_events long, sum_value double, is_open boolean"
+)
+SESSION_STATE_SCHEMA = (
+    "session_start timestamp, session_last timestamp, n_events long, sum_value double"
+)
+
+_GAP = pd.Timedelta(minutes=30)
+
+
+def _sessionize_stateful(key, pdf_iter, state: GroupState):
+    """Per-key gap sessionization with cross-batch carry-over: the open
+    session lives in keyed state; a batch's rows (sorted by event time)
+    either extend it or close it and start the next. Closed sessions
+    emit with is_open=false; the still-open session re-emits every
+    batch with is_open=true (update mode — the sink's latest row per
+    (key, session_start) is the session's current truth).
+
+    This is the applyInPandasWithState twin of the built-in
+    session_window aggregate (streaming/__init__.py) — the shape to
+    copy when session semantics outgrow the built-in (per-session
+    custom accumulators, dynamic gaps, emit-on-close side effects)."""
+    rows = [pdf[["ts", "value"]] for pdf in pdf_iter if len(pdf)]
+    if not rows:
+        return iter(())
+    batch = pd.concat(rows).sort_values("ts")
+
+    if state.exists:
+        start, last, n, vsum = state.get
+    else:
+        start = last = None
+        n, vsum = 0, 0.0
+
+    out: list[tuple] = []
+    for ts, value in zip(batch["ts"], batch["value"]):
+        v = 0.0 if pd.isna(value) else float(value)
+        if start is None:
+            start, last, n, vsum = ts, ts, 1, v
+        elif ts - last > _GAP:
+            out.append((key[0], start, last, n, vsum, False))
+            start, last, n, vsum = ts, ts, 1, v
+        else:
+            last, n, vsum = ts, n + 1, vsum + v
+    state.update((start, last, n, vsum))
+    out.append((key[0], start, last, n, vsum, True))
+    return iter(
+        (
+            pd.DataFrame(
+                out,
+                columns=[
+                    "key", "session_start", "session_last",
+                    "n_events", "sum_value", "is_open",
+                ],
+            ),
+        )
+    )
+
+
+def sessionize_stream(keyed: DataFrame) -> DataFrame:
+    """Apply the stateful sessionizer to a streaming DataFrame with
+    columns (key string, ts timestamp, value double). Output mode:
+    update. State is one open session per key — bounded; production
+    adds an event-time timeout to flush keys that go quiet forever."""
+    return keyed.groupBy("key").applyInPandasWithState(
+        _sessionize_stateful,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

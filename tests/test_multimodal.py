@@ -100,3 +100,49 @@ def test_binary_dir_ingest_feeds_feature_extraction(spark, tmp_path):
         .toString()
     )
     assert "content" not in meta_plan
+
+
+def test_resize_media_plumbing(spark, sf_dir):
+    """resize_media: output payloads are exactly w×h bytes, metadata is
+    refreshed (checksum = sha256 of the RESIZED bytes), and the resample
+    matches the pure-Python featurizer contract."""
+    import hashlib
+
+    from projektdataengineering_spark.operators.multimodal import (
+        _fake_resize,
+        attach_binary_payload,
+        resize_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    src = attach_binary_payload(docs)
+    out = resize_media(src, 8, 4).collect()
+    assert len(out) == 20
+    originals = {r["doc_id"]: bytes(r["payload"]) for r in src.collect()}
+    for r in out:
+        b = bytes(r["payload"])
+        assert len(b) == 8 * 4 == r["n_bytes"]
+        assert r["checksum"] == hashlib.sha256(b).hexdigest()
+        assert b == _fake_resize(originals[r["doc_id"]], 8, 4)
+
+
+def test_sample_frames_expansion(spark, sf_dir):
+    """sample_frames: 1→N expansion with per-frame metadata; frames are
+    the deterministic evenly-spaced slices of the source payload."""
+    from projektdataengineering_spark.operators.multimodal import (
+        _fake_frames,
+        attach_binary_payload,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    src = attach_binary_payload(docs)
+    out = sample_frames(src, 3).collect()
+    assert len(out) == 30
+    originals = {r["doc_id"]: bytes(r["payload"]) for r in src.collect()}
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["frame_idx"]] = bytes(r["payload"])
+    for doc_id, frames in by_doc.items():
+        want = _fake_frames(originals[doc_id], 3)
+        assert [frames[i] for i in range(3)] == want

@@ -361,3 +361,36 @@ def test_global_row_number_matches_global_window(spark, sf_dir):
         .collect()
     )
     assert sorted((r["r"], r["b"]) for r in rows) == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_agg_state_merge_is_batching_independent(spark, sf_dir):
+    """Incremental aggregate state: folding the events table in as 1,
+    2, or 3 arbitrary time-sliced batches must finalize to the
+    identical rollup (exact decimal state ⇒ merge ≡ recompute,
+    bit-stable) — and the merged state schema must equal the single-
+    pass state schema (closed under merge)."""
+    from pyspark.sql import functions as F
+
+    from projektdataengineering_spark.catalog import load_table
+    from projektdataengineering_spark.operators.incremental import (
+        agg_state,
+        finalize_agg_state,
+        merge_agg_states,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    keys = ["event_type"]
+    full = agg_state(ev, keys, "value")
+
+    t1, t2 = "2024-01-10 00:00:00", "2024-01-20 00:00:00"
+    s1 = agg_state(ev.filter(F.col("ts") <= t1), keys, "value")
+    s2 = agg_state(ev.filter((F.col("ts") > t1) & (F.col("ts") <= t2)), keys, "value")
+    s3 = agg_state(ev.filter(F.col("ts") > t2), keys, "value")
+    merged = merge_agg_states(merge_agg_states(s1, s2, keys), s3, keys)
+
+    assert [(f.name, f.dataType) for f in merged.schema] == [
+        (f.name, f.dataType) for f in full.schema
+    ]
+    a = sorted(map(tuple, finalize_agg_state(full).collect()))
+    b = sorted(map(tuple, finalize_agg_state(merged).collect()))
+    assert a == b

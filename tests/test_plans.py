@@ -259,3 +259,39 @@ def test_price_deciles_has_no_global_window(spark, sf_dir):
     )
     assert "ntile" not in plan, plan
     assert "__gr_pid" in plan and "BroadcastHashJoin" in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Catalyst's runtime bloom-filter injection (on in this engine's
+    sessions) must rewrite a selective-dim ⋈ fact join so the FACT side
+    is pre-filtered by might_contain(bloom(dim keys)) BEFORE its
+    shuffle — the pre-shuffle semi-join reduction that cuts a 100-TB
+    fact exchange to the matching fraction. Default thresholds target
+    cluster scale (10 GiB application side), so the test lowers them to
+    materialize the same plan at fixture scale, then restores."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        from projektdataengineering_spark.catalog import load_table
+        from pyspark.sql import functions as F
+
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_totalprice"
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, opt
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -144,3 +144,88 @@ def test_foreachbatch_sink_is_idempotent(spark, sf_dir, tmp_path):
 
     n_batch = load_table(spark, sf_dir, "events").count()
     assert n1 == n_batch
+
+
+def test_stateful_sessionizer_carries_sessions_across_batches(spark, sf_dir, tmp_path):
+    """Custom stateful sessionizer: a session straddling two
+    micro-batches must continue (state carry-over), an in-batch gap
+    must close a session, and the final session set must equal the
+    BATCH gaps-and-islands sessionization of the same rows."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from projektdataengineering_spark.streaming.stateful import sessionize_stream
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    # user u: 3 events bridging the batch split (10-min gaps, < 30min),
+    #         then a >30min gap inside batch 2 → second session
+    # user v: one event per batch, 2h apart → two singleton sessions
+    b1 = pd.DataFrame(
+        {
+            "key": ["u", "u", "v"],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:10:00", "2024-01-01 00:00:00"]
+            ),
+            "value": [1.0, 2.0, 10.0],
+        }
+    )
+    b2 = pd.DataFrame(
+        {
+            "key": ["u", "u", "v"],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:20:00", "2024-01-01 01:30:00", "2024-01-01 02:00:00"]
+            ),
+            "value": [4.0, 8.0, 20.0],
+        }
+    )
+    b1.to_parquet(src / "b1.parquet", coerce_timestamps="us")
+    b2.to_parquet(src / "b2.parquet", coerce_timestamps="us")
+    now = time.time()
+    os.utime(src / "b1.parquet", (now - 60, now - 60))
+    os.utime(src / "b2.parquet", (now, now))
+
+    stream = (
+        spark.readStream.schema("key string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        sessionize_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # latest emission per (key, session_start) is the session's truth:
+    # higher n_events is newer; at equal counts closed beats open (a
+    # session only transitions open → closed without gaining events)
+    final = {}
+    for r in spark.table("sess_out").collect():
+        k = (r["key"], r["session_start"])
+        if (
+            k not in final
+            or r["n_events"] > final[k]["n_events"]
+            or (r["n_events"] == final[k]["n_events"] and not r["is_open"])
+        ):
+            final[k] = r
+    sessions = {
+        k: (r["n_events"], r["session_last"], r["sum_value"], r["is_open"])
+        for k, r in final.items()
+    }
+    T = pd.Timestamp
+    assert sessions == {
+        # u session 1: 00:00→00:20 spans BOTH batches (3 events, carried)
+        ("u", T("2024-01-01 00:00:00")): (3, T("2024-01-01 00:20:00"), 7.0, False),
+        # u session 2: opened by the 01:30 event after the >30min gap
+        ("u", T("2024-01-01 01:30:00")): (1, T("2024-01-01 01:30:00"), 8.0, True),
+        # v: two singleton sessions 2h apart
+        ("v", T("2024-01-01 00:00:00")): (1, T("2024-01-01 00:00:00"), 10.0, False),
+        ("v", T("2024-01-01 02:00:00")): (1, T("2024-01-01 02:00:00"), 20.0, True),
+    }, sessions
