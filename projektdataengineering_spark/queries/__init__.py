@@ -91,7 +91,11 @@ _MODULES = (
 # clean execution, which their local calibration tests pin harder:
 # ground-truth cosine vs numpy, ANN recall, signature determinism) are
 # DEFERRED to the tail to make room.
-_PROMOTE_TO_WINDOW = ("join_skew_salted",)
+_PROMOTE_TO_WINDOW = (
+    "join_skew_salted",
+    "pipeline_sequence_pack",
+    "pipeline_incremental_rollup",
+)
 _DEFER_TO_TAIL = (
     # rows-only (local calibration > a rows-only driver row):
     "sim_cosine_topk",
@@ -99,10 +103,10 @@ _DEFER_TO_TAIL = (
     "sim_simhash",
     "sim_cosine_ann_lsh",
     "sim_minhash_lsh",
-    # oracle-bearing but the window is full this round — rotate into
-    # the window next round (locally oracle-tested meanwhile):
-    "pipeline_sequence_pack",
-    "pipeline_incremental_rollup",
+    # round-1-verified (green hash rows in CORRECTNESS_r01.json) — defer
+    # to free their window slots for queries that never had a driver row:
+    "dedup_exact",
+    "scan_project_cast",
 )
 
 
