@@ -160,11 +160,11 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # precision, OR across tables gives recall; bits/table sets bucket
 # occupancy and must grow with N — at 4 bits the sf0.1 fixture put 23%
 # of ALL pairs into candidates (measured), i.e. half of brute force.
-# Seeded + materialized as plan literals: identical across runs and
-# executors.
+# Seeded at module import: identical across runs and executors (the
+# matrix ships inside the serialized kernel closure, ~12 KB).
 _N_TABLES = 4
 _BITS_PER_TABLE = 6
-_PLANES = np.random.RandomState(42).normal(size=(_N_TABLES * _BITS_PER_TABLE, 64)).tolist()
+_PLANES_MAT = np.random.RandomState(42).normal(size=(_N_TABLES * _BITS_PER_TABLE, 64))
 
 
 def _lsh_candidate_pairs(e: DataFrame) -> DataFrame:
@@ -174,23 +174,30 @@ def _lsh_candidate_pairs(e: DataFrame) -> DataFrame:
     NO rank cap — factored out in round 2 precisely so dedup sees every
     candidate, not the top-3 survivors).
 
-    Scale shape: bucketing (24 plane dots per vector) is a map-side
-    projection that runs ONCE — candidates come from a groupBy on
-    (table, bucket) with a double explode of the member-id list, so
-    nothing heavier than ids ever shuffles and no vector arrays go
-    through distinct()."""
-    tables = []
-    for t in range(_N_TABLES):
-        bucket = F.lit(0)
-        for j in range(_BITS_PER_TABLE):
-            plane = _PLANES[t * _BITS_PER_TABLE + j]
-            pl = F.array(*[F.lit(float(v)) for v in plane])
-            bucket = bucket + F.when(_dot(F.col("vec"), pl) >= 0, F.lit(1 << j)).otherwise(
-                F.lit(0)
-            )
-        tables.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket")))
-    bucketed = e.select("vec_id", F.explode(F.array(*tables)).alias("tb")).select(
-        "vec_id", "tb.tbl", "tb.bucket"
+    Scale shape: bucketing is ONE Arrow kernel — a (batch × 24) BLAS
+    matmul against the plane matrix, sign-packed into one bucket int
+    per table. (Round 1 built it as 24 interpreted zip_with+aggregate
+    column expressions; correct, but the resulting expression tree cost
+    ~1.5 s of codegen/setup per query at ANY data size — measured
+    sf0.1: candidate stage 5.5 s cold vs 1.0 s warm on 2000 rows.
+    The kernel is also the 100-TB shape: fixed-width vectors transfer
+    densely over Arrow and the per-row cost is a BLAS row, not 24
+    interpreted folds.) Candidates come from a groupBy on (table,
+    bucket) with a double explode of the member-id list, so nothing
+    heavier than ids ever shuffles and no vector arrays go through
+    distinct()."""
+    planes = _PLANES_MAT
+    weights = 1 << np.arange(_BITS_PER_TABLE)
+
+    @F.pandas_udf("array<int>")
+    def table_buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (mat @ planes.T) >= 0  # (n, tables*bits)
+        bkt = bits.reshape(len(mat), _N_TABLES, _BITS_PER_TABLE) @ weights
+        return pd.Series(list(bkt.astype("int32")))
+
+    bucketed = e.select(
+        "vec_id", F.posexplode(table_buckets("vec")).alias("tbl", "bucket")
     )
     return (
         bucketed.groupBy("tbl", "bucket")
