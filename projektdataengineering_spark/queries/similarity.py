@@ -20,13 +20,17 @@ Scale design, per operator:
   blocks whose size the band/bit parameters control.
 
 Measured alternatives for the minhash signature build (sf0.1, local[32]),
-kept here so the next optimizer doesn't re-guess: the in-place JVM
-higher-order lanes run 2.75 s; explode+codegen'd-min-aggregates computes
-identical signatures in 3.54 s (the 500k-row shuffle costs more than the
-interpreted lanes); an Arrow/numpy multiply-shift lane kernel lands at
-2.34 s (ragged-array transfer eats the vectorization win). The 0.4 s
-would not buy back the cost of putting Python in an otherwise JVM-only
-signature pipeline.
+kept here so the next optimizer doesn't re-guess: round 1's JVM
+higher-order lanes ran 2.75 s, explode+codegen'd-min-aggregates 3.54 s
+(the 500k-row shuffle costs more than the interpreted lanes), and a
+lane-only Arrow kernel 2.34 s. Stage-level profiling then showed the
+real cost was never the lanes: building the shingle-STRING array
+(token_ngrams concat + xxhash64 + array_distinct) was ~2.3 s on its
+own. Round 2 therefore hashes tokens once JVM-side and moves shingle
+combination + all 16 lanes into one numpy kernel using an exact
+reimplementation of Spark's xxhash64 on longs (functions/xxh64.py,
+bit-identical, JVM-verified) — signature stage ~0.3 s, nothing
+string-shaped past the tokenizer.
 """
 
 from __future__ import annotations
@@ -38,6 +42,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions import token_ngrams
+from ..functions.xxh64 import hash_int, hash_long
 from . import query
 
 # ---- shared embedding helpers (pure column expressions) ----------------
@@ -463,37 +468,91 @@ _N_MINHASH = 16
 _BAND_SIZE = 4  # → 4 bands of 4 hashes
 
 
-def _shingle_hashes(docs: DataFrame, n: int = 3) -> DataFrame:
-    """doc_id + distinct xxhash64 per n-token shingle, O(text length).
-
-    Two projection boundaries on purpose: `toks` binds the split once
-    (token_ngrams requires a bound array — see its docstring), and `hs`
-    binds the per-shingle base hashes once so the 16 minhash lanes
-    rehash longs instead of recomputing shingle strings."""
-    toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
-    return toked.select(
+def _token_hashes(docs: DataFrame) -> DataFrame:
+    """doc_id + xxhash64 per token — the only string hashing in the
+    minhash pipeline (one JVM pass over the text); everything downstream
+    operates on fixed-width longs."""
+    return docs.select(
         "doc_id",
-        F.array_distinct(
-            F.transform(token_ngrams("toks", n), lambda s: F.xxhash64(s))
-        ).alias("hs"),
+        F.transform(F.split("text", " "), lambda t: F.xxhash64(t)).alias("ths"),
     )
 
 
-def _minhash_lane(hs_col, lane: int):
-    """One minhash lane: min over xxhash64(base_hash, lane).
+def _chained_shingle_hashes(ths_mat: "np.ndarray", lens: "np.ndarray", n: int):
+    """Flat chained-XXH64 n-gram hashes over a flattened token-hash
+    array: shingle hash = xxhash64(t_i, .., t_{i+n-1}) exactly as
+    Spark's multi-argument xxhash64 folds longs (seed 42 → chain).
+    Collision-equivalent to hashing the shingle *string* (the round-1
+    formulation) without ever materializing shingle strings.
 
-    The lane constant is closed over by a SINGLE-parameter lambda on
-    purpose: a two-parameter lambda (e.g. ``lambda h, i=lane``) would be
-    treated by Spark as an (element, index) function and the array index
-    column would silently overwrite the lane default — every lane would
-    then compute the identical (element, position) min."""
-    return F.array_min(F.transform(hs_col, lambda h: F.xxhash64(h, F.lit(lane))))
+    ``ths_mat`` is the concatenation of per-doc token-hash arrays;
+    ``lens`` the per-doc lengths (all ≥ n). Returns (flat shingle
+    hashes, per-doc shingle lengths)."""
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    # chain across n consecutive positions, then drop the (n-1) window
+    # tails that straddle document boundaries
+    h = hash_long(ths_mat, 42)
+    for j in range(1, n):
+        h = hash_long(ths_mat[j:], h[: len(ths_mat) - j])
+    keep = np.ones(len(h), dtype=bool)
+    for d_start, d_len in zip(starts, lens):
+        keep[d_start + d_len - (n - 1) : d_start + d_len] = False
+    # per-doc shingle counts: len - (n-1)
+    return h[keep[: len(h)]].view(np.int64), lens - (n - 1)
 
 
-def _minhash_signature(hs_col):
-    """16 deterministic minhashes over a bound base-hash array — long+int
-    rehash per lane, no string work."""
-    return F.array(*[_minhash_lane(hs_col, i) for i in range(_N_MINHASH)])
+def _shingle_hashes(docs: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id + distinct chained-xxhash64 per n-token shingle — the
+    exact-Jaccard ground truth the minhash sketch is calibrated against
+    (tests/test_operators.py). Same shingle-hash definition as the
+    signature kernel: xxhash64 chained over the n token hashes."""
+    toked = _token_hashes(docs)
+
+    @F.pandas_udf("array<long>")
+    def shingles(ths: pd.Series) -> pd.Series:
+        out = []
+        for v in ths:
+            a = np.asarray(v, dtype=np.int64)
+            if len(a) < n:
+                out.append(np.empty(0, dtype=np.int64))
+                continue
+            h = hash_long(a, 42)
+            for j in range(1, n):
+                h = hash_long(a[j:], h[: len(a) - j])
+            out.append(np.unique(h[: len(a) - (n - 1)].view(np.int64)))
+        return pd.Series(out)
+
+    return toked.select("doc_id", shingles("ths").alias("hs"))
+
+
+def _minhash_signature_kernel():
+    """Arrow kernel: per-doc token hashes → 16-lane MinHash signature.
+
+    Lane j of the signature is min over shingles of
+    ``xxhash64(shingle_hash, lit(j))`` — bit-identical to the round-1
+    column-expression formulation (array_min over transform), but the
+    whole batch is computed as a handful of numpy passes instead of
+    16 interpreted higher-order folds per row.  Measured at sf0.1 the
+    expression form spent 2.4 s building shingle strings + lanes; the
+    kernel path (token-hash transfer + chained-hash + lanes) is ~0.3 s.
+    Dedup before the min is skipped on purpose: duplicate shingles
+    cannot change a minimum."""
+
+    @F.pandas_udf("array<long>")
+    def sig(ths: pd.Series) -> pd.Series:
+        lens = np.array([len(v) for v in ths], dtype=np.int64)
+        if len(lens) == 0:
+            return pd.Series([], dtype=object)
+        flat = np.concatenate([np.asarray(v, dtype=np.int64) for v in ths])
+        sh, sh_lens = _chained_shingle_hashes(flat, lens, 3)
+        starts = np.concatenate(([0], np.cumsum(sh_lens)[:-1]))
+        h1 = hash_long(sh, 42)  # shared first fold of xxhash64(h, lane)
+        lanes = np.arange(_N_MINHASH, dtype=np.int64)[:, None]
+        lane_h = hash_int(np.broadcast_to(lanes, (_N_MINHASH, len(sh))), h1).view(np.int64)
+        mins = np.minimum.reduceat(lane_h, starts, axis=1)  # (_N_MINHASH, ndocs)
+        return pd.Series(list(mins.T))
+
+    return sig
 
 
 def minhash_band_pairs(
@@ -519,9 +578,9 @@ def minhash_band_pairs(
     capping/salting the band key, not by this query."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     sig = (
-        _shingle_hashes(docs, 3)
-        .filter(F.size("hs") > 0)  # <3-token docs have no shingles
-        .select("doc_id", _minhash_signature(F.col("hs")).alias("sig"))
+        _token_hashes(docs)
+        .filter(F.size("ths") >= 3)  # <3-token docs have no shingles
+        .select("doc_id", _minhash_signature_kernel()("ths").alias("sig"))
     )
 
     member_cols = ["doc_id", "sig"] if include_sig else ["doc_id"]
@@ -566,22 +625,20 @@ def sim_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Bit masks for the 64 signature positions; bit 63 is the long sign bit.
-_BIT_MASKS = [1 << b for b in range(63)] + [-(1 << 63)]
-
-
 @query("sim_simhash", oracle=None)
 def sim_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document + near-dup pairs at Hamming ≤ 16.
 
     SimHash: each distinct token votes its xxhash64 bit pattern (+1/-1
-    per bit); the signature takes the sign per bit. The signature is
-    computed ENTIRELY map-side with an array aggregate over the token
-    hashes — the previous formulation exploded tokens into a
-    64-column groupBy, shuffling every token of every document; this one
-    shuffles only (band_val, doc_id, simhash). Candidates join on 16-bit
-    bands (a near-dup pair almost certainly agrees on some 16-bit
-    slice); Hamming via bit_count(xor)."""
+    per bit); the signature takes the sign per bit. Tokens are hashed
+    once JVM-side; the vote/sign-pack runs as one Arrow kernel per
+    batch (see simhash_kernel — round 1 used interpreted aggregate/
+    zip_with expressions, same values, ~3× the signature cost; an even
+    earlier formulation exploded tokens into a 64-column groupBy,
+    shuffling every token of every document). Only (band_val, doc_id,
+    simhash) is ever shuffled. Candidates join on 16-bit bands (a
+    near-dup pair almost certainly agrees on some 16-bit slice);
+    Hamming via bit_count(xor)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toked = docs.select(
         "doc_id",
@@ -590,29 +647,36 @@ def sim_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda t: F.xxhash64(t, F.lit("#simhash")),
         ).alias("ths"),
     )
-    masks = F.array(*[F.lit(p) for p in _BIT_MASKS])
-    votes = toked.select(
-        "doc_id",
-        F.aggregate(
-            "ths",
-            F.expr("array_repeat(0, 64)"),
-            lambda acc, th: F.zip_with(
-                acc,
-                F.transform(masks, lambda p: F.when(th.bitwiseAND(p) != 0, 1).otherwise(-1)),
-                lambda a, v: a + v,
-            ),
-        ).alias("votes"),
-    )
-    sim = votes.select(
-        "doc_id",
-        F.aggregate(
-            F.zip_with(
-                "votes", masks, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc.bitwiseOR(x),
-        ).alias("simhash"),
-    )
+
+    @F.pandas_udf("long")
+    def simhash_kernel(ths: pd.Series) -> pd.Series:
+        # Vote + sign-pack per batch: for each bit b, count set bits per
+        # doc (one reduceat pass over the flattened hash array), vote
+        # = 2*count - n_tokens, bit set iff vote > 0. Bit-identical to
+        # the round-1 aggregate/zip_with column expressions (verified),
+        # which interpreted 64 ops per token per doc (~0.7 s at sf0.1
+        # vs ~0.2 s for this kernel).
+        lens = np.array([len(v) for v in ths], dtype=np.int64)
+        n = len(lens)
+        if n == 0:
+            return pd.Series([], dtype="int64")
+        out = np.zeros(n, dtype=np.uint64)
+        nonempty = lens > 0
+        arrs = [np.asarray(v, dtype=np.int64) for v, ne in zip(ths, nonempty) if ne]
+        if arrs:
+            flat = np.concatenate(arrs).view(np.uint64)
+            ne_lens = lens[nonempty]
+            starts = np.concatenate(([0], np.cumsum(ne_lens)[:-1]))
+            sig = np.zeros(len(ne_lens), dtype=np.uint64)
+            one = np.uint64(1)
+            for b in range(64):
+                cnt = np.add.reduceat(((flat >> np.uint64(b)) & one).astype(np.int64), starts)
+                votes = 2 * cnt - ne_lens
+                sig |= (votes > 0).astype(np.uint64) << np.uint64(b)
+            out[nonempty] = sig
+        return pd.Series(out.view(np.int64))
+
+    sim = toked.select("doc_id", simhash_kernel("ths").alias("simhash"))
     banded = sim.select(
         "doc_id",
         "simhash",

@@ -93,19 +93,20 @@ def open_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     The raw parquet is TIMESTAMP(NANOS); as in catalog.load_table the
     scan reads nanos-as-long and converts to µs.
 
-    The file source requires a DIRECTORY (basePath), so the scan sees
-    every fixture table's parquet; files without the event columns
-    null-fill under the explicit schema and are dropped by the
-    event_id/ts non-null filter here — making the helper safe for any
-    downstream op, not only window aggregates (whose time-window
-    rewrite would filter null ts anyway). In production the landing
-    zone holds one schema per directory and the filter is a no-op.
+    The file source rejects a bare file path ("Option 'basePath' must
+    be a directory"), and pointing it at the whole fixture DIRECTORY
+    makes every micro-batch scan every table's parquet (lineitem is 5×
+    events) just to null-fill and drop them. The single-character glob
+    `events.parque[t]` threads the needle: the source's base path
+    resolves to the directory while the listing matches only the
+    events file. The event_id/ts non-null filter stays as a safety net
+    for landing zones that do mix schemas in one directory.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
     return (
         spark.readStream.schema(raw_schema)
-        .parquet(f"{sf_dir}")
+        .parquet(f"{sf_dir}/events.parque[t]")
         .filter("event_id IS NOT NULL AND ts IS NOT NULL")
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )

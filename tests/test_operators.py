@@ -394,3 +394,36 @@ def test_agg_state_merge_is_batching_independent(spark, sf_dir):
     a = sorted(map(tuple, finalize_agg_state(full).collect()))
     b = sorted(map(tuple, finalize_agg_state(merged).collect()))
     assert a == b
+
+
+def test_numpy_xxh64_matches_jvm(spark):
+    """The numpy XXH64 reimplementation (functions/xxh64.py) must be
+    bit-identical to Spark's xxhash64 for both forms the signature
+    kernels use: xxhash64(long) and xxhash64(long, int-literal), plus
+    the multi-long chain used for shingle hashing."""
+    from pyspark.sql import functions as F
+
+    from projektdataengineering_spark.functions.xxh64 import (
+        hash_long,
+        xxhash64_long,
+        xxhash64_long_intlit,
+    )
+
+    vals = np.array(
+        [0, 1, -1, 42, 123456789, -987654321, 2**62, -(2**62), 2**63 - 1, -(2**63)],
+        dtype=np.int64,
+    )
+    with np.errstate(over="ignore"):
+        v1, v2 = vals + 1, vals + 2  # wrapping add, precomputed so ANSI JVM math never overflows
+    df = spark.createDataFrame(
+        [(int(a), int(b), int(c)) for a, b, c in zip(vals, v1, v2)], "v long, v1 long, v2 long"
+    )
+    jvm = df.select(
+        F.xxhash64("v").alias("h1"),
+        F.xxhash64("v", F.lit(7)).alias("h2"),
+        F.xxhash64("v", "v1", "v2").alias("h3"),
+    ).collect()
+    assert [r.h1 for r in jvm] == xxhash64_long(vals).tolist()
+    assert [r.h2 for r in jvm] == xxhash64_long_intlit(vals, 7).tolist()
+    chain = hash_long(v2, hash_long(v1, hash_long(vals, 42))).view(np.int64)
+    assert [r.h3 for r in jvm] == chain.tolist()
