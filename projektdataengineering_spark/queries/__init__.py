@@ -81,6 +81,10 @@ _MODULES = (
     "windows",
     "setops",
     "scalars",
+    # round-2 extensions — deliberately LAST: this round's 50-entry
+    # correctness window is already packed with round-1-unverified
+    # queries; these rotate into the window next round.
+    "advanced",
 )
 
 

@@ -113,6 +113,11 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "stream_late_data_policy",
         "pipeline_lang_balance",
         "pipeline_price_deciles",  # 1-row total-count broadcast for exact_ntile
+        "join_not_exists_agg",  # 1-row positive-balance average broadcast
+        "subquery_scalar_select",  # 1-row global-average broadcast
+        "pipeline_pmi_collocations",  # 1-row token/bigram totals broadcasts
+        "sql_recursive_month_spine",  # scalar min/max month subqueries in the spine
+        "pipeline_dq_report",  # 1-row violations x 1-row total crossJoins per check
     }
     for name, qd in REGISTRY.items():
         f = plan_facts(qd.fn(spark, sf_dir))
