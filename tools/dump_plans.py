@@ -96,6 +96,26 @@ HEADLINERS: list[tuple[str, str]] = [
         "that compound key with the doc_a<doc_b inequality as post-filter.",
     ),
     (
+        "join_exists_correlated",
+        "TPC-H Q4 shape: the correlated EXISTS decorrelates to a left-semi "
+        "join — the quantity filter is pushed into the lineitem scan, the "
+        "semi side reduces before the exchange, and the priority count "
+        "partial-aggregates; no row multiplication is possible.",
+    ),
+    (
+        "pipeline_winsorize",
+        "Exact p10/p90 winsorization: the ranked window, the partition "
+        "count, and the two cut-broadcast windows all reuse ONE exchange on "
+        "event_type — order statistics, not interpolated percentiles, so "
+        "the clip values are engine-portable.",
+    ),
+    (
+        "pipeline_chunk_overlap",
+        "RAG chunking: sequence/explode/slice/md5 is a pure map-side "
+        "projection — zero exchanges; chunking any corpus size streams at "
+        "scan speed and partitions embarrassingly.",
+    ),
+    (
         "join_skew_salted",
         "Skew-salted equi-join: the probe carries a deterministic "
         "pmod(xxhash64, 8) salt, the build side explodes 8×, and the join "
