@@ -427,3 +427,36 @@ def test_numpy_xxh64_matches_jvm(spark):
     assert [r.h2 for r in jvm] == xxhash64_long_intlit(vals, 7).tolist()
     chain = hash_long(v2, hash_long(v1, hash_long(vals, 42))).view(np.int64)
     assert [r.h3 for r in jvm] == chain.tolist()
+
+
+def test_chained_shingle_hashes_match_string_trigrams(spark, sf_dir):
+    """The kernel's chained-hash shingle sets must be an injective image
+    of the string trigram sets (up to 64-bit collisions): per-doc
+    distinct counts equal, and pairwise intersection sizes equal — the
+    quantities every Jaccard downstream depends on. Ground truth is
+    computed in pure Python from the raw text."""
+    import duckdb
+
+    from projektdataengineering_spark.catalog import load_table
+    from projektdataengineering_spark.queries.similarity import _shingle_hashes
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(40)
+    got = {
+        r["doc_id"]: set(r["hs"])
+        for r in _shingle_hashes(docs, 3).collect()
+    }
+    raw = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' ORDER BY doc_id LIMIT 40"
+    ).fetchall()
+    truth = {}
+    for doc_id, text in raw:
+        toks = text.split(" ")
+        truth[doc_id] = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    assert set(got) == set(truth)
+    ids = sorted(got)
+    for d in ids:
+        assert len(got[d]) == len(truth[d]), d
+    for a in ids[:10]:
+        for b in ids[:10]:
+            if a < b:
+                assert len(got[a] & got[b]) == len(truth[a] & truth[b]), (a, b)
