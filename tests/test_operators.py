@@ -295,6 +295,46 @@ def test_connected_components_synthetic_chain(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10, 12: 10}
 
 
+def test_star_cc_matches_union_find_and_min_label(spark, sf_dir):
+    """connected_components_star (large-star/small-star) must produce
+    exactly the same labeling as serial union-find AND the min-label
+    operator on the real MinHash edge list."""
+    from pyspark.sql import functions as F
+
+    from projektdataengineering_spark.operators.graph import connected_components_star
+    from projektdataengineering_spark.queries.similarity import minhash_band_pairs
+
+    pairs = minhash_band_pairs(spark, sf_dir, include_sig=False).select(
+        F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+    )
+    edge_list = [(r["src"], r["dst"]) for r in pairs.collect()]
+    expected = _union_find_components(edge_list)
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components_star(pairs, "src", "dst").collect()
+    }
+    assert got == expected
+
+
+def test_star_cc_survives_path_graph_where_min_label_cannot(spark):
+    """A 200-node path has diameter 199: min-label propagation cannot
+    finish in 10 rounds (it raises, refusing silent wrong answers);
+    the star algorithm converges in O(log n) rounds and labels the
+    whole path with its minimum."""
+    import pytest as _pytest
+
+    from projektdataengineering_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(199)], "src long, dst long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, "src", "dst", max_iter=10)
+    got = {r["node"]: r["comp"] for r in connected_components_star(df, "src", "dst").collect()}
+    assert len(got) == 200 and set(got.values()) == {0}
+
+
 def test_approx_quantiles_within_rank_error(spark, sf_dir):
     """percentile_approx(accuracy=10000): each reported quantile must
     sit within the ±1/accuracy rank window of the exact order
