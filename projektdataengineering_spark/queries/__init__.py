@@ -85,6 +85,7 @@ _MODULES = (
     # correctness window is already packed with round-1-unverified
     # queries; these rotate into the window next round.
     "advanced",
+    "pipeline_llm",
 )
 
 
