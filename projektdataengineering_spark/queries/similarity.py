@@ -127,6 +127,8 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids_r, mat_r, norms_r = bc.value
         sub = 1024  # bounds the cos matrix at sub × N doubles per step
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             ids_b = pdf["vec_id"].to_numpy()
             mat_b = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
             norms_b = np.linalg.norm(mat_b, axis=1)
@@ -196,6 +198,8 @@ def _lsh_candidate_pairs(e: DataFrame) -> DataFrame:
 
     @F.pandas_udf("array<int>")
     def table_buckets(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # defensive: np.stack rejects an empty batch
+            return pd.Series([], dtype=object)
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         bits = (mat @ planes.T) >= 0  # (n, tables*bits)
         bkt = bits.reshape(len(mat), _N_TABLES, _BITS_PER_TABLE) @ weights
@@ -226,6 +230,8 @@ def _pair_cosine(e: DataFrame, pairs: DataFrame) -> DataFrame:
 
     @F.pandas_udf("double")
     def _cos_pd(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:  # defensive: np.stack rejects an empty batch
+            return pd.Series([], dtype="float64")
         ma = np.stack([np.asarray(v, dtype=np.float64) for v in va])
         mb = np.stack([np.asarray(v, dtype=np.float64) for v in vb])
         num = np.einsum("ij,ij->i", ma, mb)
@@ -316,6 +322,8 @@ def _ivf_train_centroids(spark: SparkSession, e: DataFrame) -> "np.ndarray":
         def components(batches):
             c = bc.value
             for pdf in batches:
+                if len(pdf) == 0:
+                    continue
                 mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
                 unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
                 cell = np.argmax(unit @ c.T, axis=1)  # ties → lowest cell
@@ -379,6 +387,8 @@ def sim_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     def assign(batches):
         c = bc.value
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
             unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
             dots = unit @ c.T
@@ -543,6 +553,9 @@ def _minhash_signature_kernel():
         lens = np.array([len(v) for v in ths], dtype=np.int64)
         if len(lens) == 0:
             return pd.Series([], dtype=object)
+        # contract with the caller's JVM-side filter(size >= 3): a short
+        # doc here would silently corrupt the reduceat segmentation
+        assert lens.min() >= 3, "minhash signature kernel requires >= 3 tokens/doc"
         flat = np.concatenate([np.asarray(v, dtype=np.int64) for v in ths])
         sh, sh_lens = _chained_shingle_hashes(flat, lens, 3)
         starts = np.concatenate(([0], np.cumsum(sh_lens)[:-1]))
