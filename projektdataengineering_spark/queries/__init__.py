@@ -57,15 +57,8 @@ def query(name: str, oracle: str | None = None, family: str = "misc"):
     return deco
 
 
-# Registration order is part of the driver contract: the driver's
-# correctness pass records the FIRST 50 registry entries, so the
-# families whose queries still lack a driver correctness row must come
-# first.  Round 1 verified scans/joins/aggregates/windows/setops/
-# scalars (+ dedup_exact) — round 2 front-loads the 30 queries the
-# 50-entry window missed (text/similarity/streaming/udfs/multimodal/
-# mlprep/dedup) plus the new pipeline_ops family, and pushes the
-# already-green families past the cap (they stay regression-guarded by
-# tests/test_oracle.py, which checks the WHOLE registry).
+# Module import order (registration source order, before window
+# packing below).
 _MODULES = (
     "text",
     "similarity",
@@ -81,54 +74,96 @@ _MODULES = (
     "windows",
     "setops",
     "scalars",
-    # round-2 extensions — deliberately LAST: this round's 50-entry
-    # correctness window is already packed with round-1-unverified
-    # queries; these rotate into the window next round.
     "advanced",
     "pipeline_llm",
+    # round-3 additions — never driver-verified, so load_registry
+    # front-loads them into this round's correctness window
+    "relational_deep",
+    "corpus_ops",
 )
-
 
 # Window packing: the driver's correctness pass records the FIRST 50
-# registry entries, so membership there is contractual. Oracle-bearing
-# queries that still lack a driver hash row are PROMOTED into the
-# window; rows-only queries (no SQL oracle — a driver row proves only
-# clean execution, which their local calibration tests pin harder:
-# ground-truth cosine vs numpy, ANN recall, signature determinism) are
-# DEFERRED to the tail to make room.
-_PROMOTE_TO_WINDOW = (
-    "join_skew_salted",
-    "pipeline_sequence_pack",
-    "pipeline_incremental_rollup",
-)
-_DEFER_TO_TAIL = (
-    # rows-only (local calibration > a rows-only driver row):
-    "sim_cosine_topk",
-    "sim_cosine_ivf",
-    "sim_simhash",
-    "sim_cosine_ann_lsh",
-    "sim_minhash_lsh",
-    # round-1-verified (green hash rows in CORRECTNESS_r01.json) — defer
-    # to free their window slots for queries that never had a driver row:
+# registry entries each round, so membership there is contractual.
+# These are the names that already hold a driver row — round 1's
+# recorded window (CORRECTNESS_r01.json keys) plus round 2's window
+# (the first 50 of the round-2 registration order).  load_registry
+# front-loads everything NOT in this set — the 17 round-2 additions
+# that missed the r2 window plus any query added this round — then
+# the _RECHECK names (implementation or oracle changed after their
+# last driver row), then the rest in registration order.
+_R01_WINDOW = frozenset((
+    "scan_project_cast", "filter_highwater", "filter_compound",
+    "project_conditional", "join_inner_equi", "join_left_outer",
+    "join_full_outer", "join_semi", "join_anti", "join_broadcast",
+    "join_multiway", "join_theta_range", "join_asof",
+    "join_range_bucketized", "join_fuzzy_levenshtein",
+    "agg_groupby_multi", "agg_distinct", "agg_having", "agg_rollup",
+    "agg_cube", "agg_approx_distinct", "agg_pivot", "agg_scalar_max",
+    "agg_grouping_sets", "agg_stats_moments", "subquery_avg_yearly",
+    "agg_approx_quantile", "agg_histogram", "agg_corr_exact",
+    "sort_limit_asc", "sort_limit_desc", "topk_per_group",
+    "window_rank", "window_lag_lead", "window_running_sum",
+    "window_range_frame", "window_first_last", "window_percentiles",
+    "set_union_all", "set_union_distinct", "set_intersect",
+    "set_except", "unpivot_metrics", "scalar_string", "scalar_date",
+    "scalar_math", "scalar_json", "array_ops", "map_ops",
     "dedup_exact",
-    "scan_project_cast",
+))
+_R02_WINDOW = frozenset((
+    "join_skew_salted", "pipeline_sequence_pack",
+    "pipeline_incremental_rollup", "text_tokenize_wordcount",
+    "text_ngram", "text_langid", "text_quality_score",
+    "text_fingerprint", "text_token_count", "text_redact_pattern",
+    "text_normalize", "sim_ngram_jaccard", "stream_tumbling_counts",
+    "stream_sliding_avg", "stream_session_windows",
+    "stream_late_data_policy", "stream_native_tumbling",
+    "stream_dedup_stateful", "udf_scalar", "udaf_grouped",
+    "udtf_explode_like", "multimodal_features", "split_train_test",
+    "sample_stratified", "dedup_keep_latest", "profile_numeric_stats",
+    "dedup_incremental", "dedup_embedding_cosine", "dedup_cluster_cc",
+    "pipeline_sessionize", "pipeline_session_stats",
+    "pipeline_user_retention", "pipeline_event_funnel",
+    "pipeline_event_zscore", "pipeline_value_outliers",
+    "pipeline_quality_band", "pipeline_length_filter",
+    "pipeline_token_budget", "pipeline_corpus_stats",
+    "pipeline_lang_balance", "pipeline_contamination",
+    "pipeline_gram_df", "pipeline_distinctive_terms",
+    "pipeline_doc_signature", "pipeline_minhash_pairs_portable",
+    "pipeline_customer_revenue", "pipeline_price_deciles",
+    "pipeline_schema_profile", "pipeline_scd2_history",
+    "pipeline_embedding_quantize",
+))
+_DRIVER_VERIFIED = _R01_WINDOW | _R02_WINDOW
+
+# Verified in an earlier round, but the implementation or oracle
+# changed afterwards — their old driver row no longer certifies the
+# current code, so they re-enter the window right after the
+# never-verified block.
+_RECHECK = (
+    # oracle upgraded rows-only → decimal-exact hash in round 2; the
+    # r01 row predates the hash check
+    "agg_stats_moments",
+    # operators/asof.py payload-atomicity fix landed in round 2 after
+    # the r01 row
+    "join_asof",
 )
 
 
 def load_registry() -> dict[str, QueryDef]:
     """Import all query modules (populating REGISTRY) and return it,
-    with _PROMOTE_TO_WINDOW entries moved to the front and
-    _DEFER_TO_TAIL entries moved to the end (dict order is the
-    driver's correctness-window order — contractual, see _MODULES)."""
+    ordered never-driver-verified first, then _RECHECK, then the rest
+    (dict order is the driver's correctness-window order — the first
+    50 entries get driver rows this round)."""
     for mod in _MODULES:
         import_module(f"{__package__}.{mod}")
-    promoted = {n: REGISTRY.pop(n) for n in _PROMOTE_TO_WINDOW if n in REGISTRY}
-    if promoted:
-        rest = dict(REGISTRY)
-        REGISTRY.clear()
-        REGISTRY.update(promoted)
-        REGISTRY.update(rest)
-    for name in _DEFER_TO_TAIL:
+    recheck = set(_RECHECK)
+    fresh = [n for n in REGISTRY if n not in _DRIVER_VERIFIED]
+    rest = [n for n in REGISTRY
+            if n in _DRIVER_VERIFIED and n not in recheck]
+    ordered = {}
+    for name in (*fresh, *_RECHECK, *rest):
         if name in REGISTRY:
-            REGISTRY[name] = REGISTRY.pop(name)
+            ordered[name] = REGISTRY[name]
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
     return REGISTRY

@@ -1,0 +1,293 @@
+"""Round-3 corpus operators — the tokenizer-adjacent and
+vector-hygiene steps of a training-data pipeline that rounds 1-2
+didn't cover: prefix-window dedup, a bigram language model table,
+BPE-style pair counting (merge round 1), temperature-scaled domain
+mixture weights, and embedding norm filtering.
+
+All five are oracle-checked — including the two FLOAT-reduction ops,
+which use the engine's fold-order discipline: a non-associative IEEE
+sum is only hash-stable if both engines fold in the SAME order, so
+sums over arrays go through an explicit left fold (Spark
+``F.aggregate`` ≡ DuckDB ``list_reduce``) over an explicitly ORDERED
+array. Spark's fold seeds with 0.0 and DuckDB's with the first
+element; ``0.0 + x == x`` bit-exactly for the non-negative terms
+involved, so the two folds agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import query
+
+
+def _toked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select("doc_id", F.split("text", " ").alias("toks"))
+
+
+# ---------------------------------------------------------------------------
+# Prefix-window dedup (first-N-token fingerprint)
+# ---------------------------------------------------------------------------
+
+_PREFIX_TOKENS = 8
+
+_PREFIX_SQL = f"""
+    SELECT md5(array_to_string(toks[1:{_PREFIX_TOKENS}], ' ')) AS prefix_hash,
+           MIN(doc_id) AS canonical_doc,
+           COUNT(*) AS n_docs,
+           COUNT(*) > 1 AS is_dup_group
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    GROUP BY prefix_hash
+"""
+
+
+@query("pipeline_prefix_dedup", oracle=_PREFIX_SQL)
+def pipeline_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup sweep keyed on the first-8-token window — the cheap
+    prefix heuristic crawl pipelines run BEFORE MinHash (mirrors and
+    templated pages share prefixes; catching them here avoids the
+    shingle pass entirely). Canonical = min doc_id per prefix group,
+    the same smallest-id convention as the full dedup family. Shuffle
+    is digest-only (16-byte md5 + id); the text never moves."""
+    t = _toked(spark, sf_dir)
+    h = F.md5(F.concat_ws(" ", F.slice("toks", 1, _PREFIX_TOKENS)))
+    return (
+        t.select(F.col("doc_id"), h.alias("prefix_hash"))
+        .groupBy("prefix_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc"),
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.count(F.lit(1)) > 1).alias("is_dup_group"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model table (top next-token per token, exact MLE)
+# ---------------------------------------------------------------------------
+
+_BIGRAM_LM_SQL = """
+    WITH enc AS (
+      SELECT doc_id, CAST(p.pos AS BIGINT) AS pos, t.toks[p.pos] AS token
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
+           UNNEST(range(1, len(t.toks) + 1)) AS p(pos)
+    ), pairs AS (
+      SELECT e1.token AS w1, e2.token AS w2
+      FROM enc e1 JOIN enc e2
+        ON e2.doc_id = e1.doc_id AND e2.pos = e1.pos + 1
+    ), pc AS (
+      SELECT w1, w2, COUNT(*) AS pair_n FROM pairs GROUP BY w1, w2
+    ), wc AS (
+      SELECT w1, CAST(SUM(pair_n) AS BIGINT) AS w1_n FROM pc GROUP BY w1
+    )
+    SELECT pc.w1, wc.w1_n, pc.w2 AS top_w2, pc.pair_n,
+           CAST(pc.pair_n AS DOUBLE) / CAST(wc.w1_n AS DOUBLE) AS prob
+    FROM (
+      SELECT w1, w2, pair_n,
+             ROW_NUMBER() OVER (PARTITION BY w1
+                                ORDER BY pair_n DESC, w2) AS rn
+      FROM pc
+    ) pc JOIN wc ON wc.w1 = pc.w1
+    WHERE pc.rn = 1
+"""
+
+
+@query("pipeline_bigram_lm", oracle=_BIGRAM_LM_SQL)
+def pipeline_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-likelihood bigram table — for every token, its most
+    probable successor and the exact conditional probability
+    count(w1,w2)/count(w1·) as ONE IEEE division of two exact integers.
+    The n-gram-LM scoring asset quality filters (CCNet-style) build.
+    Adjacent pairs come from a positional self-join of the
+    (doc, pos, token) encoding on (doc_id, pos+1): both sides share
+    the doc_id partitioning, so the join is co-located; downstream the
+    pair table aggregates twice on w1 — Catalyst reuses that exchange.
+    The rank window runs on the (w1, w2) COUNT table, never raw pairs."""
+    t = _toked(spark, sf_dir)
+    enc = t.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "token")
+    e1 = enc.select(
+        F.col("doc_id").alias("d1"), F.col("pos").alias("p1"), F.col("token").alias("w1")
+    )
+    e2 = enc.select(
+        F.col("doc_id").alias("d2"), F.col("pos").alias("p2"), F.col("token").alias("w2")
+    )
+    pairs = e1.join(
+        e2, (F.col("d2") == F.col("d1")) & (F.col("p2") == F.col("p1") + 1)
+    ).select("w1", "w2")
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_n"))
+    wc = pc.groupBy("w1").agg(F.sum("pair_n").cast("bigint").alias("w1_n")).select(
+        F.col("w1").alias("wc_w1"), "w1_n"
+    )
+    w = Window.partitionBy("w1").orderBy(F.col("pair_n").desc(), "w2")
+    top = pc.select("w1", "w2", "pair_n", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") == 1
+    )
+    return top.join(wc, top.w1 == F.col("wc_w1")).select(
+        "w1",
+        "w1_n",
+        F.col("w2").alias("top_w2"),
+        "pair_n",
+        (F.col("pair_n").cast("double") / F.col("w1_n").cast("double")).alias("prob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE pair counting (merge round 1)
+# ---------------------------------------------------------------------------
+
+_BPE_TOP = 50
+
+_BPE_SQL = f"""
+    SELECT pair, n FROM (
+      SELECT pair, COUNT(*) AS n,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, pair) AS rn
+      FROM (
+        SELECT unnest([substr(w, i, 2) for i in range(1, len(w))]) AS pair
+        FROM (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        )
+        WHERE len(w) >= 2
+      )
+      GROUP BY pair
+    ) WHERE rn <= {_BPE_TOP}
+"""
+
+
+@query("pipeline_bpe_pair_counts", oracle=_BPE_SQL)
+def pipeline_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first merge round of BPE tokenizer training: count every
+    adjacent character pair inside every token across the corpus and
+    rank the top-50 merge candidates (count desc, pair asc — a total
+    order, so the ranked set is deterministic). Pairs are extracted as
+    substr(token, i, 2) over generated positions — identical byte
+    semantics in both engines, no empty-separator split edge cases.
+    Shape: map-side explode → one count shuffle on pair (vocab-bounded
+    cardinality, tiny) → TakeOrdered for the global top-k (no single
+    -partition sort). Iterating BPE = re-running this over re-segmented
+    tokens with the previous round's merges applied."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    w = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pair = w.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substr("w", i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    counts = pair.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.orderBy(F.col("n").desc(), "pair")
+    return (
+        counts.select("pair", "n", F.row_number().over(wr).alias("rn"))
+        .filter(F.col("rn") <= _BPE_TOP)
+        .select("pair", "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled domain mixture weights
+# ---------------------------------------------------------------------------
+
+_TEMP_BUDGET = 200  # docs to admit across all languages
+
+_TEMPERATURE_SQL = f"""
+    WITH c AS (
+      SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+    ), arr AS (
+      SELECT list(sqrt(CAST(cnt AS DOUBLE)) ORDER BY lang) AS a FROM c
+    ), tot AS (
+      SELECT list_reduce(a, (p, q) -> p + q) AS t FROM arr
+    )
+    SELECT c.lang, c.cnt,
+           sqrt(CAST(c.cnt AS DOUBLE)) / tot.t AS weight,
+           CAST(FLOOR({_TEMP_BUDGET} * (sqrt(CAST(c.cnt AS DOUBLE)) / tot.t))
+                AS BIGINT) AS quota
+    FROM c, tot
+"""
+
+
+@query("pipeline_mixture_temperature", oracle=_TEMPERATURE_SQL)
+def pipeline_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language sampling weights (τ=2, i.e.
+    w ∝ count^(1/2)) — the standard multilingual-corpus rebalancing
+    that upweights low-resource languages relative to proportional
+    sampling. The denominator Σ√cntᵢ is a float sum, non-associative —
+    so it is computed as an explicit LEFT FOLD over the language-sorted
+    array on both engines (F.aggregate ≡ list_reduce; Spark's 0.0 seed
+    is absorbed exactly by the first non-negative term), making weight
+    and quota bit-stable. The fold input is K languages — O(100)
+    scalars on the driver-free path; corpus size only enters through
+    the grouped counts, one map-side-combined shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("lang")
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    arr = c.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("lang"), F.sqrt(F.col("cnt").cast("double")).alias("s")))
+        ).alias("a")
+    )
+    tot = arr.select(
+        F.aggregate(
+            F.col("a"), F.lit(0.0), lambda acc, x: acc + x["s"]
+        ).alias("t")
+    )
+    weight = F.sqrt(F.col("cnt").cast("double")) / F.col("t")
+    return c.join(F.broadcast(tot)).select(
+        "lang",
+        "cnt",
+        weight.alias("weight"),
+        F.floor(F.lit(_TEMP_BUDGET) * weight).cast("bigint").alias("quota"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding norm filter (vector hygiene, oracle-checked)
+# ---------------------------------------------------------------------------
+
+_NORM_LO, _NORM_HI = 0.99, 1.01
+
+_NORM_SQL = f"""
+    SELECT vec_id, label, l2_norm,
+           l2_norm >= {_NORM_LO} AND l2_norm <= {_NORM_HI} AS keep
+    FROM (
+      SELECT vec_id, label,
+             sqrt(list_reduce(
+               list_transform(embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               (p, q) -> p + q)) AS l2_norm
+      FROM embeddings
+    )
+"""
+
+
+@query("pipeline_embedding_norm_filter", oracle=_NORM_SQL)
+def pipeline_embedding_norm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-norm gate on the embedding column — the vector-hygiene step
+    before any cosine pipeline (a zero or far-from-unit vector is a
+    broken encoder output; cosine against it is noise). This is the
+    rare VECTOR op that is fully oracle-checked: the squared-norm is a
+    left fold over the array in index order on both engines (floats
+    cast to double per element, fold order identical, 0.0 seed
+    absorbed), so sqrt of it is bit-stable. Pure map-side array math —
+    at 100 TB this runs at scan speed inside whole-stage codegen, no
+    Python, no shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        norm.alias("l2_norm"),
+        ((norm >= _NORM_LO) & (norm <= _NORM_HI)).alias("keep"),
+    )

@@ -1,0 +1,701 @@
+"""Round-3 relational depth — the TPC-H query shapes the first two
+rounds didn't cover (Q2/Q7/Q8/Q14/Q15/Q18/Q21 analogs adapted to the
+fixture schema, which has no partsupp table), plus exact grouped
+mode/median, a dense calendar grid (cross-join spine + zero-fill), a
+bitwise-function surface, and order-canonicalized set collection.
+
+All oracle-checked. Shared discipline (see functions/__init__): money
+aggregation through DECIMAL(18,2) so sums are order-independent;
+whole-number doubles (l_quantity) cast to BIGINT before summing; every
+ratio is ONE IEEE division of two deterministic operands; ranked
+outputs carry unique tiebreakers.
+
+Scale notes are per-query; the common shape is: big fact tables join
+on their natural keys (orderkey/suppkey — Catalyst picks SMJ or
+shuffled hash under AQE), dimensions (nation/region/supplier at
+fixed-or-slow cardinality) broadcast, and scalar subqueries become
+1-row broadcast cross joins instead of per-row correlated execution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import SQL_REVENUE, revenue_expr
+from . import query
+
+
+# ---------------------------------------------------------------------------
+# Q2 shape: min-cost supplier per part (correlated MIN subquery → join-back)
+# ---------------------------------------------------------------------------
+
+_MIN_COST_SQL = """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS min_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), best AS (
+      SELECT l_partkey, MIN(min_price) AS best_price
+      FROM cost GROUP BY l_partkey
+    )
+    SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, c.min_price
+    FROM cost c
+    JOIN best b ON b.l_partkey = c.l_partkey AND c.min_price = b.best_price
+    JOIN part p ON p.p_partkey = c.l_partkey AND p.p_size >= 40
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+"""
+
+
+@query("join_min_cost_supplier", oracle=_MIN_COST_SQL)
+def join_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — for every large part (p_size ≥ 40), the
+    supplier(s) offering it at the minimum observed price. The fixture
+    has no partsupp, so the (part, supplier) price list is derived as
+    MIN(l_extendedprice) per (l_partkey, l_suppkey) — an exact decimal
+    min, order-independent. The correlated "price = (SELECT MIN ...)"
+    becomes a grouped min joined back on (partkey, price): two
+    aggregations sharing one shuffle key (partkey) and zero correlated
+    execution. Ties (several suppliers at the min) are all kept, as in
+    Q2. At 100 TB: the cost table is the only big shuffle; `best` is a
+    re-aggregation of the already-shuffled cost frame (no second
+    exchange of lineitem); part and supplier broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
+    supp = load_table(spark, sf_dir, "supplier")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("min_price")
+    )
+    best = cost.groupBy("l_partkey").agg(
+        F.min("min_price").alias("best_price")
+    ).select(F.col("l_partkey").alias("b_partkey"), "best_price")
+    return (
+        cost.join(
+            best,
+            (cost.l_partkey == F.col("b_partkey"))
+            & (cost.min_price == F.col("best_price")),
+        )
+        .join(F.broadcast(part), cost.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp), cost.l_suppkey == F.col("s_suppkey"))
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "min_price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 shape: volume shipping between two nations, by direction and year
+# ---------------------------------------------------------------------------
+
+_N1, _N2 = "NATION_1", "NATION_2"
+
+_VOLUME_SQL = f"""
+    SELECT supp_nation, cust_nation, ship_year,
+           CAST(SUM(rev) AS DOUBLE) AS volume
+    FROM (
+      SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
+             {SQL_REVENUE} AS rev
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      WHERE (sn.n_name = '{_N1}' AND cn.n_name = '{_N2}')
+         OR (sn.n_name = '{_N2}' AND cn.n_name = '{_N1}')
+    )
+    GROUP BY supp_nation, cust_nation, ship_year
+"""
+
+
+@query("pipeline_volume_shipping", oracle=_VOLUME_SQL)
+def pipeline_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — shipped revenue between two nations, split by
+    direction and ship year. Supplier nation comes through l_suppkey,
+    customer nation through orders→customer; both nation joins (and
+    supplier — slow-growing) broadcast, so the plan is lineitem⋈orders
+    ⋈customer on their keys plus three broadcast hash joins and one
+    grouped decimal sum. The nation-pair filter lands on the broadcast
+    sides before the fact join (Catalyst pushes it through), shrinking
+    the probe early — at 100 TB the fact rows that survive are only
+    those touching the two nations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key"))
+        .filter(
+            ((F.col("supp_nation") == _N1) & (F.col("cust_nation") == _N2))
+            | ((F.col("supp_nation") == _N2) & (F.col("cust_nation") == _N1))
+        )
+    )
+    return (
+        j.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+            revenue_expr().alias("rev"),
+        )
+        .groupBy("supp_nation", "cust_nation", "ship_year")
+        .agg(F.sum("rev").cast("double").alias("volume"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 shape: market share of one supplier nation within a region, per year
+# ---------------------------------------------------------------------------
+
+_SHARE_NATION, _SHARE_REGION = "NATION_5", "ASIA"
+
+_MKTSHARE_SQL = f"""
+    SELECT order_year,
+           CAST(SUM(CASE WHEN supp_nation = '{_SHARE_NATION}'
+                         THEN rev ELSE CAST(0 AS DECIMAL(37,4)) END) AS DOUBLE)
+           / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS order_year,
+             sn.n_name AS supp_nation,
+             {SQL_REVENUE} AS rev
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = cn.n_regionkey AND r.r_name = '{_SHARE_REGION}'
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    )
+    GROUP BY order_year
+"""
+
+
+@query("pipeline_market_share", oracle=_MKTSHARE_SQL)
+def pipeline_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — NATION_5's share of supply revenue into ASIA
+    customers, per order year. The share is one IEEE division of two
+    exact decimal sums computed in the SAME aggregation (a conditional
+    sum and a total sum — no second pass, no join between numerator and
+    denominator), so it is bit-stable and single-shuffle. Region and
+    both nation lookups broadcast; the region filter prunes customer
+    rows before the fact join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == _SHARE_REGION
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key"))
+    )
+    zero = F.lit(0).cast("decimal(37,4)")
+    rev = revenue_expr()
+    return (
+        j.select(
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+            "supp_nation",
+            rev.alias("rev"),
+        )
+        .groupBy("order_year")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == _SHARE_NATION, F.col("rev"))
+                    .otherwise(zero)
+                ).cast("double")
+                / F.sum("rev").cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 shape: promo revenue share per ship month
+# ---------------------------------------------------------------------------
+
+_PROMO_SQL = f"""
+    SELECT ship_month,
+           100.0 * (CAST(SUM(CASE WHEN p_type = 'PROMO'
+                          THEN rev ELSE CAST(0 AS DECIMAL(37,4)) END) AS DOUBLE)
+                    / CAST(SUM(rev) AS DOUBLE)) AS promo_share
+    FROM (
+      SELECT CAST(date_trunc('month', l.l_shipdate) AS TIMESTAMP) AS ship_month,
+             p.p_type, {SQL_REVENUE} AS rev
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    )
+    GROUP BY ship_month
+"""
+
+
+@query("pipeline_promo_revenue", oracle=_PROMO_SQL)
+def pipeline_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — the percentage of each ship-month's revenue
+    coming from PROMO parts. Same conditional-sum-over-total-sum
+    discipline as pipeline_market_share (one aggregation, one
+    division, bit-stable); part is a broadcast dimension so the only
+    shuffle is the month rollup. 100.0 * (a/b) is evaluated in that
+    exact order on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    zero = F.lit(0).cast("decimal(37,4)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            F.date_trunc("month", "l_shipdate").alias("ship_month"),
+            "p_type",
+            revenue_expr().alias("rev"),
+        )
+        .groupBy("ship_month")
+        .agg(
+            (
+                F.lit(100.0)
+                * (
+                    F.sum(
+                        F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(zero)
+                    ).cast("double")
+                    / F.sum("rev").cast("double")
+                )
+            ).alias("promo_share")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 shape: top supplier(s) by quarterly revenue (scalar-max subquery)
+# ---------------------------------------------------------------------------
+
+_TOPSUPP_SQL = f"""
+    WITH srev AS (
+      SELECT l_suppkey, CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM srev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM srev)
+"""
+
+
+@query("agg_top_supplier_revenue", oracle=_TOPSUPP_SQL)
+def agg_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — supplier(s) whose 1996-Q1 shipped revenue
+    equals the global maximum. The scalar MAX subquery becomes a 1-row
+    aggregate broadcast-cross-joined against the per-supplier revenue
+    frame — no correlated re-execution, no single-partition window.
+    The revenue frame is computed once and reused for both sides
+    (Spark reuses the exchange; the oracle's CTE is the same shape).
+    Equality on total_rev is safe: both sides are the same
+    decimal-sum-cast-double value."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    srev = li.groupBy("l_suppkey").agg(
+        F.sum(revenue_expr()).cast("double").alias("total_rev")
+    )
+    mx = srev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        srev.join(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 shape: large-volume customers (HAVING subquery → semi join)
+# ---------------------------------------------------------------------------
+
+_BIGQTY = 250
+
+_BIGCUST_SQL = f"""
+    WITH big AS (
+      SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > {_BIGQTY}
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, b.sum_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
+@query("join_large_volume_customers", oracle=_BIGCUST_SQL)
+def join_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — customers holding orders whose total quantity
+    exceeds a threshold. The IN-subquery-with-HAVING is expressed as
+    the aggregated frame itself joined forward (it carries sum_qty, so
+    a semi join would force re-aggregation later). l_quantity is
+    whole-number double → BIGINT cast makes the sum exact integer
+    arithmetic. At 100 TB: one lineitem shuffle on orderkey, the
+    survivor set is tiny (HAVING prunes hard), and the orders/customer
+    joins run on that pruned set — Spark's AQE will flip them to
+    broadcast at runtime."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > _BIGQTY)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape: the only-late supplier in multi-supplier orders
+# ---------------------------------------------------------------------------
+
+_LATE_DAYS = 60
+
+_ONLYLATE_SQL = f"""
+    WITH pairs AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey,
+             l.l_shipdate > o.o_orderdate + INTERVAL {_LATE_DAYS} DAY AS is_late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), late AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM pairs WHERE is_late
+    )
+    SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM pairs p2
+        WHERE p2.l_orderkey = l1.l_orderkey AND p2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+    )
+    GROUP BY s.s_suppkey, s.s_name
+"""
+
+
+@query("join_only_late_supplier", oracle=_ONLYLATE_SQL)
+def join_only_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — suppliers who were the SOLE late supplier on
+    multi-supplier orders (late = shipped > 60 days after the order
+    date; the fixture has no receipt/commit dates). The correlated
+    EXISTS becomes a left-semi self-join and the NOT EXISTS a
+    left-anti self-join, both on (orderkey, ≠suppkey) — after first
+    collapsing lineitem to DISTINCT (orderkey, suppkey, late) pairs so
+    the self-joins run on the collapsed set, not raw lineitem
+    multiplicities. All three frames derive from one shuffle on
+    orderkey and stay co-partitioned — Catalyst reuses the exchange.
+    Count per supplier ranks the chronically-sole-late."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr(f"INTERVAL {_LATE_DAYS} DAYS")
+            ).alias("is_late"),
+        )
+        .distinct()
+    )
+    late = pairs.filter("is_late").select("l_orderkey", "l_suppkey").distinct()
+    p2 = pairs.select(
+        F.col("l_orderkey").alias("p2_ok"), F.col("l_suppkey").alias("p2_sk")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("l3_ok"), F.col("l_suppkey").alias("l3_sk")
+    )
+    sole = (
+        late.join(
+            p2,
+            (late.l_orderkey == p2.p2_ok) & (late.l_suppkey != p2.p2_sk),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (late.l_orderkey == l3.l3_ok) & (late.l_suppkey != l3.l3_sk),
+            "left_anti",
+        )
+    )
+    return (
+        sole.join(F.broadcast(supp), sole.l_suppkey == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact grouped mode (most frequent value band, deterministic ties)
+# ---------------------------------------------------------------------------
+
+_MODE_SQL = """
+    SELECT event_type, band AS mode_band, n AS mode_count FROM (
+      SELECT event_type, band, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, band) AS rn
+      FROM (
+        SELECT event_type, CAST(FLOOR(value / 50.0) AS BIGINT) AS band,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type, band
+      )
+    ) WHERE rn = 1
+"""
+
+
+@query("agg_mode_exact", oracle=_MODE_SQL)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group mode — the most frequent value band (width 50)
+    per event type, ties broken toward the smallest band so the answer
+    is a deterministic function of the multiset. Two-level shape: the
+    inner count groups on (type, band) — full parallelism — and the
+    ranking window only sees the (type, band) CARDINALITY, not the raw
+    rows. At 100 TB the window input is tiny regardless of row count;
+    mode never touches a per-row window."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") / F.lit(50.0)).cast("bigint").alias("band"),
+        )
+        .groupBy("event_type", "band")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), "band")
+    return (
+        counts.select("event_type", "band", "n", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type", F.col("band").alias("mode_band"), F.col("n").alias("mode_count")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact grouped median via positional order statistics
+# ---------------------------------------------------------------------------
+
+_MEDIAN_SQL = """
+    SELECT event_type,
+           (MIN(value) + MAX(value)) / 2.0 AS median_value
+    FROM (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+    GROUP BY event_type
+"""
+
+
+@query("agg_median_exact", oracle=_MEDIAN_SQL)
+def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median from positional order statistics: rank
+    every row, keep position ⌈n/2⌉ and ⌊n/2⌋+1 (the same row twice for
+    odd n), average the two VALUES as (min+max)/2 — one commutative
+    IEEE add and one division, bit-identical in both engines. This
+    deliberately avoids percentile interpolation kernels (Spark's
+    `percentile` and DuckDB's `quantile_cont` order their lerp
+    differently). The unique event_id tiebreak makes the rank total;
+    the picked values are still a pure function of the multiset. Scale:
+    one shuffle on event_type; groups sort in parallel. For
+    heavy-skew single groups the distributed exact-rank operator
+    (operators/rank.py global_row_number) is the documented upgrade."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    # Spark's `/` on bigints is double-division; floor() mirrors
+    # DuckDB's integer `//`
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.floor(F.col("n") / 2) + 1)
+    )
+    return mid.groupBy("event_type").agg(
+        ((F.min("value") + F.max("value")) / F.lit(2.0)).alias("median_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dense calendar grid: month spine × status, zero-filled
+# ---------------------------------------------------------------------------
+
+_GRID_SQL = """
+    WITH spine AS (
+      SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
+                                    TIMESTAMP '2001-08-01',
+                                    INTERVAL 1 MONTH)) AS month
+    ), statuses AS (
+      SELECT DISTINCT o_orderstatus AS status FROM orders
+    ), actual AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             o_orderstatus AS status, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT s.month, st.status,
+           COALESCE(a.n_orders, 0) AS n_orders,
+           COALESCE(a.revenue, 0.0) AS revenue
+    FROM spine s CROSS JOIN statuses st
+    LEFT JOIN actual a ON a.month = s.month AND a.status = st.status
+"""
+
+
+@query("join_cross_calendar", oracle=_GRID_SQL)
+def join_cross_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense reporting grid — every (month, orderstatus) cell of the
+    1995-01..2001-08 spine, zero-filled where no orders exist (the
+    gap-filling step most dashboards need; a group-by alone silently
+    drops empty cells). The spine is generated (sequence + explode,
+    ~80 rows) and cross-joined with the distinct statuses — both tiny,
+    so the cross join is a broadcast nested loop over a few hundred
+    rows, never a shuffle. The actual aggregate is one orders rollup;
+    the left join from grid to actual broadcasts the GRID (small side)
+    while the aggregate stays partitioned. Revenue zero-fill uses
+    0.0 exactly (both engines)."""
+    orders = load_table(spark, sf_dir, "orders")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("timestamp"),
+                F.lit("2001-08-01").cast("timestamp"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("month")
+    )
+    statuses = orders.select(F.col("o_orderstatus").alias("status")).distinct()
+    actual = (
+        orders.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("a_month"),
+            F.col("o_orderstatus").alias("a_status"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("a_n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("a_rev"),
+        )
+    )
+    grid = F.broadcast(spine.crossJoin(statuses))
+    return (
+        grid.join(
+            actual,
+            (F.col("month") == F.col("a_month")) & (F.col("status") == F.col("a_status")),
+            "left",
+        )
+        .select(
+            "month",
+            "status",
+            F.coalesce("a_n", F.lit(0)).alias("n_orders"),
+            F.coalesce("a_rev", F.lit(0.0)).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bitwise scalar surface
+# ---------------------------------------------------------------------------
+
+_BITWISE_SQL = """
+    SELECT event_id,
+           CAST(event_id << 3 AS BIGINT) AS shl3,
+           CAST(event_id >> 2 AS BIGINT) AS shr2,
+           CAST(event_id & 255 AS BIGINT) AS low_byte,
+           CAST(xor(event_id, 1431655765) AS BIGINT) AS xored,
+           CAST(event_id | 4096 AS BIGINT) AS with_flag,
+           CAST(bit_count(event_id) AS BIGINT) AS popcnt
+    FROM events
+"""
+
+
+@query("scalar_bitwise", oracle=_BITWISE_SQL)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function surface over int64 ids — shifts, masks, xor,
+    flag-set, popcount. These are the primitives the engine's own
+    hash/signature operators build on (simhash band extraction,
+    bucket-id packing); registering them keeps the scalar surface
+    driver-checked. Pure map-side codegen, zero shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    return ev.select(
+        "event_id",
+        F.shiftleft(eid, 3).cast("bigint").alias("shl3"),
+        F.shiftright(eid, 2).cast("bigint").alias("shr2"),
+        eid.bitwiseAND(F.lit(255)).cast("bigint").alias("low_byte"),
+        eid.bitwiseXOR(F.lit(1431655765)).cast("bigint").alias("xored"),
+        eid.bitwiseOR(F.lit(4096)).cast("bigint").alias("with_flag"),
+        F.bit_count(eid).cast("bigint").alias("popcnt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order-canonicalized set collection
+# ---------------------------------------------------------------------------
+
+_COLLECT_SQL = """
+    SELECT user_id,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_seen,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events GROUP BY user_id
+"""
+
+
+@query("agg_collect_set_sorted", oracle=_COLLECT_SQL)
+def agg_collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user canonicalized set of event types — collect_set is
+    order-NONdeterministic (depends on partitioning), so the set is
+    sorted then joined to a canonical string; the result is a pure
+    function of the data, hash-comparable across engines and runs.
+    This is the engine's convention for ANY collected-list output:
+    sort before you emit. Map-side partial collect_set keeps the
+    shuffle at distinct-(user, type) width."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+            "types_seen"
+        ),
+        F.count_distinct("event_type").alias("n_types"),
+    )
