@@ -80,6 +80,7 @@ _MODULES = (
     # front-loads them into this round's correctness window
     "relational_deep",
     "corpus_ops",
+    "formats",
 )
 
 # Window packing: the driver's correctness pass records the FIRST 50

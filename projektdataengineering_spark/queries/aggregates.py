@@ -521,3 +521,42 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9
         ).alias("corr_qty_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted average (decimal numerator, integer denominator)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+           / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+             AS wavg_price,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per (returnflag, linestatus) —
+    the weighted mean every pricing/composition report needs, kept
+    exact: the numerator is a DECIMAL sum of price×quantity (2-dp
+    money × whole-number weight — exact product, order-independent
+    sum), the denominator an integer sum, and the quotient ONE IEEE
+    division. A plain avg(price*qty)/avg-style formulation on doubles
+    would be partitioning-dependent; this one hashes identically at
+    any parallelism. Single map-side-combined shuffle on the two
+    grouping keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    num = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * F.col("l_quantity").cast("bigint")
+    ).cast("double")
+    den = F.sum(F.col("l_quantity").cast("bigint"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        (num / den.cast("double")).alias("wavg_price"),
+        den.cast("bigint").alias("total_qty"),
+    )

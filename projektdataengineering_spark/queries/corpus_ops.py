@@ -183,12 +183,11 @@ def pipeline_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pair")
     )
     counts = pair.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
-    wr = Window.orderBy(F.col("n").desc(), "pair")
-    return (
-        counts.select("pair", "n", F.row_number().over(wr).alias("rn"))
-        .filter(F.col("rn") <= _BPE_TOP)
-        .select("pair", "n")
-    )
+    # top-k via orderBy+limit → TakeOrderedAndProject (per-partition
+    # top-50 then a 50-row driver merge), never a single-partition
+    # global rank window; (n desc, pair) is a total order so the
+    # limit is deterministic
+    return counts.orderBy(F.col("n").desc(), "pair").limit(_BPE_TOP)
 
 
 # ---------------------------------------------------------------------------

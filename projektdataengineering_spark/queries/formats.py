@@ -1,0 +1,196 @@
+"""Round-3 source/sink format coverage — CSV, JSON-lines, and ORC
+round-trips, oracle-checked for LOSSLESSNESS.
+
+The reference ingests CSV (R1, `spark_tasks/weather_task.py:59-67`:
+header=True, explicit casts, no inferSchema) and the engine's
+`sources.read_csv_with_casts` mirrors that; these queries widen the
+format surface to the three text/columnar formats Spark ships in-box
+and prove each round-trip end-to-end: write the fixture table out in
+the target format, read it back with an EXPLICIT schema (inference is
+banned — SURVEY.md §1.2), aggregate, and hash-compare against DuckDB
+reading the ORIGINAL parquet. A lossy serializer, a mis-parsed
+timestamp, or a float that fails to survive text encoding breaks the
+hash.
+
+Scratch layout: each query owns `<repo>/.scratch/formats/<name>`,
+rewritten (overwrite mode) on every call — idempotent, safe under
+driver re-runs. Text formats pin `timestampFormat` with microsecond
+precision on BOTH write and read; doubles rely on shortest-round-trip
+encoding (Spark writes Java's Double.toString, which parses back
+bit-equal).
+
+At 100 TB the interesting property is that these are *plans*, not
+utilities: the read side is a normal DataFrame scan, so partition
+pruning/pushdown apply to ORC exactly as to parquet, and the CSV/JSON
+readers parallelize by input split like any other source.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import SQL_DSUM, dsum
+from . import query
+
+_SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".scratch",
+    "formats",
+)
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def _scratch_dir(name: str, sf_dir: str) -> str:
+    # one scratch per (query, scale) so sf0.001 tests and the sf0.01
+    # driver run never clobber each other mid-flight
+    return os.path.join(_SCRATCH, f"{name}_{os.path.basename(sf_dir.rstrip('/'))}")
+
+
+# ---------------------------------------------------------------------------
+# CSV round-trip (reference R1's format, full write+read cycle)
+# ---------------------------------------------------------------------------
+
+_CSV_SQL = f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           {SQL_DSUM.format(x="o_totalprice")} AS sum_price,
+           MIN(o_orderdate) AS min_date,
+           MAX(o_orderdate) AS max_date
+    FROM orders GROUP BY o_orderstatus
+"""
+
+_ORDERS_DDL = (
+    "o_orderkey long, o_custkey long, o_orderstatus string, "
+    "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string"
+)
+
+
+@query("scan_csv_roundtrip", oracle=_CSV_SQL)
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → CSV (header, pinned µs timestamp format) → read back
+    with the explicit DDL schema (the reference's no-inferSchema rule)
+    → aggregate. The oracle aggregates the ORIGINAL parquet, so the
+    hash proves the text round-trip lost nothing: timestamps survive
+    the pinned format, doubles survive shortest-round-trip encoding,
+    and the decimal-exact sum is immune to row-order changes from the
+    rewrite. This is reference R1 upgraded from read-only to a full
+    write/read cycle.
+
+    The timestamp column is pinned to TIMESTAMP_NTZ on BOTH sides:
+    the fixture's parquet ms-timestamps carry isAdjustedToUTC=false,
+    so a session with default `inferTimestampNTZ` reads them as NTZ —
+    and the CSV writer then consults `timestampNTZFormat`, silently
+    ignoring `timestampFormat` (a session-config dependence this
+    query removes by casting explicitly). NTZ also keeps the whole
+    cycle timezone-free: no instant↔local rendering on write, parse,
+    or pandas conversion, under ANY session timezone."""
+    path = _scratch_dir("csv_orders", sf_dir)
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("timestamp_ntz")
+    )
+    (
+        orders.write.mode("overwrite")
+        .option("header", True)
+        .option("timestampNTZFormat", _TS_FMT)
+        .csv(path)
+    )
+    back = (
+        spark.read.schema(_ORDERS_DDL)
+        .option("header", True)
+        .option("timestampNTZFormat", _TS_FMT)
+        .csv(path)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("sum_price"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON-lines round-trip (the landing-zone format of event collectors)
+# ---------------------------------------------------------------------------
+
+_JSONL_SQL = """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           MIN(ts) AS min_ts,
+           MAX(ts) AS max_ts,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           CAST(SUM(CAST(event_id AS BIGINT)) AS BIGINT) AS id_checksum
+    FROM events GROUP BY event_type
+"""
+
+_EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+@query("scan_jsonl_roundtrip", oracle=_JSONL_SQL)
+def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → JSON lines → read back with explicit schema →
+    aggregate, hashed against the original parquet. Every hazard of
+    the landing-zone format is exercised: µs timestamps through the
+    pinned format, full-precision doubles through text (min/max are
+    order-independent and must come back bit-equal), the JSON-string
+    props column nested inside JSON (escaping round-trip), and an
+    integer id checksum proving no row was dropped or duplicated.
+    The ns→µs events conversion happens BEFORE the write, so the
+    cycle matches what a collector actually lands."""
+    path = _scratch_dir("jsonl_events", sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.mode("overwrite").option("timestampFormat", _TS_FMT).json(path)
+    back = (
+        spark.read.schema(_EVENTS_DDL)
+        .option("timestampFormat", _TS_FMT)
+        .json(path)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.sum(F.col("event_id").cast("bigint")).cast("bigint").alias("id_checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ORC round-trip (the other columnar format; schema rides in the footer)
+# ---------------------------------------------------------------------------
+
+_ORC_SQL = f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           {SQL_DSUM.format(x="l_extendedprice")} AS sum_price
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("scan_orc_roundtrip", oracle=_ORC_SQL)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem → ORC → read back → aggregate. Columnar-to-columnar,
+    so the round-trip hazard is type mapping (timestamps, doubles)
+    rather than text encoding; the read side is self-describing like
+    parquet and gets the same vectorized reader, predicate pushdown,
+    and column pruning (tests/test_plans.py's pushdown assertions
+    would hold on this scan too). Proves the engine can sit on an
+    ORC lake without a conversion step."""
+    path = _scratch_dir("orc_lineitem", sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    li.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+    )

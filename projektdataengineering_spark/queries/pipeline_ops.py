@@ -1021,3 +1021,97 @@ def pipeline_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("ts") > F.lit(HWM_LITERAL)), ["event_type"], "value"
     )
     return finalize_agg_state(merge_agg_states(history, batch, ["event_type"]))
+
+
+# ---------------------------------------------------------------------------
+# Near-dup graph degree distribution (on the oracle-checked pair set)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_neardup_degree",
+    oracle=f"""
+    WITH sig AS ({_SIG_SQL}),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.m0 = b.m0 AND a.m1 = b.m1 AND a.m2 = b.m2 AND a.m3 = b.m3
+       AND a.doc_id < b.doc_id
+    ), deg AS (
+      SELECT doc_id, COUNT(*) AS degree FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL SELECT doc_b FROM pairs
+      ) GROUP BY doc_id
+    )
+    SELECT degree, COUNT(*) AS n_docs,
+           MIN(doc_id) AS example_doc
+    FROM deg GROUP BY degree
+    """,
+)
+def pipeline_neardup_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-duplicate graph — how many
+    documents have exactly k near-dup partners (plus a deterministic
+    example doc per bucket). The shape analysts check before running
+    connected components: a heavy tail here means giant dup clusters
+    (template farms) that deserve their own treatment, and the maximum
+    degree bounds the CC workload. Built on the PORTABLE signature
+    pair set, so the whole chain signature→pairs→degrees→histogram is
+    hash-verified. Degrees come from exploding each pair into both
+    endpoints and counting — one shuffle on doc_id over ids only; the
+    histogram is a re-aggregation of the tiny degree table."""
+    pairs = pipeline_minhash_pairs_portable(spark, sf_dir)
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("example_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event debounce (drop rapid repeats per user+type)
+# ---------------------------------------------------------------------------
+
+_DEBOUNCE_US = 600 * 1_000_000  # 10 minutes
+
+
+@query(
+    "pipeline_debounce",
+    oracle=f"""
+    SELECT event_id, user_id, event_type, ts,
+           prev_ts IS NOT NULL
+             AND date_diff('microsecond', prev_ts, ts) <= {_DEBOUNCE_US}
+             AS is_debounced
+    FROM (
+      SELECT event_id, user_id, event_type, ts,
+             LAG(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    """,
+)
+def pipeline_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce flag per event — TRUE when the same (user, type)
+    already fired within the previous 10 minutes, the duplicate-click
+    suppression every event collector needs before counting anything.
+    Gap math is exact integer µs (no float, no calendar arithmetic);
+    the lag window orders by (ts, event_id) so ties are total. One
+    shuffle on (user_id, event_type); at 100 TB this is the same
+    partition the sessionizer already uses, so a pipeline running
+    both shares the exchange. The streaming twin is
+    stream_dedup_stateful with a TTL'd key state."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        (prev.isNotNull() & (gap <= _DEBOUNCE_US)).alias("is_debounced"),
+    )

@@ -803,3 +803,89 @@ def sim_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni")), 6).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact cosine pairs — the similarity family's HASH-CHECKED member
+# ---------------------------------------------------------------------------
+
+_EXACT_COS_TAU = 0.25
+
+_EXACT_COS_SQL = f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding,
+             sqrt(list_reduce(
+               list_transform(embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               (p, q) -> p + q)) AS nrm
+      FROM embeddings
+    )
+    SELECT vec_a, vec_b, cos_sim FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_reduce(
+               list_transform(range(1, len(a.embedding) + 1),
+                              i -> CAST(a.embedding[i] AS DOUBLE)
+                                   * CAST(b.embedding[i] AS DOUBLE)),
+               (p, q) -> p + q) / (a.nrm * b.nrm) AS cos_sim
+      FROM e a JOIN e b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cos_sim >= {_EXACT_COS_TAU}
+"""
+
+
+@query("sim_cosine_exact_pairs", oracle=_EXACT_COS_SQL)
+def sim_cosine_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-blocked EXACT cosine pairs above τ=0.25 — the similarity
+    family's hash-checked anchor. Everything upstream of this file's
+    ANN paths (LSH, IVF) is calibrated statistically; this query pins
+    exact cosine VALUE-FOR-VALUE against DuckDB, which requires the
+    float math to be bit-stable: the dot product and both norms are
+    LEFT FOLDS in index order on both engines (F.aggregate over
+    zip_with ≡ list_reduce over an index range; Spark's 0.0 seed is
+    IEEE-absorbed), and cos = dot/(nrm_a*nrm_b) is one multiply and
+    one divide in pinned order.
+
+    Blocking on `label` (the natural partition/class key) keeps the
+    pair set quadratic-in-block, not quadratic-in-corpus — the same
+    discipline as sim_ngram_jaccard, whose production block key
+    composes an LSH band when no bounded natural key exists. Norms are
+    computed ONCE per vector before the self-join, not per pair."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    e = emb.select("vec_id", "label", "embedding", norm.alias("nrm"))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("label_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with("emb_a", "emb_b", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("label_a") == F.col("label_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            (dot / (F.col("nrm_a") * F.col("nrm_b"))).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _EXACT_COS_TAU)
+    )

@@ -213,3 +213,66 @@ def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_dropped").alias("n_dropped"),
         )
     )
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT v.user_id, COUNT(*) AS n_pairs,
+           CAST(SUM(date_diff('microsecond', v.ts, c.ts)) AS BIGINT)
+             AS sum_gap_us
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+    JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      ON c.user_id = v.user_id
+     AND c.ts > v.ts
+     AND c.ts <= v.ts + INTERVAL 10 MINUTE
+    GROUP BY v.user_id
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view→click attribution as a REAL stream-stream interval join —
+    two readStream sources over the same events feed (filtered to
+    views and clicks), 1-hour watermarks on both sides, joined on
+    user_id with the click constrained to (view.ts, view.ts+10min],
+    availableNow → append-mode memory sink, then a batch rollup of the
+    emitted pairs. The oracle is the equivalent batch self-join, so
+    the driver hash proves the streaming join emitted exactly the
+    right pair set — no duplicates, no dropped matches.
+
+    Scale shape: Spark keys both state stores by user_id and the
+    watermark + time bound let it EVICT view state older than
+    watermark−10min (the interval condition gives the range pruning);
+    without the time bound the state would grow without limit. Gap
+    sums are exact integer µs, immune to emission order."""
+    from ..streaming import open_event_stream, run_to_memory_sink
+
+    views = (
+        open_event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+    )
+    clicks = (
+        open_event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    pairs = views.join(
+        clicks,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    )
+    run_to_memory_sink(pairs, "stream_stream_join_sink", output_mode="append")
+    return (
+        spark.table("stream_stream_join_sink")
+        .groupBy(F.col("v_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.unix_micros("c_ts") - F.unix_micros("v_ts"))
+            .cast("bigint")
+            .alias("sum_gap_us"),
+        )
+    )

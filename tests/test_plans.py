@@ -118,6 +118,8 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "pipeline_pmi_collocations",  # 1-row token/bigram totals broadcasts
         "sql_recursive_month_spine",  # scalar min/max month subqueries in the spine
         "pipeline_dq_report",  # 1-row violations x 1-row total crossJoins per check
+        "pipeline_mixture_temperature",  # 1-row Σ√count fold broadcast
+        "join_cross_calendar",  # ~80-row spine × ~3-row statuses grid build
     }
     for name, qd in REGISTRY.items():
         f = plan_facts(qd.fn(spark, sf_dir))
@@ -300,3 +302,71 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_min_cost_supplier_semi_filters_before_agg(facts_of):
+    """The Q2 shape must semi-filter lineitem by the part predicate
+    BEFORE the (partkey, suppkey) aggregation — a broadcast semi join
+    under the first HashAggregate — so the shuffle only carries
+    eligible parts' rows."""
+    f = facts_of("join_min_cost_supplier")
+    assert f.count("BroadcastHashJoin") >= 3, f.nodes  # semi + part + supplier
+    assert f.count("CartesianProduct") == 0
+
+
+def test_deep_tpch_shapes_broadcast_dims(facts_of):
+    """Q7/Q8/Q14: nation/region/supplier/part lookups broadcast; the
+    only shuffle exchanges belong to fact-fact joins and the final
+    aggregation — no dimension is ever shuffled."""
+    for name, min_bcast in (
+        ("pipeline_volume_shipping", 3),
+        ("pipeline_market_share", 4),
+        ("pipeline_promo_revenue", 1),
+    ):
+        f = facts_of(name)
+        assert f.broadcast_joins >= min_bcast, (name, f.nodes)
+
+
+def test_mode_and_median_window_over_counts_not_rows(facts_of):
+    """agg_mode_exact ranks the (type, band) COUNT table: the plan
+    must aggregate (partial+final) BEFORE the window sort."""
+    f = facts_of("agg_mode_exact")
+    nodes = f.nodes
+    first_agg = nodes.index("HashAggregate")
+    win = nodes.index("Window")
+    # formatted explain lists operators leaf-first, so the aggregate
+    # (upstream) appears before the window (downstream)
+    assert first_agg < win, nodes
+
+
+def test_bpe_topk_is_take_ordered(facts_of):
+    """Global top-50 pairs must plan TakeOrderedAndProject, never a
+    single-partition global sort or rank window."""
+    f = facts_of("pipeline_bpe_pair_counts")
+    assert f.count("TakeOrderedAndProject") == 1, f.nodes
+    assert f.count("Window") == 0, f.nodes
+
+
+def test_exact_cosine_norms_computed_before_self_join(facts_of):
+    """sim_cosine_exact_pairs joins on the label block with norms in
+    the projection below the join — no per-pair norm recomputation
+    (the join carries nrm_a/nrm_b as join inputs) and no cartesian."""
+    f = facts_of("sim_cosine_exact_pairs")
+    assert f.cartesian_like == 0, f.nodes
+
+
+def test_format_roundtrips_prune_written_columns(facts_of):
+    """The ORC read-back aggregates 3 columns; the ORC scan must prune
+    to exactly those (ReadSchema discipline holds across formats)."""
+    f = facts_of("scan_orc_roundtrip")
+    orc_schemas = [set(c) for c in f.read_schemas]
+    assert any(
+        s == {"l_returnflag", "l_quantity", "l_extendedprice"} for s in orc_schemas
+    ), f.read_schemas
+
+
+def test_debounce_single_exchange(facts_of):
+    """Debounce is one lag window over (user, type): exactly one
+    shuffle exchange in the whole plan."""
+    f = facts_of("pipeline_debounce")
+    assert f.shuffles == 1, f.nodes

@@ -130,6 +130,28 @@ HEADLINERS: list[tuple[str, str]] = [
         "against a 1-row count broadcast. The only SinglePartition stages "
         "are partition-count-sized.",
     ),
+    (
+        "join_min_cost_supplier",
+        "TPC-H Q2 shape. Lineitem is semi-filtered by the part predicate via "
+        "a broadcast semi join BEFORE the (partkey, suppkey) aggregation, so "
+        "the only big shuffle carries eligible rows only; the per-part min "
+        "joins back on (partkey, min_price) reusing the partkey exchange; "
+        "part and supplier dimensions broadcast.",
+    ),
+    (
+        "join_only_late_supplier",
+        "TPC-H Q21 shape. Lineitem collapses to DISTINCT (orderkey, suppkey, "
+        "late) pairs first; the EXISTS/NOT-EXISTS become left-semi and "
+        "left-anti self-joins on the collapsed set, all riding one orderkey "
+        "exchange; supplier broadcasts at the end.",
+    ),
+    (
+        "sim_cosine_exact_pairs",
+        "Hash-checked exact cosine: norms are computed once per vector below "
+        "the label-blocked self-join (no per-pair recomputation); the dot "
+        "product is a fold over zip_with inside codegen — no UDF, no "
+        "cartesian; pair cardinality is bounded by the label block sizes.",
+    ),
 ]
 
 
