@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -36,34 +37,68 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a microsecond TIMESTAMP regardless of
+    how the session's parquet reader surfaced it.
+
+    The fixture generator has shipped the column as TIMESTAMP(NANOS)
+    (older rounds) and TIMESTAMP(MICROS) (current); depending on the
+    session's confs Spark surfaces those as LONG raw nanos
+    (``spark.sql.legacy.parquet.nanosAsLong``), TIMESTAMP_NTZ
+    (``inferTimestampNTZ``) or TIMESTAMP. Queries must not depend on
+    the caller's session config, so the branch is on the OBSERVED
+    dtype, not on a conf:
+
+    * LONG → floor-divide nanos to µs (bit-identical to DuckDB's own
+      ns→µs truncation) and ``timestamp_micros``;
+    * TIMESTAMP_NTZ → reinterpret the wall-clock as a session-tz
+      instant (sessions are pinned UTC; DuckDB reads the same file as
+      a naive TIMESTAMP, so canonical values agree);
+    * TIMESTAMP → already what every downstream operator expects.
+    """
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one fixture table.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS) parquet, which Spark's
-    vectorized reader rejects. We read it as raw nanos
-    (``spark.sql.legacy.parquet.nanosAsLong`` — set defensively here
-    because the caller may own the session) and floor-divide to a
-    microsecond TIMESTAMP — bit-identical to DuckDB's own ns→µs
-    truncation, so oracle comparisons agree.
+    ``events.ts`` is normalized to a µs TIMESTAMP whatever the file's
+    physical timestamp unit and the session's reader confs — see
+    :func:`normalize_event_ts`. (``nanosAsLong`` is still set
+    defensively for sessions whose Spark honors it; pyspark 4.1.x
+    ignores it and surfaces a timestamp type, which the dtype branch
+    handles.)
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_event_ts(df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def load_events_since(spark: SparkSession, sf_dir: str, hwm) -> DataFrame:
-    """events with ``ts > hwm``, with the predicate rewritten onto the
-    RAW nanos long so it reaches the parquet scan.
+    """events with ``ts > hwm``, with the predicate expressed against the
+    RAW column type so it reaches the parquet scan.
 
-    Filtering the converted µs column (``timestamp_micros(ts div 1000)``)
-    puts the predicate above a projection Catalyst cannot invert — the
-    scan would read every row group. In µs space ``floor(ns/1000) > H``
-    iff ``ns > H*1000 + 999``, so the equivalent raw predicate is exact
-    and shows up in the scan's PushedFilters (asserted in
+    Filtering the NORMALIZED µs column would put the predicate above a
+    projection Catalyst cannot always invert — the scan would read
+    every row group. So the filter is applied pre-normalization, in the
+    scan column's own type:
+
+    * LONG raw nanos: in µs space ``floor(ns/1000) > H`` iff
+      ``ns > H*1000 + 999`` — the rewritten raw predicate is exact;
+    * TIMESTAMP_NTZ: the HWM's UTC wall-clock as an NTZ literal — a
+      native comparison on the scan column;
+    * TIMESTAMP: the HWM instant as a timestamp literal.
+
+    All three show up in the scan's PushedFilters (asserted in
     tests/test_plans.py). At 100 TB on a ts-partitioned layout this is
     the difference between pruning to new partitions and a full scan.
 
@@ -79,10 +114,19 @@ def load_events_since(spark: SparkSession, sf_dir: str, hwm) -> DataFrame:
             hwm = datetime.fromisoformat(hwm)
         if hwm.tzinfo is None:
             hwm = hwm.replace(tzinfo=timezone.utc)
-        epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
-        hwm_us = (hwm - epoch) // timedelta(microseconds=1)
-        df = df.filter(F.col("ts") > F.lit(hwm_us * 1000 + 999))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, LongType):
+            epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
+            hwm_us = (hwm - epoch) // timedelta(microseconds=1)
+            df = df.filter(F.col("ts") > F.lit(hwm_us * 1000 + 999))
+        elif isinstance(dt, TimestampNTZType):
+            wall = hwm.astimezone(timezone.utc).replace(tzinfo=None)
+            df = df.filter(
+                F.col("ts") > F.lit(wall).cast("timestamp_ntz")
+            )
+        else:
+            df = df.filter(F.col("ts") > F.lit(hwm))
+    return normalize_event_ts(df)
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:

@@ -85,13 +85,15 @@ _MODULES = (
 
 # Window packing: the driver's correctness pass records the FIRST 50
 # registry entries each round, so membership there is contractual.
-# These are the names that already hold a driver row — round 1's
-# recorded window (CORRECTNESS_r01.json keys) plus round 2's window
-# (the first 50 of the round-2 registration order).  load_registry
-# front-loads everything NOT in this set — the 17 round-2 additions
-# that missed the r2 window plus any query added this round — then
-# the _RECHECK names (implementation or oracle changed after their
-# last driver row), then the rest in registration order.
+# These are the names that hold an ON-DISK driver row — round 1's
+# recorded window (CORRECTNESS_r01.json keys) and round 3's
+# (CORRECTNESS_r03.json keys).  Round 2's window is NOT counted:
+# CORRECTNESS_r02.json never landed in the repo (round-3 VERDICT.md,
+# "What's missing" #4), so its 44 not-yet-re-verified names re-enter
+# this round's window first.  load_registry orders: the r02-claimed
+# names, then never-verified additions, then _RECHECK (implementation
+# or oracle changed after their last driver row), then the rest in
+# registration order.
 _R01_WINDOW = frozenset((
     "scan_project_cast", "filter_highwater", "filter_compound",
     "project_conditional", "join_inner_equi", "join_left_outer",
@@ -110,6 +112,10 @@ _R01_WINDOW = frozenset((
     "scalar_math", "scalar_json", "array_ops", "map_ops",
     "dedup_exact",
 ))
+# Round-2's recorded window.  Its driver artifact is missing from the
+# repo, so these names do NOT count as driver-verified; they are
+# front-loaded into the round-4 window (minus the ones round 3
+# re-verified) so every operator regains an auditable driver row.
 _R02_WINDOW = frozenset((
     "join_skew_salted", "pipeline_sequence_pack",
     "pipeline_incremental_rollup", "text_tokenize_wordcount",
@@ -134,35 +140,59 @@ _R02_WINDOW = frozenset((
     "pipeline_schema_profile", "pipeline_scd2_history",
     "pipeline_embedding_quantize",
 ))
-_DRIVER_VERIFIED = _R01_WINDOW | _R02_WINDOW
+# Round-3's recorded window (CORRECTNESS_r03.json keys — on disk,
+# 45 hash-pass + 5 by-design rows-only clean).
+_R03_WINDOW = frozenset((
+    "sim_cosine_topk", "sim_cosine_ann_lsh", "sim_cosine_ivf",
+    "sim_minhash_lsh", "sim_simhash", "sim_cosine_exact_pairs",
+    "stream_stream_join", "pipeline_neardup_degree",
+    "pipeline_debounce", "agg_weighted_avg", "join_exists_correlated",
+    "join_not_exists_agg", "subquery_scalar_select",
+    "sql_recursive_month_spine", "pipeline_chunk_overlap",
+    "pipeline_pmi_collocations", "pipeline_dq_report",
+    "pipeline_winsorize", "pipeline_repetition_filter",
+    "pipeline_vocab_encode", "pipeline_span_mask",
+    "pipeline_domain_mix", "join_min_cost_supplier",
+    "pipeline_volume_shipping", "pipeline_market_share",
+    "pipeline_promo_revenue", "agg_top_supplier_revenue",
+    "join_large_volume_customers", "join_only_late_supplier",
+    "agg_mode_exact", "agg_median_exact", "join_cross_calendar",
+    "scalar_bitwise", "agg_collect_set_sorted",
+    "pipeline_prefix_dedup", "pipeline_bigram_lm",
+    "pipeline_bpe_pair_counts", "pipeline_mixture_temperature",
+    "pipeline_embedding_norm_filter", "scan_csv_roundtrip",
+    "scan_jsonl_roundtrip", "scan_orc_roundtrip",
+    "agg_stats_moments", "join_asof", "text_tokenize_wordcount",
+    "text_ngram", "text_langid", "text_quality_score",
+    "text_fingerprint", "text_token_count",
+))
+_DRIVER_VERIFIED = _R01_WINDOW | _R03_WINDOW
 
 # Verified in an earlier round, but the implementation or oracle
 # changed afterwards — their old driver row no longer certifies the
 # current code, so they re-enter the window right after the
-# never-verified block.
-_RECHECK = (
-    # oracle upgraded rows-only → decimal-exact hash in round 2; the
-    # r01 row predates the hash check
-    "agg_stats_moments",
-    # operators/asof.py payload-atomicity fix landed in round 2 after
-    # the r01 row
-    "join_asof",
-)
+# never-verified block.  (r03 re-verified the previous two entries,
+# agg_stats_moments and join_asof.)
+_RECHECK: tuple[str, ...] = ()
 
 
 def load_registry() -> dict[str, QueryDef]:
     """Import all query modules (populating REGISTRY) and return it,
-    ordered never-driver-verified first, then _RECHECK, then the rest
-    (dict order is the driver's correctness-window order — the first
-    50 entries get driver rows this round)."""
+    ordered: r02-claimed-but-unproven first, then never-driver-verified
+    additions, then _RECHECK, then the rest (dict order is the driver's
+    correctness-window order — the first 50 entries get driver rows
+    this round)."""
     for mod in _MODULES:
         import_module(f"{__package__}.{mod}")
     recheck = set(_RECHECK)
-    fresh = [n for n in REGISTRY if n not in _DRIVER_VERIFIED]
+    reclaim = [n for n in REGISTRY
+               if n in _R02_WINDOW and n not in _DRIVER_VERIFIED]
+    fresh = [n for n in REGISTRY
+             if n not in _DRIVER_VERIFIED and n not in _R02_WINDOW]
     rest = [n for n in REGISTRY
             if n in _DRIVER_VERIFIED and n not in recheck]
     ordered = {}
-    for name in (*fresh, *_RECHECK, *rest):
+    for name in (*reclaim, *fresh, *_RECHECK, *rest):
         if name in REGISTRY:
             ordered[name] = REGISTRY[name]
     REGISTRY.clear()

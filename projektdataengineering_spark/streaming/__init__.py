@@ -90,8 +90,9 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
 def open_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as a bounded file stream (for tests/demos).
 
-    The raw parquet is TIMESTAMP(NANOS); as in catalog.load_table the
-    scan reads nanos-as-long and converts to µs.
+    The raw parquet's timestamp unit varies by fixture generation (ns
+    or µs); as in catalog.load_table the ts column is normalized to a
+    µs TIMESTAMP by dtype, not by session conf.
 
     The file source rejects a bare file path ("Option 'basePath' must
     be a directory"), and pointing it at the whole fixture DIRECTORY
@@ -101,14 +102,21 @@ def open_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolves to the directory while the listing matches only the
     events file. The event_id/ts non-null filter stays as a safety net
     for landing zones that do mix schemas in one directory.
+
+    The stream schema must match how THIS session's reader surfaces the
+    file's physical timestamp unit (ns fixtures → long under
+    nanosAsLong; µs fixtures → a timestamp type), so it is taken from a
+    zero-cost batch footer read and the ts column normalized with the
+    same dtype branch as the batch path (catalog.normalize_event_ts).
     """
+    from ..catalog import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
-    return (
-        spark.readStream.schema(raw_schema)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return normalize_event_ts(
+        spark.readStream.schema(schema)
         .parquet(f"{sf_dir}/events.parque[t]")
         .filter("event_id IS NOT NULL AND ts IS NOT NULL")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
 
 
