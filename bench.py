@@ -63,17 +63,25 @@ def main() -> int:
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
 
     wall = round(time.perf_counter() - t_suite, 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_wall_sec",
-                "value": wall,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_of(SF_DIR),
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "suite_wall_sec",
+            "value": wall,
+            "unit": "sec",
+            "queries": timings,
+            "sf": _sf_of(SF_DIR),
+        }
     )
+    print(payload)
+    # The driver stores only the TAIL of stdout (~2 KB), which truncates
+    # the per-query map to the end of the alphabet; persist the complete
+    # JSON so every timing survives for the judge (round-3 verdict #6).
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_full.json"), "w") as fh:
+            fh.write(payload + "\n")
+    except OSError as exc:
+        print(f"bench: could not write BENCH_full.json: {exc}", file=sys.stderr)
     spark.stop()
     return 0
 

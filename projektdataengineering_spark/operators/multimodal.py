@@ -6,12 +6,15 @@ Arrow-batched ``mapInPandas`` so each Python worker touches one columnar
 batch at a time — the only sane pattern for multi-MB blobs (row UDFs
 would pickle each blob individually).
 
-The actual codec step is STUBBED: the runtime image/audio libraries are
-not in this container. ``decode_media`` raises NotImplementedError by
-design; ``extract_features`` uses a deterministic fake featurizer so the
-Spark-side plumbing — schema, batch iteration, partition sizing — is
-real and tested (tests/test_multimodal.py). Swapping the fake for
-Pillow/torchaudio is a one-function change.
+The codec step is REAL for images and audio since round 4:
+``decode_media`` dispatches to the vendored pure-Python PNG/WAV codecs
+(operators/codecs.py — stdlib zlib/struct/wave, implemented from the
+public specs), so ``extract_features(fake=False)`` computes features
+from actually-decoded pixels/samples. Only VIDEO decode remains a
+documented NotImplementedError (an H.26x codec genuinely needs native
+libraries this container lacks). The deterministic fake featurizer is
+kept for plumbing tests and as the any-modality fallback
+(tests/test_multimodal.py covers both paths).
 
 Scale notes: blobs dominate partition size — repartition so
 ``rows_per_partition × avg_blob`` stays ≪ executor memory, and always
@@ -47,13 +50,65 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def attach_png_payload(df: DataFrame, text_col: str = "text", width: int = 32) -> DataFrame:
+    """Fixture adapter producing REAL PNGs: each document's UTF-8 bytes
+    are rendered deterministically as a ``width``-pixel-wide greyscale
+    image (rows of bytes, zero-padded tail) and PNG-encoded with the
+    vendored codec. Downstream decode therefore exercises the full real
+    path — signature check, zlib inflate, filter reconstruction — on
+    bytes that exist only as a valid image container.
+
+    Runs inside mapInPandas (one Arrow batch per step), keeping the
+    same constant-memory worker profile as the decode direction."""
+    import hashlib
+
+    import numpy as np
+
+    from .codecs import png_encode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[text_col]:
+                raw = text.encode("utf-8") or b"\x00"
+                h = (len(raw) + width - 1) // width
+                arr = np.zeros(h * width, dtype=np.uint8)
+                arr[: len(raw)] = np.frombuffer(raw, dtype=np.uint8)
+                payloads.append(png_encode(arr.reshape(h, width)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "modality": "image/png",
+                    "n_bytes": [len(p) for p in payloads],
+                    "checksum": [hashlib.sha256(p).hexdigest() for p in payloads],
+                }
+            )
+
+    schema = "doc_id long, payload binary, modality string, n_bytes long, checksum string"
+    return df.select("doc_id", text_col).mapInPandas(run, schema=schema)
+
+
 def decode_media(payload: bytes, modality: str):
-    """REAL CODEC STUB — image/audio decode libraries are not available
-    in this environment. Production: dispatch on modality to
-    PIL.Image.open / soundfile.read / pyav frame sampling."""
+    """Decode a media blob by modality.
+
+    * ``image/png`` → uint8 pixel array (h, w[, channels]) via the
+      vendored pure-Python PNG decoder (codecs.png_decode);
+    * ``audio/wav`` → int16 sample array via stdlib ``wave``
+      (codecs.wav_decode);
+    * video (and any other modality) → NotImplementedError: a real
+      video codec needs native libraries this container lacks.
+      Production: pyav keyframe striding behind this same dispatch.
+    """
+    from .codecs import png_decode, wav_decode
+
+    if modality == "image/png":
+        return png_decode(payload)
+    if modality == "audio/wav":
+        return wav_decode(payload)[0]
     raise NotImplementedError(
-        "media decoding requires codec libraries not present in this "
-        "container; use extract_features(fake=True) for plumbing tests"
+        f"no decoder for modality {modality!r} in this container "
+        "(PNG and WAV decode are real; video needs native codecs)"
     )
 
 
@@ -70,19 +125,45 @@ def _fake_features(payload: bytes) -> tuple[float, int]:
     return total / len(payload), max(range(16), key=lambda i: (hist[i], -i))
 
 
+def _decoded_features(payload: bytes, modality: str) -> tuple[float, int]:
+    """REAL featurizer: decode the blob, then the same (mean, 16-bin
+    histogram argmax) summary computed over DECODED values — pixel
+    intensities for images, |sample| amplitudes rescaled to 0..255 for
+    audio — so the feature provably depends on a successful decode, not
+    on the container bytes."""
+    import numpy as np
+
+    decoded = decode_media(payload, modality)
+    vals = np.asarray(decoded)
+    if vals.size == 0:
+        return 0.0, 0
+    if modality == "audio/wav":  # int16 amplitude → 0..255 intensity
+        vals = np.minimum(np.abs(vals.astype(np.int64)), 32767) * 255 // 32767
+    vals = vals.reshape(-1).astype(np.int64)
+    hist = np.bincount(vals >> 4, minlength=16)[:16]
+    # ties toward the smaller bin, matching _fake_features' key order
+    argmax = int(np.argmax(hist))
+    return float(vals.mean()), argmax
+
+
 def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
     """Feature extraction over binary payloads via mapInPandas.
 
     Arrow streams column batches into Python; each batch yields one
     output frame — constant memory per worker regardless of table size.
+    ``fake=False`` runs the REAL decode (PNG/WAV via operators/codecs)
+    and featurizes the decoded values.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if fake:
                 feats = [_fake_features(p) for p in pdf["payload"]]
-            else:  # pragma: no cover — needs codec libs
-                feats = [decode_media(p, m) for p, m in zip(pdf["payload"], pdf["modality"])]
+            else:
+                feats = [
+                    _decoded_features(p, m)
+                    for p, m in zip(pdf["payload"], pdf["modality"])
+                ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -130,12 +211,28 @@ def resize_media(df: DataFrame, width: int, height: int, fake: bool = True) -> D
     AFTER enlarging resizes, before is wasted shuffle."""
     import hashlib
 
+    def _real_resize(payload: bytes, modality: str) -> bytes:
+        """Decode → nearest-neighbor resample → re-encode (PNG)."""
+        import numpy as np
+
+        from .codecs import png_encode
+
+        img = decode_media(payload, modality)
+        img = np.asarray(img)
+        h0, w0 = img.shape[:2]
+        ys = (np.arange(height) * h0) // height
+        xs = (np.arange(width) * w0) // width
+        return png_encode(img[ys][:, xs])
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if fake:
                 out = [_fake_resize(p, width, height) for p in pdf["payload"]]
-            else:  # pragma: no cover — needs codec libs
-                out = [decode_media(p, m) for p, m in zip(pdf["payload"], pdf["modality"])]
+            else:
+                out = [
+                    _real_resize(p, m)
+                    for p, m in zip(pdf["payload"], pdf["modality"])
+                ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -1,7 +1,7 @@
 """Multimodal pipeline query — the registry face of
-operators/multimodal.py (rows-only check: the featurizer is a stubbed
-model pass, not SQL-expressible; plumbing correctness is unit-tested in
-tests/test_multimodal.py against a pure-Python recompute).
+operators/multimodal.py (rows-only check: decode+featurize is not
+SQL-expressible; codec and feature correctness are unit-tested in
+tests/test_multimodal.py against pure-Python recomputes).
 """
 
 from __future__ import annotations
@@ -9,15 +9,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
-from ..operators.multimodal import attach_binary_payload, extract_features
+from ..operators.multimodal import attach_png_payload, extract_features
 from . import query
 
 
 @query("multimodal_features", oracle=None)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary payload column + metadata → Arrow-batched feature
-    extraction (deterministic fake featurizer standing in for the
-    decode+model step; see operators/multimodal.py for the stub
-    boundary and the 100-TB partition-sizing notes)."""
+    """REAL image pipeline end-to-end: each document rendered as an
+    actual PNG (attach_png_payload — signature, zlib, scanlines), then
+    Arrow-batched decode + featurization over the DECODED pixels
+    (extract_features(fake=False) → operators/codecs.png_decode). Both
+    directions of the codec run distributed, deterministically; see
+    operators/multimodal.py for the 100-TB partition-sizing notes.
+    Video remains the one documented NotImplementedError modality."""
     docs = load_table(spark, sf_dir, "documents")
-    return extract_features(attach_binary_payload(docs), fake=True)
+    return extract_features(attach_png_payload(docs), fake=False)

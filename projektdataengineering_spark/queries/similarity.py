@@ -833,6 +833,15 @@ _EXACT_COS_SQL = f"""
 """
 
 
+# Hard ceiling on a label block's row count for the exact-pairs anchor:
+# pairs per block grow as rows²/2, so 10k rows = 50M pairs per block —
+# an upper bound on what the Arrow prefilter chews through comfortably,
+# far past every fixture SF. NOT a knob to raise at scale — past it the
+# correct tool is the banded/ANN family (sim_cosine_ann_lsh,
+# sim_cosine_ivf, dedup_embedding_cosine).
+EXACT_PAIRS_MAX_BLOCK_ROWS = 10_000
+
+
 @query("sim_cosine_exact_pairs", oracle=_EXACT_COS_SQL)
 def sim_cosine_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-blocked EXACT cosine pairs above τ=0.25 — the similarity
@@ -845,12 +854,47 @@ def sim_cosine_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE-absorbed), and cos = dot/(nrm_a*nrm_b) is one multiply and
     one divide in pinned order.
 
-    Blocking on `label` (the natural partition/class key) keeps the
-    pair set quadratic-in-block, not quadratic-in-corpus — the same
-    discipline as sim_ngram_jaccard, whose production block key
-    composes an LSH band when no bounded natural key exists. Norms are
-    computed ONCE per vector before the self-join, not per pair."""
+    Two-phase pair evaluation (the round-3 verdict's fix): the
+    quadratic candidate side pays ONE Arrow/BLAS cosine per pair
+    (einsum over the batch, ~50× cheaper than an interpreted fold),
+    filtered at τ − 1e-9 — a margin far wider than the worst-case
+    divergence between BLAS pairwise summation and a strict left fold
+    on 64 doubles (~1e-13 relative). Only the surviving ≈output-sized
+    set pays the bit-stable interpreted fold, whose value is the one
+    emitted and re-filtered at exactly τ, so results are identical to
+    the single-phase form (and to DuckDB) bit for bit.
+
+    Blocking on `label` keeps the pair set quadratic-in-block, not
+    quadratic-in-corpus, and the block size is now ENFORCED, not
+    assumed: blocks past EXACT_PAIRS_MAX_BLOCK_ROWS fail loudly naming
+    the ANN-family alternatives (the sim_cosine_topk guard contract).
+    Norms are computed ONCE per vector before the self-join."""
     emb = load_table(spark, sf_dir, "embeddings")
+    biggest = (
+        emb.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    if biggest and biggest > EXACT_PAIRS_MAX_BLOCK_ROWS:
+        raise ValueError(
+            f"sim_cosine_exact_pairs: largest label block has {biggest} rows "
+            f"> limit {EXACT_PAIRS_MAX_BLOCK_ROWS}; exact all-pairs is only "
+            "valid on bounded blocks — use sim_cosine_ann_lsh, sim_cosine_ivf "
+            "or dedup_embedding_cosine at this scale"
+        )
+
+    @F.pandas_udf("double")
+    def _cos_fast(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:  # defensive: np.stack rejects an empty batch
+            return pd.Series([], dtype="float64")
+        ma = np.stack([np.asarray(v, dtype=np.float64) for v in va])
+        mb = np.stack([np.asarray(v, dtype=np.float64) for v in vb])
+        num = np.einsum("ij,ij->i", ma, mb)
+        return pd.Series(
+            num / (np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1))
+        )
+
     norm = F.sqrt(
         F.aggregate(
             F.col("embedding"),
@@ -882,6 +926,7 @@ def sim_cosine_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("label_a") == F.col("label_b"))
             & (F.col("vec_a") < F.col("vec_b")),
         )
+        .filter(_cos_fast("emb_a", "emb_b") >= F.lit(_EXACT_COS_TAU - 1e-9))
         .select(
             "vec_a",
             "vec_b",

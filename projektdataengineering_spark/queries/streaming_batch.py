@@ -157,10 +157,18 @@ def stream_native_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow becomes a continuous trigger; state stays bounded
     because completed hour windows stop receiving rows once a
     watermark is attached (see tests/test_streaming.py)."""
-    from ..streaming import open_event_stream, run_to_memory_sink, tumbling_counts
+    from ..streaming import (
+        open_event_stream,
+        run_to_memory_sink,
+        stream_state_partitions,
+        tumbling_counts,
+    )
 
     stream = tumbling_counts(open_event_stream(spark, sf_dir))
-    run_to_memory_sink(stream, "stream_native_tumbling_sink", output_mode="complete")
+    with stream_state_partitions(spark):
+        run_to_memory_sink(
+            stream, "stream_native_tumbling_sink", output_mode="complete"
+        )
     return spark.table("stream_native_tumbling_sink")
 
 
@@ -194,17 +202,22 @@ def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     State is hash-partitioned by key across executors (no single-node
     key set); production bounds it with a TTL/watermark
     (streaming/stateful.py scale notes)."""
-    from ..streaming import open_event_stream, run_to_memory_sink
+    from ..streaming import (
+        open_event_stream,
+        run_to_memory_sink,
+        stream_state_partitions,
+    )
     from ..streaming.stateful import dedup_stream_first_wins
 
     keyed = open_event_stream(spark, sf_dir).select(
         F.col("user_id").cast("string").alias("key"), "ts"
     )
-    run_to_memory_sink(
-        dedup_stream_first_wins(keyed),
-        "stream_dedup_stateful_sink",
-        output_mode="update",
-    )
+    with stream_state_partitions(spark):
+        run_to_memory_sink(
+            dedup_stream_first_wins(keyed),
+            "stream_dedup_stateful_sink",
+            output_mode="update",
+        )
     return (
         spark.table("stream_dedup_stateful_sink")
         .groupBy("key")
@@ -244,7 +257,11 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark−10min (the interval condition gives the range pruning);
     without the time bound the state would grow without limit. Gap
     sums are exact integer µs, immune to emission order."""
-    from ..streaming import open_event_stream, run_to_memory_sink
+    from ..streaming import (
+        open_event_stream,
+        run_to_memory_sink,
+        stream_state_partitions,
+    )
 
     views = (
         open_event_stream(spark, sf_dir)
@@ -265,7 +282,8 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 10 MINUTES")),
         "inner",
     )
-    run_to_memory_sink(pairs, "stream_stream_join_sink", output_mode="append")
+    with stream_state_partitions(spark):
+        run_to_memory_sink(pairs, "stream_stream_join_sink", output_mode="append")
     return (
         spark.table("stream_stream_join_sink")
         .groupBy(F.col("v_user").alias("user_id"))

@@ -154,10 +154,11 @@ def read_jdbc_pushdown(
     through-a-straw mistake (the reference reads a 1-row aggregate, so
     it rightly doesn't partition; a 100-TB fact-table ingest must).
 
-    No database ships in this sandbox, so the wrapper is exercised by a
-    boundary test (tests/test_pipeline.py): the options must reach
-    Spark's JDBC source — which then fails on the missing driver class,
-    proving the wiring, not the network."""
+    Exercised two ways: a boundary test (tests/test_pipeline.py) proves
+    the options reach Spark's JDBC source, and a LIVE round-trip
+    (tests/test_jdbc_live.py) runs the full R3 semantics — pushed
+    aggregate executing inside the database, append, read-back —
+    against an embedded DuckDB over its real JDBC driver."""
     reader = (
         spark.read.format("jdbc")
         .option("url", url)
@@ -188,7 +189,8 @@ def write_jdbc_append(
 ) -> None:
     """JDBC append with explicit parallelism/batching — the reference
     leaves both at defaults (SURVEY §4.1 "JDBC write parallelism").
-    Untested locally (no database in the harness); kept thin on purpose.
+    Live-tested against embedded DuckDB over its JDBC driver
+    (tests/test_jdbc_live.py); kept thin on purpose.
     """
     (
         df.repartition(num_partitions)

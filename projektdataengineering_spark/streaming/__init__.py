@@ -120,6 +120,39 @@ def open_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def stream_state_partitions(spark, n: int = 4):
+    """Temporarily size ``spark.sql.shuffle.partitions`` for a streaming
+    query's STATE STORES.
+
+    Structured Streaming materializes one state store per shuffle
+    partition per stateful operator and pays its init+commit on every
+    micro-batch — overhead that is per-PARTITION, not per-row. A batch
+    session's shuffle setting (32 here, 200 on a default driver session)
+    is sized for data volume, not state volume: at fixture scale it
+    makes a stream-stream join spend ~90% of its wall clock opening and
+    committing near-empty stores (measured sf0.1: 18.1 s at 32
+    partitions → 3–4.4 s at 2–4 for identical results). State partition
+    count should track distinct-key volume ÷ target state per store; 4
+    fits every fixture SF with headroom. At 100 TB size it UP — the
+    number is pinned into the checkpoint at first start, so production
+    jobs choose it per deployment, which is exactly why it's a scoped
+    override rather than a session constant.
+
+    The conf is restored on exit; the streaming query must START (and,
+    for availableNow runs, finish) inside the scope.
+    """
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def run_to_memory_sink(df: DataFrame, name: str, output_mode: str = "complete"):
     """Drive a (bounded) streaming DataFrame to completion into an
     in-memory table; returns the stopped query. Test/demo helper — a

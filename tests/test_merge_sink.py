@@ -1,0 +1,109 @@
+"""Idempotent MERGE-sink proofs: replaying a batch must be a no-op,
+upserts must converge, and the partitioned path must only rewrite the
+partitions the batch touches (round-3 verdict #5)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from projektdataengineering_spark.sources.merge_sink import (
+    append_once,
+    foreach_batch_upsert,
+    merge_upsert,
+)
+
+
+def _rows(spark, path):
+    # pin column order: a partitioned read surfaces the partition col last
+    df = spark.read.parquet(path).select("k", "part", "ts", "v")
+    return sorted(map(tuple, df.collect()))
+
+
+def _mk(spark, data):
+    return spark.createDataFrame(data, "k long, part string, ts long, v string")
+
+
+BASE = [(1, "a", 10, "one"), (2, "a", 10, "two"), (3, "b", 10, "three")]
+
+
+def test_append_once_replay_is_noop(spark, tmp_path):
+    path = str(tmp_path / "wh")
+    batch = _mk(spark, BASE)
+    assert append_once(spark, batch, path, ["k"]) == 3
+    once = _rows(spark, path)
+    # replay: identical batch writes 0 rows, table unchanged (hash-equal)
+    assert append_once(spark, batch, path, ["k"]) == 0
+    assert _rows(spark, path) == once
+    # a mixed batch appends ONLY the genuinely new key
+    nxt = _mk(spark, [(2, "a", 99, "dup"), (4, "b", 11, "four")])
+    assert append_once(spark, nxt, path, ["k"]) == 1
+    assert (1, "a", 10, "one") in _rows(spark, path)
+    assert (4, "b", 11, "four") in _rows(spark, path)
+    assert (2, "a", 99, "dup") not in _rows(spark, path)
+
+
+def test_merge_upsert_converges_and_replays_clean(spark, tmp_path):
+    path = str(tmp_path / "wh")
+    merge_upsert(spark, _mk(spark, BASE), path, ["k"], "ts")
+    first = _rows(spark, path)
+    assert len(first) == 3
+
+    # update k=2, insert k=4; k=1/3 must survive untouched
+    upd = _mk(spark, [(2, "a", 20, "two-v2"), (4, "b", 20, "four")])
+    merge_upsert(spark, upd, path, ["k"], "ts")
+    after = _rows(spark, path)
+    assert (2, "a", 20, "two-v2") in after and (4, "b", 20, "four") in after
+    assert (1, "a", 10, "one") in after and (3, "b", 10, "three") in after
+    assert len(after) == 4
+
+    # REPLAY the same batch: table must be hash-identical
+    merge_upsert(spark, upd, path, ["k"], "ts")
+    assert _rows(spark, path) == after
+
+    # in-batch duplicate keys: highest order_col wins deterministically
+    dup = _mk(spark, [(5, "c", 1, "old"), (5, "c", 2, "new")])
+    merge_upsert(spark, dup, path, ["k"], "ts")
+    assert (5, "c", 2, "new") in _rows(spark, path)
+    assert (5, "c", 1, "old") not in _rows(spark, path)
+
+
+def test_merge_upsert_partitioned_rewrites_only_touched(spark, tmp_path):
+    path = str(tmp_path / "wh")
+    merge_upsert(spark, _mk(spark, BASE), path, ["k"], "ts", partition_col="part")
+    # fingerprint the untouched partition's files (names + mtimes)
+    part_b = os.path.join(path, "part=b")
+    before = sorted(
+        (f, os.path.getmtime(os.path.join(part_b, f)))
+        for f in os.listdir(part_b)
+        if f.endswith(".parquet")
+    )
+    upd = _mk(spark, [(2, "a", 20, "two-v2")])
+    merge_upsert(spark, upd, path, ["k"], "ts", partition_col="part")
+    after = sorted(
+        (f, os.path.getmtime(os.path.join(part_b, f)))
+        for f in os.listdir(part_b)
+        if f.endswith(".parquet")
+    )
+    assert before == after  # partition b: same files, never rewritten
+    rows = _rows(spark, path)
+    assert (2, "a", 20, "two-v2") in rows and len(rows) == 3
+    # replay converges here too
+    merge_upsert(spark, upd, path, ["k"], "ts", partition_col="part")
+    assert _rows(spark, path) == rows
+
+
+def test_foreach_batch_upsert_replayed_microbatch(spark, tmp_path):
+    """Simulate checkpoint-recovery redelivery: applying the same
+    micro-batch function twice must leave the sink hash-identical."""
+    path = str(tmp_path / "wh")
+    apply = foreach_batch_upsert(path, ["k"], "ts")
+    b0 = _mk(spark, BASE)
+    apply(b0, 0)
+    b1 = _mk(spark, [(2, "a", 20, "two-v2"), (4, "b", 20, "four")])
+    apply(b1, 1)
+    want = _rows(spark, path)
+    apply(b1, 1)  # redelivery of batch 1
+    assert _rows(spark, path) == want
+    assert (2, "a", 20, "two-v2") in want and len(want) == 4

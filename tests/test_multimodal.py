@@ -40,9 +40,150 @@ def test_rerun_is_deterministic(spark, sf_dir):
     assert a == b
 
 
-def test_real_decode_is_explicit_stub():
+def test_video_decode_is_explicit_stub():
+    """PNG/WAV decode are real since round 4; video is the one
+    documented NotImplementedError modality."""
     with pytest.raises(NotImplementedError):
-        decode_media(b"\x89PNG...", "image/png")
+        decode_media(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
+
+
+def test_png_codec_roundtrip_all_filters():
+    """Vendored PNG codec: encode→decode is identity for grey/RGB/RGBA,
+    and the decoder reconstructs scanlines under EVERY filter type
+    (a hand-built PNG applies filters 0-4 on successive rows)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from projektdataengineering_spark.operators.codecs import (
+        _paeth,
+        png_decode,
+        png_encode,
+    )
+
+    rng = np.random.RandomState(7)
+    for shape in [(5, 7), (8, 3, 3), (4, 4, 4)]:
+        a = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        assert np.array_equal(png_decode(png_encode(a)), a), shape
+
+    arr = rng.randint(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    h, w, c = arr.shape
+    prior = np.zeros(w * c, np.int32)
+    lines = []
+    for y, ft in enumerate([0, 1, 2, 3, 4]):
+        cur = arr[y].reshape(-1).astype(np.int32)
+        a_ = np.concatenate([np.zeros(c, np.int32), cur[:-c]])
+        c_ = np.concatenate([np.zeros(c, np.int32), prior[:-c]])
+        if ft == 0:
+            enc = cur
+        elif ft == 1:
+            enc = (cur - a_) & 0xFF
+        elif ft == 2:
+            enc = (cur - prior) & 0xFF
+        elif ft == 3:
+            enc = (cur - ((a_ + prior) >> 1)) & 0xFF
+        else:
+            enc = np.array(
+                [
+                    (cur[x] - _paeth(int(a_[x]), int(prior[x]), int(c_[x]))) & 0xFF
+                    for x in range(len(cur))
+                ]
+            )
+        lines.append(bytes([ft]) + bytes(enc.astype(np.uint8)))
+        prior = cur
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(png_decode(data), arr)
+
+
+def test_wav_codec_roundtrip():
+    import numpy as np
+
+    from projektdataengineering_spark.operators.codecs import wav_decode, wav_encode
+
+    rng = np.random.RandomState(11)
+    mono = rng.randint(-32768, 32767, size=100).astype(np.int16)
+    dec, rate = wav_decode(wav_encode(mono, 8000))
+    assert rate == 8000 and np.array_equal(dec, mono)
+    stereo = rng.randint(-1000, 1000, size=(50, 2)).astype(np.int16)
+    dec2, _ = wav_decode(wav_encode(stereo))
+    assert np.array_equal(dec2, stereo)
+
+
+def test_real_png_pipeline_decodes_to_text_bytes(spark, sf_dir):
+    """End-to-end real path: attach_png_payload renders the text as an
+    actual PNG; extract_features(fake=False) decodes it and must see
+    EXACTLY the document's UTF-8 bytes (plus zero padding) as pixels —
+    proving the feature ran on decoded output, not container bytes."""
+    import numpy as np
+
+    from projektdataengineering_spark.operators.codecs import png_decode
+    from projektdataengineering_spark.operators.multimodal import (
+        _decoded_features,
+        attach_png_payload,
+        extract_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    src = attach_png_payload(docs)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in src.collect():
+        img = png_decode(bytes(r["payload"]))
+        raw = texts[r["doc_id"]].encode("utf-8") or b"\x00"
+        flat = img.reshape(-1)
+        assert bytes(flat[: len(raw)]) == raw
+        assert not flat[len(raw):].any()  # zero-padded tail
+
+    out = extract_features(src, fake=False)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows.keys() == texts.keys()
+    some = next(iter(rows))
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in src.collect()}
+    mean, argmax = _decoded_features(payloads[some], "image/png")
+    assert rows[some]["feat_mean"] == pytest.approx(mean)
+    assert rows[some]["feat_argmax"] == argmax
+
+
+def test_real_resize_via_codec(spark, sf_dir):
+    """resize_media(fake=False): output is a valid PNG of exactly
+    (height × width) whose pixels equal the nearest-neighbor resample
+    of the decoded source image."""
+    import numpy as np
+
+    from projektdataengineering_spark.operators.codecs import png_decode
+    from projektdataengineering_spark.operators.multimodal import (
+        attach_png_payload,
+        resize_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    src = attach_png_payload(docs)
+    originals = {r["doc_id"]: bytes(r["payload"]) for r in src.collect()}
+    out = resize_media(src, 8, 4, fake=False).collect()
+    assert len(out) == 10
+    for r in out:
+        resized = png_decode(bytes(r["payload"]))
+        assert resized.shape == (4, 8)
+        img = png_decode(originals[r["doc_id"]])
+        h0, w0 = img.shape[:2]
+        ys = (np.arange(4) * h0) // 4
+        xs = (np.arange(8) * w0) // 8
+        assert np.array_equal(resized, img[ys][:, xs])
 
 
 def test_binary_dir_ingest_feeds_feature_extraction(spark, tmp_path):
