@@ -17,6 +17,7 @@ boundary tests in tests/test_pipeline.py still cover the option wiring.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import subprocess
@@ -25,10 +26,26 @@ import textwrap
 
 import pytest
 
-DUCKDB_JDBC_JAR = (
-    "/root/.cache/coursier/v1/https/internal-host-redacted/artifactory/"
-    "maven-all/org/duckdb/duckdb_jdbc/1.0.0/duckdb_jdbc-1.0.0.jar"
-)
+
+def _find_duckdb_jdbc_jar() -> str | None:
+    """Locate a DuckDB JDBC driver jar by Maven coordinates
+    (org.duckdb:duckdb_jdbc) in common local caches, host-agnostically.
+    Returns None when absent — the test skips."""
+    for root in (
+        os.path.expanduser("~/.cache/coursier"),
+        os.path.expanduser("~/.m2/repository"),
+        os.path.expanduser("~/.ivy2"),
+    ):
+        hits = sorted(
+            glob.glob(os.path.join(root, "**", "duckdb_jdbc-*.jar"), recursive=True)
+        )
+        hits = [h for h in hits if not h.endswith(("-sources.jar", "-javadoc.jar"))]
+        if hits:
+            return hits[-1]
+    return None
+
+
+DUCKDB_JDBC_JAR = _find_duckdb_jdbc_jar()
 
 _SCRIPT = textwrap.dedent(
     """
@@ -91,7 +108,7 @@ _SCRIPT = textwrap.dedent(
 
 
 @pytest.mark.skipif(
-    not os.path.exists(DUCKDB_JDBC_JAR),
+    DUCKDB_JDBC_JAR is None,
     reason="duckdb JDBC driver jar not present on this machine",
 )
 def test_live_jdbc_round_trip(tmp_path):
