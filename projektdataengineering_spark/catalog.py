@@ -60,8 +60,26 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     if isinstance(dt, LongType):
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if isinstance(dt, TimestampNTZType):
+        _require_utc_session(df.sparkSession, "normalize_event_ts NTZ cast")
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+_UTC_NAMES = frozenset({"UTC", "GMT", "Etc/UTC", "Etc/GMT", "Z", "+00:00"})
+
+
+def _require_utc_session(spark: SparkSession, what: str) -> None:
+    """The NTZ branches reinterpret naive wall-clocks as session-tz
+    instants; under a non-UTC session that silently SHIFTS every event
+    timestamp. Fail loudly instead of corrupting instants."""
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz not in _UTC_NAMES:
+        raise RuntimeError(
+            f"{what} requires spark.sql.session.timeZone=UTC (got {tz!r}): "
+            "a TIMESTAMP_NTZ wall-clock cast under a non-UTC session would "
+            "shift every event instant. Pin the session to UTC or convert "
+            "explicitly with to_utc_timestamp."
+        )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -44,11 +44,25 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(jvm, Path, FileSystem) for ``path`` — the archive.py py4j boundary."""
+    jvm = spark.sparkContext._jvm  # noqa: SLF001
+    conf = spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, hpath, hpath.getFileSystem(conf)
+
+
 def _read_existing(spark: SparkSession, path: str) -> DataFrame | None:
-    try:
-        return spark.read.parquet(path)
-    except Exception:  # first run: no warehouse yet (O3 bootstrap)
+    """Existing warehouse table, or None ONLY when the path does not
+    exist (O3 bootstrap). Bootstrap is detected via a Hadoop-FS
+    existence probe, NOT by catching the read error: a transient or
+    corrupt-footer failure on an EXISTING table must propagate —
+    swallowing it would route merge_upsert into mode("overwrite")
+    bootstrap and silently replace the whole warehouse with one batch."""
+    _, hpath, fs = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
         return None
+    return spark.read.parquet(path)
 
 
 def _dedup_batch(batch: DataFrame, keys: list[str], order_col: str) -> DataFrame:
@@ -112,11 +126,16 @@ def merge_upsert(
     existing rows whose key is absent from the batch survive untouched.
     With ``partition_col``, only partitions present in the batch are
     read and rewritten; others are not listed, read, or moved.
+
+    Partitioned-mode contract: a key's partition value must be STABLE
+    across batches. A key that migrates partitions between batches is
+    upserted in its new partition while the old partition (untouched by
+    this batch) still holds the stale row — detecting that would need an
+    unpruned full-table key scan per batch, which defeats the
+    partition-confined rewrite. Migrating keys need the documented
+    table-format upgrade (Delta/Iceberg MERGE).
     """
-    jvm = spark.sparkContext._jvm  # noqa: SLF001 — archive.py boundary
-    conf = spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(conf)
+    jvm, hpath, fs = _hadoop_fs(spark, path)
 
     fresh = _dedup_batch(batch, keys, order_col)
     existing = _read_existing(spark, path)
@@ -133,7 +152,13 @@ def merge_upsert(
             r[partition_col]
             for r in fresh.select(partition_col).distinct().collect()
         ]
-        existing = existing.filter(F.col(partition_col).isin(touched))
+        # isin() never matches NULL — if the batch touches the NULL
+        # partition (__HIVE_DEFAULT_PARTITION__), its existing rows must
+        # still be read as merge survivors or the swap would drop them.
+        pred = F.col(partition_col).isin([t for t in touched if t is not None])
+        if any(t is None for t in touched):
+            pred = pred | F.col(partition_col).isNull()
+        existing = existing.filter(pred)
 
     survivors = existing.join(fresh.select(*keys), on=keys, how="left_anti")
     merged = survivors.select(*fresh.columns).unionByName(fresh)
@@ -147,17 +172,45 @@ def merge_upsert(
     hstaging = jvm.org.apache.hadoop.fs.Path(staging)
     trash = jvm.org.apache.hadoop.fs.Path(f"{path}__old_{uuid.uuid4().hex[:8]}")
     if partition_col:
-        # swap only the touched partition directories
-        for part in touched:
-            name = f"{partition_col}={part}"
-            src = jvm.org.apache.hadoop.fs.Path(hstaging, name)
-            dst = jvm.org.apache.hadoop.fs.Path(hpath, name)
-            if fs.exists(dst):
-                fs.mkdirs(trash)
-                if not fs.rename(dst, jvm.org.apache.hadoop.fs.Path(trash, name)):
-                    raise IOError(f"merge_upsert: could not retire {dst}")
-            if fs.exists(src) and not fs.rename(src, dst):
-                raise IOError(f"merge_upsert: could not install {src}")
+        # Swap only the touched partition directories. Their NAMES are
+        # taken from what Spark's own writer produced in staging — never
+        # re-derived as f"{col}={value}", which breaks for values the
+        # writer Hive-escapes ('=', '/', ':', '%', ...) or NULL
+        # (__HIVE_DEFAULT_PARTITION__): a mismatched hand-built name
+        # would silently no-op the renames and then discard the batch's
+        # data with the staging cleanup.
+        prefix = f"{partition_col}="
+        part_names = [
+            st.getPath().getName()
+            for st in fs.listStatus(hstaging)
+            if st.isDirectory() and st.getPath().getName().startswith(prefix)
+        ]
+        if not part_names:
+            fs.delete(hstaging, True)
+            raise IOError(
+                f"merge_upsert: staging {staging} contains no "
+                f"{partition_col}=* directories — nothing to install"
+            )
+        retired: list[str] = []  # roll these back if any install fails
+        try:
+            for name in part_names:
+                src = jvm.org.apache.hadoop.fs.Path(hstaging, name)
+                dst = jvm.org.apache.hadoop.fs.Path(hpath, name)
+                if fs.exists(dst):
+                    fs.mkdirs(trash)
+                    if not fs.rename(dst, jvm.org.apache.hadoop.fs.Path(trash, name)):
+                        raise IOError(f"merge_upsert: could not retire {dst}")
+                    retired.append(name)
+                if not fs.rename(src, dst):
+                    raise IOError(f"merge_upsert: could not install {src}")
+        except Exception:
+            # restore every partition retired so far; readers see the
+            # pre-merge table instead of a hole
+            for name in retired:
+                back = jvm.org.apache.hadoop.fs.Path(hpath, name)
+                if not fs.exists(back):
+                    fs.rename(jvm.org.apache.hadoop.fs.Path(trash, name), back)
+            raise
         fs.delete(hstaging, True)
     else:
         if not fs.rename(hpath, trash):

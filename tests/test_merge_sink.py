@@ -107,3 +107,55 @@ def test_foreach_batch_upsert_replayed_microbatch(spark, tmp_path):
     apply(b1, 1)  # redelivery of batch 1
     assert _rows(spark, path) == want
     assert (2, "a", 20, "two-v2") in want and len(want) == 4
+
+
+def test_corrupt_existing_table_raises_not_overwrites(spark, tmp_path):
+    """A read failure on an EXISTING path must propagate — it must NOT
+    be mistaken for first-run bootstrap, which would replace the whole
+    warehouse with the current batch (silent data loss)."""
+    path = str(tmp_path / "wh")
+    os.makedirs(path)
+    with open(os.path.join(path, "part-00000.parquet"), "w") as fh:
+        fh.write("this is not parquet")
+    batch = _mk(spark, BASE)
+    with pytest.raises(Exception):
+        merge_upsert(spark, batch, path, ["k"], "ts")
+    # the corrupt-but-existing table was left alone, not overwritten
+    with open(os.path.join(path, "part-00000.parquet")) as fh:
+        assert fh.read() == "this is not parquet"
+
+
+def test_partitioned_upsert_with_hive_escaped_values(spark, tmp_path):
+    """Partition values containing characters the writer Hive-escapes
+    ('=', ':', '%', ' ') must still swap correctly — the installed
+    directory names come from the staging listing, never from
+    hand-built f"{col}={value}" strings that would miss the escaped
+    names and silently discard the batch."""
+    path = str(tmp_path / "wh")
+    data = [
+        (1, "a=b", 10, "one"),
+        (2, "x:y %", 10, "two"),
+        (3, "plain", 10, "three"),
+    ]
+    merge_upsert(spark, _mk(spark, data), path, ["k"], "ts", partition_col="part")
+    assert _rows(spark, path) == sorted(map(tuple, data))
+    # upsert into one weird partition: k=1 updated, others untouched
+    upd = [(1, "a=b", 20, "ONE"), (4, "a=b", 20, "four")]
+    merge_upsert(spark, _mk(spark, upd), path, ["k"], "ts", partition_col="part")
+    assert _rows(spark, path) == sorted(
+        map(tuple, upd + [(2, "x:y %", 10, "two"), (3, "plain", 10, "three")])
+    )
+
+
+def test_partitioned_upsert_null_partition_survivors(spark, tmp_path):
+    """Existing rows in the NULL partition (__HIVE_DEFAULT_PARTITION__)
+    whose keys are absent from the batch must survive an upsert that
+    touches the NULL partition — isin() alone never matches NULL."""
+    path = str(tmp_path / "wh")
+    data = [(1, None, 10, "one"), (2, None, 10, "two"), (3, "b", 10, "three")]
+    merge_upsert(spark, _mk(spark, data), path, ["k"], "ts", partition_col="part")
+    upd = [(1, None, 20, "ONE")]
+    merge_upsert(spark, _mk(spark, upd), path, ["k"], "ts", partition_col="part")
+    assert _rows(spark, path) == sorted(
+        map(tuple, [(1, None, 20, "ONE"), (2, None, 10, "two"), (3, "b", 10, "three")])
+    )

@@ -80,3 +80,29 @@ def test_replay_idempotence(spark, weather):
     # after "loading" everything, a replay adds nothing
     replay = dedup_incremental(weather, weather, "EventId")
     assert replay.count() == 0
+
+
+def test_ntz_normalization_requires_utc_session(spark, tmp_path):
+    """The NTZ branch of normalize_event_ts reinterprets naive
+    wall-clocks as session-tz instants; under a non-UTC session that
+    would silently SHIFT every event instant, so it must fail loudly
+    instead (ADVICE r4)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from projektdataengineering_spark.catalog import normalize_event_ts
+
+    df = spark.range(3).select(
+        F.timestamp_micros(F.col("id") * 1_000_000).cast("timestamp_ntz").alias("ts")
+    )
+    tz_key = "spark.sql.session.timeZone"
+    old = spark.conf.get(tz_key)
+    try:
+        spark.conf.set(tz_key, "America/New_York")
+        with pytest.raises(RuntimeError, match="timeZone"):
+            normalize_event_ts(df)
+        spark.conf.set(tz_key, "UTC")
+        out = normalize_event_ts(df)
+        assert out.schema["ts"].dataType.typeName() == "timestamp"
+    finally:
+        spark.conf.set(tz_key, old)
