@@ -6,15 +6,17 @@ Arrow-batched ``mapInPandas`` so each Python worker touches one columnar
 batch at a time — the only sane pattern for multi-MB blobs (row UDFs
 would pickle each blob individually).
 
-The codec step is REAL for images and audio since round 4:
-``decode_media`` dispatches to the vendored pure-Python PNG/WAV codecs
+The codec step is REAL for all three modalities: ``decode_media``
+dispatches to the vendored pure-Python PNG/WAV/uncompressed-AVI codecs
 (operators/codecs.py — stdlib zlib/struct/wave, implemented from the
 public specs), so ``extract_features(fake=False)`` computes features
-from actually-decoded pixels/samples. Only VIDEO decode remains a
-documented NotImplementedError (an H.26x codec genuinely needs native
-libraries this container lacks). The deterministic fake featurizer is
-kept for plumbing tests and as the any-modality fallback
-(tests/test_multimodal.py covers both paths).
+from actually-decoded pixels/samples/frames and
+``sample_frames(fake=False)`` strides real decoded video frames.
+COMPRESSED video (H.26x/VP9) stays a documented NotImplementedError —
+those genuinely need native codec libraries this container lacks
+(production: pyav keyframe striding behind the same dispatch). The
+deterministic fake featurizer is kept for plumbing tests and as the
+any-modality fallback (tests/test_multimodal.py covers both paths).
 
 Scale notes: blobs dominate partition size — repartition so
 ``rows_per_partition × avg_blob`` stays ≪ executor memory, and always
@@ -89,6 +91,48 @@ def attach_png_payload(df: DataFrame, text_col: str = "text", width: int = 32) -
     return df.select("doc_id", text_col).mapInPandas(run, schema=schema)
 
 
+def attach_avi_payload(
+    df: DataFrame, text_col: str = "text", width: int = 16, n_frames: int = 4
+) -> DataFrame:
+    """Fixture adapter producing REAL videos: each document's UTF-8
+    bytes are chunked into ``n_frames`` RGB frames (width×width pixels,
+    zero-padded) and packed into an uncompressed AVI with the vendored
+    codec — downstream decode exercises the full RIFF walk, header
+    parse and DIB un-flip on a valid video container."""
+    import hashlib
+
+    import numpy as np
+
+    from .codecs import avi_encode
+
+    frame_px = width * width * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[text_col]:
+                raw = text.encode("utf-8") or b"\x00"
+                buf = np.zeros(n_frames * frame_px, dtype=np.uint8)
+                buf[: min(len(raw), buf.size)] = np.frombuffer(
+                    raw[: buf.size], dtype=np.uint8
+                )
+                payloads.append(
+                    avi_encode(buf.reshape(n_frames, width, width, 3))
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "modality": "video/avi",
+                    "n_bytes": [len(p) for p in payloads],
+                    "checksum": [hashlib.sha256(p).hexdigest() for p in payloads],
+                }
+            )
+
+    schema = "doc_id long, payload binary, modality string, n_bytes long, checksum string"
+    return df.select("doc_id", text_col).mapInPandas(run, schema=schema)
+
+
 def decode_media(payload: bytes, modality: str):
     """Decode a media blob by modality.
 
@@ -96,19 +140,25 @@ def decode_media(payload: bytes, modality: str):
       vendored pure-Python PNG decoder (codecs.png_decode);
     * ``audio/wav`` → int16 sample array via stdlib ``wave``
       (codecs.wav_decode);
-    * video (and any other modality) → NotImplementedError: a real
-      video codec needs native libraries this container lacks.
+    * ``video/avi`` → uint8 frame array (n, h, w, 3) via the vendored
+      uncompressed-AVI decoder (codecs.avi_decode; compressed streams
+      raise NotImplementedError there);
+    * any other modality → NotImplementedError: compressed video
+      (H.26x/VP9) needs native libraries this container lacks.
       Production: pyav keyframe striding behind this same dispatch.
     """
-    from .codecs import png_decode, wav_decode
+    from .codecs import avi_decode, png_decode, wav_decode
 
     if modality == "image/png":
         return png_decode(payload)
     if modality == "audio/wav":
         return wav_decode(payload)[0]
+    if modality == "video/avi":
+        return avi_decode(payload)[0]
     raise NotImplementedError(
         f"no decoder for modality {modality!r} in this container "
-        "(PNG and WAV decode are real; video needs native codecs)"
+        "(PNG, WAV and uncompressed AVI decode are real; compressed "
+        "video needs native codecs)"
     )
 
 
@@ -268,12 +318,29 @@ def _fake_frames(payload: bytes, n_frames: int, frame_bytes: int = 64) -> list[b
     return out
 
 
+def _real_frames(payload: bytes, modality: str, n_frames: int) -> list[bytes]:
+    """REAL frame sampler: decode the video, pick n_frames at a uniform
+    stride (repeating the last frame when the clip is shorter), and
+    re-encode each sampled frame as a standalone PNG — the decoded-video
+    → image-corpus expansion, every byte passing through real codecs."""
+    from .codecs import png_encode
+
+    frames = decode_media(payload, modality)  # (n, h, w, 3)
+    total = len(frames)
+    return [
+        png_encode(frames[min((k * total) // n_frames, total - 1)])
+        for k in range(n_frames)
+    ]
+
+
 def sample_frames(df: DataFrame, n_frames: int, fake: bool = True) -> DataFrame:
     """Video frame sampling via mapInPandas: each input blob expands to
     n_frames rows (doc_id, frame_idx, frame payload) — the 1→N
     expansion that turns a video corpus into an image corpus for
-    training. Production replaces _fake_frames with pyav keyframe
-    striding behind the decode_media stub boundary.
+    training. ``fake=False`` runs the REAL path: uncompressed-AVI
+    decode + uniform-stride sampling + per-frame PNG re-encode
+    (production swaps the decode for pyav keyframe striding behind the
+    same decode_media dispatch).
 
     Scale: output rows = input rows × n_frames and output bytes can
     EXCEED input bytes (decoded frames vs compressed video) — the one
@@ -293,11 +360,13 @@ def sample_frames(df: DataFrame, n_frames: int, fake: bool = True) -> DataFrame:
                 frames = (
                     _fake_frames(payload, n_frames)
                     if fake
-                    else decode_media(payload, modality)  # pragma: no cover
+                    else _real_frames(payload, modality, n_frames)
                 )
                 for k, fr in enumerate(frames):
                     rows["doc_id"].append(doc_id)
-                    rows["modality"].append(modality)
+                    # the real path re-encodes sampled frames as PNGs —
+                    # the output modality reflects the frame container
+                    rows["modality"].append(modality if fake else "image/png")
                     rows["frame_idx"].append(k)
                     rows["payload"].append(fr)
                     rows["n_bytes"].append(len(fr))

@@ -40,11 +40,71 @@ def test_rerun_is_deterministic(spark, sf_dir):
     assert a == b
 
 
-def test_video_decode_is_explicit_stub():
-    """PNG/WAV decode are real since round 4; video is the one
-    documented NotImplementedError modality."""
+def test_compressed_video_is_explicit_stub():
+    """PNG/WAV/uncompressed-AVI decode are real; COMPRESSED video
+    (no pure-Python codec possible) is the documented
+    NotImplementedError boundary."""
     with pytest.raises(NotImplementedError):
         decode_media(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
+
+
+def test_avi_codec_roundtrip():
+    """Uncompressed-AVI encode→decode is bit-exact for RGB frames, and
+    a compressed stream header raises instead of mis-decoding."""
+    import struct
+
+    import numpy as np
+
+    from projektdataengineering_spark.operators.codecs import (
+        avi_decode,
+        avi_encode,
+    )
+
+    rng = np.random.default_rng(11)
+    for shape in [(3, 8, 8, 3), (2, 5, 7, 3), (1, 1, 1, 3)]:
+        frames = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        blob = avi_encode(frames, fps=12)
+        dec, fps = avi_decode(blob)
+        assert np.array_equal(dec, frames), shape
+        assert fps == 12
+    bad = bytearray(avi_encode(frames, fps=12))
+    struct.pack_into("<I", bad, bad.find(b"strf") + 8 + 16, 1)  # biCompression=1
+    with pytest.raises(NotImplementedError):
+        avi_decode(bytes(bad))
+
+
+def test_real_video_pipeline_decodes_and_samples(spark, sf_dir):
+    """End-to-end real video path: attach_avi_payload packs the text
+    into an actual AVI; extract_features(fake=False) must see the text
+    bytes as pixel values, and sample_frames(fake=False) must emit
+    PNG-decodable frames whose pixels round-trip the AVI frames."""
+    import numpy as np
+
+    from projektdataengineering_spark.catalog import load_table
+    from projektdataengineering_spark.operators.codecs import png_decode
+    from projektdataengineering_spark.operators.multimodal import (
+        attach_avi_payload,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(8)
+    src = attach_avi_payload(docs, width=16, n_frames=4)
+
+    feats = extract_features(src, fake=False)
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    for r in feats.collect():
+        raw = texts[r["doc_id"]].encode("utf-8") or b"\x00"
+        buf = np.zeros(4 * 16 * 16 * 3, dtype=np.uint8)
+        buf[: min(len(raw), buf.size)] = np.frombuffer(raw[: buf.size], np.uint8)
+        assert abs(r["feat_mean"] - float(buf.mean())) < 1e-9
+
+    out = sample_frames(src, n_frames=2, fake=False)
+    rows = out.collect()
+    assert {r["frame_idx"] for r in rows} == {0, 1}
+    one = next(r for r in rows if r["frame_idx"] == 0)
+    img = png_decode(bytes(one["payload"]))  # sampled frames are real PNGs
+    assert img.shape == (16, 16, 3)
+    assert one["modality"] == "image/png"
 
 
 def test_png_codec_roundtrip_all_filters():
