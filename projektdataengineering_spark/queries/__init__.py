@@ -204,6 +204,10 @@ _DRIVER_VERIFIED = _R01_WINDOW | _R03_WINDOW | _R04_WINDOW
 #   r03 row was cut;
 # * stream_stream_join — stream_state_partitions state-store sizing
 #   landed after its r03 row;
+# * sim_simhash / sim_cosine_ann_lsh / dedup_embedding_cosine — round-5
+#   sf1-probe fixes (hot-bucket star cap; adaptive LSH bits) post-date
+#   their rows (fixture-SF outputs unchanged except sim_simhash@sf0.1,
+#   but the implementations differ);
 # * every other name here reads the events table and holds an r01/r03
 #   row cut BEFORE the us-timestamp fixture regeneration and the
 #   catalog.py normalize_event_ts change (commit "Adapt events.ts
@@ -212,6 +216,7 @@ _DRIVER_VERIFIED = _R01_WINDOW | _R03_WINDOW | _R04_WINDOW
 #   and fixtures it must certify.
 _RECHECK: tuple[str, ...] = (
     "sim_cosine_exact_pairs", "stream_stream_join",
+    "sim_simhash", "sim_cosine_ann_lsh", "dedup_embedding_cosine",
     "pipeline_debounce", "filter_highwater", "project_conditional",
     "join_asof", "join_range_bucketized", "agg_approx_distinct",
     "agg_pivot", "agg_scalar_max", "agg_stats_moments",

@@ -162,16 +162,40 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Multi-table random-hyperplane LSH: 4 tables × 6 hyperplanes (64-bucket
-# tables, OR-amplified across tables). AND within a table gives
-# precision, OR across tables gives recall; bits/table sets bucket
-# occupancy and must grow with N — at 4 bits the sf0.1 fixture put 23%
-# of ALL pairs into candidates (measured), i.e. half of brute force.
-# Seeded at module import: identical across runs and executors (the
-# matrix ships inside the serialized kernel closure, ~12 KB).
+# Multi-table random-hyperplane LSH, OR-amplified across 4 tables. AND
+# within a table gives precision, OR across tables gives recall;
+# bits/table sets bucket occupancy and MUST grow with N — at 4 bits the
+# sf0.1 fixture put 23% of ALL pairs into candidates (measured), i.e.
+# half of brute force, and holding 6 bits fixed while N grew 10×
+# measured slope 2.09 on the sf0.1→sf1 probe (bucket occupancy grows
+# linearly with N, so within-bucket pair work grows quadratically).
+# Bits are therefore ADAPTIVE: ceil(log2(N / target_occupancy)),
+# floored at 6 (which keeps every fixture SF up to sf0.1 on exactly the
+# round-1 plane matrix — same seed, same size, same buckets) and capped
+# at 24 (int32 bucket ids). Each bits-value draws its own seeded plane
+# matrix — a deterministic pure function of the data's row count, so
+# driver re-runs still hash identically. The recall trade-off of more
+# bits is the textbook one: per-table collision p^bits shrinks, so at
+# cluster scale you raise _N_TABLES alongside (documented knob), which
+# multiplies cost linearly — never quadratically.
 _N_TABLES = 4
-_BITS_PER_TABLE = 6
-_PLANES_MAT = np.random.RandomState(42).normal(size=(_N_TABLES * _BITS_PER_TABLE, 64))
+_MIN_BITS_PER_TABLE = 6
+_MAX_BITS_PER_TABLE = 24
+_TARGET_BUCKET_OCC = 32
+
+
+def _bits_for(n_rows: int) -> int:
+    if n_rows <= _TARGET_BUCKET_OCC:
+        return _MIN_BITS_PER_TABLE
+    bits = int(np.ceil(np.log2(n_rows / _TARGET_BUCKET_OCC)))
+    return max(_MIN_BITS_PER_TABLE, min(_MAX_BITS_PER_TABLE, bits))
+
+
+def _planes_for(bits: int) -> np.ndarray:
+    """Seeded plane matrix for a bits-per-table width: identical across
+    runs and executors (ships inside the serialized kernel closure,
+    ~12 KB at 6 bits). bits=6 reproduces the round-1 matrix exactly."""
+    return np.random.RandomState(42).normal(size=(_N_TABLES * bits, 64))
 
 
 def _lsh_candidate_pairs(e: DataFrame) -> DataFrame:
@@ -192,9 +216,15 @@ def _lsh_candidate_pairs(e: DataFrame) -> DataFrame:
     interpreted folds.) Candidates come from a groupBy on (table,
     bucket) with a double explode of the member-id list, so nothing
     heavier than ids ever shuffles and no vector arrays go through
-    distinct()."""
-    planes = _PLANES_MAT
-    weights = 1 << np.arange(_BITS_PER_TABLE)
+    distinct().
+
+    Bits-per-table adapts to the table's row count (see _bits_for) so
+    expected bucket occupancy — and with it the per-bucket quadratic
+    pair work — stays flat as N grows; the count feeding it is a
+    parquet-stats count, one metadata-cheap job."""
+    n_bits = _bits_for(e.count())
+    planes = _planes_for(n_bits)
+    weights = 1 << np.arange(n_bits)
 
     @F.pandas_udf("array<int>")
     def table_buckets(vecs: pd.Series) -> pd.Series:
@@ -202,7 +232,7 @@ def _lsh_candidate_pairs(e: DataFrame) -> DataFrame:
             return pd.Series([], dtype=object)
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         bits = (mat @ planes.T) >= 0  # (n, tables*bits)
-        bkt = bits.reshape(len(mat), _N_TABLES, _BITS_PER_TABLE) @ weights
+        bkt = bits.reshape(len(mat), _N_TABLES, n_bits) @ weights
         return pd.Series(list(bkt.astype("int32")))
 
     bucketed = e.select(
@@ -270,9 +300,9 @@ def sim_cosine_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: see _lsh_candidate_pairs (ids-only shuffle, single
     signature pass) and _pair_cosine (Arrow BLAS kernel on candidates
-    only). Per-bucket cost is quadratic in bucket size; at larger N
-    raise _BITS_PER_TABLE so bucket occupancy stays flat. Recall vs the
-    exact baseline is asserted in tests/test_operators.py.
+    only). Per-bucket cost is quadratic in bucket size; bits-per-table
+    adapts with N (_bits_for) so bucket occupancy stays flat. Recall vs
+    the exact baseline is asserted in tests/test_operators.py.
 
     (Measured: localCheckpoint'ing the shared embedding frame here does
     NOT pay — unlike sim_cosine_ivf's many-pass training loop, the
@@ -445,20 +475,36 @@ def sim_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3).drop("rk")
 
 
-def _bucket_pairs(bands: DataFrame, key_cols: list[str], member_cols: list[str]) -> DataFrame:
+def _bucket_pairs(
+    bands: DataFrame,
+    key_cols: list[str],
+    member_cols: list[str],
+    star_cap: int | None = None,
+) -> DataFrame:
     """LSH candidate generation shared by the MinHash/SimHash paths:
     groupBy the bucket key, sort-collect member structs (ordered by the
     first member column, so every pair is emitted (smaller, larger) no
     matter which band produced it), expand pairs array-side, dedup
     across bands. The upstream signature pipeline executes ONCE — a
     band self-join would run it once per side. Returns columns a, b
-    (structs of member_cols)."""
+    (structs of member_cols).
+
+    ``star_cap`` bounds the per-bucket quadratic expansion: a bucket
+    with more than ``star_cap`` members emits STAR edges (min-member →
+    every other member, |B|−1 edges) instead of all |B|²/2 pairs. A
+    bucket that large is a near-identical mass — template boilerplate,
+    mirrored shards — where the complete clique adds no information a
+    dedup/clustering consumer can use (connected components recovers
+    the exact same cluster from the star), but its quadratic cost is
+    what turns a hot bucket into the job's straggler at scale
+    (sim_simhash's uncapped sf0.1→sf1 probe slope measured 1.57; the
+    cap restores it to sub-linear — numbers in SCALING.md §1b)."""
     buckets = (
         bands.groupBy(*key_cols)
         .agg(F.sort_array(F.collect_list(F.struct(*member_cols))).alias("members"))
         .filter(F.size("members") > 1)
     )
-    pairs = F.flatten(
+    all_pairs = F.flatten(
         F.transform(
             "members",
             lambda a, i: F.transform(
@@ -467,6 +513,14 @@ def _bucket_pairs(bands: DataFrame, key_cols: list[str], member_cols: list[str])
             ),
         )
     )
+    if star_cap is not None:
+        star = F.transform(
+            F.slice("members", 2, F.size("members")),
+            lambda b: F.struct(F.element_at("members", 1).alias("a"), b.alias("b")),
+        )
+        pairs = F.when(F.size("members") > star_cap, star).otherwise(all_pairs)
+    else:
+        pairs = all_pairs
     return (
         buckets.select(F.explode(pairs).alias("p"))
         .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
@@ -651,7 +705,19 @@ def sim_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffling every token of every document). Only (band_val, doc_id,
     simhash) is ever shuffled. Candidates join on 16-bit bands (a
     near-dup pair almost certainly agrees on some 16-bit slice);
-    Hamming via bit_count(xor)."""
+    Hamming via bit_count(xor).
+
+    Hot-bucket posture: template-heavy corpora concentrate SimHash
+    band values, and an all-pairs expansion of one hot bucket is
+    quadratic (the sf0.1→sf1 probe measured slope 1.57 without a cap).
+    Buckets beyond 256 members therefore emit representative STAR
+    edges (see _bucket_pairs star_cap) — every member still surfaces
+    as a near-dup of the bucket minimum, a downstream components pass
+    recovers identical clusters, and the candidate volume stays linear
+    in bucket mass. The fixture's measured bucket maxima are 74 at
+    sf0.01 (complete pair set — under the cap) and 747 at sf0.1 (the
+    two template-mass buckets there degrade to stars; pair set
+    otherwise complete)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toked = docs.select(
         "doc_id",
@@ -700,7 +766,9 @@ def sim_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                       for b in range(4)])
         ).alias("band"),
     ).select("band.band_idx", "band.band_val", "doc_id", "simhash")
-    pairs = _bucket_pairs(banded, ["band_idx", "band_val"], ["doc_id", "simhash"])
+    pairs = _bucket_pairs(
+        banded, ["band_idx", "band_val"], ["doc_id", "simhash"], star_cap=256
+    )
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
         pairs.select(
