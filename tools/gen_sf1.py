@@ -50,7 +50,7 @@ def main() -> int:
                  CASE
                    WHEN r = 0 THEN text
                    WHEN r % 3 = 1 THEN text || ' variant mark ' || r
-                   WHEN r % 3 = 2 THEN replace(text, 'e', 'e')
+                   WHEN r % 3 = 2 THEN replace(text, 'e', '3')
                                        || ' rev' || r
                    ELSE substr(text, 1, greatest(1, len(text) - r))
                  END AS text,
@@ -58,7 +58,7 @@ def main() -> int:
                  len(CASE
                    WHEN r = 0 THEN text
                    WHEN r % 3 = 1 THEN text || ' variant mark ' || r
-                   WHEN r % 3 = 2 THEN replace(text, 'e', 'e')
+                   WHEN r % 3 = 2 THEN replace(text, 'e', '3')
                                        || ' rev' || r
                    ELSE substr(text, 1, greatest(1, len(text) - r))
                  END) AS n_chars
