@@ -370,3 +370,50 @@ def test_debounce_single_exchange(facts_of):
     shuffle exchange in the whole plan."""
     f = facts_of("pipeline_debounce")
     assert f.shuffles == 1, f.nodes
+
+
+def test_catalog_seam_partitioned_layout_prunes(spark, sf_dir, tmp_path):
+    """The 100-TB catalog contract (catalog.py module docstring): the
+    fixture-flat-file → partitioned-warehouse swap happens at the ONE
+    `spark.read` call site inside load_table, with no query changes.
+    Prove it: write events date-partitioned under the same
+    `<dir>/events.parquet` layout, load it back THROUGH load_table
+    (ts normalization and all), and assert both static partition
+    pruning and runtime (dynamic) partition pruning reach the scan."""
+    from pyspark.sql import functions as F
+
+    from projektdataengineering_spark.catalog import load_table
+    from projektdataengineering_spark.plans import explain_string, plan_facts
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    wh = str(tmp_path / "events.parquet")
+    ev.write.partitionBy("event_date").parquet(wh)
+
+    df = load_table(spark, str(tmp_path), "events")
+    assert df.schema["ts"].dataType.typeName() == "timestamp"  # seam intact
+
+    # static pruning: an equality filter on the partition column becomes
+    # PartitionFilters (directory-level pruning), and the partition
+    # column never appears in the parquet data-file ReadSchema
+    one_day = df.filter(F.col("event_date") == F.lit("2024-01-10")).select(
+        "event_id", "event_date"
+    )
+    f = plan_facts(one_day)
+    assert any("event_date" in p for p in f.partition_filters), (
+        f.partition_filters or f.nodes
+    )
+    assert all("event_date" not in cols for cols in f.read_schemas), f.read_schemas
+
+    # dynamic pruning: a filtered dim joined on the partition column
+    # must inject dynamicpruningexpression into the fact scan at runtime
+    dim = spark.createDataFrame(
+        [("2024-01-10", 1), ("2024-01-11", 2)], "d string, w int"
+    ).select(F.col("d").cast("date").alias("event_date"), "w")
+    j = (
+        df.join(dim.filter("w = 2"), "event_date")
+        .groupBy("event_date")
+        .agg(F.count("*").alias("n"))
+    )
+    assert "dynamicpruningexpression" in explain_string(j, "formatted").lower()
