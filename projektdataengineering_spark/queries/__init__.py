@@ -208,6 +208,9 @@ _DRIVER_VERIFIED = _R01_WINDOW | _R03_WINDOW | _R04_WINDOW
 #   sf1-probe fixes (hot-bucket star cap; adaptive LSH bits) post-date
 #   their rows (fixture-SF outputs unchanged except sim_simhash@sf0.1,
 #   but the implementations differ);
+# * sim_cosine_topk — round 5 graduated it from rows-only to
+#   hash-checked (two-phase bit-stable rescoring + DuckDB all-pairs
+#   oracle), so its r03 rows-only row is superseded;
 # * every other name here reads the events table and holds an r01/r03
 #   row cut BEFORE the us-timestamp fixture regeneration and the
 #   catalog.py normalize_event_ts change (commit "Adapt events.ts
@@ -217,6 +220,7 @@ _DRIVER_VERIFIED = _R01_WINDOW | _R03_WINDOW | _R04_WINDOW
 _RECHECK: tuple[str, ...] = (
     "sim_cosine_exact_pairs", "stream_stream_join",
     "sim_simhash", "sim_cosine_ann_lsh", "dedup_embedding_cosine",
+    "sim_cosine_topk",
     "pipeline_debounce", "filter_highwater", "project_conditional",
     "join_asof", "join_range_bucketized", "agg_approx_distinct",
     "agg_pivot", "agg_scalar_max", "agg_stats_moments",

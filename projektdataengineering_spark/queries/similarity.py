@@ -94,9 +94,31 @@ def _collect_broadcast_matrix(emb: DataFrame, dim: int, max_cells: int):
     return emb.toPandas()
 
 
-@query("sim_cosine_topk", oracle=None)
+_TOPK_COS_SQL = """
+    WITH e AS (
+      SELECT vec_id, embedding,
+             sqrt(list_reduce(
+               list_transform(embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               (p, q) -> p + q)) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_reduce(
+             list_transform(range(1, len(a.embedding) + 1),
+                            i -> CAST(a.embedding[i] AS DOUBLE)
+                                 * CAST(b.embedding[i] AS DOUBLE)),
+             (p, q) -> p + q) / (a.nrm * b.nrm) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ORDER BY cos_sim DESC, id_a, id_b
+    LIMIT 50
+"""
+
+
+@query("sim_cosine_topk", oracle=_TOPK_COS_SQL)
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact global top-50 most-similar embedding pairs by cosine.
+    """Exact global top-50 most-similar embedding pairs by cosine —
+    hash-checked against DuckDB's all-pairs form since round 5.
 
     Blocked brute force, the one place this engine drops to Python on
     purpose: a 64-dim float matmul is exactly what interpreted Column
@@ -104,15 +126,21 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     full (small) side ships to every worker as a broadcast numpy matrix;
     mapInPandas streams Arrow batches of left rows, computes a
     block × all cosine matrix with one BLAS call, and emits only its
-    block-local top 50 — so the global sort sees ≤50 rows per batch.
-    Block-local selection uses the same (-cos, id_a, id_b) total order
-    as the final sort, so ties at the cutoff are globally consistent.
+    block-local top 50 — so the global sort sees ≤~50 rows per batch.
     Quadratic by construction — the calibration baseline for the ANN
     path, exact only while ONE side fits in a broadcast, and that
-    precondition is now ENFORCED: the broadcast side is size-checked
+    precondition is ENFORCED: the broadcast side is size-checked
     (rows × dim ≤ TOPK_BROADCAST_MAX_CELLS) and the query fails loudly
-    past it instead of silently OOMing the driver (rows-only check;
-    verified against numpy in tests/test_operators.py)."""
+    past it instead of silently OOMing the driver.
+
+    Bit-stability (the sim_cosine_exact_pairs two-phase pattern): BLAS
+    values only PRUNE — each block keeps everything within 1e-9 of its
+    local 50th value (wider than the ~1e-13 worst-case BLAS-vs-fold
+    divergence on 64 doubles, so no true top-50 member is ever cut) —
+    and the ≤~50-per-block survivors are re-scored with the left-fold
+    dot/norm column expressions that match DuckDB's list_reduce
+    evaluation order exactly. The emitted cos_sim is the fold value, so
+    the final TakeOrdered(50) and the oracle agree bit for bit."""
     import numpy as np
     # pandas imported at module level (annotation resolution needs it)
 
@@ -138,25 +166,40 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cos[ids_l[:, None] >= ids_r[None, :]] = -np.inf  # each pair once
                 flat = cos.ravel()
                 if flat.size > 50:
-                    # keep EVERY pair tied with the 50th value, then break
-                    # ties under the global (-cos, id_a, id_b) order — a
-                    # plain top-50-by-value could split a tie arbitrarily
+                    # keep everything within the 1e-9 safety margin of
+                    # the block-local 50th BLAS value — candidates only;
+                    # the authoritative fold value decides the final 50
                     thresh = np.partition(flat, -50)[-50]
                     if not np.isfinite(thresh):  # <50 valid pairs in block
                         thresh = np.finfo(np.float64).min
-                    cand = np.nonzero(flat >= thresh)[0]
+                    cand = np.nonzero(flat >= thresh - 1e-9)[0]
                 else:
                     cand = np.arange(flat.size)
                 cand = cand[np.isfinite(flat[cand])]
                 ia, ib = np.unravel_index(cand, cos.shape)
-                c = cos[ia, ib]
-                order = np.lexsort((ids_r[ib], ids_l[ia], -c))[:50]
                 yield pd.DataFrame(
-                    {"id_a": ids_l[ia][order], "id_b": ids_r[ib][order], "cos_sim": c[order]}
+                    {"id_a": ids_l[ia], "id_b": ids_r[ib]}
                 )
 
+    cands = emb.mapInPandas(topk_blocks, schema="id_a long, id_b long")
+    ea = emb.select(
+        F.col("vec_id").alias("id_a"),
+        _as_double(F.col("embedding")).alias("va"),
+    ).select("id_a", "va", _norm(F.col("va")).alias("nrm_a"))
+    eb = emb.select(
+        F.col("vec_id").alias("id_b"),
+        _as_double(F.col("embedding")).alias("vb"),
+    ).select("id_b", "vb", _norm(F.col("vb")).alias("nrm_b"))
     return (
-        emb.mapInPandas(topk_blocks, schema="id_a long, id_b long, cos_sim double")
+        cands.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (_dot(F.col("va"), F.col("vb")) / (F.col("nrm_a") * F.col("nrm_b"))).alias(
+                "cos_sim"
+            ),
+        )
         .orderBy(F.col("cos_sim").desc(), "id_a", "id_b")
         .limit(50)
     )
