@@ -500,3 +500,34 @@ def test_chained_shingle_hashes_match_string_trigrams(spark, sf_dir):
         for b in ids[:10]:
             if a < b:
                 assert len(got[a] & got[b]) == len(truth[a] & truth[b]), (a, b)
+
+
+def test_lsh_bits_adapt_to_row_count():
+    """Hyperplane-LSH bits-per-table must hold bucket occupancy ~flat:
+    fixture SFs stay on the round-1 matrix (6 bits), each decade adds
+    ~3.3 bits, and the int32-bucket cap holds at any N."""
+    import numpy as np
+
+    from projektdataengineering_spark.queries.similarity import (
+        _MAX_BITS_PER_TABLE,
+        _MIN_BITS_PER_TABLE,
+        _TARGET_BUCKET_OCC,
+        _bits_for,
+        _planes_for,
+    )
+
+    assert _bits_for(0) == _MIN_BITS_PER_TABLE
+    assert _bits_for(200) == _MIN_BITS_PER_TABLE  # sf0.01
+    assert _bits_for(2_000) == _MIN_BITS_PER_TABLE  # sf0.1 — round-1 planes
+    assert _bits_for(20_000) == 10  # sf1
+    assert _bits_for(10**9) == _MAX_BITS_PER_TABLE
+    # occupancy stays within a factor ~2 of target across decades
+    for n in (10**5, 10**6, 10**7):
+        bits = _bits_for(n)
+        if bits < _MAX_BITS_PER_TABLE:
+            occ = n / (1 << bits)
+            assert _TARGET_BUCKET_OCC / 2 <= occ <= _TARGET_BUCKET_OCC * 2, (n, bits, occ)
+    # deterministic per bits-value, and 6 bits = the round-1 matrix
+    assert np.array_equal(_planes_for(6), _planes_for(6))
+    assert _planes_for(6).shape == (24, 64)
+    assert _planes_for(10).shape == (40, 64)
