@@ -143,7 +143,7 @@ _R02_WINDOW = frozenset((
 # Round-3's recorded window (CORRECTNESS_r03.json keys — on disk,
 # 45 hash-pass + 5 by-design rows-only clean).
 _R03_WINDOW = frozenset((
-    "sim_cosine_topk", "sim_cosine_ann_lsh", "sim_cosine_ivf",
+    "sim_cosine_topk", "dedup_cluster_cc", "sim_cosine_ann_lsh", "sim_cosine_ivf",
     "sim_minhash_lsh", "sim_simhash", "sim_cosine_exact_pairs",
     "stream_stream_join", "pipeline_neardup_degree",
     "pipeline_debounce", "agg_weighted_avg", "join_exists_correlated",
@@ -211,6 +211,9 @@ _DRIVER_VERIFIED = _R01_WINDOW | _R03_WINDOW | _R04_WINDOW
 # * sim_cosine_topk — round 5 graduated it from rows-only to
 #   hash-checked (two-phase bit-stable rescoring + DuckDB all-pairs
 #   oracle), so its r03 rows-only row is superseded;
+# * dedup_cluster_cc — its CC edge list now star-caps hot band buckets
+#   (components provably identical, but the implementation differs
+#   from its r04 row);
 # * every other name here reads the events table and holds an r01/r03
 #   row cut BEFORE the us-timestamp fixture regeneration and the
 #   catalog.py normalize_event_ts change (commit "Adapt events.ts
@@ -220,7 +223,7 @@ _DRIVER_VERIFIED = _R01_WINDOW | _R03_WINDOW | _R04_WINDOW
 _RECHECK: tuple[str, ...] = (
     "sim_cosine_exact_pairs", "stream_stream_join",
     "sim_simhash", "sim_cosine_ann_lsh", "dedup_embedding_cosine",
-    "sim_cosine_topk",
+    "sim_cosine_topk", "dedup_cluster_cc",
     "pipeline_debounce", "filter_highwater", "project_conditional",
     "join_asof", "join_range_bucketized", "agg_approx_distinct",
     "agg_pivot", "agg_scalar_max", "agg_stats_moments",

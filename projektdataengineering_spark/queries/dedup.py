@@ -106,15 +106,21 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only check: transitive closure needs recursion SQL-92 lacks;
     exactness vs a union-find is pinned in tests/test_operators.py.
 
-    The edge list comes from minhash_band_pairs(include_sig=False) —
-    CC only needs doc-id pairs, so the candidate stage shuffles and
-    dedups bare ids instead of dragging 16-long signatures through
-    collect_list/distinct (the round-1 composition consumed the full
-    sim_minhash_lsh output and paid for signatures it then discarded)."""
+    The edge list comes from minhash_band_pairs(include_sig=False,
+    star_cap=64) — CC only needs doc-id pairs AND only needs
+    connectivity, so the candidate stage shuffles bare ids and a hot
+    band bucket contributes |B|-1 star edges instead of an all-pairs
+    clique: a star and a clique induce exactly the same connected
+    components (equivalence pinned by the union-find test), while the
+    quadratic hot-bucket cost disappears. (The round-1 composition
+    consumed the full sim_minhash_lsh output and paid for signatures
+    it then discarded.)"""
     from ..operators.graph import connected_components
     from .similarity import minhash_band_pairs
 
-    pairs = minhash_band_pairs(spark, sf_dir, include_sig=False).select(
+    pairs = minhash_band_pairs(
+        spark, sf_dir, include_sig=False, star_cap=64
+    ).select(
         F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
     )
     cc = connected_components(pairs, "doc_a", "doc_b")

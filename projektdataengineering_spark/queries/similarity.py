@@ -666,7 +666,10 @@ def _minhash_signature_kernel():
 
 
 def minhash_band_pairs(
-    spark: SparkSession, sf_dir: str, include_sig: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    include_sig: bool = True,
+    star_cap: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs over documents: 3-token shingles →
     16 minhashes → 4 bands of 4 → candidates share any full band.
@@ -684,8 +687,11 @@ def minhash_band_pairs(
     pipeline runs ONCE (a band self-join would execute it twice, once
     per side) and only buckets with ≥2 members survive. Per-bucket cost
     is quadratic in bucket size, which LSH keeps at near-dup-cluster
-    scale; at 100 TB a pathological hot bucket is handled by
-    capping/salting the band key, not by this query."""
+    scale; ``star_cap`` is the pathological-hot-bucket handle — a
+    bucket past it emits min-member star edges instead of the full
+    clique (see _bucket_pairs), which connectivity-only consumers
+    (connected components) can enable with IDENTICAL results, since a
+    star and a clique induce the same components."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     sig = (
         _token_hashes(docs)
@@ -712,7 +718,9 @@ def minhash_band_pairs(
         ).alias("band"),
     ).select(*member_cols, "band.band_idx", "band.band_hash")
 
-    return _bucket_pairs(bands, ["band_idx", "band_hash"], member_cols)
+    return _bucket_pairs(
+        bands, ["band_idx", "band_hash"], member_cols, star_cap=star_cap
+    )
 
 
 @query("sim_minhash_lsh", oracle=None)
