@@ -531,3 +531,25 @@ def test_lsh_bits_adapt_to_row_count():
     assert np.array_equal(_planes_for(6), _planes_for(6))
     assert _planes_for(6).shape == (24, 64)
     assert _planes_for(10).shape == (40, 64)
+
+
+def test_bucket_pairs_star_cap(spark):
+    """_bucket_pairs star_cap semantics: buckets at or under the cap
+    emit the complete pair clique; a bucket past it emits min-member
+    star edges — same connectivity, |B|-1 rows instead of |B|(|B|-1)/2."""
+    from pyspark.sql import functions as F
+
+    from projektdataengineering_spark.queries.similarity import _bucket_pairs
+
+    rows = [("big", i) for i in range(5)] + [("small", 10), ("small", 11)]
+    bands = spark.createDataFrame(rows, "bkt string, doc_id long")
+
+    full = _bucket_pairs(bands, ["bkt"], ["doc_id"])
+    assert full.count() == 10 + 1  # C(5,2) + C(2,2)
+
+    capped = _bucket_pairs(bands, ["bkt"], ["doc_id"], star_cap=4)
+    got = sorted(
+        (r["a"]["doc_id"], r["b"]["doc_id"]) for r in capped.collect()
+    )
+    # big bucket (5 > 4) → star from min member 0; small bucket intact
+    assert got == [(0, 1), (0, 2), (0, 3), (0, 4), (10, 11)]
