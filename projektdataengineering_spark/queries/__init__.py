@@ -235,12 +235,26 @@ _RECHECK: tuple[str, ...] = (
 )
 
 
+def _latest_row_round(name: str) -> int:
+    """Most recent round whose on-disk driver artifact holds this
+    query's correctness row (0 = never verified)."""
+    if name in _R04_WINDOW:
+        return 4
+    if name in _R03_WINDOW:
+        return 3
+    if name in _R01_WINDOW:
+        return 1
+    return 0
+
+
 def load_registry() -> dict[str, QueryDef]:
     """Import all query modules (populating REGISTRY) and return it,
     ordered: r02-claimed-but-unproven first, then never-driver-verified
-    additions, then _RECHECK, then the rest (dict order is the driver's
-    correctness-window order — the first 50 entries get driver rows
-    this round)."""
+    additions, then _RECHECK, then the rest with the STALEST driver row
+    first (dict order is the driver's correctness-window order — the
+    first 50 entries get driver rows this round, so leftover window
+    slots refresh the oldest evidence instead of re-proving last
+    round's)."""
     for mod in _MODULES:
         import_module(f"{__package__}.{mod}")
     recheck = set(_RECHECK)
@@ -250,6 +264,7 @@ def load_registry() -> dict[str, QueryDef]:
              if n not in _DRIVER_VERIFIED and n not in _R02_WINDOW]
     rest = [n for n in REGISTRY
             if n in _DRIVER_VERIFIED and n not in recheck]
+    rest.sort(key=_latest_row_round)  # stable: registration order within a round
     ordered = {}
     for name in (*reclaim, *fresh, *_RECHECK, *rest):
         if name in REGISTRY:
