@@ -180,15 +180,47 @@ def test_minhash_estimates_track_exact_jaccard(spark, sf_dir):
 
 
 def test_simhash_hamming_symmetry(spark, sf_dir):
-    """SimHash candidates: hamming distances are within the declared
-    threshold and every pair is reported once (a<b)."""
+    """SimHash candidates: uncapped pairs are within the declared
+    Hamming threshold, capped (hot-bucket star) pairs may exceed it but
+    never the signature width, and every pair is reported once (a<b)."""
     rows = REGISTRY["sim_simhash"].fn(spark, sf_dir).collect()
     seen = set()
     for r in rows:
         assert r["doc_a"] < r["doc_b"]
-        assert 0 <= r["hamming"] <= 16
+        if r["capped"]:
+            assert 0 <= r["hamming"] <= 60
+        else:
+            assert 0 <= r["hamming"] <= 15
         assert (r["doc_a"], r["doc_b"]) not in seen
         seen.add((r["doc_a"], r["doc_b"]))
+
+
+def test_bucket_pairs_mark_capped_and_project(spark):
+    """_bucket_pairs: over-cap buckets emit min-member star edges
+    flagged capped=True; a pair also surfaced by an under-cap bucket of
+    another band dedups to capped=False; project computes pair values
+    before the dedup and min-agg keeps them."""
+    from projektdataengineering_spark.queries.similarity import _bucket_pairs
+
+    rows = [(1, 10), (1, 20), (1, 30), (1, 40), (2, 30), (2, 10)]
+    bands = spark.createDataFrame(rows, "k int, doc_id long")
+    got = _bucket_pairs(
+        bands,
+        ["k"],
+        ["doc_id"],
+        star_cap=3,
+        mark_capped=True,
+        project=lambda a, b: (
+            [a["doc_id"].alias("da"), b["doc_id"].alias("db")],
+            [(b["doc_id"] - a["doc_id"]).alias("delta")],
+        ),
+    )
+    out = {(r["da"], r["db"]): (r["delta"], r["capped"]) for r in got.collect()}
+    assert out == {
+        (10, 20): (10, True),
+        (10, 30): (20, False),  # star edge in hot k=1, clique edge in cold k=2
+        (10, 40): (30, True),
+    }
 
 
 def test_salted_join_equals_plain_join(spark, sf_dir):
