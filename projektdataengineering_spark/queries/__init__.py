@@ -143,7 +143,7 @@ _R02_WINDOW = frozenset((
 # Round-3's recorded window (CORRECTNESS_r03.json keys — on disk,
 # 45 hash-pass + 5 by-design rows-only clean).
 _R03_WINDOW = frozenset((
-    "sim_cosine_topk", "dedup_cluster_cc", "sim_cosine_ann_lsh", "sim_cosine_ivf",
+    "sim_cosine_topk", "sim_cosine_ann_lsh", "sim_cosine_ivf",
     "sim_minhash_lsh", "sim_simhash", "sim_cosine_exact_pairs",
     "stream_stream_join", "pipeline_neardup_degree",
     "pipeline_debounce", "agg_weighted_avg", "join_exists_correlated",
@@ -193,37 +193,13 @@ _R04_WINDOW = frozenset((
     "text_tokenize_wordcount", "text_ngram", "text_langid",
     "text_quality_score", "text_fingerprint", "text_token_count",
 ))
-_DRIVER_VERIFIED = _R01_WINDOW | _R03_WINDOW | _R04_WINDOW
-
-# Verified in an earlier round, but the implementation, oracle, or an
-# upstream seam changed afterwards — their old driver row no longer
-# certifies the current code, so they re-enter the window right after
-# the never-verified block.  Round-5 population (round-4 VERDICT.md
-# "Next round" #2):
-# * sim_cosine_exact_pairs — two-phase BLAS prefilter landed AFTER its
-#   r03 row was cut;
-# * stream_stream_join — stream_state_partitions state-store sizing
-#   landed after its r03 row;
-# * sim_simhash / sim_cosine_ann_lsh / dedup_embedding_cosine — round-5
-#   sf1-probe fixes (hot-bucket star cap; adaptive LSH bits) post-date
-#   their rows (fixture-SF outputs unchanged except sim_simhash@sf0.1,
-#   but the implementations differ);
-# * sim_cosine_topk — round 5 graduated it from rows-only to
-#   hash-checked (two-phase bit-stable rescoring + DuckDB all-pairs
-#   oracle), so its r03 rows-only row is superseded;
-# * dedup_cluster_cc — its CC edge list now star-caps hot band buckets
-#   (components provably identical, but the implementation differs
-#   from its r04 row);
-# * every other name here reads the events table and holds an r01/r03
-#   row cut BEFORE the us-timestamp fixture regeneration and the
-#   catalog.py normalize_event_ts change (commit "Adapt events.ts
-#   loading to regenerated us-timestamp fixtures") — local oracle
-#   replay is green, but the on-disk driver evidence predates the code
-#   and fixtures it must certify.
-_RECHECK: tuple[str, ...] = (
-    "sim_cosine_exact_pairs", "stream_stream_join",
-    "sim_simhash", "sim_cosine_ann_lsh", "dedup_embedding_cosine",
-    "sim_cosine_topk", "dedup_cluster_cc",
+# Round-5's recorded window (CORRECTNESS_r05.json keys — on disk,
+# 43 hash-pass + 7 by-design rows-only clean; it cleared the whole
+# round-5 _RECHECK population and graduated sim_cosine_topk).
+_R05_WINDOW = frozenset((
+    "multimodal_video_frames", "sim_cosine_exact_pairs",
+    "stream_stream_join", "sim_simhash", "sim_cosine_ann_lsh",
+    "dedup_embedding_cosine", "sim_cosine_topk", "dedup_cluster_cc",
     "pipeline_debounce", "filter_highwater", "project_conditional",
     "join_asof", "join_range_bucketized", "agg_approx_distinct",
     "agg_pivot", "agg_scalar_max", "agg_stats_moments",
@@ -231,13 +207,49 @@ _RECHECK: tuple[str, ...] = (
     "window_range_frame", "scalar_json", "map_ops",
     "pipeline_dq_report", "pipeline_winsorize", "agg_mode_exact",
     "agg_median_exact", "scalar_bitwise", "agg_collect_set_sorted",
-    "scan_jsonl_roundtrip",
+    "scan_jsonl_roundtrip", "dedup_exact", "scan_project_cast",
+    "filter_compound", "join_inner_equi", "join_left_outer",
+    "join_full_outer", "join_semi", "join_anti", "join_broadcast",
+    "join_multiway", "join_theta_range", "join_fuzzy_levenshtein",
+    "agg_groupby_multi", "agg_distinct", "agg_having", "agg_rollup",
+    "agg_cube", "agg_grouping_sets", "subquery_avg_yearly",
+    "agg_approx_quantile",
+))
+_DRIVER_VERIFIED = _R01_WINDOW | _R03_WINDOW | _R04_WINDOW | _R05_WINDOW
+
+# Verified in an earlier round, but the implementation, oracle, or an
+# upstream seam changed afterwards — their old driver row no longer
+# certifies the current code, so they re-enter the window right after
+# the never-verified block.  Round-6 population:
+# * sim_minhash_lsh — estimator path rebuilt (star_cap=256 + capped
+#   marker column; est_jaccard computed pre-dedup via _bucket_pairs
+#   project) after its r03 rows-only row;
+# * sim_simhash — full round-6 redesign: portable 60-bit md5 token
+#   hash, 15-bit bands, Hamming ≤ 15, capped star pairs kept+flagged,
+#   and GRADUATED to a DuckDB bit-arithmetic oracle — its r05
+#   rows-only row certifies a different query;
+# * dedup_cluster_cc / sim_ngram_jaccard consume _bucket_pairs /
+#   minhash_band_pairs, whose pair-generation seam was rebuilt this
+#   round (outputs verified locally unchanged, but the seam differs
+#   from their r05/r04 rows);
+# * sim_cosine_ann_lsh / dedup_embedding_cosine — adaptive-bits row
+#   count now comes from the raw-scan count (plan seam change), and
+#   dedup_embedding_cosine runs at the 0.95 production threshold over
+#   planted-near-dup unions (round-6);
+# * sim_cosine_exact_pairs — per-block top-k bound knob landed after
+#   its r05 row (default path unchanged, code differs).
+_RECHECK: tuple[str, ...] = (
+    "sim_minhash_lsh", "sim_simhash", "dedup_cluster_cc",
+    "sim_ngram_jaccard", "sim_cosine_ann_lsh",
+    "dedup_embedding_cosine", "sim_cosine_exact_pairs",
 )
 
 
 def _latest_row_round(name: str) -> int:
     """Most recent round whose on-disk driver artifact holds this
     query's correctness row (0 = never verified)."""
+    if name in _R05_WINDOW:
+        return 5
     if name in _R04_WINDOW:
         return 4
     if name in _R03_WINDOW:
