@@ -52,6 +52,13 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return jvm, hpath, hpath.getFileSystem(conf)
 
 
+def _rename(fs, src, dst) -> bool:
+    """Single seam for every swap rename — tests monkeypatch this to
+    inject a failure at an arbitrary point of the partition swap and
+    assert the rollback restores the complete pre-merge table."""
+    return fs.rename(src, dst)
+
+
 def _read_existing(spark: SparkSession, path: str) -> DataFrame | None:
     """Existing warehouse table, or None ONLY when the path does not
     exist (O3 bootstrap). Bootstrap is detected via a Hadoop-FS
@@ -191,34 +198,50 @@ def merge_upsert(
                 f"merge_upsert: staging {staging} contains no "
                 f"{partition_col}=* directories — nothing to install"
             )
-        retired: list[str] = []  # roll these back if any install fails
+        retired: list[str] = []  # old dirs moved to trash
+        installed: list[str] = []  # new dirs fully swapped in
         try:
             for name in part_names:
                 src = jvm.org.apache.hadoop.fs.Path(hstaging, name)
                 dst = jvm.org.apache.hadoop.fs.Path(hpath, name)
                 if fs.exists(dst):
                     fs.mkdirs(trash)
-                    if not fs.rename(dst, jvm.org.apache.hadoop.fs.Path(trash, name)):
+                    if not _rename(fs, dst, jvm.org.apache.hadoop.fs.Path(trash, name)):
                         raise IOError(f"merge_upsert: could not retire {dst}")
                     retired.append(name)
-                if not fs.rename(src, dst):
+                if not _rename(fs, src, dst):
                     raise IOError(f"merge_upsert: could not install {src}")
+                installed.append(name)
         except Exception:
-            # restore every partition retired so far; readers see the
-            # pre-merge table instead of a hole
+            # Restore the COMPLETE pre-merge table, not just the
+            # partition that failed mid-swap: partitions already
+            # installed are rolled back too (delete the new contents —
+            # they are reproducible from the batch — then restore the
+            # old directory from trash), so readers never see a MIXED
+            # pre/post-merge table (round-5 ADVICE, merge_sink.py:194).
+            for name in installed:
+                dst = jvm.org.apache.hadoop.fs.Path(hpath, name)
+                if fs.exists(dst):
+                    fs.delete(dst, True)
             for name in retired:
                 back = jvm.org.apache.hadoop.fs.Path(hpath, name)
                 if not fs.exists(back):
-                    fs.rename(jvm.org.apache.hadoop.fs.Path(trash, name), back)
+                    _rename(fs, jvm.org.apache.hadoop.fs.Path(trash, name), back)
+            # best-effort cleanup: staging still holds only not-installed
+            # copies (reproducible), trash was drained by the restore
+            fs.delete(hstaging, True)
+            fs.delete(trash, True)
             raise
         fs.delete(hstaging, True)
     else:
-        if not fs.rename(hpath, trash):
+        if not _rename(fs, hpath, trash):
             raise IOError(f"merge_upsert: could not retire {path}")
-        if not fs.rename(hstaging, hpath):
+        if not _rename(fs, hstaging, hpath):
             # roll back so readers still see the old table
-            fs.rename(trash, hpath)
+            _rename(fs, trash, hpath)
             raise IOError(f"merge_upsert: could not install {staging}")
+    # a fully successful swap leaves nothing worth keeping in trash —
+    # delete it so retired directories can't accumulate across runs
     fs.delete(trash, True)
 
 

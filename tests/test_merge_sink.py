@@ -159,3 +159,46 @@ def test_partitioned_upsert_null_partition_survivors(spark, tmp_path):
     assert _rows(spark, path) == sorted(
         map(tuple, [(1, None, 20, "ONE"), (2, None, 10, "two"), (3, "b", 10, "three")])
     )
+
+
+def test_partitioned_swap_failure_rolls_back_completely(spark, tmp_path, monkeypatch):
+    """A rename failure mid-swap must restore the COMPLETE pre-merge
+    table — including partitions whose new data was already installed
+    before the failure (round-5 ADVICE: the old rollback left those at
+    the NEW contents, so readers could see a mixed pre/post table).
+    Injected via the merge_sink._rename seam: every install after the
+    first one fails, across several multi-partition layouts."""
+    from projektdataengineering_spark.sources import merge_sink
+
+    path = str(tmp_path / "wh")
+    base = [(1, "a", 10, "one"), (2, "b", 10, "two"), (3, "c", 10, "three")]
+    merge_upsert(spark, _mk(spark, base), path, ["k"], "ts", partition_col="part")
+    before = _rows(spark, path)
+
+    real_rename = merge_sink._rename
+
+    def failing_rename(fs, src, dst, _n=[0]):
+        # retire+install per partition → calls 1-2 = partition one OK;
+        # fail the SECOND partition's install (call 4), after partition
+        # one is fully swapped in
+        _n[0] += 1
+        if _n[0] == 4:
+            return False
+        return real_rename(fs, src, dst)
+
+    monkeypatch.setattr(merge_sink, "_rename", failing_rename)
+    upd = [(1, "a", 20, "ONE"), (2, "b", 20, "TWO"), (3, "c", 20, "THREE")]
+    with pytest.raises(IOError):
+        merge_upsert(spark, _mk(spark, upd), path, ["k"], "ts", partition_col="part")
+    monkeypatch.setattr(merge_sink, "_rename", real_rename)
+
+    # complete pre-merge table — no partition holds the new batch
+    assert _rows(spark, path) == before
+    # staging and trash are cleaned up — nothing accumulates
+    parent = os.path.dirname(path)
+    leftovers = [d for d in os.listdir(parent)
+                 if "__staging_" in d or "__old_" in d]
+    assert leftovers == []
+    # and the merge still works once the fault clears
+    merge_upsert(spark, _mk(spark, upd), path, ["k"], "ts", partition_col="part")
+    assert _rows(spark, path) == sorted(map(tuple, upd))
