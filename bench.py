@@ -1,23 +1,37 @@
 #!/usr/bin/env python
 """Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on one shared local[$SPARK_GRAFT_CPUS]
-session and prints ONE JSON line:
+session and prints ONE JSON line on stdout:
 
     {"metric": "suite_wall_sec", "value": N, "unit": "sec",
-     "queries": {"q": sec, ...}, "sf": 0.1,
-     "passes": 2, "pass_walls": [...], "queries_passes": [{...}, {...}]}
+     "queries": {"q": sec, ...}, "sf": 0.1, "passes": 2,
+     "warmup_sec": W, "pass_walls": [...],
+     "queries_elided": K, "full": "BENCH_full.json"}
 
 Each query is executed with a `noop` write — full plan execution on the
 executors, zero driver materialization — so the timing measures the
 engine, not result transfer.
 
+Measurement boundary (round-5 ADVICE, bench.py:97): ``value`` is
+warm-up + the first pass's suite wall, i.e. the timer starts BEFORE the
+session warm-up block — the same boundary the original single-pass
+harness measured, so committed suite walls stay comparable across every
+round. ``warmup_sec`` is also reported separately.
+
 Noise posture (round-4 verdict #6): the suite runs ``--passes`` times
-(default 2; env SPARK_GRAFT_BENCH_PASSES overrides). ``value`` is the
-FIRST pass's suite wall — directly comparable to the single-pass
-BASELINE budget and to earlier rounds — while ``queries`` carries the
-per-query MIN across passes (the scheduling-noise-free per-query cost)
-and ``queries_passes`` keeps every raw pass so regressions can be told
-apart from one-off contention.
+(default 2; env SPARK_GRAFT_BENCH_PASSES overrides). ``queries``
+carries the per-query MIN across passes (the scheduling-noise-free
+per-query cost); the full per-pass matrix lives in BENCH_full.json.
+
+Stdout size contract (round-5 verdict #8): the driver stores only the
+TAIL (~2 KB) of stdout, and a 143-query map is ~4 KB — every earlier
+round's driver bench artifact therefore ended up truncated and
+unparseable ("parsed": null). The single stdout line now keeps itself
+under ~1.8 KB by carrying only the SLOWEST queries (they are the ones
+cross-round comparisons need), with ``queries_elided`` counting the
+fast ones dropped from the line; the COMPLETE payload — full per-query
+map and per-pass matrix — is always written to BENCH_full.json, which
+is committed per round.
 """
 
 from __future__ import annotations
@@ -28,6 +42,9 @@ import sys
 import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# keep the stdout JSON line inside the driver's ~2 KB stdout-tail window
+_STDOUT_LINE_BUDGET = 1800
 
 
 def _sf_of(path: str) -> float:
@@ -50,13 +67,15 @@ def main() -> int:
     from projektdataengineering_spark.session import get_spark
 
     n_passes = _n_passes(sys.argv[1:])
+    t_suite0 = time.perf_counter()  # BEFORE warm-up — see docstring
     spark = get_spark(app_name="pde-bench")
     registry = load_registry()
 
-    # Warm the session (JVM/codegen) on the flagship before timing, and
-    # spin up the reusable Python/Arrow worker pool with one trivial
-    # mapInPandas — otherwise the alphabetically-first pandas-UDF query
-    # absorbs the worker cold-start into its measurement.
+    # Warm the session (JVM/codegen) on the flagship before per-query
+    # timing, and spin up the reusable Python/Arrow worker pool with one
+    # trivial mapInPandas — otherwise the alphabetically-first
+    # pandas-UDF query absorbs the worker cold-start into its
+    # measurement. This block is INSIDE the suite-wall timer.
     try:
         from projektdataengineering_spark.flagship import flagship
 
@@ -66,6 +85,7 @@ def main() -> int:
         ).write.format("noop").mode("overwrite").save()
     except Exception as exc:
         print(f"bench: warm-up failed: {exc}", file=sys.stderr)
+    warmup_sec = round(time.perf_counter() - t_suite0, 3)
 
     pass_timings: list[dict[str, float]] = []
     pass_walls: list[float] = []
@@ -91,28 +111,48 @@ def main() -> int:
         vals = [p[name] for p in pass_timings]
         merged[name] = -1.0 if any(v < 0 for v in vals) else min(vals)
 
-    payload = json.dumps(
-        {
-            "metric": "suite_wall_sec",
-            "value": pass_walls[0],
-            "unit": "sec",
-            "queries": merged,
-            "sf": _sf_of(SF_DIR),
-            "passes": n_passes,
-            "pass_walls": pass_walls,
-            "queries_passes": pass_timings,
-        }
+    headline = {
+        "metric": "suite_wall_sec",
+        # warm-up + first pass: the boundary every round's committed
+        # number has used (see docstring)
+        "value": round(warmup_sec + pass_walls[0], 3),
+        "unit": "sec",
+        "sf": _sf_of(SF_DIR),
+        "passes": n_passes,
+        "warmup_sec": warmup_sec,
+        "pass_walls": pass_walls,
+    }
+
+    # complete record → BENCH_full.json (committed per round)
+    full_payload = json.dumps(
+        {**headline, "queries": merged, "queries_passes": pass_timings}
     )
-    print(payload)
-    # The driver stores only the TAIL of stdout (~2 KB), which truncates
-    # the per-query map to the end of the alphabet; persist the complete
-    # JSON so every timing survives for the judge (round-3 verdict #6).
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_full.json"), "w") as fh:
-            fh.write(payload + "\n")
+            fh.write(full_payload + "\n")
     except OSError as exc:
         print(f"bench: could not write BENCH_full.json: {exc}", file=sys.stderr)
+
+    # stdout line: failures always included, then slowest-first until
+    # the size budget is hit
+    ordered = sorted(merged, key=lambda n: (merged[n] >= 0, -merged[n]))
+    kept: dict[str, float] = {}
+    for name in ordered:
+        kept[name] = merged[name]
+        line = json.dumps(
+            {**headline, "queries": kept,
+             "queries_elided": len(merged) - len(kept),
+             "full": "BENCH_full.json"}
+        )
+        if len(line) > _STDOUT_LINE_BUDGET and len(kept) > 1:
+            del kept[name]
+            break
+    print(json.dumps(
+        {**headline, "queries": kept,
+         "queries_elided": len(merged) - len(kept),
+         "full": "BENCH_full.json"}
+    ))
     spark.stop()
     return 0
 
