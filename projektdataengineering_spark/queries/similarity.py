@@ -336,6 +336,15 @@ def lsh_candidate_cosine(
     # adaptive-bits sizing needs only the base row count: a count on the
     # raw scan is answered from parquet stats (no column read)
     n_rows = load_table(spark, sf_dir, "embeddings").count()
+    return lsh_candidate_cosine_frame(e, directed=directed, n_rows=n_rows)
+
+
+def lsh_candidate_cosine_frame(
+    e: DataFrame, directed: bool = True, n_rows: int | None = None
+) -> DataFrame:
+    """Frame-level form of :func:`lsh_candidate_cosine` for callers that
+    build their own (vec_id, vec) corpus — e.g. the embedding dedup
+    sweep, which unions the table with planted near-dup twins."""
     pairs = _lsh_candidate_pairs(e, n_rows=n_rows)
     if not directed:
         pairs = pairs.filter(F.col("id_n") < F.col("id_q"))
@@ -1119,7 +1128,12 @@ EXACT_PAIRS_MAX_BLOCK_ROWS = 10_000
 
 
 @query("sim_cosine_exact_pairs", oracle=_EXACT_COS_SQL)
-def sim_cosine_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_cosine_exact_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    per_vector_topk: int | None = None,
+    count_only: bool = False,
+) -> DataFrame:
     """Label-blocked EXACT cosine pairs above τ=0.25 — the similarity
     family's hash-checked anchor. Everything upstream of this file's
     ANN paths (LSH, IVF) is calibrated statistically; this query pins
@@ -1129,6 +1143,17 @@ def sim_cosine_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     zip_with ≡ list_reduce over an index range; Spark's 0.0 seed is
     IEEE-absorbed), and cos = dot/(nrm_a*nrm_b) is one multiply and
     one divide in pinned order.
+
+    Output bound (round-5 verdict #6): the sf0.1→sf1 slope of this
+    query is ~1.9 because the RESULT SET itself grows quadratically
+    inside legal block sizes — correct but unbounded for a scale user.
+    Two optional knobs bound it without touching the default (oracle-
+    checked) behavior: ``per_vector_topk=k`` keeps only each vec_a's k
+    highest-cosine partners (one extra window exchange, output ≤ k·N
+    rows), and ``count_only=True`` reduces to a single (n_pairs) row —
+    the anchor's calibration role (how many pairs clear τ?) with O(1)
+    result transfer. Both compose; both are pinned by
+    tests/test_operators.py against the default output.
 
     Two-phase pair evaluation (the round-3 verdict's fix): the
     quadratic candidate side pays ONE Arrow/BLAS cosine per pair
@@ -1196,7 +1221,7 @@ def sim_cosine_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, t: acc + t,
     )
-    return (
+    res = (
         a.join(
             b,
             (F.col("label_a") == F.col("label_b"))
@@ -1210,3 +1235,15 @@ def sim_cosine_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= _EXACT_COS_TAU)
     )
+    if per_vector_topk is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("vec_a").orderBy(F.col("cos_sim").desc(), "vec_b")
+        res = (
+            res.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= per_vector_topk)
+            .drop("rk")
+        )
+    if count_only:
+        res = res.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    return res

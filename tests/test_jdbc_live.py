@@ -101,7 +101,59 @@ _SCRIPT = textwrap.dedent(
     hwm2 = read_jdbc_pushdown(
         spark, url, jdbc_pushed_query("SELECT MAX(id) AS mx FROM weather"),
         properties=props).collect()[0]["mx"]
-    print(json.dumps({"mx": int(mx), "n2": int(n2), "mx2": int(hwm2)}))
+
+    # --- NUMERIC type fidelity (round-5 verdict #7) -----------------
+    # Mirror the reference warehouse's exact column types
+    # (/root/reference/postgres/init.sql:5-12: TIMESTAMP,
+    # NUMERIC(7,2) precipitation, NUMERIC(9,6) coordinates) and prove
+    # decimal values survive a Spark-JDBC write + read-back at full
+    # scale/precision — including boundary values and negatives — with
+    # a small batchsize so the batched-write path actually batches.
+    from datetime import datetime
+    from decimal import Decimal
+    con = duckdb.connect(dbfile)
+    con.execute(
+        "CREATE TABLE weather_numeric ("
+        " event_id VARCHAR(50), start_utc TIMESTAMP,"
+        " precipitation_in NUMERIC(7,2), location_lat NUMERIC(9,6))")
+    con.close()
+    nrows = [
+        ("e1", datetime(2024, 1, 15, 6, 30, 0), Decimal("12345.67"), Decimal("47.606209")),
+        ("e2", datetime(2024, 1, 15, 7, 0, 0), Decimal("0.01"), Decimal("-122.332071")),
+        ("e3", datetime(2024, 1, 15, 7, 30, 0), Decimal("99999.99"), Decimal("0.000001")),
+        ("e4", datetime(2024, 1, 15, 8, 0, 0), Decimal("-99999.99"), Decimal("-89.999999")),
+        ("e5", datetime(2024, 1, 15, 8, 30, 0), None, Decimal("0.000000")),
+    ]
+    dfn = spark.createDataFrame(
+        nrows,
+        "event_id string, start_utc timestamp,"
+        " precipitation_in decimal(7,2), location_lat decimal(9,6)")
+    write_jdbc_append(dfn, url, "weather_numeric", props,
+                      num_partitions=1, batchsize=2)
+    backn = read_jdbc_pushdown(spark, url, "weather_numeric", properties=props)
+    # schema fidelity: the JDBC read must surface the DDL's exact
+    # precision/scale, not a widened default
+    f = {fl.name: fl.dataType.simpleString() for fl in backn.schema.fields}
+    assert f["precipitation_in"] == "decimal(7,2)", f
+    assert f["location_lat"] == "decimal(9,6)", f
+    gotn = sorted(
+        (r["event_id"], r["start_utc"].isoformat(),
+         None if r["precipitation_in"] is None else str(r["precipitation_in"]),
+         str(r["location_lat"]))
+        for r in backn.collect())
+    expn = sorted(
+        (e, ts.isoformat(), None if p is None else str(p), str(lat))
+        for e, ts, p, lat in nrows)
+    assert gotn == expn, f"NUMERIC round-trip altered values: {gotn} != {expn}"
+    # replaying the same decimal batch accumulates (append semantics),
+    # each batch intact
+    write_jdbc_append(dfn, url, "weather_numeric", props,
+                      num_partitions=1, batchsize=2)
+    n_num = read_jdbc_pushdown(
+        spark, url, "weather_numeric", properties=props).count()
+
+    print(json.dumps({"mx": int(mx), "n2": int(n2), "mx2": int(hwm2),
+                      "n_num": int(n_num)}))
     spark.stop()
     """
 )
@@ -125,3 +177,4 @@ def test_live_jdbc_round_trip(tmp_path):
     assert out["mx"] == 99  # DB-side aggregate saw the first batch
     assert out["n2"] == 110  # append accumulated both batches
     assert out["mx2"] == 109  # and the pushed MAX advanced
+    assert out["n_num"] == 10  # NUMERIC appends accumulated both batches

@@ -585,3 +585,55 @@ def test_bucket_pairs_star_cap(spark):
     )
     # big bucket (5 > 4) → star from min member 0; small bucket intact
     assert got == [(0, 1), (0, 2), (0, 3), (0, 4), (10, 11)]
+
+
+def test_embedding_dedup_production_threshold_planted_twins(spark, sf_dir):
+    """dedup_embedding_cosine at the 0.95 production threshold: the
+    planted twin of every _TWIN_EVERY-th vector must canonicalize to
+    exactly its original (LSH recall + exact rescore), and no random
+    fixture pair may cross the threshold."""
+    from pyspark.sql import functions as F
+
+    from projektdataengineering_spark.catalog import load_table
+    from projektdataengineering_spark.queries.dedup import (
+        _TWIN_EVERY,
+        _TWIN_OFFSET,
+    )
+
+    ids = [
+        r["vec_id"]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % _TWIN_EVERY == 0)
+        .select("vec_id")
+        .collect()
+    ]
+    got = {
+        r["vec_id"]: r["dup_of"]
+        for r in REGISTRY["dedup_embedding_cosine"].fn(spark, sf_dir).collect()
+    }
+    assert got == {k + _TWIN_OFFSET: k for k in ids}
+
+
+def test_exact_pairs_bound_knobs_consistent_with_default(spark, sf_dir):
+    """sim_cosine_exact_pairs' scale knobs: per_vector_topk keeps each
+    vec_a's highest-cosine partners from the DEFAULT result set, and
+    count_only returns exactly the default row count — so the bounded
+    modes are projections of the oracle-checked answer, never a
+    different answer."""
+    from projektdataengineering_spark.queries.similarity import (
+        sim_cosine_exact_pairs,
+    )
+
+    full = sim_cosine_exact_pairs(spark, sf_dir).collect()
+    by_a: dict[int, list] = {}
+    for r in full:
+        by_a.setdefault(r["vec_a"], []).append(r)
+
+    top1 = sim_cosine_exact_pairs(spark, sf_dir, per_vector_topk=1).collect()
+    assert len(top1) == len(by_a)
+    for r in top1:
+        best = max(by_a[r["vec_a"]], key=lambda x: (x["cos_sim"], -x["vec_b"]))
+        assert (r["vec_b"], r["cos_sim"]) == (best["vec_b"], best["cos_sim"])
+
+    cnt = sim_cosine_exact_pairs(spark, sf_dir, count_only=True).collect()
+    assert [(r["n_pairs"],) for r in cnt] == [(len(full),)]
