@@ -237,11 +237,15 @@ _DRIVER_VERIFIED = _R01_WINDOW | _R03_WINDOW | _R04_WINDOW | _R05_WINDOW
 #   dedup_embedding_cosine runs at the 0.95 production threshold over
 #   planted-near-dup unions (round-6);
 # * sim_cosine_exact_pairs — per-block top-k bound knob landed after
-#   its r05 row (default path unchanged, code differs).
+#   its r05 row (default path unchanged, code differs);
+# * pipeline_minhash_pairs_portable — its body was extracted into the
+#   _portable_pairs helper (shared with the new portable-CC queries)
+#   after its r04 row; plan unchanged, but the seam differs.
 _RECHECK: tuple[str, ...] = (
     "sim_minhash_lsh", "sim_simhash", "dedup_cluster_cc",
     "sim_ngram_jaccard", "sim_cosine_ann_lsh",
     "dedup_embedding_cosine", "sim_cosine_exact_pairs",
+    "pipeline_minhash_pairs_portable",
 )
 
 

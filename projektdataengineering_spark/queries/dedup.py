@@ -69,8 +69,44 @@ _TWIN_EVERY = 20
 _TWIN_AMPLITUDE = 0.06
 EMBEDDING_DUP_THRESHOLD = 0.95
 
+# DuckDB oracle: recompute the SAME twin construction in SQL (list
+# index i is 1-based there, Spark's transform index is 0-based — hence
+# (i-1)), then score EVERY pair exactly (no LSH) and keep pairs >= the
+# production threshold. A hash-match therefore certifies not just the
+# arithmetic but that the hyperplane-LSH candidate set achieved recall
+# 1.0 on the >=0.95 regime at the checked SF — the property the
+# rows-only era could only assert in unit tests. The output carries
+# ids only, so float-ulp drift cannot flip a row: the nearest
+# classification margins are cos≈0.998 (twins) vs <=~0.6 (random).
+_EMBED_DUP_ORACLE = f"""
+    WITH base AS (SELECT vec_id, embedding AS emb FROM embeddings),
+    twins AS (
+      SELECT vec_id + {_TWIN_OFFSET} AS vec_id,
+             list_transform(range(1, len(emb) + 1),
+                i -> emb[i] * (1.0 + {_TWIN_AMPLITUDE} * (((i - 1) % 7) - 3) / 3.0)) AS emb
+      FROM base WHERE vec_id % {_TWIN_EVERY} = 0
+    ),
+    corpus AS (SELECT vec_id, emb FROM base UNION ALL SELECT vec_id, emb FROM twins),
+    comp AS (
+      SELECT vec_id,
+             generate_subscripts(emb, 1) AS i,
+             CAST(unnest(emb) AS DOUBLE) AS x,
+             sqrt(list_sum([CAST(v AS DOUBLE) * v for v in emb])) AS nrm
+      FROM corpus
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_n, b.vec_id AS id_q,
+             SUM(a.x * b.x) / (ANY_VALUE(a.nrm) * ANY_VALUE(b.nrm)) AS cos_sim
+      FROM comp a JOIN comp b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT id_q AS vec_id, MIN(id_n) AS dup_of
+    FROM pairs WHERE cos_sim >= {EMBEDDING_DUP_THRESHOLD}
+    GROUP BY id_q ORDER BY vec_id
+"""
 
-@query("dedup_embedding_cosine", oracle=None)
+
+@query("dedup_embedding_cosine", oracle=_EMBED_DUP_ORACLE)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space near-duplicate assignment AT THE PRODUCTION
     THRESHOLD (cos ≥ 0.95): vectors whose cosine to a lower-id vector
@@ -98,8 +134,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity.lsh_candidate_cosine_frame(directed=False) — ALL
     candidate pairs with exact cosine, NO per-query rank cap (threshold
     completeness needs every candidate). The undirected form halves the
-    cosine work: each pair is scored once, with id_n < id_q. Rows-only
-    check: threshold + LSH recall are not SQL-expressible."""
+    cosine work: each pair is scored once, with id_n < id_q.
+
+    GRADUATED to hash-checked (round 6): the oracle recomputes the twin
+    construction and EXACT all-pairs cosine in DuckDB (feasible at the
+    driver's sf0.01; the Spark side stays LSH-pruned for scale), so the
+    driver hash-match proves the LSH candidate set reached recall 1.0
+    on every >=threshold pair — see _EMBED_DUP_ORACLE."""
     from .similarity import _as_double, _norm, lsh_candidate_cosine_frame
 
     emb = load_table(spark, sf_dir, "embeddings")

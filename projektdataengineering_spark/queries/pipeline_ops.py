@@ -625,24 +625,23 @@ def pipeline_doc_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _portable_signature(spark, sf_dir)
 
 
-@query(
-    "pipeline_minhash_pairs_portable",
-    oracle=f"""
+# Shared oracle spec for the portable candidate-pair set: the self-join
+# is the SEMANTIC definition; the Spark plan is groupBy-bucket pair
+# expansion (see _portable_pairs).
+_PORTABLE_PAIRS_SQL = f"""
     WITH sig AS ({_SIG_SQL})
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM sig a JOIN sig b
       ON a.m0 = b.m0 AND a.m1 = b.m1 AND a.m2 = b.m2 AND a.m3 = b.m3
      AND a.doc_id < b.doc_id
-    """,
-)
-def pipeline_minhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate candidate pairs agreeing on the FULL 4-lane
-    portable signature (one band of 4 — high-precision candidates).
-    Spark-first shape: groupBy the signature and expand pairs inside
-    each bucket (sorted members → each pair emitted (smaller, larger)
-    exactly once), so the signature pipeline executes once and only
-    ids shuffle — the oracle's self-join is the semantic spec, not the
-    plan."""
+"""
+
+
+def _portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a < doc_b) candidate pairs agreeing on the full 4-lane
+    portable signature — groupBy the signature and expand pairs inside
+    each bucket (sorted members → each pair emitted exactly once), so
+    the signature pipeline executes once and only ids shuffle."""
     sig = _portable_signature(spark, sf_dir)
     key = [f"m{i}" for i in range(_PORTABLE_LANES)]
     buckets = (
@@ -663,6 +662,117 @@ def pipeline_minhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFra
         buckets.select(F.explode(pairs).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
     )
+
+
+@query("pipeline_minhash_pairs_portable", oracle=_PORTABLE_PAIRS_SQL)
+def pipeline_minhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidate pairs agreeing on the FULL 4-lane
+    portable signature (one band of 4 — high-precision candidates).
+    Spark-first shape: groupBy the signature and expand pairs inside
+    each bucket (sorted members → each pair emitted (smaller, larger)
+    exactly once), so the signature pipeline executes once and only
+    ids shuffle — the oracle's self-join is the semantic spec, not the
+    plan."""
+    return _portable_pairs(spark, sf_dir)
+
+
+# Transitive closure of the portable pair set, as SQL: DuckDB's
+# recursive CTE floods every component member with every label reachable
+# from it (UNION = distinct keeps it finite), then MIN per node is the
+# component's minimum id — the same fixpoint operators/graph.py reaches
+# by iterative min-label propagation. Tractable at oracle scale because
+# full-band portable buckets are tiny; the Spark side is the
+# diameter-bounded distributed algorithm.
+_PORTABLE_CLUSTERS_SQL = f"""
+    WITH RECURSIVE
+    pairs AS ({_PORTABLE_PAIRS_SQL}),
+    und AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT u.a, r.label FROM und u JOIN reach r ON u.b = r.node
+    )
+    SELECT node AS doc_id, MIN(label) AS cluster_id
+    FROM reach GROUP BY node
+"""
+
+
+@query(
+    "pipeline_dedup_clusters_portable",
+    oracle=_PORTABLE_CLUSTERS_SQL + " ORDER BY doc_id",
+)
+def pipeline_dedup_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked transitive dedup clusters: the portable MinHash
+    candidate pairs promoted to connected components (A~B, B~C ⇒ one
+    {A,B,C} group even though A~C was never emitted), labeled by the
+    component's minimum doc_id.
+
+    This graduates the engine's distributed connected-components
+    operator itself (operators/graph.py — iterative min-label
+    propagation, localCheckpoint lineage cuts, diameter-bounded) to a
+    value-level DuckDB oracle via a recursive-CTE transitive closure:
+    `dedup_cluster_cc` stays the production xxhash64 path (rows-only —
+    its signature lanes aren't SQL-portable), while this query proves
+    the clustering algorithm end-to-end on the portable edge set.
+
+    Scale shape: edges are ids-only; each CC round is one join + one
+    groupBy over (node, nbr); rounds = cluster diameter, which for
+    full-band near-dup clusters is ~1-2. The oracle's closure is
+    quadratic-in-component and exists only at oracle SF."""
+    from ..operators.graph import connected_components
+
+    cc = connected_components(_portable_pairs(spark, sf_dir), "doc_a", "doc_b")
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+@query(
+    "pipeline_canonical_docs",
+    oracle=f"""
+    WITH clusters AS ({_PORTABLE_CLUSTERS_SQL}),
+    assign AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN clusters c USING (doc_id)
+    )
+    SELECT doc_id, cluster_id,
+           doc_id = cluster_id AS is_canonical,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM assign ORDER BY doc_id
+    """,
+)
+def pipeline_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup sweep's final verdict table — EVERY document mapped to
+    its cluster (its connected-component minimum over the portable
+    near-dup pairs, or itself when it has no near-dup), with the
+    canonical-survivor flag and cluster size a corpus build filters on
+    (`is_canonical` keeps one representative per cluster; `cluster_size`
+    feeds duplication-rate reporting).
+
+    Scale shape: the cluster table is near-dup-mass-sized (≪ corpus),
+    so the assignment join's build side stays small; the id-only left
+    join and the cluster_size window are the only exchanges, and both
+    shuffle bare ids — never text. Completes the pairs → clusters →
+    surviving-corpus story as three hash-checked stages."""
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cc = connected_components(_portable_pairs(spark, sf_dir), "doc_a", "doc_b")
+    assign = docs.join(
+        cc.select(F.col("node").alias("doc_id"), F.col("comp").alias("cid")),
+        "doc_id",
+        "left",
+    ).select("doc_id", F.coalesce("cid", F.col("doc_id")).alias("cluster_id"))
+    w = Window.partitionBy("cluster_id")
+    return assign.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

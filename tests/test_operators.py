@@ -637,3 +637,46 @@ def test_exact_pairs_bound_knobs_consistent_with_default(spark, sf_dir):
 
     cnt = sim_cosine_exact_pairs(spark, sf_dir, count_only=True).collect()
     assert [(r["n_pairs"],) for r in cnt] == [(len(full),)]
+
+
+def test_portable_clusters_match_union_find(spark, sf_dir):
+    """pipeline_dedup_clusters_portable must label exactly as a serial
+    union-find over the portable pair set — the recursive-CTE oracle
+    and the distributed min-label propagation agree on this as the
+    ground truth."""
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in REGISTRY["pipeline_minhash_pairs_portable"]
+        .fn(spark, sf_dir)
+        .collect()
+    ]
+    expected = _union_find_components(pairs)
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in REGISTRY["pipeline_dedup_clusters_portable"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == expected
+
+
+def test_canonical_docs_invariants(spark, sf_dir):
+    """pipeline_canonical_docs: total assignment (every doc exactly
+    once), is_canonical ⇔ doc_id == cluster_id, exactly one canonical
+    per cluster, cluster_id = min member id, and cluster_size counts
+    the members (singletons included)."""
+    from projektdataengineering_spark.catalog import load_table
+
+    rows = REGISTRY["pipeline_canonical_docs"].fn(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == n_docs
+
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        assert r["is_canonical"] == (r["doc_id"] == r["cluster_id"])
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        assert cid == min(m["doc_id"] for m in members)
+        assert sum(m["is_canonical"] for m in members) == 1
+        assert all(m["cluster_size"] == len(members) for m in members)
