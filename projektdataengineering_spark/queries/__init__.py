@@ -81,6 +81,8 @@ _MODULES = (
     "relational_deep",
     "corpus_ops",
     "formats",
+    # round-6 additions
+    "layout",
 )
 
 # Window packing: the driver's correctness pass records the FIRST 50

@@ -290,3 +290,113 @@ def pipeline_embedding_norm_filter(spark: SparkSession, sf_dir: str) -> DataFram
         norm.alias("l2_norm"),
         ((norm >= _NORM_LO) & (norm <= _NORM_HI)).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Full BPE training loop (iterative merges over the word-type table)
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 12
+_END_TOK = "</w>"
+
+
+def _bpe_apply_merge(tokens_col: str, left: str, right: str):
+    """One left-to-right, non-overlapping BPE merge pass over a token
+    array — pure ``F.aggregate`` HOF (JVM-side, no UDF): the fold
+    carries struct(acc, pend); a (pend==left, t==right) hit emits the
+    merged symbol and clears pend, so a freshly merged token is never
+    reconsidered within this pass — exactly the reference BPE apply
+    step. '' is a safe none-sentinel (real tokens are non-empty)."""
+    l, r = F.lit(left), F.lit(right)
+    return F.aggregate(
+        F.col(tokens_col),
+        F.struct(
+            F.array().cast("array<string>").alias("acc"),
+            F.lit("").alias("pend"),
+        ),
+        lambda s, t: F.when(
+            (s.pend == l) & (t == r),
+            F.struct(
+                F.concat(s.acc, F.array(F.concat(s.pend, t))).alias("acc"),
+                F.lit("").alias("pend"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.when(s.pend == "", s.acc)
+                .otherwise(F.concat(s.acc, F.array(s.pend)))
+                .alias("acc"),
+                t.alias("pend"),
+            )
+        ),
+        lambda s: F.when(s.pend == "", s.acc).otherwise(
+            F.concat(s.acc, F.array(s.pend))
+        ),
+    )
+
+
+@query("pipeline_bpe_train", family="corpus_ops")
+def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL byte-pair-encoding training (not just round-1 pair counts
+    — pipeline_bpe_pair_counts stops there): learn the first 12 merge
+    rules from the corpus, the way a real tokenizer build does.
+
+    Distributed shape: BPE trains on the WORD-TYPE table (word →
+    corpus frequency), not on corpus positions — one corpus-wide
+    shuffle builds that table, and every merge iteration is then (a)
+    one partial→final aggregate over exploded adjacent pairs weighted
+    by type frequency, (b) a 1-row argmax collect (count DESC, then
+    lexicographic — deterministic under ties), (c) a map-side HOF
+    rewrite of the token arrays. The word-type table is localCheckpoint'd
+    each iteration so the plan stays flat across 12 rounds. At 100 TB
+    the type table is vocabulary-sized (~10⁷ rows ≪ corpus), iterations
+    touch only it, and the only driver materialization is 1 row per
+    merge — the same contract as high_water_mark.
+
+    No SQL oracle: the loop is iterative (12 chained argmaxes), which
+    DuckDB-SQL can't express in one statement — rows-only driver check;
+    tests/test_operators.py pins the learned merge table against an
+    independent pure-Python BPE reference on the same corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.concat(F.split("w", ""), F.array(F.lit(_END_TOK))).alias("tokens"),
+            "freq",
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    for rank in range(_BPE_MERGES):
+        pairs = (
+            words.select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(tokens) - 2),"
+                        " i -> struct(tokens[i] AS left, tokens[i+1] AS right))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.left", "p.right")
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        best = pairs[0]
+        merges.append(
+            (rank, best["left"], best["right"], best["left"] + best["right"],
+             best["pair_count"])
+        )
+        words = words.select(
+            _bpe_apply_merge("tokens", best["left"], best["right"]).alias("tokens"),
+            "freq",
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_count long"
+    )

@@ -194,3 +194,64 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
         dsum("l_extendedprice").alias("sum_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Parquet schema evolution (mergeSchema across generations of a table)
+# ---------------------------------------------------------------------------
+
+_EVOLVE_SQL = f"""
+    WITH unioned AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+               AS o_orderpriority
+      FROM orders
+    )
+    SELECT COALESCE(o_orderpriority, 'UNKNOWN') AS priority,
+           COUNT(*) AS n_orders,
+           {SQL_DSUM.format(x="o_totalprice")} AS sum_price,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+    FROM unioned GROUP BY COALESCE(o_orderpriority, 'UNKNOWN')
+"""
+
+
+@query("scan_parquet_schema_evolution", oracle=_EVOLVE_SQL)
+def scan_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet generations: generation 0 of
+    the table was written BEFORE `o_orderpriority` existed (even keys,
+    3 columns), generation 1 carries the new column (odd keys, 4
+    columns). One `mergeSchema=true` scan reads both generations as a
+    single relation — gen-0 rows surface NULL for the late column —
+    and the query fills the gap with a COALESCE default, the standard
+    backfill-free evolution path. The oracle rebuilds the same
+    two-generation view from the original parquet with a CASE on the
+    deterministic generation split, so the hash proves no row, key, or
+    price was lost or duplicated across the schema boundary.
+
+    100 TB posture: this is exactly how a multi-year fact table
+    evolves in place — old files are never rewritten. mergeSchema
+    reconciles footers at planning time (one footer read per file,
+    driver-side, which is why production tables cache the merged
+    schema in a catalog — catalog.py's seam); scans stay columnar,
+    pruned, and pushdown-eligible; the late column simply reads as
+    missing→NULL for old files, with zero data movement."""
+    path = _scratch_dir("parquet_evolve", sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    gen0 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    gen1 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    gen0.write.mode("overwrite").parquet(os.path.join(path, "gen=0"))
+    gen1.write.mode("overwrite").parquet(os.path.join(path, "gen=1"))
+    back = spark.read.option("mergeSchema", True).parquet(
+        os.path.join(path, "gen=0"), os.path.join(path, "gen=1")
+    )
+    return back.groupBy(
+        F.coalesce("o_orderpriority", F.lit("UNKNOWN")).alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("sum_price"),
+        F.sum("o_orderkey").cast("long").alias("key_checksum"),
+    )

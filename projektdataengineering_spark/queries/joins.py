@@ -387,3 +387,101 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(o, c, "o_custkey", n_salts=8).select(
         "o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment"
     )
+
+
+@query(
+    "join_fuzzy_jaro",
+    oracle="""
+    WITH p AS (SELECT p_partkey, p_name, p_brand, p_type FROM part)
+    SELECT a.p_partkey AS partkey_a, b.p_partkey AS partkey_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw_sim
+    FROM p a JOIN p b
+      ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+     AND a.p_partkey < b.p_partkey
+    WHERE ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.8
+    """,
+)
+def join_fuzzy_jaro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution with Jaro-Winkler: part pairs with JW >= 0.8
+    inside (brand, type) blocks — the record-linkage metric Spark
+    lacks as a built-in, implemented as an Arrow-batched pandas UDF
+    (functions/strdist.py) that is BIT-EXACT with DuckDB's
+    ``jaro_winkler_similarity`` (differential-tested incl. the classic
+    0.7 boost-threshold variant detail), so the whole fuzzy join is
+    hash-checked — both sides ROUND(..., 6) and filter on the rounded
+    value so a boundary pair can't flake.
+
+    The expensive metric runs on the DISTINCT-NAME-PAIR domain, not
+    the record-pair domain: record pairs repeat the same name pair
+    over and over (here ~10^2 distinct names vs ~10^6 blocked record
+    pairs; real customer/product corpora are equally heavy-tailed), so
+    the plan (1) scores each canonicalized distinct pair once through
+    the UDF, keeping only scores >= threshold, then (2) broadcast-joins
+    that small verdict table onto the blocked record-pair join — the
+    big join is pure JVM equi-join + hash probe, no Python anywhere.
+    JW is symmetric, so pairs canonicalize as (least, greatest).
+
+    At 100 TB: the record-pair side stays a blocked equi-shuffle
+    (salt hot blocks — operators/skew.py); the name-pair side is a
+    self-join of the distinct-name table, itself blocked the same way,
+    and graduates from broadcast to a shuffled join when the verdict
+    table outgrows the broadcast threshold. The UDF stays
+    embarrassingly parallel with zero state."""
+    from ..functions.strdist import jaro_winkler_udf
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_type"
+    )
+    names = p.select("p_brand", "p_type", "p_name").distinct()
+    na = names.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("type"),
+        F.col("p_name").alias("n_a"),
+    )
+    nb = names.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("type"),
+        F.col("p_name").alias("n_b"),
+    )
+    verdict = (
+        na.join(nb, ["brand", "type"])
+        .filter(F.col("n_a") <= F.col("n_b"))
+        .select(
+            F.col("n_a").alias("name_lo"), F.col("n_b").alias("name_hi")
+        )
+        .distinct()
+        .withColumn(
+            "jw_sim",
+            F.when(F.col("name_lo") == F.col("name_hi"), F.lit(1.0)).otherwise(
+                F.round(jaro_winkler_udf("name_lo", "name_hi"), 6)
+            ),
+        )
+        .filter(F.col("jw_sim") >= 0.8)
+    )
+    a = p.select(
+        F.col("p_partkey").alias("partkey_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_brand").alias("brand_a"),
+        F.col("p_type").alias("type_a"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("partkey_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("brand_b"),
+        F.col("p_type").alias("type_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("brand_a") == F.col("brand_b"))
+            & (F.col("type_a") == F.col("type_b"))
+            & (F.col("partkey_a") < F.col("partkey_b")),
+        )
+        .join(
+            F.broadcast(verdict),
+            (F.least("name_a", "name_b") == F.col("name_lo"))
+            & (F.greatest("name_a", "name_b") == F.col("name_hi")),
+        )
+        .select("partkey_a", "partkey_b", "name_a", "name_b", "jw_sim")
+    )

@@ -680,3 +680,102 @@ def test_canonical_docs_invariants(spark, sf_dir):
         assert cid == min(m["doc_id"] for m in members)
         assert sum(m["is_canonical"] for m in members) == 1
         assert all(m["cluster_size"] == len(members) for m in members)
+
+
+def test_jaro_winkler_matches_duckdb_bit_exact(duck):
+    """functions/strdist.py claims bit-exactness with DuckDB's
+    jaro_winkler_similarity (incl. the 0.7 boost-threshold variant) —
+    prove it on classic vectors + fixture name pairs."""
+    from projektdataengineering_spark.functions.strdist import jaro_winkler
+
+    vectors = [
+        ("martha", "marhta"), ("DIXON", "DICKSONX"), ("CRATE", "TRACE"),
+        ("", "x"), ("x", ""), ("ab", "ba"), ("aaaa", "aaaa"),
+        ("abcd", "abcde"), ("blue gizmo", "blue plate"),
+        ("apple inc", "apple incorporated"),
+    ]
+    names = [r[0] for r in duck.execute(
+        "SELECT p_name FROM part LIMIT 60").fetchall()]
+    vectors += [(a, b) for a in names[:30] for b in names[30:60]]
+    for a, b in vectors:
+        theirs = duck.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]).fetchone()[0]
+        assert jaro_winkler(a, b) == theirs, (a, b)
+
+
+def test_zorder_layout_beats_single_dim_sort(spark, sf_dir):
+    """The point of the Morton layout: every file's envelope is tight
+    in BOTH dimensions, so pruning works for filters on either. A
+    value-sorted layout leaves the user_id envelope ~the full range
+    per file. Metric: mean over files of max(user_frac, value_frac)."""
+    import pandas as pd
+    from projektdataengineering_spark.queries.layout import (
+        pipeline_zorder_layout, _N_FILES)
+    from projektdataengineering_spark.catalog import load_table
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    z = pipeline_zorder_layout(spark, sf_dir).toPandas()
+    e = load_table(spark, sf_dir, "events")
+    sorted_files = (
+        e.withColumn("file_id", F.ntile(_N_FILES).over(
+            Window.orderBy("value", "event_id")))
+        .groupBy("file_id")
+        .agg(F.min("user_id").alias("min_user"), F.max("user_id").alias("max_user"),
+             F.min("value").alias("min_value"), F.max("value").alias("max_value"))
+        .toPandas()
+    )
+
+    def mean_max_frac(pdf: pd.DataFrame) -> float:
+        uspan = float(pdf.max_user.max() - pdf.min_user.min()) or 1.0
+        vspan = float(pdf.max_value.max() - pdf.min_value.min()) or 1.0
+        ufrac = (pdf.max_user - pdf.min_user) / uspan
+        vfrac = (pdf.max_value - pdf.min_value) / vspan
+        return float(pd.concat([ufrac, vfrac], axis=1).max(axis=1).mean())
+
+    m_z, m_sorted = mean_max_frac(z), mean_max_frac(sorted_files)
+    # z-order: 64 files on a 2^16 x 2^16 Morton grid -> each file spans
+    # at most ~2 of the 8x8 aligned tiles per dim; single-dim sort
+    # leaves the trailing dim's envelope ~ full range
+    assert m_sorted > 0.85, m_sorted
+    assert m_z < 0.5 * m_sorted, (m_z, m_sorted)
+
+
+def test_bpe_train_matches_python_reference(spark, sf_dir, duck):
+    """The distributed BPE loop must learn EXACTLY the merge table a
+    textbook single-process BPE learns on the same corpus (same
+    word-type weighting, same count-desc/lexicographic tie-break,
+    same left-to-right non-overlapping apply)."""
+    import re
+    from collections import Counter
+    from projektdataengineering_spark.queries.corpus_ops import (
+        pipeline_bpe_train, _BPE_MERGES, _END_TOK)
+
+    texts = [r[0] for r in duck.execute("SELECT text FROM documents").fetchall()]
+    wfreq = Counter(
+        w for t in texts for w in re.split(r"[^a-z]+", t.lower()) if w)
+    vocab = {tuple(list(w) + [_END_TOK]): f for w, f in wfreq.items()}
+    expected = []
+    for rank in range(_BPE_MERGES):
+        counts = Counter()
+        for toks, f in vocab.items():
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((rank, l, r, l + r, c))
+        new_vocab = {}
+        for toks, f in vocab.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == l and toks[i + 1] == r:
+                    out.append(l + r); i += 2
+                else:
+                    out.append(toks[i]); i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+
+    got = [tuple(r) for r in
+           pipeline_bpe_train(spark, sf_dir).orderBy("rank").collect()]
+    assert got == expected

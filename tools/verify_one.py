@@ -1,0 +1,44 @@
+#!/usr/bin/env python
+"""Single-query driver-rule check: python tools/verify_one.py name [name...] [--sf DIR]."""
+from __future__ import annotations
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from verify_driver import TABLES, canon  # type: ignore
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf = "/root/testdata/sf0.01"
+    for a in sys.argv[1:]:
+        if a.startswith("--sf="):
+            sf = a.split("=", 1)[1]
+    import duckdb
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    import __spark_entry__ as e
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    qs, oracles = e.queries(), e.oracle_sql()
+    rc = 0
+    for name in args:
+        spdf = qs[name](spark, sf).toPandas()
+        sql = oracles.get(name)
+        if not sql:
+            print(f"{name}: rows-only {len(spdf)}"); continue
+        odf = con.execute(sql).df()
+        sc, srows = canon(spdf); oc, orows = canon(odf)
+        if sc != oc: print(f"{name}: SCHEMA {sc} != {oc}"); rc = 1
+        elif srows != orows:
+            print(f"{name}: MISMATCH rows {len(srows)} vs {len(orows)}")
+            for a, b in list(zip(srows, orows))[:1000]:
+                if a != b: print("  ", a, "\n  !=", b); break
+            rc = 1
+        else: print(f"{name}: match {len(srows)} rows")
+    return rc
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sys.exit(main())
