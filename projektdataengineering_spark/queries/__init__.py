@@ -83,6 +83,7 @@ _MODULES = (
     "formats",
     # round-6 additions
     "layout",
+    "timeseries",
 )
 
 # Window packing: the driver's correctness pass records the FIRST 50

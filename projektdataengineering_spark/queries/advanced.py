@@ -486,3 +486,85 @@ def pipeline_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.least(F.greatest(F.col("value"), F.col("p10")), F.col("p90")).alias("value_w"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line interval concurrency (peak simultaneous activity)
+# ---------------------------------------------------------------------------
+
+_CONCURRENCY_SQL = """
+    WITH b AS (
+      SELECT event_type, ts AS t, 1 AS d FROM events
+      UNION ALL
+      SELECT event_type, ts + INTERVAL 5 MINUTE AS t, -1 AS d FROM events
+    ), g AS (
+      SELECT event_type, t, SUM(d) AS net FROM b GROUP BY event_type, t
+    ), r AS (
+      SELECT event_type, t,
+             SUM(net) OVER (PARTITION BY event_type ORDER BY t
+                            ROWS UNBOUNDED PRECEDING) AS conc
+      FROM g
+    ), peaks AS (
+      SELECT event_type, MAX(conc) AS peak_concurrency FROM r
+      GROUP BY event_type
+    )
+    SELECT r.event_type,
+           CAST(p.peak_concurrency AS BIGINT) AS peak_concurrency,
+           MIN(r.t) AS first_peak_ts
+    FROM r JOIN peaks p
+      ON r.event_type = p.event_type AND r.conc = p.peak_concurrency
+    GROUP BY r.event_type, p.peak_concurrency
+"""
+
+
+@query("pipeline_interval_concurrency", oracle=_CONCURRENCY_SQL)
+def pipeline_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak-concurrency: treat every event as a 5-minute
+    activity interval and find, per event type, the maximum number of
+    simultaneously active intervals and the first instant it occurs —
+    the classic capacity-planning question (peak concurrent sessions /
+    connections / jobs), answered with the boundary-sweep algorithm
+    expressed RELATIONALLY: explode each interval into a +1/-1
+    boundary row, pre-aggregate net deltas per distinct instant
+    (collapsing ties makes the running sum order-invariant — the
+    -1-before-+1 tie rule falls out of the grouping), then one
+    partitioned running sum and a max join-back.
+
+    Scale shape: 2n boundary rows, one partial→final aggregate, one
+    window exchange partitioned by event_type, one broadcast-size
+    join-back of per-type peaks. Nothing quadratic, no driver
+    materialization; the window key gives 100-TB parallelism across
+    types and the per-type sort is the unavoidable cost of an exact
+    sweep (approx alternative: windowed HLL in streaming_batch)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    b = ev.select("event_type", F.col("ts").alias("t"), F.lit(1).alias("d")).unionAll(
+        ev.select(
+            "event_type",
+            (F.col("ts") + F.expr("INTERVAL 5 MINUTE")).alias("t"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    g = b.groupBy("event_type", "t").agg(F.sum("d").alias("net"))
+    r = g.withColumn(
+        "conc",
+        F.sum("net").over(
+            Window.partitionBy("event_type")
+            .orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    peaks = r.groupBy("event_type").agg(F.max("conc").alias("peak_concurrency"))
+    return (
+        r.join(
+            F.broadcast(peaks),
+            (r.event_type == peaks.event_type) & (r.conc == peaks.peak_concurrency),
+        )
+        .drop(peaks.event_type)
+        .groupBy("event_type", "peak_concurrency")
+        .agg(F.min("t").alias("first_peak_ts"))
+        .select(
+            "event_type",
+            F.col("peak_concurrency").cast("long").alias("peak_concurrency"),
+            "first_peak_ts",
+        )
+    )

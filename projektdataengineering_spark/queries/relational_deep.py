@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions import SQL_REVENUE, revenue_expr
+from ..functions import SQL_REVENUE, dsum, revenue_expr
 from . import query
 
 
@@ -706,4 +706,63 @@ def agg_collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "types_seen"
         ),
         F.count_distinct("event_type").alias("n_types"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: global-avg scalar subquery + anti join + grouped rollup
+# ---------------------------------------------------------------------------
+
+_Q22_SQL = """
+    WITH avg_bal AS (
+      SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT substr(c_name, -2) AS code,
+           COUNT(*) AS n_custs,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY substr(c_name, -2)
+"""
+
+
+@query("agg_q22_antijoin_rollup", oracle=_Q22_SQL)
+def agg_q22_antijoin_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22's plan shape (phone prefix → name-suffix code, since
+    the fixture has no phone column): customers whose balance beats
+    the GLOBAL average positive balance (scalar subquery) and who have
+    no URGENT orders (anti join — the fixture gives every customer
+    SOME order, so the unrestricted Q22 predicate is vacuous here),
+    rolled up by 2-char code.
+
+    The three-piece composition is the point: (1) the scalar average
+    is a 1-row aggregate broadcast into the filter — never a
+    per-row correlated subquery; (2) the NOT EXISTS is a left_anti
+    join shuffling only the key column; (3) the rollup is a
+    partial→final aggregate on the filtered survivors. At 100 TB each
+    piece is the minimal-shuffle form of its clause, and AQE can
+    convert the anti join to broadcast when the orders key set after
+    pushdown is small. Money sums go through the decimal-exact helper
+    (functions.dsum) for hash stability."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.substring("c_name", -2, 2).alias("code"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
     )

@@ -1,0 +1,160 @@
+"""Time-series operators — sequential recurrences the relational
+algebra can't express per-row, run through ``applyInPandas`` (grouped
+Arrow batches) yet still ORACLE-CHECKED.
+
+The trick that keeps a recurrence hash-comparable: an EWMA is a left
+fold with a fixed evaluation order, so if BOTH engines fold the same
+ordered list with the same IEEE-double lambda — pandas loop here,
+DuckDB ``list_reduce`` there — the result is bit-identical, the same
+fold-order discipline corpus_ops.py uses for float sums. The sort key
+must be UNIQUE ((ts, event_id) tiebreak) or the fold order, and hence
+the hash, is undefined.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import query
+
+_ALPHA = 0.25
+
+_EWMA_SQL = f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           list_reduce(list(value ORDER BY ts, event_id),
+                       (s, x) -> {_ALPHA} * x + {1 - _ALPHA} * s)
+             AS last_ewma
+    FROM events GROUP BY user_id
+"""
+
+
+@query("pipeline_ewma_smooth", oracle=_EWMA_SQL)
+def pipeline_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average over the event
+    value stream (α = 0.25, s₀ = x₀): the online smoother behind
+    anomaly baselines and rate limiters, and the canonical example of
+    a recurrence no window frame can express (each state depends on
+    the previous OUTPUT, not a fixed frame of inputs).
+
+    Execution: ``groupBy(user_id).applyInPandas`` — one Arrow batch
+    per user group, the recurrence runs as a tight pandas loop, and
+    only (user, n, last_state) leaves Python. The oracle replays the
+    identical left fold with DuckDB's ``list_reduce`` over the
+    identically-ordered list, so the hash certifies the whole
+    recurrence step-for-step (same doubles, same order), not just its
+    shape. At 100 TB this is the per-key-sequential/cross-key-parallel
+    pattern: state lives inside one group's batch, groups spread over
+    executors, shuffle width is the events table once — and the
+    streaming twin is applyInPandasWithState (streaming/stateful.py),
+    which carries the same state across micro-batches instead."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        s = None
+        for x in pdf["value"]:
+            s = x if s is None else _ALPHA * x + (1 - _ALPHA) * s
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "last_ewma": [s],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        smooth, "user_id long, n_events long, last_ewma double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hourly gap-fill with last-observation-carried-forward (LOCF)
+# ---------------------------------------------------------------------------
+
+_GAPFILL_SQL = """
+    WITH ranked AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ), hourly AS (
+      SELECT user_id, h, value AS v FROM ranked WHERE rn = 1
+    ), spans AS (
+      SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM spans
+    ), joined AS (
+      SELECT g.user_id AS user_id, g.h AS h, hourly.v AS v,
+             last_value(hourly.v IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.h
+               ROWS UNBOUNDED PRECEDING) AS filled
+      FROM grid g
+      LEFT JOIN hourly ON g.user_id = hourly.user_id AND g.h = hourly.h
+    )
+    SELECT user_id, COUNT(*) AS n_hours,
+           CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+           MIN(filled) AS min_filled, MAX(filled) AS max_filled
+    FROM joined GROUP BY user_id
+"""
+
+
+@query("pipeline_time_gapfill", oracle=_GAPFILL_SQL)
+def pipeline_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize an irregular event stream onto an hourly grid with
+    last-observation-carried-forward — the resampling step feature
+    pipelines need before joining time series of different cadences.
+    Per user: hourly last-value table (row_number dedup, unique
+    (ts, event_id) tiebreak), a `sequence()`-exploded dense grid
+    between the user's first and last active hour (≡ the oracle's
+    generate_series — both inclusive), a left join marking the ~90%
+    missing hours, and `last(v, ignorenulls)` carrying values forward.
+    The compact per-user report (hours, imputed count, filled min/max)
+    keeps the hash check order-safe with no float arithmetic at all —
+    only picks, so LOCF is certified value-for-value.
+
+    Scale shape: one shuffle to the hourly grain, one window exchange
+    per user for the carry — the grid explode is map-side (a user's
+    span is bounded; the global grid is never materialized
+    driver-side). Sparse-but-long users inflate their own partition
+    only; the skew remedy is range-splitting the grid per (user,
+    month) and carrying the last value across chunk boundaries with a
+    second, tiny per-user join — same two-phase trick as
+    operators/rank.py's global row_number."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    ranked = ev.select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("h"),
+        "value",
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id", F.date_trunc("hour", "ts")).orderBy(
+                F.desc("ts"), F.desc("event_id")
+            )
+        )
+        .alias("rn"),
+    )
+    hourly = ranked.filter(F.col("rn") == 1).select("user_id", "h", F.col("value").alias("v"))
+    spans = hourly.groupBy("user_id").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = spans.select(
+        "user_id",
+        F.explode(F.expr("sequence(h0, h1, INTERVAL 1 HOUR)")).alias("h"),
+    )
+    joined = grid.join(hourly, ["user_id", "h"], "left").withColumn(
+        "filled",
+        F.last("v", ignorenulls=True).over(
+            Window.partitionBy("user_id")
+            .orderBy("h")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_imputed"),
+        F.min("filled").alias("min_filled"),
+        F.max("filled").alias("max_filled"),
+    )
