@@ -84,6 +84,7 @@ _MODULES = (
     # round-6 additions
     "layout",
     "timeseries",
+    "diagnostics",
 )
 
 # Window packing: the driver's correctness pass records the FIRST 50

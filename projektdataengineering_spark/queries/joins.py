@@ -485,3 +485,61 @@ def join_fuzzy_jaro(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("partkey_a", "partkey_b", "name_a", "name_b", "jw_sim")
     )
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o.o_custkey, c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY o.o_custkey, c.c_mktsegment
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write-once/amortize-forever join: orders and customer are
+    first written as BUCKETED tables (8 buckets on the join key via
+    sources.write_bucketed), then joined and aggregated
+    PER BUCKET KEY — and because both sides share bucketing and the
+    rollup groups on the bucket key, the join and the aggregation
+    plan with ZERO shuffle exchanges (asserted in
+    tests/test_plans.py:test_bucketed_join_has_zero_exchanges and
+    re-asserted for this registered query). The oracle computes the
+    same rollup from the ORIGINAL parquet, proving the bucketed
+    rewrite is lossless.
+
+    This is the at-rest answer to a 100-TB fact⋈dim-or-fact join that
+    repeats every run: pay the shuffle once at ingest (the bucketed
+    write), then every subsequent join/agg on the bucket key is
+    map-side. Bucket count scales with cluster width (8 here only to
+    match fixture size; production = O(cores), stable across reruns
+    so old and new files stay co-bucketed)."""
+    import os as _os
+
+    from ..sources import write_bucketed
+
+    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    scratch = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+        ".scratch",
+        "bucketed",
+        tag,
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    write_bucketed(o, f"orders_bq_{tag}", _os.path.join(scratch, "orders"), ("o_custkey",), 8)
+    write_bucketed(c, f"customer_bq_{tag}", _os.path.join(scratch, "customer"), ("c_custkey",), 8)
+    ob = spark.table(f"orders_bq_{tag}")
+    cb = spark.table(f"customer_bq_{tag}")
+    return (
+        ob.join(cb, ob.o_custkey == cb.c_custkey)
+        .groupBy("o_custkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

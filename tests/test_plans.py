@@ -114,6 +114,8 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "pipeline_lang_balance",
         "pipeline_price_deciles",  # 1-row total-count broadcast for exact_ntile
         "join_not_exists_agg",  # 1-row positive-balance average broadcast
+        "agg_q22_antijoin_rollup",  # 1-row global-average broadcast (Q22 shape)
+        "pipeline_key_skew_profile",  # 1-row stat assembly broadcasts
         "subquery_scalar_select",  # 1-row global-average broadcast
         "pipeline_pmi_collocations",  # 1-row token/bigram totals broadcasts
         "sql_recursive_month_spine",  # scalar min/max month subqueries in the spine
@@ -417,3 +419,14 @@ def test_catalog_seam_partitioned_layout_prunes(spark, sf_dir, tmp_path):
         .agg(F.count("*").alias("n"))
     )
     assert "dynamicpruningexpression" in explain_string(j, "formatted").lower()
+
+
+def test_registered_bucketed_join_query_is_shuffle_free(spark, sf_dir):
+    """join_bucketed_colocated's read-side plan (after the bucketed
+    writes) must carry the join AND the rollup on the bucket
+    partitioning with zero exchanges."""
+    from projektdataengineering_spark.queries.joins import join_bucketed_colocated
+
+    df = join_bucketed_colocated(spark, sf_dir)
+    f = plan_facts(df)
+    assert f.shuffles == 0, f.nodes
