@@ -146,6 +146,31 @@ HEADLINERS: list[tuple[str, str]] = [
         "exchange; supplier broadcasts at the end.",
     ),
     (
+        "join_bucketed_colocated",
+        "Round 6: both sides scanned from 8-bucket tables — the join AND the "
+        "per-key rollup show zero Exchange nodes; the bucketed write paid the "
+        "shuffle once at ingest.",
+    ),
+    (
+        "join_fuzzy_jaro",
+        "Round 6 entity resolution: the pandas-UDF metric (ArrowEvalPython) "
+        "sits on the tiny distinct-name-pair side; the million-row blocked "
+        "record-pair join is pure JVM equi-join + a BroadcastHashJoin probe "
+        "of the scored verdict table.",
+    ),
+    (
+        "pipeline_zorder_layout",
+        "Round 6: two global rank windows feed a pure-arithmetic Morton "
+        "interleave (whole-stage codegen, no UDF), one curve sort, one "
+        "aggregate — the layout decision is a plan, not a driver loop.",
+    ),
+    (
+        "pipeline_time_gapfill",
+        "Round 6: hourly dedup window, map-side sequence() grid explode, one "
+        "left join and one LOCF window per user — two exchanges total for a "
+        "full resample+impute.",
+    ),
+    (
         "sim_cosine_exact_pairs",
         "Hash-checked exact cosine: norms are computed once per vector below "
         "the label-blocked self-join (no per-pair recomputation); the dot "
