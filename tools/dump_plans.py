@@ -147,9 +147,10 @@ HEADLINERS: list[tuple[str, str]] = [
     ),
     (
         "join_bucketed_colocated",
-        "Round 6: both sides scanned from 8-bucket tables — the join AND the "
-        "per-key rollup show zero Exchange nodes; the bucketed write paid the "
-        "shuffle once at ingest.",
+        "Round 6: both sides scanned from 8-bucket tables — the join and the "
+        "per-key rollup plan ZERO shuffle exchanges (the dim side broadcasts "
+        "at fixture scale; at fact-x-fact scale both sides ride their "
+        "buckets); the bucketed write paid its shuffle once at ingest.",
     ),
     (
         "join_fuzzy_jaro",
