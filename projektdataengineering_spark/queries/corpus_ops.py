@@ -371,7 +371,11 @@ def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = []
     for rank in range(_BPE_MERGES):
         pairs = (
-            words.select(
+            # single-token words contribute no pairs — and MUST be
+            # filtered before the sequence() explode: Spark's
+            # sequence(0, -1) counts DOWN, so size-1 tokens would
+            # index tokens[-1] and fault under ANSI (sf1 probe catch)
+            words.filter(F.size("tokens") >= 2).select(
                 F.explode(
                     F.expr(
                         "transform(sequence(0, size(tokens) - 2),"

@@ -1225,3 +1225,108 @@ def pipeline_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         (prev.isNotNull() & (gap <= _DEBOUNCE_US)).alias("is_debounced"),
     )
+
+
+@query(
+    "pipeline_corpus_build",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS ({_PORTABLE_PAIRS_SQL}),
+    und AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT u.a, r.label FROM und u JOIN reach r ON u.b = r.node
+    ),
+    clusters AS (
+      SELECT node AS doc_id, MIN(label) AS cluster_id
+      FROM reach GROUP BY node
+    ),
+    canon AS (
+      SELECT d.doc_id, d.source, d.lang, d.text
+      FROM documents d LEFT JOIN clusters c USING (doc_id)
+      WHERE COALESCE(c.cluster_id, d.doc_id) = d.doc_id
+    ),
+    quality AS (
+      SELECT doc_id, source, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      FROM canon
+      WHERE len(text) BETWEEN 150 AND 500
+    ),
+    admitted AS (
+      SELECT *, SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum_toks
+      FROM quality
+    )
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_toks,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM admitted
+    WHERE cum_toks <= 20000
+    GROUP BY source, lang
+    """,
+)
+def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE END-TO-END CORPUS BUILD — every stage of the training-data
+    sweep composed into one plan, and the whole composition
+    hash-checked: (1) near-dup CANONICALIZATION — portable MinHash
+    pairs → connected components → keep only each cluster's minimum
+    doc (the pipeline_canonical_docs verdict applied as a filter);
+    (2) QUALITY GATE — document length inside [150, 500] chars (the
+    text_quality band's length leg, kept integer-exact);
+    (3) BUDGETED ADMISSION — greedy per-source token budget of 20k in
+    doc_id order (pipeline_token_budget's shape); (4) the corpus
+    REPORT per (source, lang).
+
+    One registered call a user points at a landing zone to get a
+    deduplicated, quality-gated, budget-cut corpus summary — proving
+    the stages COMPOSE in one Catalyst plan (CC's iterative fixpoint
+    feeds a join feeds windows feeds the final rollup) rather than as
+    disconnected demos.
+
+    Scale: every stage is the scale shape its standalone query
+    documents (ids-only CC edges, map-side quality gate, one window
+    exchange per source). The oracle replays all four stages in SQL —
+    recursive-CTE closure for the clustering — so the hash certifies
+    the full composition."""
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    cc = connected_components(_portable_pairs(spark, sf_dir), "doc_a", "doc_b")
+    clusters = cc.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+    canon = (
+        docs.join(F.broadcast(clusters), "doc_id", "left")
+        .filter(
+            F.coalesce("cluster_id", "doc_id") == F.col("doc_id")
+        )
+        .select("doc_id", "source", "lang", "text")
+    )
+    quality = canon.filter(
+        (F.length("text") >= 150) & (F.length("text") <= 500)
+    ).select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_toks"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    admitted = quality.withColumn("cum_toks", F.sum("n_toks").over(w)).filter(
+        F.col("cum_toks") <= 20000
+    )
+    return admitted.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("total_toks"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

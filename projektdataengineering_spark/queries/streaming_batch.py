@@ -294,3 +294,59 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_gap_us"),
         )
     )
+
+
+@query(
+    "stream_ewma_stateful",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           list_reduce(list(value ORDER BY ts, event_id),
+                       (s, x) -> 0.25 * x + 0.75 * s)
+             AS last_ewma
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of pipeline_ewma_smooth: the same per-user
+    EWMA recurrence (α = 0.25) running as a live stateful streaming
+    query — applyInPandasWithState carries (smoothed value, count)
+    across micro-batches, so the smoother never recomputes history the
+    way the batch job does on every run.
+
+    And it is still HASH-CHECKED: under availableNow over the bounded
+    single-file fixture the whole corpus folds through the state in
+    one in-order batch, so the final state per key equals the batch
+    fold exactly — the oracle is the identical DuckDB list_reduce the
+    batch query uses, certifying the cross-batch state machinery
+    value-for-value (the rare streaming operator whose correctness the
+    driver proves, not just runs). The sink's last update per key is
+    extracted with max_by(n_events).
+
+    Ordering bound documented at streaming/stateful.py:make_ewma_fold:
+    within-batch order is pinned by sort; cross-batch order is arrival
+    order — correct for time-ordered landing zones, and exact here."""
+    from ..streaming import (
+        open_event_stream,
+        run_to_memory_sink,
+        stream_state_partitions,
+    )
+    from ..streaming.stateful import ewma_stream
+
+    keyed = open_event_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    with stream_state_partitions(spark):
+        run_to_memory_sink(
+            ewma_stream(keyed, alpha=0.25),
+            "stream_ewma_stateful_sink",
+            output_mode="update",
+        )
+    return (
+        spark.table("stream_ewma_stateful_sink")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.expr("max_by(last_ewma, n_events)").alias("last_ewma"),
+        )
+    )

@@ -144,3 +144,55 @@ def sessionize_stream(keyed: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# Stateful streaming EWMA: the cross-batch twin of the batch
+# pipeline_ewma_smooth recurrence (queries/timeseries.py).
+EWMA_OUTPUT_SCHEMA = "user_id long, n_events long, last_ewma double"
+EWMA_STATE_SCHEMA = "s double, n long"
+
+
+def make_ewma_fold(alpha: float):
+    """Factory for the per-key EWMA state function: state carries
+    (current smoothed value, rows seen); each micro-batch sorts its
+    rows by (ts, event_id) and folds them onto the carried state —
+    identical arithmetic to the batch operator, so on an in-order
+    stream the final state equals the batch fold exactly.
+
+    Ordering bound (same class as dedup_stream_first_wins's): WITHIN a
+    micro-batch the fold order is pinned by the sort; ACROSS batches
+    it is arrival order, correct for the append-in-time-order landing
+    zones the file source models (and exactly the batch result under
+    availableNow replay of a bounded fixture, where everything is one
+    batch). An out-of-order production stream would buffer rows per
+    watermark interval before folding."""
+
+    def _fold(key, pdf_iter, state: GroupState):
+        s, n = state.get if state.exists else (None, 0)
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for x in pdf["value"]:
+                s = x if s is None else alpha * x + (1.0 - alpha) * s
+            n += len(pdf)
+        if s is None:
+            return iter(())
+        state.update((float(s), int(n)))
+        return iter(
+            (pd.DataFrame({"user_id": [key[0]], "n_events": [n], "last_ewma": [s]}),)
+        )
+
+    return _fold
+
+
+def ewma_stream(keyed: DataFrame, alpha: float = 0.25) -> DataFrame:
+    """Apply the stateful EWMA to a streaming DataFrame with columns
+    (user_id long, ts timestamp, event_id long, value double)."""
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        make_ewma_fold(alpha),
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

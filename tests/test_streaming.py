@@ -229,3 +229,23 @@ def test_stateful_sessionizer_carries_sessions_across_batches(spark, sf_dir, tmp
         ("v", T("2024-01-01 00:00:00")): (1, T("2024-01-01 00:00:00"), 10.0, False),
         ("v", T("2024-01-01 02:00:00")): (1, T("2024-01-01 02:00:00"), 20.0, True),
     }, sessions
+
+
+def test_stream_ewma_equals_batch_ewma(spark, sf_dir):
+    """The stateful streaming EWMA must reproduce the batch operator's
+    fold bit-for-bit on a bounded in-order fixture (same alpha, same
+    (ts, event_id) order)."""
+    from projektdataengineering_spark.queries.streaming_batch import (
+        stream_ewma_stateful,
+    )
+    from projektdataengineering_spark.queries.timeseries import pipeline_ewma_smooth
+
+    batch = {
+        r["user_id"]: (r["n_events"], r["last_ewma"])
+        for r in pipeline_ewma_smooth(spark, sf_dir).collect()
+    }
+    stream = {
+        r["user_id"]: (r["n_events"], r["last_ewma"])
+        for r in stream_ewma_stateful(spark, sf_dir).collect()
+    }
+    assert batch == stream

@@ -92,7 +92,24 @@ def time_query(fn, spark, sf_dir: str) -> float:
     t0 = time.perf_counter()
     df = fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0
+    dt = time.perf_counter() - t0
+    # Session hygiene BETWEEN measurements (outside the timer): drop
+    # the plan reference and force-release cached/localCheckpoint
+    # blocks so a 25-query sf1 sweep doesn't degrade later
+    # measurements with accumulated executor memory pressure — the
+    # round-6 probe measured sim_simhash at 14s@sf0.1 mid-sweep vs
+    # 1.8s in a fresh session before this cleanup existed.
+    del df
+    import gc as _gc
+
+    _gc.collect()
+    spark.catalog.clearCache()
+    # ...and a JVM-side GC so the ContextCleaner actually reclaims
+    # dead broadcasts/accumulators between measurements (python-side
+    # gc alone left sim_cosine_ivf — many tiny driver-iteration jobs —
+    # 7x inflated mid-sweep)
+    spark._jvm.System.gc()
+    return dt
 
 
 def main() -> int:
@@ -161,8 +178,15 @@ def main() -> int:
         for name, family in HEAVY_QUERIES:
             fn = registry[name].fn
             time_query(fn, spark, SFS[2])  # warm at bench scale
-            t01 = time_query(fn, spark, SFS[2])
+            t01 = min(time_query(fn, spark, SFS[2]),
+                      time_query(fn, spark, SFS[2]))
+            # min-of-2 at sf1 too — a single sample is hostage to one
+            # GC pause / page-cache eviction (a 5s gap-fill once read
+            # 33.8s); queries already past 100s skip the re-run, their
+            # relative noise is small
             t1 = time_query(fn, spark, sf1_dir)
+            if t1 < 100.0:
+                t1 = min(t1, time_query(fn, spark, sf1_dir))
             slope = math.log10(t1 / t01)
             out.append(
                 f"| {name} | {family} | {t01:.2f}s | {t1:.2f}s | {slope:.2f} |"
