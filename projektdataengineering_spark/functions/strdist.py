@@ -6,11 +6,12 @@ relational warehouse, supplier/customer dedup) wants it: Jaro-Winkler
 rewards shared prefixes and tolerates transpositions, which edit
 distance punishes.  This module implements the TEXTBOOK algorithm —
 the same variant DuckDB's ``jaro_winkler_similarity`` implements
-(verified on the classic vectors: martha/marhta → 0.9611…,
-DIXON/DICKSONX → 0.8133…, blue gizmo/blue plate → 0.6667 i.e. the
-Winkler boost fires only above the classic 0.7 Jaro threshold, with
-p = 0.1 and prefix capped at 4) — so a Spark result can be hash-compared
-against a DuckDB oracle after a defensive ROUND(…, 6) on both sides.
+(verified bit-exact on the classic vectors and ~900 fixture pairs in
+tests/test_operators.py: martha/marhta → 0.9611…, DIXON/DICKSONX →
+0.8133…, blue gizmo/blue plate → 0.6667 i.e. the Winkler boost fires
+only above the classic 0.7 Jaro threshold, with p = 0.1 and prefix
+capped at 4) — so a Spark result can be hash-compared against a
+DuckDB oracle after a defensive ROUND(…, 6) on both sides.
 
 Execution shape: a vectorized pandas UDF (Arrow batch transfer, one
 Python call per ~10k pairs), NOT a row-at-a-time Python UDF.  The

@@ -255,3 +255,55 @@ def scan_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
         dsum("o_totalprice").alias("sum_price"),
         F.sum("o_orderkey").cast("long").alias("key_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom Python data source (Spark 4 DataSource API)
+# ---------------------------------------------------------------------------
+
+_PYSOURCE_ROWS = 20000
+
+_PYSOURCE_SQL = f"""
+    SELECT CAST(r % 10 AS INTEGER) AS bucket,
+           COUNT(*) AS n_rows,
+           CAST(SUM(r) AS BIGINT) AS id_checksum,
+           MIN(md5(CAST(r AS VARCHAR))) AS min_payload,
+           MAX(md5(CAST(r AS VARCHAR))) AS max_payload
+    FROM range({_PYSOURCE_ROWS}) t(r)
+    GROUP BY r % 10
+"""
+
+
+@query("scan_python_datasource", oracle=_PYSOURCE_SQL)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A CUSTOM PYTHON DATA SOURCE scanned like a built-in — the
+    Spark-4 DataSource API seam (sources/pydatasource.py): schema
+    declared at plan time, ``partitions()`` sharding the read across
+    8 independent tasks, rows flowing straight into a normal
+    aggregate. The source generates a deterministic table (payload =
+    md5 of the row number), so the DuckDB oracle recomputes the SAME
+    table from ``range(N)`` and the hash certifies both the partition
+    math (every row exactly once across shard boundaries — an
+    off-by-one in the range split breaks id_checksum) and the payload
+    bytes.
+
+    This is the engine's answer to 'my data lives in a system Spark
+    has no connector for': wrap it in a DataSource subclass and every
+    downstream operator, pushdown hook, and partition-parallel scan
+    behaves as if it were parquet. (sf_dir is unused — the source IS
+    the data.)"""
+    from ..sources.pydatasource import register_synthetic_source
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthdocs")
+        .option("rows", _PYSOURCE_ROWS)
+        .option("partitions", 8)
+        .load()
+    )
+    return df.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("row_id").cast("long").alias("id_checksum"),
+        F.min("payload").alias("min_payload"),
+        F.max("payload").alias("max_payload"),
+    )

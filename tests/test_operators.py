@@ -779,3 +779,22 @@ def test_bpe_train_matches_python_reference(spark, sf_dir, duck):
     got = [tuple(r) for r in
            pipeline_bpe_train(spark, sf_dir).orderBy("rank").collect()]
     assert got == expected
+
+
+def test_python_datasource_partition_contract(spark):
+    """The custom DataSource's partitions() contract must shard the
+    scan into the requested number of independent tasks, cover every
+    row exactly once, and produce the deterministic payload."""
+    import hashlib
+    from projektdataengineering_spark.sources.pydatasource import (
+        register_synthetic_source)
+
+    register_synthetic_source(spark)
+    df = (spark.read.format("synthdocs")
+          .option("rows", 1000).option("partitions", 7).load())
+    assert df.rdd.getNumPartitions() == 7
+    rows = df.collect()
+    assert len(rows) == 1000
+    assert sorted(r["row_id"] for r in rows) == list(range(1000))
+    probe = next(r for r in rows if r["row_id"] == 123)
+    assert probe["payload"] == hashlib.md5(b"123").hexdigest()
