@@ -188,3 +188,66 @@ def connected_components_star(
     raise RuntimeError(
         f"connected_components_star did not converge in {max_iter} rounds"
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a DIRECTED edge list (pass each
+    undirected pair twice for symmetric graphs, e.g. the near-dup
+    graph) — rank(node), the centrality score that orders a dedup
+    cluster's members by how connected they are (canonical-pick by
+    hubness rather than min-id) or ranks link/citation graphs.
+
+    Simplified variant: dangling-node mass is NOT redistributed (the
+    standard power-iteration shortcut; ranks then sum to < 1, which is
+    fine for ORDERING — document before using the absolute values).
+
+    Scale shape per iteration: one join of edges⋈ranks on src (ids +
+    one double through the shuffle), one partial→final sum by dst,
+    one left join back to the node set — all hash-partitioned by node
+    id, the exact shape of the min-label CC rounds above, with the
+    same localCheckpoint lineage cut. The only driver materialization
+    is the single node count. n_iter is fixed (not convergence-tested)
+    so the operator is deterministic and replay-stable."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionAll(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    deg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(n_iter):
+        contribs = (
+            edges.select(F.col(src).alias("node"), F.col(dst).alias("to"))
+            .join(ranks, "node")
+            .join(deg, "node")
+            .select(
+                F.col("to").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce("s", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

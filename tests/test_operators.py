@@ -798,3 +798,90 @@ def test_python_datasource_partition_contract(spark):
     assert sorted(r["row_id"] for r in rows) == list(range(1000))
     probe = next(r for r in rows if r["row_id"] == 123)
     assert probe["payload"] == hashlib.md5(b"123").hexdigest()
+
+
+def test_hll_sketch_union_is_batching_independent(spark, sf_dir):
+    """The HLL partial state must union to the SAME estimate no matter
+    how the data was batched (the mergeable-state contract), and land
+    within the 2^13-register error bound of the exact count."""
+    from pyspark.sql import functions as F
+    from projektdataengineering_spark.catalog import load_table
+    from projektdataengineering_spark.operators.sketches import (
+        hll_estimate, hll_partial, hll_union)
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    exact = ev.select("user_id").distinct().count()
+
+    # one-shot sketch
+    one = ev.agg(hll_estimate(hll_partial("user_id")).alias("e")).collect()[0]["e"]
+    # partials per event_id % 7 batch, then union
+    batched = (
+        ev.groupBy((F.col("event_id") % 7).alias("b"))
+        .agg(hll_partial("user_id").alias("sk"))
+        .agg(hll_estimate(hll_union("sk")).alias("e"))
+        .collect()[0]["e"]
+    )
+    assert one == batched  # union of partials == one-shot, exactly
+    assert abs(one - exact) <= max(2, 0.05 * exact), (one, exact)
+
+
+def test_hll_distinct_over_groups_shapes(spark, sf_dir):
+    from projektdataengineering_spark.catalog import load_table
+    from projektdataengineering_spark.operators.sketches import distinct_over_groups
+
+    ev = load_table(spark, sf_dir, "events")
+    out = distinct_over_groups(ev, "event_type", "user_id").collect()
+    types = {r["grp"] for r in out}
+    assert None in types and len(types) >= 3
+    glob = next(r for r in out if r["grp"] is None)
+    per = [r["est_distinct"] for r in out if r["grp"] is not None]
+    # global union can't exceed the sum of group estimates (loosely)
+    assert glob["est_distinct"] <= sum(per) + 2
+
+
+def test_pagerank_matches_python_power_iteration(spark):
+    """operators.graph.pagerank must reproduce a plain-python power
+    iteration with the same update rule (same damping, same dangling
+    semantics) on a fixed directed graph, to float tolerance."""
+    from projektdataengineering_spark.operators.graph import pagerank
+
+    E = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1), (5, 1)]
+    edges = spark.createDataFrame(E, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(edges, n_iter=10).collect()}
+
+    nodes = sorted({x for e in E for x in e})
+    n, d = len(nodes), 0.85
+    out = {u: [v for a, v in E if a == u] for u in nodes}
+    rank = {u: 1.0 / n for u in nodes}
+    for _ in range(10):
+        contrib = {u: 0.0 for u in nodes}
+        for u in nodes:
+            for v in out[u]:
+                contrib[v] += rank[u] / len(out[u])
+        rank = {u: (1 - d) / n + d * contrib[u] for u in nodes}
+    assert set(got) == set(rank)
+    for u in nodes:
+        assert abs(got[u] - rank[u]) < 1e-12, (u, got[u], rank[u])
+    # structural sanity: node 1 (most cited) outranks the dangling-fed 5
+    assert got[1] > got[5]
+
+
+def test_pagerank_on_neardup_graph_conserves_mass(spark, sf_dir):
+    """On the SYMMETRIC near-dup pair graph there are no dangling
+    nodes, so total rank mass is conserved at exactly 1 (within float
+    tolerance) and every node keeps positive rank. (Near-dup
+    components are mostly cliques/2-cycles — regular graphs — where
+    all ranks equal 1/n, so ordering assertions are vacuous here; the
+    conservation law is the meaningful invariant.)"""
+    from pyspark.sql import functions as F
+    from projektdataengineering_spark.operators.graph import pagerank
+    from projektdataengineering_spark.queries.pipeline_ops import _portable_pairs
+
+    pairs = _portable_pairs(spark, sf_dir)
+    sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    pr = pagerank(sym, n_iter=5)
+    stats = pr.agg(F.sum("rank").alias("s"), F.min("rank").alias("lo")).collect()[0]
+    assert abs(stats["s"] - 1.0) < 1e-9, stats
+    assert stats["lo"] > 0.0
