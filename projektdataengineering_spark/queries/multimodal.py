@@ -61,3 +61,23 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod("doc_id", F.lit(10)).cast("int").alias("frame_idx"),
         "modality", "n_bytes", "checksum", "feat_mean", "feat_argmax",
     )
+
+
+@query("multimodal_audio_features", oracle=None)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio pipeline end-to-end, completing the modality
+    triangle (image r4, video r5, audio r6): each document rendered as
+    an actual 16-bit PCM WAV (attach_wav_payload — RIFF/fmt/data via
+    the vendored codec), then Arrow-batched decode + featurization
+    over the DECODED samples (extract_audio_features): peak, EXACT
+    integer energy, zero crossings, duration. Rows-only check (binary
+    plumbing is not SQL-expressible); waveform fidelity and feature
+    values are pinned against pure-python recomputes in
+    tests/test_multimodal.py. Both directions run distributed with
+    constant worker memory — the same mapInPandas profile as the
+    image/video legs, which is the property that matters when the
+    payload column is 100 TB of real clips."""
+    from ..operators.multimodal import attach_wav_payload, extract_audio_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_audio_features(attach_wav_payload(docs))

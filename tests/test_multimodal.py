@@ -347,3 +347,29 @@ def test_sample_frames_expansion(spark, sf_dir):
     for doc_id, frames in by_doc.items():
         want = _fake_frames(originals[doc_id], 3)
         assert [frames[i] for i in range(3)] == want
+
+
+def test_audio_features_match_python_recompute(spark, sf_dir):
+    """The distributed WAV encode→decode→featurize loop must equal a
+    pure-python recompute of the same deterministic waveform."""
+    import numpy as np
+    from projektdataengineering_spark.catalog import load_table
+    from projektdataengineering_spark.queries.multimodal import (
+        multimodal_audio_features)
+
+    docs = {r["doc_id"]: r["text"]
+            for r in load_table(spark, sf_dir, "documents").collect()}
+    got = {r["doc_id"]: r for r in multimodal_audio_features(spark, sf_dir).collect()}
+    assert set(got) == set(docs)
+    for doc_id in list(docs)[:20]:
+        raw = docs[doc_id].encode("utf-8") or b"\x00"
+        buf = np.zeros(1600, dtype=np.int16)
+        take = min(len(raw), 1600)
+        buf[:take] = (np.frombuffer(raw[:take], dtype=np.uint8)
+                      .astype(np.int16) * 128 - 16384)
+        s = buf.astype(np.int64)
+        r = got[doc_id]
+        assert r["peak"] == int(np.abs(s).max())
+        assert r["energy"] == int((s * s).sum())
+        assert r["zero_crossings"] == int(np.count_nonzero(np.diff(np.signbit(s))))
+        assert r["n_samples"] == 1600 and r["sample_rate"] == 16000
