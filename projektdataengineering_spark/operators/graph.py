@@ -196,6 +196,7 @@ def pagerank(
     dst: str = "dst",
     n_iter: int = 10,
     damping: float = 0.85,
+    exact_sums: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a DIRECTED edge list (pass each
     undirected pair twice for symmetric graphs, e.g. the near-dup
@@ -213,7 +214,18 @@ def pagerank(
     id, the exact shape of the min-label CC rounds above, with the
     same localCheckpoint lineage cut. The only driver materialization
     is the single node count. n_iter is fixed (not convergence-tested)
-    so the operator is deterministic and replay-stable."""
+    so the operator is deterministic and replay-stable.
+
+    ``exact_sums=True`` routes each per-node contribution sum through
+    DECIMAL(38,18): the per-edge contribution rank/deg (one double
+    division, order-free) is cast to decimal, summed EXACTLY
+    (decimal addition is associative — the sum no longer depends on
+    partitioning or arrival order), and cast back to double for the
+    damping step. Every remaining op is a single IEEE-754 double
+    operation, so the ranks are bit-stable across runs, partitionings,
+    AND engines — what lets queries/graphs.py hash-check this operator
+    against a DuckDB replay. Costs one decimal column through the
+    aggregation; leave False when ordering-grade ranks suffice."""
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionAll(edges.select(F.col(dst).alias("node")))
@@ -227,26 +239,24 @@ def pagerank(
         F.count(F.lit(1)).alias("deg")
     )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    contrib = F.col("rank") / F.col("deg")
+    if exact_sums:
+        contrib = contrib.cast("decimal(38,18)")
     for _ in range(n_iter):
         contribs = (
             edges.select(F.col(src).alias("node"), F.col(dst).alias("to"))
             .join(ranks, "node")
             .join(deg, "node")
-            .select(
-                F.col("to").alias("node"),
-                (F.col("rank") / F.col("deg")).alias("c"),
-            )
+            .select(F.col("to").alias("node"), contrib.alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
+        s = F.coalesce(F.col("s").cast("double"), F.lit(0.0))
         ranks = (
             nodes.join(contribs, "node", "left")
             .select(
                 "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.coalesce("s", F.lit(0.0))
-                ).alias("rank"),
+                (F.lit((1.0 - damping) / n) + F.lit(damping) * s).alias("rank"),
             )
             .localCheckpoint(eager=True)
         )

@@ -72,7 +72,7 @@ def attach_png_payload(df: DataFrame, text_col: str = "text", width: int = 32) -
         for pdf in batches:
             payloads = []
             for text in pdf[text_col]:
-                raw = text.encode("utf-8") or b"\x00"
+                raw = (text or "").encode("utf-8") or b"\x00"
                 h = (len(raw) + width - 1) // width
                 arr = np.zeros(h * width, dtype=np.uint8)
                 arr[: len(raw)] = np.frombuffer(raw, dtype=np.uint8)
@@ -111,7 +111,7 @@ def attach_avi_payload(
         for pdf in batches:
             payloads = []
             for text in pdf[text_col]:
-                raw = text.encode("utf-8") or b"\x00"
+                raw = (text or "").encode("utf-8") or b"\x00"
                 buf = np.zeros(n_frames * frame_px, dtype=np.uint8)
                 buf[: min(len(raw), buf.size)] = np.frombuffer(
                     raw[: buf.size], dtype=np.uint8
@@ -396,7 +396,7 @@ def attach_wav_payload(
         for pdf in batches:
             payloads = []
             for text in pdf[text_col]:
-                raw = text.encode("utf-8") or b"\x00"
+                raw = (text or "").encode("utf-8") or b"\x00"
                 buf = np.zeros(n_samples, dtype=np.int16)
                 take = min(len(raw), n_samples)
                 # bytes 0..255 → int16 −16384..16256 (×128, −16384)

@@ -50,18 +50,23 @@ def distinct_over_groups(
     df: DataFrame, group_col: str, value_col: str, lg_k: int = _LG_K
 ) -> DataFrame:
     """Per-group sketches PLUS the global rollup from the same
-    partials: returns (group, est_distinct) rows and one (NULL,
-    est_distinct) global row — computed by unioning the group
-    sketches, NOT by re-scanning, which is the whole point."""
+    partials: returns (group, is_total=false, est_distinct) rows and
+    one (NULL, is_total=true, est_distinct) global row — computed by
+    unioning the group sketches, NOT by re-scanning, which is the
+    whole point.  ``is_total`` is an explicit marker (not a NULL
+    sentinel) so a genuine NULL group value in the data stays
+    distinguishable from the rollup row."""
     per_group = df.groupBy(group_col).agg(
         hll_partial(value_col, lg_k).alias("sk")
     )
     groups = per_group.select(
         F.col(group_col).cast("string").alias("grp"),
+        F.lit(False).alias("is_total"),
         hll_estimate("sk").alias("est_distinct"),
     )
     total = per_group.agg(hll_union("sk").alias("m")).select(
         F.lit(None).cast("string").alias("grp"),
+        F.lit(True).alias("is_total"),
         hll_estimate("m").alias("est_distinct"),
     )
     return groups.unionAll(total)

@@ -85,6 +85,8 @@ _MODULES = (
     "layout",
     "timeseries",
     "diagnostics",
+    # round-7 additions
+    "graphs",
 )
 
 # Window packing: the driver's correctness pass records the FIRST 50
@@ -219,43 +221,72 @@ _R05_WINDOW = frozenset((
     "agg_cube", "agg_grouping_sets", "subquery_avg_yearly",
     "agg_approx_quantile",
 ))
-_DRIVER_VERIFIED = _R01_WINDOW | _R03_WINDOW | _R04_WINDOW | _R05_WINDOW
+# Round-6's recorded window (CORRECTNESS_r06.json keys — on disk,
+# 44 hash-pass + 6 by-design rows-only, zero errors; it cleared the
+# whole round-6 _RECHECK population and graduated sim_simhash).
+_R06_WINDOW = frozenset((
+    "stream_ewma_stateful", "multimodal_audio_features",
+    "pipeline_dedup_clusters_portable", "pipeline_canonical_docs",
+    "pipeline_corpus_build", "join_fuzzy_jaro", "join_bucketed_colocated",
+    "pipeline_interval_concurrency", "agg_q22_antijoin_rollup",
+    "pipeline_bpe_train", "scan_parquet_schema_evolution",
+    "scan_python_datasource", "pipeline_zorder_layout",
+    "pipeline_ewma_smooth", "pipeline_time_gapfill",
+    "pipeline_key_skew_profile", "sim_minhash_lsh", "sim_simhash",
+    "dedup_cluster_cc", "sim_ngram_jaccard", "sim_cosine_ann_lsh",
+    "dedup_embedding_cosine", "sim_cosine_exact_pairs",
+    "pipeline_minhash_pairs_portable", "agg_histogram", "agg_corr_exact",
+    "topk_per_group", "window_rank", "window_running_sum",
+    "window_first_last", "window_percentiles", "set_union_all",
+    "set_union_distinct", "set_intersect", "set_except",
+    "unpivot_metrics", "scalar_string", "scalar_date", "scalar_math",
+    "array_ops", "sim_cosine_ivf", "pipeline_neardup_degree",
+    "agg_weighted_avg", "join_exists_correlated", "join_not_exists_agg",
+    "subquery_scalar_select", "sql_recursive_month_spine",
+    "pipeline_chunk_overlap", "pipeline_pmi_collocations",
+    "pipeline_repetition_filter",
+))
+_DRIVER_VERIFIED = (
+    _R01_WINDOW | _R03_WINDOW | _R04_WINDOW | _R05_WINDOW | _R06_WINDOW
+)
 
 # Verified in an earlier round, but the implementation, oracle, or an
 # upstream seam changed afterwards — their old driver row no longer
 # certifies the current code, so they re-enter the window right after
-# the never-verified block.  Round-6 population:
-# * sim_minhash_lsh — estimator path rebuilt (star_cap=256 + capped
-#   marker column; est_jaccard computed pre-dedup via _bucket_pairs
-#   project) after its r03 rows-only row;
-# * sim_simhash — full round-6 redesign: portable 60-bit md5 token
-#   hash, 15-bit bands, Hamming ≤ 15, capped star pairs kept+flagged,
-#   and GRADUATED to a DuckDB bit-arithmetic oracle — its r05
-#   rows-only row certifies a different query;
-# * dedup_cluster_cc / sim_ngram_jaccard consume _bucket_pairs /
-#   minhash_band_pairs, whose pair-generation seam was rebuilt this
-#   round (outputs verified locally unchanged, but the seam differs
-#   from their r05/r04 rows);
-# * sim_cosine_ann_lsh / dedup_embedding_cosine — adaptive-bits row
-#   count now comes from the raw-scan count (plan seam change), and
-#   dedup_embedding_cosine runs at the 0.95 production threshold over
-#   planted-near-dup unions (round-6);
-# * sim_cosine_exact_pairs — per-block top-k bound knob landed after
-#   its r05 row (default path unchanged, code differs);
-# * pipeline_minhash_pairs_portable — its body was extracted into the
-#   _portable_pairs helper (shared with the new portable-CC queries)
-#   after its r04 row; plan unchanged, but the seam differs.
+# the never-verified block.  Round-7 population:
+# * sim_minhash_lsh — GRADUATED to a DuckDB oracle: rebuilt on the
+#   portable 16-lane md5 signature (the xxh64→md5 port pattern that
+#   graduated sim_simhash in r6) — its r06 rows-only row certifies a
+#   different query;
+# * dedup_cluster_cc — GRADUATED: edge source swapped to the portable
+#   multi-band pairs with a recursive-CTE transitive-closure oracle;
+# * pipeline_ewma_smooth / stream_ewma_stateful — oracle gained
+#   `WHERE value IS NOT NULL` and both folds now drop NULL values
+#   before folding (ADVICE r6 NaN-poisoning fix);
+# * join_bucketed_colocated — bucketed write now cached per tag
+#   (skip-if-exists) instead of rewritten per invocation (ADVICE r6);
+# * sim_ngram_jaccard — sf1 performance rework this round (verdict
+#   ask #4);
+# * stream_dedup_stateful — state TTL/eviction semantics added this
+#   round (verdict ask #5);
+# * multimodal_video_frames — MJPEG-in-AVI decode leg added this
+#   round (verdict ask #6);
+# * scan_jsonl_roundtrip — its r6 bench regressed ~0.3 s alongside
+#   the two r3-stale scan roundtrips (verdict ask #7); cheap to
+#   re-certify with them.
 _RECHECK: tuple[str, ...] = (
-    "sim_minhash_lsh", "sim_simhash", "dedup_cluster_cc",
-    "sim_ngram_jaccard", "sim_cosine_ann_lsh",
-    "dedup_embedding_cosine", "sim_cosine_exact_pairs",
-    "pipeline_minhash_pairs_portable",
+    "sim_minhash_lsh", "dedup_cluster_cc", "pipeline_ewma_smooth",
+    "stream_ewma_stateful", "join_bucketed_colocated",
+    "sim_ngram_jaccard", "stream_dedup_stateful",
+    "multimodal_video_frames", "scan_jsonl_roundtrip",
 )
 
 
 def _latest_row_round(name: str) -> int:
     """Most recent round whose on-disk driver artifact holds this
     query's correctness row (0 = never verified)."""
+    if name in _R06_WINDOW:
+        return 6
     if name in _R05_WINDOW:
         return 5
     if name in _R04_WINDOW:

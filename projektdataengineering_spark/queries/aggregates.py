@@ -560,3 +560,75 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (num / den.cast("double")).alias("wavg_price"),
         den.cast("bigint").alias("total_qty"),
     )
+
+
+@query(
+    "agg_hll_merge",
+    oracle="""
+    SELECT CAST(event_type AS VARCHAR) AS grp, FALSE AS is_total,
+           COUNT(DISTINCT user_id) AS exact_distinct, TRUE AS sketch_ok
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT NULL AS grp, TRUE AS is_total,
+           COUNT(DISTINCT user_id) AS exact_distinct, TRUE AS sketch_ok
+    FROM events
+    """,
+)
+def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct-count sketches (operators/sketches.py)
+    driven end-to-end: per-event-type sketches of the distinct-user
+    population PLUS the global rollup computed by UNIONING the group
+    sketches — never by re-scanning raw data. That mergeability is the
+    100-TB primitive: the same fixed-width partials serve daily
+    rollups, incremental maintenance, and cross-cluster federation.
+
+    What the driver hash certifies (the estimate itself has no SQL
+    twin — DataSketches HLL is not expressible in DuckDB): the
+    grouping shape, the EXACT per-group and global distinct counts
+    (computed alongside, SQL-replayable), and ``sketch_ok`` — the
+    claim that every sketch estimate (including the union-of-partials
+    global one) lands within max(2, 5%) of its exact count. The
+    sketch is a deterministic pure function of the value set
+    (registers are maxes over per-value hashes), so the boolean is
+    replay-stable, and a broken sketch/union path flips it to False
+    and fails the hash. The estimate's exact value and
+    batching-independence are additionally pinned in
+    tests/test_operators.py.
+
+    Scale shape: one shuffle carrying (2^13-register sketch +
+    count-distinct partials) per group; the global row unions the
+    group sketches — at production you'd persist `sk` and skip the
+    exact column, this query carries both precisely to certify one
+    against the other."""
+    from ..operators.sketches import hll_estimate, hll_partial, hll_union
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    per_group = ev.groupBy("event_type").agg(
+        hll_partial("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact_distinct"),
+    )
+
+    def ok(est, exact):
+        return (
+            F.abs(est.cast("double") - exact.cast("double"))
+            <= F.greatest(F.lit(2.0), F.lit(0.05) * exact.cast("double"))
+        ).alias("sketch_ok")
+
+    groups = per_group.select(
+        F.col("event_type").cast("string").alias("grp"),
+        F.lit(False).alias("is_total"),
+        F.col("exact_distinct"),
+        ok(hll_estimate("sk"), F.col("exact_distinct")),
+    )
+    total_exact = ev.agg(F.count_distinct("user_id").alias("exact_distinct"))
+    total = (
+        per_group.agg(hll_union("sk").alias("m"))
+        .crossJoin(total_exact)
+        .select(
+            F.lit(None).cast("string").alias("grp"),
+            F.lit(True).alias("is_total"),
+            F.col("exact_distinct"),
+            ok(hll_estimate("m"), F.col("exact_distinct")),
+        )
+    )
+    return groups.unionAll(total)

@@ -304,7 +304,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            list_reduce(list(value ORDER BY ts, event_id),
                        (s, x) -> 0.25 * x + 0.75 * s)
              AS last_ewma
-    FROM events GROUP BY user_id
+    FROM events WHERE value IS NOT NULL GROUP BY user_id
     """,
 )
 def stream_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:

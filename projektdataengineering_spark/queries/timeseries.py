@@ -28,7 +28,7 @@ _EWMA_SQL = f"""
            list_reduce(list(value ORDER BY ts, event_id),
                        (s, x) -> {_ALPHA} * x + {1 - _ALPHA} * s)
              AS last_ewma
-    FROM events GROUP BY user_id
+    FROM events WHERE value IS NOT NULL GROUP BY user_id
 """
 
 
@@ -54,7 +54,11 @@ def pipeline_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
 
     def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
+        # NULL values would fold NaN into every later state; drop them
+        # to match the streaming fold and the oracle's WHERE clause.
+        pdf = pdf.dropna(subset=["value"]).sort_values(["ts", "event_id"])
+        if len(pdf) == 0:  # all-NULL key: oracle's WHERE drops it too
+            return pd.DataFrame({"user_id": [], "n_events": [], "last_ewma": []})
         s = None
         for x in pdf["value"]:
             s = x if s is None else _ALPHA * x + (1 - _ALPHA) * s

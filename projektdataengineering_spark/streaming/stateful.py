@@ -170,6 +170,11 @@ def make_ewma_fold(alpha: float):
     def _fold(key, pdf_iter, state: GroupState):
         s, n = state.get if state.exists else (None, 0)
         for pdf in pdf_iter:
+            # NULL values must not fold NaN into the state (it would
+            # poison every later EWMA step); dropping them keeps the
+            # fold aligned with the batch twin and the oracle's
+            # `WHERE value IS NOT NULL` (ADVICE r6).
+            pdf = pdf.dropna(subset=["value"])
             if len(pdf) == 0:
                 continue
             pdf = pdf.sort_values(["ts", "event_id"])

@@ -833,8 +833,10 @@ def test_hll_distinct_over_groups_shapes(spark, sf_dir):
     out = distinct_over_groups(ev, "event_type", "user_id").collect()
     types = {r["grp"] for r in out}
     assert None in types and len(types) >= 3
-    glob = next(r for r in out if r["grp"] is None)
-    per = [r["est_distinct"] for r in out if r["grp"] is not None]
+    # the rollup row is marked explicitly, not by the NULL sentinel
+    glob = next(r for r in out if r["is_total"])
+    assert glob["grp"] is None
+    per = [r["est_distinct"] for r in out if not r["is_total"]]
     # global union can't exceed the sum of group estimates (loosely)
     assert glob["est_distinct"] <= sum(per) + 2
 

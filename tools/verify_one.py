@@ -1,16 +1,20 @@
 #!/usr/bin/env python
 """Single-query driver-rule check: python tools/verify_one.py name [name...] [--sf DIR]."""
 from __future__ import annotations
-import os, sys
+
+import argparse
+import os
+import sys
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from verify_driver import TABLES, canon  # type: ignore
 
+
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf = "/root/testdata/sf0.01"
-    for a in sys.argv[1:]:
-        if a.startswith("--sf="):
-            sf = a.split("=", 1)[1]
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("names", nargs="+", help="registered query names")
+    ap.add_argument("--sf", default="/root/testdata/sf0.01", help="fixture dir")
+    ns = ap.parse_args()
     import duckdb
     from pyspark.sql import SparkSession
     spark = (SparkSession.builder.master("local[8]")
@@ -20,11 +24,11 @@ def main() -> int:
     import __spark_entry__ as e
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{ns.sf}/{t}.parquet'")
     qs, oracles = e.queries(), e.oracle_sql()
     rc = 0
-    for name in args:
-        spdf = qs[name](spark, sf).toPandas()
+    for name in ns.names:
+        spdf = qs[name](spark, ns.sf).toPandas()
         sql = oracles.get(name)
         if not sql:
             print(f"{name}: rows-only {len(spdf)}"); continue
@@ -39,6 +43,6 @@ def main() -> int:
         else: print(f"{name}: match {len(srows)} rows")
     return rc
 
+
 if __name__ == "__main__":
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    sys.exit(main())
+    raise SystemExit(main())
