@@ -168,7 +168,30 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dups.orderBy("vec_id")
 
 
-@query("dedup_cluster_cc", oracle=None)
+_CLUSTER_CC_SQL_TMPL = """
+    WITH RECURSIVE
+    pairs AS ({pairs_sql}),
+    und AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT u.a, r.label FROM und u JOIN reach r ON u.b = r.node
+    )
+    SELECT node AS doc_id, MIN(label) AS component
+    FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
+def _cluster_cc_oracle() -> str:
+    from .similarity import _PORTABLE_MH_PAIR_IDS_SQL
+
+    return _CLUSTER_CC_SQL_TMPL.format(pairs_sql=_PORTABLE_MH_PAIR_IDS_SQL)
+
+
+@query("dedup_cluster_cc", oracle=_cluster_cc_oracle())
 def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: MinHash-LSH candidate pairs promoted to
     transitive dedup groups via distributed connected components
@@ -177,27 +200,43 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimum doc_id, the canonical survivor a dedup sweep would keep;
     docs with no near-dup pair are (correctly) absent.
 
-    This is the one iterative operator in the engine — diameter-bounded
-    label-propagation rounds of join+groupBy with checkpointed lineage.
-    Rows-only check: transitive closure needs recursion SQL-92 lacks;
-    exactness vs a union-find is pinned in tests/test_operators.py.
+    HASH-CHECKED since round 7: the edge list now comes from the
+    portable 16-lane md5 signature's band buckets (the same candidate
+    universe the graduated sim_minhash_lsh estimates over — see
+    similarity._portable_mh_bands), so a DuckDB recursive-CTE
+    transitive closure replays the clustering value-for-value.
+    Previously rows-only: the xxh64 lane edges had no SQL twin.
+    Exactness vs a serial union-find stays pinned in
+    tests/test_operators.py.
 
-    The edge list comes from minhash_band_pairs(include_sig=False,
-    star_cap=64) — CC only needs doc-id pairs AND only needs
-    connectivity, so the candidate stage shuffles bare ids and a hot
-    band bucket contributes |B|-1 star edges instead of an all-pairs
-    clique: a star and a clique induce exactly the same connected
-    components (equivalence pinned by the union-find test), while the
-    quadratic hot-bucket cost disappears. (The round-1 composition
-    consumed the full sim_minhash_lsh output and paid for signatures
-    it then discarded.)"""
+    Scale shape unchanged: CC only needs doc-id pairs AND only needs
+    connectivity, so the candidate stage shuffles bare ids
+    (project drops the lane strings before the pair dedup) and a hot
+    band bucket past star_cap=64 contributes |B|-1 star edges instead
+    of an all-pairs clique — a star and a clique induce exactly the
+    same components (equivalence pinned by the union-find test), while
+    the quadratic hot-bucket cost disappears. Each CC round is one
+    join + one groupBy over bare ids with checkpointed lineage;
+    rounds = cluster diameter (~1-2 for near-dup clumps). The oracle's
+    closure is quadratic-in-component and exists only at oracle SF.
+
+    This query intentionally differs from
+    pipeline_dedup_clusters_portable: that one clusters the
+    SINGLE-band 4-lane high-precision pairs; this is the full
+    4-band×4-lane recall-grade candidate graph."""
     from ..operators.graph import connected_components
-    from .similarity import minhash_band_pairs
+    from .similarity import _bucket_pairs, _portable_mh_bands
 
-    pairs = minhash_band_pairs(
-        spark, sf_dir, include_sig=False, star_cap=64
-    ).select(
-        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    bands = _portable_mh_bands(spark, sf_dir)
+    pairs = _bucket_pairs(
+        bands,
+        ["band_idx", "band_key"],
+        ["doc_id"],
+        star_cap=64,
+        project=lambda a, b: (
+            [a["doc_id"].alias("doc_a"), b["doc_id"].alias("doc_b")],
+            [],
+        ),
     )
     cc = connected_components(pairs, "doc_a", "doc_b")
     return cc.select(

@@ -796,37 +796,163 @@ def minhash_band_pairs(
     )
 
 
-@query("sim_minhash_lsh", oracle=None)
+# ---------------------------------------------------------------------------
+# Portable 16-lane md5 MinHash — the SQL-replayable production estimator
+# ---------------------------------------------------------------------------
+#
+# The xxh64 kernel above stays as the compact-lane (8-byte) variant for
+# connectivity-only consumers and the calibration tests; the REGISTERED
+# estimator runs on md5 lanes so DuckDB can replay the whole
+# shingle→lane→band→pair pipeline value-for-value — the same xxh64→md5
+# port pattern that graduated sim_simhash in round 6 (its r1-r5 xxh64
+# form was rows-only for exactly this reason).
+
+_N_PORTABLE_MH = 16  # lanes; est_jaccard resolution = 1/16
+_PORTABLE_MH_BANDS = 4  # 4 bands × 4 lanes → same s-curve as the xxh64 path
+_PORTABLE_MH_BAND_SIZE = _N_PORTABLE_MH // _PORTABLE_MH_BANDS
+
+
+def _portable_mh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lanes array<string>, band_idx, band_key) — one row per
+    (doc, band). Each shingle is md5-hashed ONCE (distinct 3-token
+    grams → 32-hex digests), then lane j takes the min over shingles of
+    md5(digest || '#j') — hashing the fixed-width digest instead of the
+    raw shingle keeps the 16-lane pass O(16·shingles·33B) regardless of
+    shingle length. Lane mins run inside the per-row array (no explode,
+    no shuffle); only (doc_id, 16×32-hex, band key) leaves the scan."""
+    from ..functions import token_ngrams
+
+    docs = _spread_small_input(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    g = toked.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(token_ngrams("toks", 3), lambda s: F.md5(s))
+        ).alias("ghs"),
+    ).filter(F.size("ghs") > 0)
+
+    def lane(i: int):
+        # factory closure, NOT a defaulted two-param lambda (the
+        # _minhash_lane pitfall: `lambda s, i=i` becomes an
+        # (element, index) function and the index overwrites the lane)
+        return F.array_min(
+            F.transform("ghs", lambda s: F.md5(F.concat(s, F.lit(f"#{i}"))))
+        )
+
+    sig = g.select(
+        "doc_id", F.array(*[lane(i) for i in range(_N_PORTABLE_MH)]).alias("lanes")
+    )
+    return sig.select(
+        "doc_id",
+        "lanes",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                F.slice(
+                                    "lanes",
+                                    b * _PORTABLE_MH_BAND_SIZE + 1,
+                                    _PORTABLE_MH_BAND_SIZE,
+                                ),
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(_PORTABLE_MH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "lanes", "band.band_idx", "band.band_key")
+
+
+# Shared CTE body: signature + band rows, mirrored expression-for-
+# expression from _portable_mh_bands (list slices are 1-based inclusive
+# in DuckDB, hence the 4b+1 .. 4b+4 bounds).
+_PORTABLE_MH_CTE = f"""
+    sig AS (
+      SELECT doc_id,
+             [{", ".join(
+                 f"list_min([md5(gh || '#{i}') for gh in ghs])"
+                 for i in range(_N_PORTABLE_MH)
+             )}] AS lanes
+      FROM (
+        SELECT doc_id,
+               list_distinct([md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                              for i in range(1, len(toks) - 1)]) AS ghs
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      )
+      WHERE len(ghs) > 0
+    ),
+    bands AS (
+      SELECT doc_id, lanes, r.band_idx AS band_idx,
+             md5(array_to_string(
+               lanes[r.band_idx * {_PORTABLE_MH_BAND_SIZE} + 1 :
+                     r.band_idx * {_PORTABLE_MH_BAND_SIZE} + {_PORTABLE_MH_BAND_SIZE}],
+               ',')) AS band_key
+      FROM sig, range(0, {_PORTABLE_MH_BANDS}) r(band_idx)
+    )
+"""
+
+# Bare (doc_a < doc_b) candidate ids — the closure/pagerank edge set.
+_PORTABLE_MH_PAIR_IDS_SQL = f"""
+    WITH {_PORTABLE_MH_CTE}
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+"""
+
+_MINHASH_LSH_SQL = f"""
+    WITH {_PORTABLE_MH_CTE}
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(list_sum(list_transform(range(1, {_N_PORTABLE_MH + 1}),
+                i -> CASE WHEN a.lanes[i] = b.lanes[i] THEN 1 ELSE 0 END))
+                AS DOUBLE) / {float(_N_PORTABLE_MH)} AS est_jaccard,
+           FALSE AS capped
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+"""
+
+
+@query("sim_minhash_lsh", oracle=_MINHASH_LSH_SQL)
 def sim_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate candidates with estimated Jaccard = fraction of
-    matching minhash components. See minhash_band_pairs for the
-    pipeline and its scale shape. Rows-only check — calibrated against
-    exact Jaccard in tests/test_operators.py.
+    matching minhash lanes — HASH-CHECKED against a full DuckDB replay
+    since round 7 (previously rows-only: the xxh64 lanes had no SQL
+    twin; the 16 md5 lanes do — see _portable_mh_bands and the module
+    comment above it). Statistical calibration vs exact shingle
+    Jaccard stays pinned in tests/test_operators.py.
 
-    Round-6 scale fix (the round-5 verdict's #1/#2): the estimator path
-    previously expanded hot band buckets as FULL cliques (sf0.1 bucket
-    max 747 → ~279k pairs from one bucket) and shuffled pair structs
-    carrying two 16-long signatures through distinct() — 6.0 s at sf0.1
-    and quadratic in hot-bucket mass at scale. Now (a) buckets past
-    star_cap=256 emit min-member star edges with an honest ``capped``
-    marker (True = the pair list inside that bucket is the star, not
-    the clique — downstream consumers know the candidate set is
-    connectivity-complete but not pair-complete there), and (b)
-    est_jaccard is computed from the signatures BEFORE the cross-band
-    dedup (``project``), so the dedup exchange carries
-    (doc_a, doc_b, double, bool) instead of 2×16 longs."""
+    Round-6 scale shape retained: buckets past star_cap=256 emit
+    min-member star edges with an honest ``capped`` marker (True = the
+    pair list inside that bucket is the star, not the clique — the
+    candidate set is connectivity-complete but not pair-complete
+    there), and est_jaccard is computed from the lanes BEFORE the
+    cross-band dedup (``project``), so the dedup exchange carries
+    (doc_a, doc_b, double, bool) instead of 2×16 lane strings. The
+    oracle emits the full clique with capped=FALSE — exact at driver
+    SF where no bucket approaches the cap; tests/test_operators.py
+    pins the star/clique component-equivalence the cap relies on."""
+    bands = _portable_mh_bands(spark, sf_dir)
     est_of = lambda a, b: (
         F.size(
             F.filter(
-                F.zip_with(a["sig"], b["sig"], lambda x, y: x == y), lambda m: m
+                F.zip_with(a["lanes"], b["lanes"], lambda x, y: x == y),
+                lambda m: m,
             )
         )
-        / F.lit(float(_N_MINHASH))
+        / F.lit(float(_N_PORTABLE_MH))
     )
-    return minhash_band_pairs(
-        spark,
-        sf_dir,
-        include_sig=True,
+    return _bucket_pairs(
+        bands,
+        ["band_idx", "band_key"],
+        ["doc_id", "lanes"],
         star_cap=256,
         mark_capped=True,
         project=lambda a, b: (
