@@ -274,11 +274,20 @@ _DRIVER_VERIFIED = (
 # * scan_jsonl_roundtrip — its r6 bench regressed ~0.3 s alongside
 #   the two r3-stale scan roundtrips (verdict ask #7); cheap to
 #   re-certify with them.
+# * pipeline_doc_signature / pipeline_minhash_pairs_portable /
+#   pipeline_dedup_clusters_portable / pipeline_canonical_docs /
+#   pipeline_corpus_build — the shared _portable_signature seam's
+#   empty-gram filter moved to the cheap token-count form (pushdown
+#   re-inline fix) after their r4/r6 rows; values verified locally
+#   unchanged, but the plan seam differs.
 _RECHECK: tuple[str, ...] = (
     "sim_minhash_lsh", "dedup_cluster_cc", "pipeline_ewma_smooth",
     "stream_ewma_stateful", "join_bucketed_colocated",
     "sim_ngram_jaccard", "stream_dedup_stateful",
     "multimodal_video_frames", "scan_jsonl_roundtrip",
+    "pipeline_doc_signature", "pipeline_minhash_pairs_portable",
+    "pipeline_dedup_clusters_portable", "pipeline_canonical_docs",
+    "pipeline_corpus_build",
 )
 
 

@@ -585,10 +585,15 @@ def _portable_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     lane min runs inside the per-row array (no explode, no shuffle);
     only (doc_id, 4×32-hex) ever leaves the scan."""
     docs = load_table(spark, sf_dir, "documents")
-    toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    # size(toks) >= 2 ⟺ size(gs) > 0, but a predicate on gs would be
+    # pushed down with the whole gram pipeline re-inlined into it and
+    # computed twice (see similarity.sim_ngram_jaccard's comment).
+    toked = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
     g = toked.select(
         "doc_id", F.array_distinct(token_ngrams("toks", 2)).alias("gs")
-    ).filter(F.size("gs") > 0)
+    )
     def lane(i: int):
         # factory closure, NOT a defaulted two-param lambda — Spark
         # treats `lambda s, i=i` as an (element, index) function and

@@ -825,13 +825,19 @@ def _portable_mh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread_small_input(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    # size(toks) >= 3 ⟺ size(ghs) > 0, but stays CHEAP when Catalyst
+    # pushes it below the spread exchange — a predicate on ghs would be
+    # re-inlined as the full gram+md5 pipeline and run serialized on
+    # the scan's few fixture splits (see sim_ngram_jaccard's comment).
+    toked = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 3
+    )
     g = toked.select(
         "doc_id",
         F.array_distinct(
             F.transform(token_ngrams("toks", 3), lambda s: F.md5(s))
         ).alias("ghs"),
-    ).filter(F.size("ghs") > 0)
+    )
 
     def lane(i: int):
         # factory closure, NOT a defaulted two-param lambda (the
@@ -1165,11 +1171,25 @@ def sim_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quadratic pair side. The band however is the md5 STRING lane
     (portable — DuckDB has no xxhash64), shared with
     pipeline_doc_signature's lane-0. The oracle intersects strings."""
-    docs = load_table(spark, sf_dir, "documents")
-    toked = docs.select("doc_id", "source", F.split("text", " ").alias("toks"))
+    # _spread_small_input: the gram+md5 stage is the dominant cost and
+    # is purely map-side — but a few-file local fixture arrives as 1-2
+    # input splits, serializing it on 2 of 32 cores (measured 13.7 s of
+    # the 16.9 s sf1 wall). On a real cluster the scan already has
+    # thousands of splits and this plans nothing.
+    docs = _spread_small_input(load_table(spark, sf_dir, "documents"))
+    # Filter on size(toks) >= 2 (⟺ at least one bigram), NOT on
+    # size(gstr) > 0: a predicate over the gram column gets pushed
+    # below the spread exchange with the WHOLE gram pipeline re-inlined
+    # into it, so the dominant cost would run twice — once serialized
+    # on the scan's 2 fixture splits (measured 12 s of the 13.6 s sf1
+    # wall), once spread. The cheap token-count form pushes down as one
+    # split+size pass and the gram build runs exactly once, spread.
+    toked = docs.select(
+        "doc_id", "source", F.split("text", " ").alias("toks")
+    ).filter(F.size("toks") >= 2)
     gstr = toked.select(
         "doc_id", "source", F.array_distinct(token_ngrams("toks", 2)).alias("gstr")
-    ).filter(F.size("gstr") > 0)
+    )
     g = gstr.select(
         "doc_id",
         "source",
