@@ -199,9 +199,17 @@ def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is one replayable batch, so first-seen ≡ global min ts and
     the query is exactly the SQL oracle — which is precisely the
     replay/backfill situation where a pipeline must be idempotent.
+
     State is hash-partitioned by key across executors (no single-node
-    key set); production bounds it with a TTL/watermark
-    (streaming/stateful.py scale notes)."""
+    key set) and BOUNDED: this runs the production shape — watermarked
+    input + a 365-day dedup horizon, so a key idle past the horizon is
+    evicted at the watermark and state size is ∝ keys active within
+    one horizon, not corpus lifetime (the round-6 unbounded-growth
+    finding). The fixture spans well under a year, so the horizon
+    never fires here and the oracle equality is exact; the eviction +
+    re-emission contract itself is pinned with a state-row assertion
+    in tests/test_streaming.py (dedup-horizon semantics documented at
+    streaming/stateful.py:_make_dedup_first_wins)."""
     from ..streaming import (
         open_event_stream,
         run_to_memory_sink,
@@ -209,12 +217,14 @@ def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..streaming.stateful import dedup_stream_first_wins
 
-    keyed = open_event_stream(spark, sf_dir).select(
-        F.col("user_id").cast("string").alias("key"), "ts"
+    keyed = (
+        open_event_stream(spark, sf_dir)
+        .select(F.col("user_id").cast("string").alias("key"), "ts")
+        .withWatermark("ts", "1 minute")
     )
     with stream_state_partitions(spark):
         run_to_memory_sink(
-            dedup_stream_first_wins(keyed),
+            dedup_stream_first_wins(keyed, horizon="365 days"),
             "stream_dedup_stateful_sink",
             output_mode="update",
         )

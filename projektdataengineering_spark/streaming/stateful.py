@@ -28,47 +28,81 @@ DEDUP_OUTPUT_SCHEMA = "key string, first_ts timestamp, n_dropped long"
 DEDUP_STATE_SCHEMA = "seen boolean, first_ts timestamp, n_dropped long"
 
 
-def _dedup_first_wins(key, pdf_iter, state: GroupState):
-    """Emit the first-ever row per key; afterwards only count drops.
+def _make_dedup_first_wins(horizon: "pd.Timedelta | None"):
+    """Factory for the first-wins fold. With a ``horizon`` the key's
+    state carries an event-time timeout of (last-seen ts + horizon):
+    once the stream's watermark passes it, Spark calls the fold with
+    ``hasTimedOut`` and the state is REMOVED — the eviction that keeps
+    the seen-key set bounded by the keys active inside one horizon
+    instead of growing forever (the 100-TB contract: state size ∝
+    active keys × horizon, not corpus lifetime).
 
-    State: (seen, first_ts, n_dropped). Emits one row when the key is
-    first seen, and an updated drop-count row whenever later duplicates
-    arrive (so the sink can track suppression volume).
-    """
-    n_new = 0
-    first_ts = None
-    for pdf in pdf_iter:
-        if len(pdf) == 0:
-            continue
-        batch_min = pdf["ts"].min()
-        first_ts = batch_min if first_ts is None else min(first_ts, batch_min)
-        n_new += len(pdf)
-    if n_new == 0:
-        return iter(())
+    Dedup-horizon semantics (document to consumers): a duplicate is
+    suppressed only while its key stays warm — i.e. arrives within
+    ``horizon`` of the key's LAST occurrence (idle-anchored, so an
+    active key never expires mid-activity). A re-arrival after the
+    horizon is re-emitted as a fresh first — the standard bounded-
+    horizon dedup contract (exact-once only within the horizon)."""
 
-    if state.exists:
-        seen, prev_first, dropped = state.get
-        state.update((True, prev_first, dropped + n_new))
-        out = pd.DataFrame(
-            {"key": [key[0]], "first_ts": [prev_first], "n_dropped": [dropped + n_new]}
-        )
-    else:
-        state.update((True, first_ts, n_new - 1))
-        out = pd.DataFrame(
-            {"key": [key[0]], "first_ts": [first_ts], "n_dropped": [n_new - 1]}
-        )
-    return iter((out,))
+    def _fold(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            # watermark passed last_seen + horizon with no new rows:
+            # evict — the key's next occurrence starts a fresh "first"
+            state.remove()
+            return iter(())
+        n_new = 0
+        first_ts = None
+        last_ts = None
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            batch_min = pdf["ts"].min()
+            batch_max = pdf["ts"].max()
+            first_ts = batch_min if first_ts is None else min(first_ts, batch_min)
+            last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
+            n_new += len(pdf)
+        if n_new == 0:
+            return iter(())
+
+        if state.exists:
+            seen, prev_first, dropped = state.get
+            state.update((True, prev_first, dropped + n_new))
+            out = pd.DataFrame(
+                {"key": [key[0]], "first_ts": [prev_first], "n_dropped": [dropped + n_new]}
+            )
+        else:
+            state.update((True, first_ts, n_new - 1))
+            out = pd.DataFrame(
+                {"key": [key[0]], "first_ts": [first_ts], "n_dropped": [n_new - 1]}
+            )
+        if horizon is not None:
+            state.setTimeoutTimestamp(int((last_ts + horizon).value // 1_000_000))
+        return iter((out,))
+
+    return _fold
 
 
-def dedup_stream_first_wins(keyed: DataFrame) -> DataFrame:
+def dedup_stream_first_wins(keyed: DataFrame, horizon: str | None = None) -> DataFrame:
     """Apply the stateful first-wins dedup to a streaming DataFrame with
-    columns (key string, ts timestamp, ...). Output mode: update."""
+    columns (key string, ts timestamp, ...). Output mode: update.
+
+    ``horizon`` (e.g. "30 days", pandas-Timedelta syntax) bounds state:
+    keys idle past it are evicted at the watermark (the input stream
+    MUST carry ``withWatermark`` on ts) and a later re-arrival is
+    re-emitted as a fresh first — see _make_dedup_first_wins for the
+    exact dedup-horizon contract. Without it state never expires
+    (bounded-replay / test use only — never run an unbounded production
+    stream without a horizon)."""
     return keyed.groupBy("key").applyInPandasWithState(
-        _dedup_first_wins,
+        _make_dedup_first_wins(pd.Timedelta(horizon) if horizon else None),
         outputStructType=DEDUP_OUTPUT_SCHEMA,
         stateStructType=DEDUP_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if horizon
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -249,3 +249,83 @@ def test_stream_ewma_equals_batch_ewma(spark, sf_dir):
         for r in stream_ewma_stateful(spark, sf_dir).collect()
     }
     assert batch == stream
+
+
+def test_stateful_dedup_horizon_evicts_and_reemits(spark, sf_dir, tmp_path):
+    """Bounded dedup horizon (round-7): a key idle past the horizon is
+    EVICTED from keyed state once the watermark passes last_seen +
+    horizon (Spark fires the timeout at the next micro-batch in which
+    the key has no data), and its next occurrence re-emits as a fresh
+    first (n_dropped restarts at 0). Keys active within the horizon
+    keep their state across the same boundary. The state-store row
+    counts come straight from the stateful operator's progress
+    metrics — the MEASURED state bound."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from projektdataengineering_spark.streaming.stateful import dedup_stream_first_wins
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    batches = [
+        # b1: keys a (dup in batch) and b
+        (["a", "a", "b"],
+         ["2024-01-01 00:00:00", "2024-01-01 00:10:00", "2024-01-01 00:05:00"]),
+        # b2: 10 days later (horizon = 2 days) — a returns (stays warm),
+        # c is new; advances the watermark past b's expiry
+        (["a", "c"], ["2024-01-11 00:00:00", "2024-01-11 00:01:00"]),
+        # b3: unrelated key d — the batch where b has NO data and its
+        # expired timeout actually fires (Spark evicts lazily)
+        (["d"], ["2024-01-11 00:02:00"]),
+        # b4: b returns after eviction — must re-emit as a fresh FIRST
+        (["b"], ["2024-01-12 00:00:00"]),
+    ]
+    now = time.time()
+    for i, (keys, tss) in enumerate(batches):
+        f = src / f"batch{i + 1}.parquet"
+        pd.DataFrame({"key": keys, "ts": pd.to_datetime(tss)}).to_parquet(
+            f, coerce_timestamps="us"
+        )
+        os.utime(f, (now - 80 + 20 * i, now - 80 + 20 * i))
+
+    stream = (
+        spark.readStream.schema("key string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "1 second")
+    )
+    out = dedup_stream_first_wins(stream, horizon="2 days")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("dedup_horizon_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"] for p in q.recentProgress
+    ]
+    # 5 state creations happen over the run (a, b, c, d, b-again) but
+    # they never all coexist: b is evicted in batch 3, so the store
+    # holds exactly [2, 3, 3, 4] over the data batches (availableNow
+    # may append a trailing empty batch) and peaks at 4.
+    assert state_rows[:4] == [2, 3, 3, 4] and max(state_rows) == 4, state_rows
+
+    rows = spark.table("dedup_horizon_out").collect()
+    b_rows = {(r["first_ts"], r["n_dropped"]) for r in rows if r["key"] == "b"}
+    # re-emission as a FIRST after eviction: the post-horizon arrival
+    # carries its own ts and n_dropped=0 (surviving state would have
+    # emitted (2024-01-01 00:05, 1) instead)
+    assert b_rows == {
+        (pd.Timestamp("2024-01-01 00:05:00"), 0),
+        (pd.Timestamp("2024-01-12 00:00:00"), 0),
+    }, b_rows
+    # a stayed warm across the same boundary: cross-batch dup counted
+    a_final = max((r for r in rows if r["key"] == "a"), key=lambda r: r["n_dropped"])
+    assert a_final["n_dropped"] == 2
+    assert a_final["first_ts"] == pd.Timestamp("2024-01-01 00:00:00")
