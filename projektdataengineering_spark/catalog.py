@@ -151,3 +151,18 @@ def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Register each table as a temp view for the spark.sql surface."""
     for name in tables:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Repartition a scan that arrived with fewer partitions than the
+    session's parallelism — a LOCAL-FIXTURE artifact (one sub-128MB
+    parquet file → one input split → every downstream map stage runs
+    as a single task; acute for Python-codec mapInPandas stages, where
+    one task serializes the whole corpus's per-blob CPU). On a cluster
+    against real data the scan already has thousands of splits, the
+    condition is false, and NO extra exchange is planned — this never
+    repartitions data that is already parallel."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

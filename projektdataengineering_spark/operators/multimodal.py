@@ -92,13 +92,20 @@ def attach_png_payload(df: DataFrame, text_col: str = "text", width: int = 32) -
 
 
 def attach_avi_payload(
-    df: DataFrame, text_col: str = "text", width: int = 16, n_frames: int = 4
+    df: DataFrame,
+    text_col: str = "text",
+    width: int = 16,
+    n_frames: int = 4,
+    codec: str = "DIB",
 ) -> DataFrame:
     """Fixture adapter producing REAL videos: each document's UTF-8
     bytes are chunked into ``n_frames`` RGB frames (width×width pixels,
-    zero-padded) and packed into an uncompressed AVI with the vendored
-    codec — downstream decode exercises the full RIFF walk, header
-    parse and DIB un-flip on a valid video container."""
+    zero-padded) and packed into an AVI with the vendored codec —
+    downstream decode exercises the full RIFF walk, header parse and
+    frame decode on a valid video container. ``codec="MJPG"`` packs
+    each frame as a baseline JPEG (operators/jpeg.py) — the
+    compressed-video layout; ``codec="mixed"`` alternates DIB/MJPG by
+    doc_id parity so one DataFrame exercises both decode paths."""
     import hashlib
 
     import numpy as np
@@ -110,14 +117,17 @@ def attach_avi_payload(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
-            for text in pdf[text_col]:
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
                 raw = (text or "").encode("utf-8") or b"\x00"
                 buf = np.zeros(n_frames * frame_px, dtype=np.uint8)
                 buf[: min(len(raw), buf.size)] = np.frombuffer(
                     raw[: buf.size], dtype=np.uint8
                 )
+                c = codec
+                if c == "mixed":
+                    c = "MJPG" if int(doc_id) % 2 else "DIB"
                 payloads.append(
-                    avi_encode(buf.reshape(n_frames, width, width, 3))
+                    avi_encode(buf.reshape(n_frames, width, width, 3), codec=c)
                 )
             yield pd.DataFrame(
                 {
@@ -141,9 +151,11 @@ def decode_media(payload: bytes, modality: str):
     * ``audio/wav`` → int16 sample array via stdlib ``wave``
       (codecs.wav_decode);
     * ``video/avi`` → uint8 frame array (n, h, w, 3) via the vendored
-      uncompressed-AVI decoder (codecs.avi_decode; compressed streams
-      raise NotImplementedError there);
-    * any other modality → NotImplementedError: compressed video
+      AVI decoder (codecs.avi_decode) — BI_RGB and Motion-JPEG
+      streams both decode (MJPG frames through the pure-Python
+      baseline JPEG codec, operators/jpeg.py); inter-frame codecs
+      raise NotImplementedError there;
+    * any other modality → NotImplementedError: inter-frame video
       (H.26x/VP9) needs native libraries this container lacks.
       Production: pyav keyframe striding behind this same dispatch.
     """
@@ -157,8 +169,8 @@ def decode_media(payload: bytes, modality: str):
         return avi_decode(payload)[0]
     raise NotImplementedError(
         f"no decoder for modality {modality!r} in this container "
-        "(PNG, WAV and uncompressed AVI decode are real; compressed "
-        "video needs native codecs)"
+        "(PNG, WAV, BI_RGB/MJPG AVI decode are real; inter-frame "
+        "video codecs need native libraries)"
     )
 
 

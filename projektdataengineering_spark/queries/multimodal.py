@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread_small_input
 from ..operators.multimodal import (
     attach_avi_payload,
     attach_png_payload,
@@ -28,6 +28,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (extract_features(fake=False) → operators/codecs.png_decode). Both
     directions of the codec run distributed, deterministically; see
     operators/multimodal.py for the 100-TB partition-sizing notes."""
+    # no spread here: the PNG leg's python cost is small enough that
+    # the extra exchange costs more than it buys (A/B'd at sf0.1:
+    # 0.80 s plain vs 0.94 s spread) — contrast the video leg below
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(attach_png_payload(docs), fake=False)
 
@@ -35,19 +38,23 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("multimodal_video_frames", oracle=None)
 def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video pipeline end-to-end: each document packed into an
-    actual uncompressed AVI (attach_avi_payload — RIFF headers, DIB
-    frames), then the 1→N video→image expansion a training curriculum
-    runs: sample_frames(fake=False) decodes the container, strides 2
+    actual AVI — even doc_ids as uncompressed BI_RGB, odd doc_ids as
+    Motion-JPEG whose frames are baseline JPEGs from the pure-Python
+    T.81 codec (operators/jpeg.py, round 7) — then the 1→N
+    video→image expansion a training curriculum runs:
+    sample_frames(fake=False) decodes the container (RIFF walk + DIB
+    un-flip or full JPEG entropy-decode/IDCT per frame), strides 2
     frames per clip and re-encodes each as a standalone PNG, and
-    extract_features(fake=False) featurizes the DECODED pixels of every
-    sampled frame. Three real codec traversals per document (AVI
-    encode → AVI decode → PNG encode → PNG decode), all inside
-    Arrow-batched mapInPandas. Rows-only check (binary plumbing is not
-    SQL-expressible); per-frame pixel fidelity is unit-tested in
-    tests/test_multimodal.py. Output: 2 frame-feature rows per doc,
-    keyed (doc_id, frame_idx) — deterministic."""
-    docs = load_table(spark, sf_dir, "documents")
-    clips = attach_avi_payload(docs, width=16, n_frames=4)
+    extract_features(fake=False) featurizes the DECODED pixels of
+    every sampled frame. Rows-only check (binary plumbing is not
+    SQL-expressible); per-frame pixel fidelity for both codec paths is
+    unit-tested in tests/test_multimodal.py. Output: 2 frame-feature
+    rows per doc, keyed (doc_id, frame_idx) — deterministic."""
+    # spread_small_input: the per-blob Python codec cost is the whole
+    # query; a single-split local fixture would serialize it on one
+    # core (measured 20.8 s vs ~2 s spread at sf0.1 with the MJPG leg).
+    docs = spread_small_input(load_table(spark, sf_dir, "documents"))
+    clips = attach_avi_payload(docs, width=16, n_frames=4, codec="mixed")
     frames = sample_frames(clips, n_frames=2, fake=False)
     feats = extract_features(
         frames.select(
@@ -79,5 +86,7 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload column is 100 TB of real clips."""
     from ..operators.multimodal import attach_wav_payload, extract_audio_features
 
+    # no spread: WAV encode/decode is cheap; the exchange would cost
+    # more than the python work (A/B'd at sf0.1: 0.77 s vs 1.69 s)
     docs = load_table(spark, sf_dir, "documents")
     return extract_audio_features(attach_wav_payload(docs))

@@ -40,7 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread_small_input
 from ..functions import token_ngrams
 from ..functions.xxh64 import hash_int, hash_long
 from . import query
@@ -628,19 +628,10 @@ _N_MINHASH = 16
 _BAND_SIZE = 4  # → 4 bands of 4 hashes
 
 
-def _spread_small_input(df: DataFrame) -> DataFrame:
-    """Repartition a scan that arrived with fewer partitions than the
-    session's parallelism — a LOCAL-FIXTURE artifact (one sub-128MB
-    parquet file → one input split → the whole tokenize+Arrow-kernel
-    stage runs as a single task; measured at sf0.1 this serialized the
-    minhash signature stage at 1.3 s vs 0.6 s spread). On a cluster
-    against real data the scan already has thousands of splits, the
-    condition is false, and NO extra exchange is planned — this never
-    repartitions data that is already parallel."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+# Promoted to catalog.spread_small_input in round 7 (the multimodal
+# codec queries hit the same single-input-split serialization); this
+# alias keeps the established call sites.
+_spread_small_input = spread_small_input
 
 
 def _token_hashes(docs: DataFrame) -> DataFrame:

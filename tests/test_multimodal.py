@@ -373,3 +373,117 @@ def test_audio_features_match_python_recompute(spark, sf_dir):
         assert r["energy"] == int((s * s).sum())
         assert r["zero_crossings"] == int(np.count_nonzero(np.diff(np.signbit(s))))
         assert r["n_samples"] == 1600 and r["sample_rate"] == 16000
+
+
+def test_jpeg_codec_roundtrip():
+    """Pure-Python baseline JPEG (ITU T.81, operators/jpeg.py):
+    encode→decode must reconstruct within quantization error across
+    4:4:4/4:2:0, quality levels, non-block-aligned dims and greyscale;
+    the bitstream must be deterministic."""
+    import numpy as np
+
+    from projektdataengineering_spark.operators.jpeg import jpeg_decode, jpeg_encode
+
+    h, w = 37, 53  # deliberately not multiples of 8/16 (padding paths)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [xx * 255 / w, yy * 255 / h, (xx + yy) * 255 / (h + w)], axis=-1
+    ).astype(np.uint8)
+
+    for subsample, q, tol in [
+        (False, 95, 4), (False, 85, 6), (True, 95, 12), (True, 60, 24),
+    ]:
+        enc = jpeg_encode(img, quality=q, subsample=subsample)
+        dec = jpeg_decode(enc)
+        assert dec.shape == img.shape
+        err = np.abs(dec.astype(int) - img.astype(int))
+        assert err.max() <= tol, (subsample, q, err.max())
+    # greyscale single-component path
+    g = (xx * 255 / w).astype(np.uint8)
+    dec_g = jpeg_decode(jpeg_encode(g, quality=90))
+    assert dec_g.shape == g.shape
+    assert np.abs(dec_g.astype(int) - g.astype(int)).max() <= 3
+    # pure function of (pixels, quality)
+    assert jpeg_encode(img, 85) == jpeg_encode(img, 85)
+
+
+def test_mjpeg_avi_roundtrip():
+    """MJPEG-in-AVI: every frame an independently-decodable baseline
+    JPEG in a '00dc' chunk with biCompression='MJPG'. Decode must
+    recover shape/fps exactly and pixels within JPEG tolerance, for
+    both smooth and noisy frames; inter-frame codecs still raise."""
+    import struct
+
+    import numpy as np
+
+    from projektdataengineering_spark.operators.codecs import (
+        MJPG_FOURCC,
+        avi_decode,
+        avi_encode,
+    )
+
+    rng = np.random.default_rng(23)
+    yy, xx = np.mgrid[0:24, 0:32]
+    smooth = np.stack(
+        [
+            np.stack(
+                [
+                    np.clip(xx * 6 + t * 20, 0, 255),
+                    np.clip(yy * 8 + t * 10, 0, 255),
+                    np.clip(xx * 3 + yy * 3, 0, 255),
+                ],
+                axis=-1,
+            )
+            for t in range(3)
+        ]
+    ).astype(np.uint8)
+    blob = avi_encode(smooth, fps=12, codec="MJPG", quality=92)
+    assert struct.pack("<I", MJPG_FOURCC) == b"MJPG"
+    dec, fps = avi_decode(blob)
+    assert fps == 12 and dec.shape == smooth.shape
+    assert np.abs(dec.astype(int) - smooth.astype(int)).max() <= 20
+
+    noisy = rng.integers(0, 256, size=(2, 16, 16, 3), dtype=np.uint8)
+    dec2, _ = avi_decode(avi_encode(noisy, fps=10, codec="MJPG", quality=95))
+    assert dec2.shape == noisy.shape  # lossy but structurally exact
+
+    # MJPEG is considerably smaller than DIB on smooth frames — the
+    # point of the compressed leg
+    assert len(blob) < len(avi_encode(smooth, fps=12, codec="DIB"))
+
+    bad = bytearray(avi_encode(noisy, fps=10))
+    struct.pack_into("<I", bad, bad.find(b"strf") + 8 + 16, 0x34363248)  # 'H264'
+    with pytest.raises(NotImplementedError):
+        avi_decode(bytes(bad))
+
+
+def test_mixed_codec_video_pipeline(spark, sf_dir):
+    """The registered video query's fixture shape: attach_avi_payload
+    codec='mixed' packs even doc_ids as BI_RGB and odd as MJPG; the
+    frame sampler must decode BOTH container flavors in one pass and
+    the per-doc output stays 2 frames regardless of codec."""
+    from pyspark.sql import functions as F
+
+    from projektdataengineering_spark.catalog import load_table
+    from projektdataengineering_spark.operators.codecs import avi_decode
+    from projektdataengineering_spark.operators.multimodal import (
+        attach_avi_payload,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 6)
+    clips = attach_avi_payload(docs, width=16, n_frames=4, codec="mixed")
+    rows = {r["doc_id"]: r for r in clips.collect()}
+    assert set(rows) == set(range(6))
+    for doc_id, r in rows.items():
+        frames, _ = avi_decode(bytes(r["payload"]))
+        assert frames.shape == (4, 16, 16, 3)
+        # odd ids carry MJPG ('00dc' chunks), even ids DIB ('00db')
+        tag = b"00dc" if doc_id % 2 else b"00db"
+        assert tag in bytes(r["payload"]), doc_id
+
+    sampled = sample_frames(clips, n_frames=2, fake=False).collect()
+    per_doc = {}
+    for r in sampled:
+        per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == [0, 1] for v in per_doc.values()), per_doc
