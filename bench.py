@@ -83,6 +83,24 @@ def main() -> int:
         spark.range(32).repartition(32).mapInPandas(
             lambda it: it, "id long"
         ).write.format("noop").mode("overwrite").save()
+        # Warm the text/columnar WRITER paths too: the csv/json/orc
+        # datasources JIT their write+read pipelines on first use, and
+        # without this the alphabetically-early scan_*_roundtrip
+        # queries absorb ~5 s of one-time codegen into pass 0 (measured
+        # r6: all three "regressed" +0.3-0.6 s for exactly this reason
+        # — min-of-2-passes still included one cold component).
+        warm_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".scratch", "bench_warmup"
+        )
+        tiny = spark.range(10).selectExpr(
+            "id", "cast(id as string) s", "timestamp'2024-01-01' ts"
+        )
+        for fmt in ("csv", "json", "orc"):
+            p = os.path.join(warm_dir, fmt)
+            tiny.write.mode("overwrite").format(fmt).save(p)
+            spark.read.format(fmt).load(p).write.format("noop").mode(
+                "overwrite"
+            ).save()
     except Exception as exc:
         print(f"bench: warm-up failed: {exc}", file=sys.stderr)
     warmup_sec = round(time.perf_counter() - t_suite0, 3)

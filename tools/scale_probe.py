@@ -85,6 +85,9 @@ HEAVY_QUERIES = [
     ("pipeline_bpe_train", "corpus_ops (round 6, iterative)"),
     ("pipeline_ewma_smooth", "timeseries (round 6, applyInPandas)"),
     ("pipeline_time_gapfill", "timeseries (round 6)"),
+    ("graph_pagerank", "graph (round 7, iterative, decimal-exact sums)"),
+    ("agg_hll_merge", "sketches (round 7, mergeable HLL + exact twin)"),
+    ("multimodal_video_frames", "multimodal (round 7, BI_RGB+MJPG mix)"),
 ]
 
 
