@@ -43,8 +43,13 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# keep the stdout JSON line inside the driver's ~2 KB stdout-tail window
-_STDOUT_LINE_BUDGET = 1800
+# keep the stdout JSON line inside the driver's ~2 KB stdout-tail window.
+# r7 lesson (VERDICT r7 #2): 1800 left no headroom for post-line Spark
+# shutdown chatter once the registry hit 161 queries — the driver's tail
+# captured a mid-JSON fragment ("parsed": null). 1100 + a hard 10-query
+# cap keeps the line well inside the window at any registry size.
+_STDOUT_LINE_BUDGET = 1100
+_STDOUT_MAX_QUERIES = 10
 
 
 def _sf_of(path: str) -> float:
@@ -153,10 +158,14 @@ def main() -> int:
         print(f"bench: could not write BENCH_full.json: {exc}", file=sys.stderr)
 
     # stdout line: failures always included, then slowest-first until
-    # the size budget is hit
+    # the size budget OR the hard query cap is hit (BENCH_full.json
+    # always carries the complete record)
     ordered = sorted(merged, key=lambda n: (merged[n] >= 0, -merged[n]))
+    n_failed = sum(1 for v in merged.values() if v < 0)
     kept: dict[str, float] = {}
     for name in ordered:
+        if len(kept) >= max(_STDOUT_MAX_QUERIES, n_failed):
+            break
         kept[name] = merged[name]
         line = json.dumps(
             {**headline, "queries": kept,

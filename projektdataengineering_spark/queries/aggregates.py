@@ -623,7 +623,7 @@ def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     total_exact = ev.agg(F.count_distinct("user_id").alias("exact_distinct"))
     total = (
         per_group.agg(hll_union("sk").alias("m"))
-        .crossJoin(total_exact)
+        .crossJoin(F.broadcast(total_exact))
         .select(
             F.lit(None).cast("string").alias("grp"),
             F.lit(True).alias("is_total"),

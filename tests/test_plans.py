@@ -122,6 +122,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "pipeline_dq_report",  # 1-row violations x 1-row total crossJoins per check
         "pipeline_mixture_temperature",  # 1-row Σ√count fold broadcast
         "join_cross_calendar",  # ~80-row spine × ~3-row statuses grid build
+        "agg_hll_merge",  # 1-row exact-count certification broadcast
     }
     for name, qd in REGISTRY.items():
         f = plan_facts(qd.fn(spark, sf_dir))
