@@ -164,16 +164,42 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct", oracle=None)
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(*) AS n_events,
+           TRUE AS approx_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct users per event_type (rows-only check; the
-    exact-bound property — within 5% of countDistinct — is asserted in
-    tests/test_operators.py). At 100 TB this replaces agg_distinct's
-    exact shuffle with fixed-size sketches merged map-side."""
+    """HyperLogLog++ distinct users per event_type, hash-certified
+    against the exact count (r7 ``agg_hll_merge`` graduation playbook).
+
+    The HLL++ estimate itself has no DuckDB twin, so the driver hash
+    pins what IS replayable: the grouping shape, the EXACT per-group
+    distinct counts (computed alongside in the same single shuffle),
+    and ``approx_ok`` — the claim that the rsd=0.02 sketch lands within
+    max(2, 5%) of its exact count. HLL++'s estimate is a deterministic
+    pure function of the value set, so the boolean is replay-stable; a
+    broken sketch flips it to False and fails the hash. The estimate's
+    exact values are additionally pinned in tests/test_operators.py.
+
+    At 100 TB this is the operator that replaces agg_distinct's exact
+    shuffle with fixed-size sketches merged map-side; the exact column
+    here exists to certify the sketch, production keeps only the HLL."""
     ev = load_table(spark, sf_dir, "events")
+    approx = F.approx_count_distinct("user_id", rsd=0.02)
+    exact = F.count_distinct("user_id")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        exact.alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
+        (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            <= F.greatest(F.lit(2.0), F.lit(0.05) * exact.cast("double"))
+        ).alias("approx_ok"),
     )
 
 
@@ -399,28 +425,135 @@ def subquery_avg_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_quantile", oracle=None)
+_APPROX_QUANTILE_PS = (0.25, 0.5, 0.75, 0.99)
+
+_AQ_EXACT_COLS_SQL = ",\n".join(
+    f"      CAST(MAX(CASE WHEN rn = CAST(ceil({p} * n) AS BIGINT)"
+    f" THEN o_totalprice END) AS DOUBLE) AS p{int(p * 100)}_exact"
+    for p in _APPROX_QUANTILE_PS
+)
+
+
+@query(
+    "agg_approx_quantile",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT o_orderstatus, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+      FROM orders
+    )
+    SELECT o_orderstatus, MAX(n) AS n_orders,
+{_AQ_EXACT_COLS_SQL},
+           TRUE AS approx_ok
+    FROM ranked GROUP BY o_orderstatus
+    """,
+)
 def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate p25/p50/p75/p99 of order totals per orderstatus via
-    the Greenwald–Khanna sketch (`percentile_approx`, relative error
-    1e-4 here). The mergeable-sketch counterpart of
-    `window_percentiles`' exact answer: at 100 TB an exact grouped
-    percentile needs a full sort per group, while GK states merge in
-    the partial→final aggregate tree like any sum — the same trade
-    `agg_approx_distinct` makes with HLL. Rows-only check (sketch
-    merge order varies with partitioning below the accuracy bound);
-    tests/test_operators.py pins each estimate inside the rank-error
-    window around DuckDB's exact quantiles."""
-    orders = load_table(spark, sf_dir, "orders")
+    the Greenwald–Khanna sketch (`percentile_approx`, accuracy 10000 →
+    rank error ε = 1e-4), hash-certified against exact discrete
+    quantiles (r7 ``agg_hll_merge`` graduation playbook).
+
+    The GK estimate's exact value depends on sketch merge order below
+    the accuracy bound, so it has no bit-stable SQL twin. What the
+    driver hash pins instead: the EXACT discrete quantiles (value at
+    rank ceil(p·n) — an actual data element, so bit-identical across
+    engines; oracle replays the same row_number selection) and
+    ``approx_ok`` — the claim that every GK estimate's rank interval
+    [count(<est)+1, count(≤est)] intersects the guaranteed window
+    ceil(p·n) ± (ε·n + 1). The window is ±ε·n wide while the estimate
+    wobbles far less, so the boolean is partitioning-stable; a broken
+    sketch fails the hash. tests/test_operators.py additionally pins
+    each estimate against DuckDB's exact quantiles.
+
+    Scale shape: the GK sketch is the 100-TB operator (mergeable
+    fixed-size state in the partial→final aggregate tree, no sort);
+    the exact-quantile window and the certification join exist to
+    certify it — production keeps only the sketch. The certification
+    join broadcasts the 5-row estimate table back across orders (one
+    extra scan, conditional counts, no shuffle growth)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    )
     qs = F.expr(
         "percentile_approx(o_totalprice, array(0.25, 0.5, 0.75, 0.99), 10000)"
     )
-    return orders.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        qs.getItem(0).alias("p25"),
-        qs.getItem(1).alias("p50"),
-        qs.getItem(2).alias("p75"),
-        qs.getItem(3).alias("p99"),
+    est = orders.groupBy("o_orderstatus").agg(
+        qs.getItem(0).alias("est25"),
+        qs.getItem(1).alias("est50"),
+        qs.getItem(2).alias("est75"),
+        qs.getItem(3).alias("est99"),
+    )
+
+    # exact discrete quantiles: value at rank ceil(p*n) per group
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    wn = Window.partitionBy("o_orderstatus")
+    ranked = orders.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    exact = ranked.groupBy("o_orderstatus").agg(
+        F.max("n").alias("n_orders"),
+        *[
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
+                    F.col("o_totalprice"),
+                )
+            )
+            .cast("double")
+            .alias(f"p{int(p * 100)}_exact")
+            for p in _APPROX_QUANTILE_PS
+        ],
+    )
+
+    # GK guarantee check: rank interval of each estimate must meet the
+    # target window ceil(p*n) ± (eps*n + 1)
+    eps = 1.0e-4
+    cert_aggs = []
+    for p in _APPROX_QUANTILE_PS:
+        tag = int(p * 100)
+        e = F.col(f"est{tag}")
+        cert_aggs.append(
+            F.sum(F.when(F.col("o_totalprice") < e, 1).otherwise(0)).alias(
+                f"lt{tag}"
+            )
+        )
+        cert_aggs.append(
+            F.sum(F.when(F.col("o_totalprice") <= e, 1).otherwise(0)).alias(
+                f"le{tag}"
+            )
+        )
+    cert = (
+        orders.join(F.broadcast(est), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_c"), *cert_aggs)
+    )
+    ok = F.lit(True)
+    for p in _APPROX_QUANTILE_PS:
+        tag = int(p * 100)
+        target = F.ceil(F.lit(p) * F.col("n_c")).cast("double")
+        slack = eps * F.col("n_c").cast("double") + 1.0
+        ok = (
+            ok
+            & (F.col(f"le{tag}").cast("double") >= target - slack)
+            & (F.col(f"lt{tag}").cast("double") + 1.0 <= target + slack)
+        )
+    return exact.join(
+        F.broadcast(cert.select("o_orderstatus", ok.alias("approx_ok"))),
+        "o_orderstatus",
+    ).select(
+        "o_orderstatus",
+        "n_orders",
+        *[f"p{int(p * 100)}_exact" for p in _APPROX_QUANTILE_PS],
+        "approx_ok",
     )
 
 

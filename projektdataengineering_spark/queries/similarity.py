@@ -351,17 +351,17 @@ def lsh_candidate_cosine_frame(
     return _pair_cosine(e, pairs)
 
 
-@query("sim_cosine_ann_lsh", oracle=None)
-def sim_cosine_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate nearest neighbors: multi-table random-hyperplane LSH,
-    then exact cosine top-3 per query over the union of its buckets'
-    candidates.
+def ann_lsh_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw LSH ANN producer: multi-table random-hyperplane LSH, then
+    exact cosine top-3 per query over the union of its buckets'
+    candidates. Columns (id_q, id_n, cos_sim, rk). This is the
+    production operator; the registered ``sim_cosine_ann_lsh`` query
+    wraps it in a recall certification (see below).
 
     Scale shape: see _lsh_candidate_pairs (ids-only shuffle, single
     signature pass) and _pair_cosine (Arrow BLAS kernel on candidates
     only). Per-bucket cost is quadratic in bucket size; bits-per-table
-    adapts with N (_bits_for) so bucket occupancy stays flat. Recall vs
-    the exact baseline is asserted in tests/test_operators.py.
+    adapts with N (_bits_for) so bucket occupancy stays flat.
 
     (Measured: localCheckpoint'ing the shared embedding frame here does
     NOT pay — unlike sim_cosine_ivf's many-pass training loop, the
@@ -375,6 +375,172 @@ def sim_cosine_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
     )
+
+
+# Recall@3 floors for the certification queries. The fixture embeddings
+# are seeded-random (no cluster structure), so ANN recall tracks the
+# fraction of the corpus each query actually scans: IVF probes
+# nprobe/K = 12.5%; the OR-amplified LSH tables cover a similar slice.
+# Measured recall at sf{0.001,0.01,0.1} sits comfortably above these
+# floors (also pinned in tests/test_operators.py); both paths are
+# partitioning-deterministic (fixed hash family / decimal-sum k-means),
+# so the boolean is replay-stable for a given fixture.
+_LSH_RECALL_BOUND = 0.10
+_IVF_RECALL_BOUND = 0.15
+
+_EXACT_TOP3_ORACLE = """
+    WITH e AS (
+      SELECT vec_id, embedding,
+             sqrt(list_reduce(
+               list_transform(embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               (p, q) -> p + q)) AS nrm
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_q, b.vec_id AS id_n_exact,
+             list_reduce(
+               list_transform(range(1, len(a.embedding) + 1),
+                              i -> CAST(a.embedding[i] AS DOUBLE)
+                                   * CAST(b.embedding[i] AS DOUBLE)),
+               (p, q) -> p + q) / (a.nrm * b.nrm) AS cos_sim
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT id_q, id_n_exact,
+             ROW_NUMBER() OVER (PARTITION BY id_q
+                                ORDER BY cos_sim DESC, id_n_exact) AS rk
+      FROM pairs
+    )
+    SELECT id_q, CAST(rk AS BIGINT) AS rk, id_n_exact, TRUE AS recall_ok
+    FROM ranked WHERE rk <= 3
+"""
+
+
+def _exact_top3_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT cosine top-3 neighbors per query — the certification
+    baseline for the ANN paths, bit-matching DuckDB's all-pairs replay.
+
+    Two-phase like sim_cosine_topk: the broadcast-matrix BLAS pass only
+    PRUNES (per query, keep everything within 1e-9 of its 3rd-best BLAS
+    value — wider than the ~1e-13 BLAS-vs-fold divergence on 64
+    doubles, so no true top-3 member is ever cut); survivors are
+    re-scored with the left-fold dot/norm column expressions that match
+    DuckDB's list_reduce evaluation order exactly, and the final
+    row_number over the fold value decides rk — so the emitted
+    (id_q, rk, id_n_exact) rows agree with the oracle bit for bit.
+    Exact-side size is guard-railed by _collect_broadcast_matrix."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    right = _collect_broadcast_matrix(emb, 64, TOPK_BROADCAST_MAX_CELLS)
+    ids_r = np.asarray(right["vec_id"].to_numpy(), dtype=np.int64)
+    mat_r = np.stack([np.asarray(v, dtype=np.float64) for v in right["embedding"]])
+    norms_r = np.linalg.norm(mat_r, axis=1)
+    bc = spark.sparkContext.broadcast((ids_r, mat_r, norms_r))
+
+    def cand_blocks(batches):
+        ids_r, mat_r, norms_r = bc.value
+        sub = 1024
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids_b = np.asarray(pdf["vec_id"].to_numpy(), dtype=np.int64)
+            mat_b = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            norms_b = np.linalg.norm(mat_b, axis=1)
+            for s in range(0, len(ids_b), sub):
+                ids_l = ids_b[s : s + sub]
+                cos = (mat_b[s : s + sub] @ mat_r.T) / np.outer(
+                    norms_b[s : s + sub], norms_r
+                )
+                cos[ids_l[:, None] == ids_r[None, :]] = -np.inf  # no self
+                k = min(3, cos.shape[1] - 1)
+                if k <= 0:
+                    continue
+                third = np.partition(cos, -k, axis=1)[:, -k]
+                keep = cos >= (third[:, None] - 1e-9)
+                iq, im = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {"id_q": ids_l[iq], "id_n_exact": ids_r[im]}
+                )
+
+    cands = emb.mapInPandas(cand_blocks, schema="id_q long, id_n_exact long")
+    ea = emb.select(
+        F.col("vec_id").alias("id_q"),
+        _as_double(F.col("embedding")).alias("vq"),
+    ).select("id_q", "vq", _norm(F.col("vq")).alias("nrm_q"))
+    eb = emb.select(
+        F.col("vec_id").alias("id_n_exact"),
+        _as_double(F.col("embedding")).alias("vn"),
+    ).select("id_n_exact", "vn", _norm(F.col("vn")).alias("nrm_n"))
+    rescored = (
+        cands.join(ea, "id_q")
+        .join(eb, "id_n_exact")
+        .select(
+            "id_q",
+            "id_n_exact",
+            (
+                _dot(F.col("vq"), F.col("vn"))
+                / (F.col("nrm_q") * F.col("nrm_n"))
+            ).alias("cos_fold"),
+        )
+    )
+    w = Window.partitionBy("id_q").orderBy(
+        F.col("cos_fold").desc(), F.col("id_n_exact")
+    )
+    return (
+        rescored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("id_q", "rk", "id_n_exact")
+    )
+
+
+def _recall_certified(
+    exact: DataFrame, ann: DataFrame, bound: float
+) -> DataFrame:
+    """Stamp the exact top-3 rows with a global ``recall_ok`` boolean:
+    the fraction of exact (query, neighbor) pairs the ANN's top-3 also
+    found must clear ``bound``. The 1-row recall scalar crossJoins back
+    broadcast — the allowlisted scalar-broadcast shape."""
+    hits = exact.join(
+        ann.select("id_q", F.col("id_n").alias("id_n_exact")).withColumn(
+            "hit", F.lit(1)
+        ),
+        ["id_q", "id_n_exact"],
+        "left",
+    )
+    flag = hits.agg(
+        (
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            >= F.lit(bound)
+        ).alias("recall_ok")
+    )
+    return exact.crossJoin(F.broadcast(flag))
+
+
+@query("sim_cosine_ann_lsh", oracle=_EXACT_TOP3_ORACLE)
+def sim_cosine_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN recall certification, hash-checked (graduated round 8 via
+    the r7 ``agg_hll_merge`` playbook): runs the full production ANN
+    path (:func:`ann_lsh_top3` — hyperplane LSH buckets, exact BLAS
+    rescore, top-3 per query), measures its recall@3 against the exact
+    neighbor set, and emits the EXACT top-3 rows (DuckDB-replayable:
+    the oracle recomputes all-pairs cosine with the same left-fold
+    arithmetic) stamped with ``recall_ok`` — the claim that ANN recall
+    ≥ _LSH_RECALL_BOUND. A broken hash family, bucket join, or rescore
+    drags recall to ~0 and flips every row's boolean → hash fails. The
+    ANN output itself is deterministic (fixed hash family) but not
+    SQL-expressible; its raw form stays available as ann_lsh_top3 and
+    its recall is additionally pinned in tests/test_operators.py.
+
+    Scale note: the certification baseline is exact brute force (guarded
+    by TOPK_BROADCAST_MAX_CELLS) — at 100 TB you certify on a sampled
+    query slice; the ANN path itself carries no such bound."""
+    exact = _exact_top3_per_query(spark, sf_dir)
+    return _recall_certified(exact, ann_lsh_top3(spark, sf_dir), _LSH_RECALL_BOUND)
 
 
 # IVF (inverted-file) ANN: a deterministic spherical k-means coarse
@@ -446,12 +612,13 @@ def _ivf_train_centroids(spark: SparkSession, e: DataFrame) -> "np.ndarray":
     return cents
 
 
-@query("sim_cosine_ivf", oracle=None)
-def sim_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate nearest neighbors via IVF: spherical-k-means coarse
-    quantizer (_IVF_K cells), each vector indexed in its nearest cell,
-    each query probing its _IVF_NPROBE nearest cells; exact BLAS cosine
-    top-3 within the probed cells.
+def ivf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw IVF ANN producer (columns id_q, id_n, cos_sim): spherical-
+    k-means coarse quantizer (_IVF_K cells), each vector indexed in its
+    nearest cell, each query probing its _IVF_NPROBE nearest cells;
+    exact BLAS cosine top-3 within the probed cells. This is the
+    production operator; the registered ``sim_cosine_ivf`` query wraps
+    it in a recall certification.
 
     Scale shape: training touches only K×dim scalars driver-side;
     index + probe assignment is one map-side pass (broadcast centroids);
@@ -460,8 +627,7 @@ def sim_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     role (member + nprobe probe copies), never per candidate pair. A
     cell holds ~N/K members, so per-group memory is bounded by K, which
     grows with N (faiss-style nlist≈√N). Recall vs the exact baseline
-    is asserted in tests/test_operators.py; rows-only check (ANN is not
-    SQL-expressible).
+    is asserted in tests/test_operators.py.
 
     The corpus frame and the assignment frame are each consumed by
     several jobs (init collect + one pass per Lloyd round + probe;
@@ -532,6 +698,22 @@ def sim_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # occurs in at most one probed cell — no distinct needed
     w = Window.partitionBy("id_q").orderBy(F.col("cos_sim").desc(), F.col("id_n"))
     return res.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3).drop("rk")
+
+
+@query("sim_cosine_ivf", oracle=_EXACT_TOP3_ORACLE)
+def sim_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN recall certification, hash-checked (graduated round 8 —
+    same shape as ``sim_cosine_ann_lsh``): runs the full production IVF
+    path (:func:`ivf_top3` — decimal-sum-deterministic spherical
+    k-means, nprobe cell probing, per-cell BLAS top-3), measures its
+    recall@3 against the exact neighbor set, and emits the EXACT top-3
+    rows stamped with ``recall_ok`` (recall ≥ _IVF_RECALL_BOUND =
+    nprobe/K + margin over random probing). A broken trainer, cell
+    assignment, or per-cell rescore flips every row's boolean → hash
+    fails. Raw ANN output stays available as ivf_top3; recall is
+    additionally pinned in tests/test_operators.py."""
+    exact = _exact_top3_per_query(spark, sf_dir)
+    return _recall_certified(exact, ivf_top3(spark, sf_dir), _IVF_RECALL_BOUND)
 
 
 def _bucket_pairs(

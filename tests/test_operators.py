@@ -24,12 +24,20 @@ def test_approx_distinct_within_bound(spark, sf_dir):
         r["event_type"]: r["n"]
         for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
     }
+    # raw sketch estimate (the registered query emits exact counts + the
+    # certification boolean; the estimate itself is pinned here)
     approx = {
         r["event_type"]: r["approx_users"]
-        for r in REGISTRY["agg_approx_distinct"].fn(spark, sf_dir).collect()
+        for r in ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .collect()
     }
     for k, exact_n in exact.items():
         assert abs(approx[k] - exact_n) <= max(1, 0.05 * exact_n), (k, exact_n, approx[k])
+    # and the hash-certified form must claim the bound holds
+    for r in REGISTRY["agg_approx_distinct"].fn(spark, sf_dir).collect():
+        assert r["approx_ok"], r
+        assert r["exact_users"] == exact[r["event_type"]]
 
 
 @pytest.fixture(scope="module")
@@ -92,7 +100,9 @@ def test_ann_recall_vs_exact(spark, sf_dir, emb_matrix):
         int(ids[i]): {int(ids[j]) for j in np.argsort(-cos[i], kind="stable")[:3]}
         for i in range(len(ids))
     }
-    got = REGISTRY["sim_cosine_ann_lsh"].fn(spark, sf_dir).collect()
+    from projektdataengineering_spark.queries.similarity import ann_lsh_top3
+
+    got = ann_lsh_top3(spark, sf_dir).collect()
     by_q: dict[int, set[int]] = {}
     for r in got:
         by_q.setdefault(r["id_q"], set()).add(r["id_n"])
@@ -270,7 +280,9 @@ def test_ivf_recall_vs_exact(spark, sf_dir, emb_matrix):
         for i in range(len(ids))
     }
     idx = {int(v): i for i, v in enumerate(ids)}
-    got = REGISTRY["sim_cosine_ivf"].fn(spark, sf_dir).collect()
+    from projektdataengineering_spark.queries.similarity import ivf_top3
+
+    got = ivf_top3(spark, sf_dir).collect()
     by_q: dict[int, set[int]] = {}
     for r in got:
         assert r["id_q"] != r["id_n"]
@@ -373,9 +385,27 @@ def test_approx_quantiles_within_rank_error(spark, sf_dir):
     statistics per group."""
     import duckdb
 
+    from pyspark.sql import functions as F
+
+    from projektdataengineering_spark.catalog import load_table
+
+    # raw GK estimates (the registered query emits exact discrete
+    # quantiles + the rank-window certification boolean; the estimate
+    # itself is pinned here)
+    qs = F.expr(
+        "percentile_approx(o_totalprice, array(0.25, 0.5, 0.75, 0.99), 10000)"
+    )
     got = {
         r["o_orderstatus"]: r
-        for r in REGISTRY["agg_approx_quantile"].fn(spark, sf_dir).collect()
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            qs.getItem(0).alias("p25"),
+            qs.getItem(1).alias("p50"),
+            qs.getItem(2).alias("p75"),
+            qs.getItem(3).alias("p99"),
+        )
+        .collect()
     }
     rows = duckdb.sql(
         f"SELECT o_orderstatus, list(o_totalprice ORDER BY o_totalprice) "
@@ -389,6 +419,19 @@ def test_approx_quantiles_within_rank_error(spark, sf_dir):
             lo = vals[max(0, int((p - eps) * n) - 1)]
             hi = vals[min(n - 1, int((p + eps) * n) + 1)]
             assert lo <= est <= hi, (status, col, est, lo, hi)
+    # the hash-certified form must claim the rank-window bound holds and
+    # its exact discrete quantiles must equal the order statistics
+    for r in REGISTRY["agg_approx_quantile"].fn(spark, sf_dir).collect():
+        assert r["approx_ok"], r
+        vals = dict(rows)[r["o_orderstatus"]]
+        n = len(vals)
+        for p in (0.25, 0.5, 0.75, 0.99):
+            import math
+
+            assert r[f"p{int(p * 100)}_exact"] == vals[math.ceil(p * n) - 1], (
+                r,
+                p,
+            )
 
 
 def test_global_row_number_matches_global_window(spark, sf_dir):

@@ -123,6 +123,8 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "pipeline_mixture_temperature",  # 1-row Σ√count fold broadcast
         "join_cross_calendar",  # ~80-row spine × ~3-row statuses grid build
         "agg_hll_merge",  # 1-row exact-count certification broadcast
+        "sim_cosine_ann_lsh",  # 1-row recall-ok certification broadcast
+        "sim_cosine_ivf",  # 1-row recall-ok certification broadcast
     }
     for name, qd in REGISTRY.items():
         f = plan_facts(qd.fn(spark, sf_dir))
