@@ -183,6 +183,8 @@ def avi_encode(
     if codec not in ("DIB", "MJPG"):
         raise ValueError(f"codec must be DIB or MJPG, got {codec!r}")
     n, h, w, _ = frames.shape
+    if n == 0:
+        raise ValueError("avi_encode needs at least one frame")
     row_bytes = w * 3
     pad = (-row_bytes) % 4
 

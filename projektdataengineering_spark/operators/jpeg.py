@@ -38,6 +38,7 @@ lives.
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 
 import numpy as np
 
@@ -163,6 +164,21 @@ def _amplitude_bits(v: int, size: int) -> int:
     return v if v >= 0 else v + (1 << size) - 1
 
 
+def _canonical_encode_map(bits, vals) -> dict[int, tuple[int, int]]:
+    """BITS/HUFFVAL → symbol → (code, length) canonical assignment
+    (the encode-side mirror of _canonical_decode_map)."""
+    enc = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            enc[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return enc
+
+
 def _build_table(symbols: set[int]) -> tuple[list[int], list[int], dict[int, tuple[int, int]]]:
     """Equal-length canonical prefix code over the used symbols:
     BITS/HUFFVAL for the DHT segment + symbol → (code, length) map.
@@ -214,10 +230,26 @@ def _encode_component_symbols(qblocks: np.ndarray):
     return out
 
 
-def jpeg_encode(rgb: np.ndarray, quality: int = 85, subsample: bool = True) -> bytes:
+def jpeg_encode(
+    rgb: np.ndarray,
+    quality: int = 85,
+    subsample: bool = True,
+    standard_tables: bool = False,
+    emit_dht: bool = True,
+) -> bytes:
     """Encode (h, w, 3) uint8 RGB (or (h, w) grey) as baseline JFIF
     JPEG. ``subsample`` → 4:2:0 chroma (the MJPEG-typical layout),
-    else 4:4:4. Deterministic: pure function of (pixels, quality)."""
+    else 4:4:4. Deterministic: pure function of (pixels, quality).
+
+    ``standard_tables`` entropy-codes with the T.81 Annex K.3 typical
+    Huffman tables instead of per-image custom tables;
+    ``emit_dht=False`` additionally omits the DHT segments — the
+    OpenDML MJPG framing (decoders supply K.3), used to exercise the
+    decoder's missing-DHT fallback. emit_dht=False requires
+    standard_tables=True (a custom-table stream without its tables is
+    undecodable by construction)."""
+    if not emit_dht and not standard_tables:
+        raise ValueError("emit_dht=False requires standard_tables=True")
     grey = rgb.ndim == 2
     arr = np.ascontiguousarray(rgb)
     h, w = arr.shape[:2]
@@ -298,8 +330,18 @@ def jpeg_encode(rgb: np.ndarray, quality: int = 85, subsample: bool = True) -> b
             for sym, _, _ in ac_part:
                 ac_syms[tid].add(sym)
     n_tables = 1 if grey else 2
-    dc_tables = [_build_table(dc_syms[i]) for i in range(n_tables)]
-    ac_tables = [_build_table(ac_syms[i]) for i in range(n_tables)]
+    if standard_tables:
+        dc_tables = [
+            (list(b), list(v), _canonical_encode_map(b, v))
+            for b, v in (_K3_DC_LUM, _K3_DC_CHROM)[:n_tables]
+        ]
+        ac_tables = [
+            (list(b), list(v), _canonical_encode_map(b, v))
+            for b, v in (_K3_AC_LUM, _K3_AC_CHROM)[:n_tables]
+        ]
+    else:
+        dc_tables = [_build_table(dc_syms[i]) for i in range(n_tables)]
+        ac_tables = [_build_table(ac_syms[i]) for i in range(n_tables)]
 
     # ---- emit segments ----
     def seg(marker: int, body: bytes) -> bytes:
@@ -319,11 +361,12 @@ def jpeg_encode(rgb: np.ndarray, quality: int = 85, subsample: bool = True) -> b
             "BBB", ci + 1, (samp[ci][0] << 4) | samp[ci][1], qids[ci]
         )
     out += seg(0xC0, sof)
-    for tid in range(n_tables):
-        for cls, (bits, vals, _) in ((0, dc_tables[tid]), (1, ac_tables[tid])):
-            out += seg(
-                0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
-            )
+    if emit_dht:
+        for tid in range(n_tables):
+            for cls, (bits, vals, _) in ((0, dc_tables[tid]), (1, ac_tables[tid])):
+                out += seg(
+                    0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+                )
     sos = bytes([ncomp])
     for ci in range(ncomp):
         tid = 0 if ci == 0 else 1
@@ -423,6 +466,84 @@ def _canonical_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, i
     return out
 
 
+# ---- ITU-T T.81 Annex K.3 "typical" Huffman tables (public spec) -----
+# Real-world MJPEG-in-AVI frames very commonly omit DHT segments: the
+# OpenDML MJPG convention is that decoders supply these fixed tables.
+# (bits[1..16], huffval) exactly as printed in K.3.1/K.3.2.
+_K3_DC_LUM = ((0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+              tuple(range(12)))
+_K3_DC_CHROM = ((0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0),
+                tuple(range(12)))
+_K3_AC_LUM = (
+    (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D),
+    (0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA),
+)
+_K3_AC_CHROM = (
+    (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77),
+    (0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA),
+)
+
+# (class, table-id) → K.3 default, per the JFIF/OpenDML convention of
+# table 0 = luminance, table 1 = chrominance.
+_K3_DEFAULTS = {
+    (0, 0): _K3_DC_LUM, (0, 1): _K3_DC_CHROM,
+    (1, 0): _K3_AC_LUM, (1, 1): _K3_AC_CHROM,
+}
+
+
+@lru_cache(maxsize=256)
+def _huff_tables_cached(bits: tuple, vals: tuple):
+    """(decode_map, peek LUT, lut_bits) for one canonical table.
+
+    LUT[peek(lut_bits)] = (codelen << 8) | symbol, 0 = invalid code,
+    where lut_bits = the table's LONGEST code — NOT a fixed 16: this
+    file's own encoder emits per-image equal-length tables (~6-8 bits),
+    so sizing the LUT to the table keeps the build at 64-256 entries
+    per frame instead of 65536 (a 65536-entry LUT per frame-unique
+    table measured 20-40× slower end-to-end and leaked ~0.5 MB per
+    cached table). The 16-bit K.3 / libjpeg-style tables are shared
+    across a whole MJPEG stream, so their one big build amortizes via
+    the lru_cache; maxsize bounds worker memory when every frame ships
+    unique tables."""
+    dec_map = _canonical_decode_map(list(bits), list(vals))
+    lut_bits = max(
+        (length for length in range(1, 17) if bits[length - 1]), default=1
+    )
+    lut = np.zeros(1 << lut_bits, dtype=np.uint32)
+    for (length, code), sym in dec_map.items():
+        start = code << (lut_bits - length)
+        lut[start : start + (1 << (lut_bits - length))] = (length << 8) | sym
+    return (dec_map, lut.tolist(), lut_bits)
+
+
 def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
     code = 0
     for length in range(1, 17):
@@ -440,15 +561,192 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def jpeg_decode(data: bytes) -> np.ndarray:
+class _FastBitReader:
+    """Multi-bit sibling of _BitReader: same 0xFF00 unstuffing and
+    marker 1-bit padding, but fills a small accumulator a byte at a
+    time so the hot path is one ``peek16`` + one ``skip`` per Huffman
+    symbol (vs up to 16 ``read_bit`` calls)."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        p = self.pos
+        if p >= len(d):
+            b = 0xFF  # pad past EOF with 1-bits (spec padding)
+        else:
+            b = d[p]
+            if b == 0xFF:
+                nxt = d[p + 1] if p + 1 < len(d) else 0xD9
+                if nxt == 0x00:
+                    self.pos = p + 2  # stuffed 0xFF data byte
+                # else: marker — feed 1-bits, don't advance
+            else:
+                self.pos = p + 1
+        self.acc = ((self.acc << 8) | b) & 0xFFFFFF
+        self.nbits += 8
+
+    def peek(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        return (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+
+    def skip(self, n: int) -> None:
+        self.nbits -= n
+
+    def receive(self, n: int) -> int:
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
+
+    def sync_restart(self) -> None:
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        p = self.pos
+        while not (d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7):
+            p += 1
+        self.pos = p + 2
+
+
+def _entropy_decode_fast(
+    data: bytes,
+    pos: int,
+    order: list,
+    restart_interval: int,
+    mcus_x: int,
+    mcus_y: int,
+    coef: dict,
+) -> None:
+    """LUT-driven entropy decode (the default path). ``order`` rows are
+    (cid, sh, sv, dc_lut, dc_bits, ac_lut, ac_bits) with peek LUTs from
+    _huff_tables_cached. Produces the identical coefficients as
+    _entropy_decode_scalar (asserted in tests/test_multimodal.py); the
+    scalar form stays as the spec-faithful reference."""
+    br = _FastBitReader(data, pos)
+    pred = {cid: 0 for cid, *_ in order}
+    mcu_count = 0
+    bad = "invalid Huffman code in entropy stream"
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.sync_restart()
+                pred = {cid: 0 for cid, *_ in order}
+            mcu_count += 1
+            for cid, sh, sv, dc_lut, dc_bits, ac_lut, ac_bits in order:
+                cplane = coef[cid]
+                p = pred[cid]
+                for by in range(sv):
+                    row = cplane[my * sv + by]
+                    for bx in range(sh):
+                        view = row[mx * sh + bx]
+                        e = dc_lut[br.peek(dc_bits)]
+                        if e == 0:
+                            raise ValueError(bad)
+                        br.skip(e >> 8)
+                        s = e & 0xFF
+                        v = br.receive(s)
+                        if s:
+                            p += v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                        view[0] = p
+                        k = 1
+                        while k <= 63:
+                            e = ac_lut[br.peek(ac_bits)]
+                            if e == 0:
+                                raise ValueError(bad)
+                            br.skip(e >> 8)
+                            sym = e & 0xFF
+                            if sym == 0x00:  # EOB
+                                break
+                            run = sym >> 4
+                            size = sym & 0xF
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError("bad AC symbol")
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            v = br.receive(size)
+                            view[k] = (
+                                v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                            )
+                            k += 1
+                pred[cid] = p
+
+
+def _entropy_decode_scalar(
+    data: bytes,
+    pos: int,
+    order: list,
+    restart_interval: int,
+    mcus_x: int,
+    mcus_y: int,
+    coef: dict,
+) -> None:
+    """Bit-at-a-time T.81 F.2 entropy decode — the reference
+    implementation the fast path is tested against. ``order`` rows are
+    (cid, sh, sv, dc_map, ac_map) canonical decode dicts."""
+    br = _BitReader(data, pos)
+    pred = {cid: 0 for cid, *_ in order}
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.sync_restart()
+                pred = {cid: 0 for cid, *_ in order}
+            mcu_count += 1
+            for cid, sh, sv, dc_t, ac_t in order:
+                for by in range(sv):
+                    for bx in range(sh):
+                        zz = np.zeros(64, dtype=np.int64)
+                        s = _huff_decode(br, dc_t)
+                        diff = _extend(br.receive(s), s)
+                        pred[cid] += diff
+                        zz[0] = pred[cid]
+                        k = 1
+                        while k <= 63:
+                            sym = _huff_decode(br, ac_t)
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0xF
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError("bad AC symbol")
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _extend(br.receive(size), size)
+                            k += 1
+                        coef[cid][my * sv + by, mx * sh + bx] = zz
+
+
+def jpeg_decode(data: bytes, scalar: bool = False) -> np.ndarray:
     """Decode a baseline JPEG to (h, w, 3) uint8 RGB ((h, w) for
     1-component greyscale). Supports 8-bit baseline sequential DCT,
-    sampling factors 1-2, tables read from the stream, DRI/RSTn."""
+    sampling factors 1-2, tables read from the stream, DRI/RSTn.
+    Streams that omit DHT (the OpenDML MJPG convention) fall back to
+    the T.81 Annex K.3 typical tables. ``scalar=True`` selects the
+    bit-at-a-time reference entropy decoder instead of the default
+    16-bit-peek LUT path (identical output, ~5-10x slower — kept as
+    the spec-faithful test oracle)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
-    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    htables: dict[tuple[int, int], tuple[tuple, tuple]] = {}  # (bits, vals)
     sof = None
     restart_interval = 0
     scan = None
@@ -476,10 +774,10 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             i = 0
             while i < len(body):
                 cls, tid = body[i] >> 4, body[i] & 0xF
-                bits = list(body[i + 1 : i + 17])
+                bits = tuple(body[i + 1 : i + 17])
                 n = sum(bits)
-                vals = list(body[i + 17 : i + 17 + n])
-                htables[(cls, tid)] = _canonical_decode_map(bits, vals)
+                vals = tuple(body[i + 17 : i + 17 + n])
+                htables[(cls, tid)] = (bits, vals)
                 i += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
@@ -511,53 +809,50 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
 
+    def _huff(cls_: int, tid: int) -> tuple[tuple, tuple]:
+        t = htables.get((cls_, tid))
+        if t is not None:
+            return t
+        # Missing DHT: supply the T.81 Annex K.3 "typical" tables — the
+        # OpenDML MJPG convention (AVI MJPEG frames very commonly omit
+        # DHT and expect the decoder to use these fixed tables).
+        dflt = _K3_DEFAULTS.get((cls_, tid))
+        if dflt is None:
+            raise ValueError(
+                f"scan references undefined Huffman table (class={cls_}, "
+                f"id={tid}) and no K.3 default exists for that id — "
+                "corrupt stream, or a non-JFIF table layout"
+            )
+        return dflt
+
     by_id = {c[0]: c for c in comps}
-    order = []  # (comp_index, sh, sv, qtbl, dc_table, ac_table)
+    order = []  # (comp_index, sh, sv, qtbl, (dc bits/vals), (ac bits/vals))
     for cid, dc_id, ac_id in scan:
         _, sh, sv, tq = by_id[cid]
-        order.append(
-            (cid, sh, sv, qtables[tq], htables[(0, dc_id)], htables[(1, ac_id)])
-        )
+        order.append((cid, sh, sv, qtables[tq], _huff(0, dc_id), _huff(1, ac_id)))
 
     # coefficient planes per component, MCU-aligned
     coef = {
         cid: np.zeros((mcus_y * sv * 8 // 8, mcus_x * sh * 8 // 8, 64), dtype=np.int64)
         for cid, sh, sv, _, _, _ in order
     }
-    br = _BitReader(data, pos)
-    pred = {cid: 0 for cid, *_ in order}
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                br.sync_restart()
-                pred = {cid: 0 for cid, *_ in order}
-            mcu_count += 1
-            for cid, sh, sv, _, dc_t, ac_t in order:
-                for by in range(sv):
-                    for bx in range(sh):
-                        zz = np.zeros(64, dtype=np.int64)
-                        s = _huff_decode(br, dc_t)
-                        diff = _extend(br.receive(s), s)
-                        pred[cid] += diff
-                        zz[0] = pred[cid]
-                        k = 1
-                        while k <= 63:
-                            sym = _huff_decode(br, ac_t)
-                            if sym == 0x00:  # EOB
-                                break
-                            run, size = sym >> 4, sym & 0xF
-                            if size == 0:
-                                if run != 15:
-                                    raise ValueError("bad AC symbol")
-                                k += 16  # ZRL
-                                continue
-                            k += run
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            zz[k] = _extend(br.receive(size), size)
-                            k += 1
-                        coef[cid][my * sv + by, mx * sh + bx] = zz
+    if scalar:
+        ent_order = [
+            (cid, sh, sv, _huff_tables_cached(*dc)[0], _huff_tables_cached(*ac)[0])
+            for cid, sh, sv, _, dc, ac in order
+        ]
+        _entropy_decode_scalar(
+            data, pos, ent_order, restart_interval, mcus_x, mcus_y, coef
+        )
+    else:
+        ent_order = []
+        for cid, sh, sv, _, dc, ac in order:
+            _, dc_lut, dc_bits = _huff_tables_cached(*dc)
+            _, ac_lut, ac_bits = _huff_tables_cached(*ac)
+            ent_order.append((cid, sh, sv, dc_lut, dc_bits, ac_lut, ac_bits))
+        _entropy_decode_fast(
+            data, pos, ent_order, restart_interval, mcus_x, mcus_y, coef
+        )
 
     # dequantize + batched IDCT per component
     planes = {}

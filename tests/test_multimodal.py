@@ -407,6 +407,63 @@ def test_jpeg_codec_roundtrip():
     assert jpeg_encode(img, 85) == jpeg_encode(img, 85)
 
 
+def test_jpeg_fast_entropy_decode_matches_scalar_reference():
+    """The 16-bit-peek LUT entropy decoder (default) must be
+    bit-identical to the bit-at-a-time T.81 reference path across
+    subsampling, quality, greyscale and restart-free streams."""
+    import numpy as np
+
+    from projektdataengineering_spark.operators.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(11)
+    h, w = 41, 59
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([(yy * 5) % 256, (xx * 3) % 256, (xx + yy) % 256], axis=-1)
+    img = np.clip(img + rng.integers(-25, 25, img.shape), 0, 255).astype(np.uint8)
+    for subsample in (True, False):
+        for q in (55, 85, 95):
+            enc = jpeg_encode(img, quality=q, subsample=subsample)
+            assert np.array_equal(jpeg_decode(enc), jpeg_decode(enc, scalar=True))
+    g = img[:, :, 0]
+    enc_g = jpeg_encode(g, quality=90)
+    assert np.array_equal(jpeg_decode(enc_g), jpeg_decode(enc_g, scalar=True))
+
+
+def test_jpeg_missing_dht_falls_back_to_k3_tables():
+    """OpenDML MJPG convention: frames that omit DHT decode with the
+    T.81 Annex K.3 typical tables — a stream entropy-coded with the
+    standard tables must decode identically with and without its DHT
+    segments, on both entropy paths."""
+    import numpy as np
+
+    from projektdataengineering_spark.operators.jpeg import jpeg_decode, jpeg_encode
+
+    h, w = 32, 48
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [xx * 255 / w, yy * 255 / h, (xx * yy) % 256], axis=-1
+    ).astype(np.uint8)
+    full = jpeg_encode(img, quality=80, standard_tables=True)
+    nodht = jpeg_encode(img, quality=80, standard_tables=True, emit_dht=False)
+    assert b"\xff\xc4" in full and b"\xff\xc4" not in nodht
+    ref = jpeg_decode(full)
+    assert np.array_equal(ref, jpeg_decode(nodht))
+    assert np.array_equal(ref, jpeg_decode(nodht, scalar=True))
+    # same coefficients regardless of which valid Huffman tables coded them
+    assert np.array_equal(ref, jpeg_decode(jpeg_encode(img, quality=80)))
+    # greyscale single-component MJPG framing
+    g = img[:, :, 1]
+    assert np.array_equal(
+        jpeg_decode(jpeg_encode(g, 90, standard_tables=True, emit_dht=False)),
+        jpeg_decode(jpeg_encode(g, 90)),
+    )
+    # a tableless custom-coded stream is undecodable by construction
+    import pytest
+
+    with pytest.raises(ValueError, match="standard_tables"):
+        jpeg_encode(img, emit_dht=False)
+
+
 def test_mjpeg_avi_roundtrip():
     """MJPEG-in-AVI: every frame an independently-decodable baseline
     JPEG in a '00dc' chunk with biCompression='MJPG'. Decode must
