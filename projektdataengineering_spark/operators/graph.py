@@ -216,15 +216,21 @@ def pagerank(
     is the single node count. n_iter is fixed (not convergence-tested)
     so the operator is deterministic and replay-stable.
 
-    ``exact_sums=True`` routes each per-node contribution sum through
-    DECIMAL(38,18): the per-edge contribution rank/deg (one double
-    division, order-free) is cast to decimal, summed EXACTLY
-    (decimal addition is associative — the sum no longer depends on
-    partitioning or arrival order), and cast back to double for the
-    damping step. Every remaining op is a single IEEE-754 double
-    operation, so the ranks are bit-stable across runs, partitionings,
-    AND engines — what lets queries/graphs.py hash-check this operator
-    against a DuckDB replay. Costs one decimal column through the
+    ``exact_sums=True`` quantizes each per-edge contribution rank/deg
+    to an INTEGER numerator — floor(c·10¹⁵ + 0.5), every step a single
+    IEEE-754 double op plus an unambiguous floor, identical in any
+    engine — and sums the numerators through DECIMAL(38,0) (exact,
+    associative: the sum no longer depends on partitioning or arrival
+    order), then divides by 10¹⁵ back to double for the damping step.
+    The deliberate ~1e-15-relative quantization is what buys
+    cross-ENGINE bit-stability: a direct double→DECIMAL(38,18) cast is
+    engine-defined at rounding boundaries (Spark rounds the shortest
+    decimal repr via BigDecimal HALF_UP; DuckDB scales the double by
+    1e18 in floating point, which is inexact past 2^53 — they can
+    disagree for contributions ≳0.01), while an integer-valued double
+    casts to decimal exactly everywhere. This is what lets
+    queries/graphs.py hash-check the ranks against a DuckDB replay at
+    ANY scale factor. Costs one decimal column through the
     aggregation; leave False when ordering-grade ranks suffice."""
     nodes = (
         edges.select(F.col(src).alias("node"))
@@ -241,7 +247,10 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     contrib = F.col("rank") / F.col("deg")
     if exact_sums:
-        contrib = contrib.cast("decimal(38,18)")
+        # integer numerator: floor(c*1e15 + 0.5) — see docstring
+        contrib = F.floor(contrib * F.lit(1.0e15) + F.lit(0.5)).cast(
+            "decimal(38,0)"
+        )
     for _ in range(n_iter):
         contribs = (
             edges.select(F.col(src).alias("node"), F.col(dst).alias("to"))
@@ -252,6 +261,8 @@ def pagerank(
             .agg(F.sum("c").alias("s"))
         )
         s = F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+        if exact_sums:
+            s = s / F.lit(1.0e15)
         ranks = (
             nodes.join(contribs, "node", "left")
             .select(

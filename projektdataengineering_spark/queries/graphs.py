@@ -6,11 +6,16 @@ algorithm with a value-level DuckDB oracle. Two disciplines make the
 hash comparable (the same playbook as timeseries.py's list_reduce
 fold and functions.py's decimal-exact money sums):
 
-* every per-node contribution sum runs in DECIMAL(38,18)
+* every per-node contribution sum runs over INTEGER numerators
+  floor(c·10¹⁵ + 0.5) through DECIMAL(38,0)
   (``pagerank(exact_sums=True)``) — decimal addition is exact and
   associative, so the sum is independent of partitioning and arrival
   order, the one place a distributed float reduction diverges
-  between engines (and between two Spark runs);
+  between engines (and between two Spark runs); the quantization to
+  integer-valued doubles is what makes the double→decimal cast itself
+  engine-independent (a direct DECIMAL(38,18) cast of an arbitrary
+  double rounds differently in Spark vs DuckDB near boundaries —
+  round-8 ADVICE fix);
 * everything else is a single IEEE-754 double operation per step
   (one division per edge, one multiply-add per node), and the oracle
   SQL spells each literal as the same double expression Spark
@@ -46,10 +51,12 @@ def _pagerank_sql(n_iter: int) -> str:
     r{k} AS (
       SELECT n0.node AS node,
              {teleport}
-             + CAST(0.85 AS DOUBLE) * CAST(COALESCE(c.s, 0) AS DOUBLE) AS pr
+             + CAST(0.85 AS DOUBLE)
+               * (CAST(COALESCE(c.s, 0) AS DOUBLE) / 1e15) AS pr
       FROM nodes n0 LEFT JOIN (
         SELECT e.dst AS node,
-               SUM(CAST(r.pr / d.deg AS DECIMAL(38,18))) AS s
+               SUM(CAST(FLOOR(r.pr / d.deg * 1e15 + 0.5)
+                        AS DECIMAL(38,0))) AS s
         FROM und e
         JOIN r{k - 1} r ON e.src = r.node
         JOIN deg d ON e.src = d.node

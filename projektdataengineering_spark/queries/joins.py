@@ -518,9 +518,17 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     so old and new files stay co-bucketed)."""
     import os as _os
 
-    from ..sources import write_bucketed
+    from ..sources import ensure_bucketed, source_fingerprint
 
-    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    # Cache tag = fixture basename + CONTENT fingerprint of the source
+    # parquets: regenerated fixtures at the same path get a fresh tag
+    # (never stale reuse), and ensure_bucketed makes the write-once
+    # cache atomic + cross-session-safe (round-8 ADVICE).
+    fp = source_fingerprint(
+        _os.path.join(sf_dir, "orders.parquet"),
+        _os.path.join(sf_dir, "customer.parquet"),
+    )
+    tag = f"{_os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}_{fp}"
     scratch = _os.path.join(
         _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
         ".scratch",
@@ -530,19 +538,14 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
 
-    # Write-once cache: the bucketed write is ingest-time work, so a
-    # repeat invocation in the same session (bench second pass, driver
-    # re-run) reuses the existing table instead of re-paying two full
-    # table writes — and concurrent sessions sharing a warehouse stop
-    # racing on the table names (ADVICE r6).  A registered table whose
-    # backing path vanished is rewritten.
-    def _ensure(df: DataFrame, name: str, path: str, cols: tuple[str, ...]) -> None:
-        if spark.catalog.tableExists(name) and _os.path.isdir(path):
-            return
-        write_bucketed(df, name, path, cols, 8)
-
-    _ensure(o, f"orders_bq_{tag}", _os.path.join(scratch, "orders"), ("o_custkey",))
-    _ensure(c, f"customer_bq_{tag}", _os.path.join(scratch, "customer"), ("c_custkey",))
+    ensure_bucketed(
+        spark, o, f"orders_bq_{tag}", _os.path.join(scratch, "orders"),
+        ("o_custkey",), 8,
+    )
+    ensure_bucketed(
+        spark, c, f"customer_bq_{tag}", _os.path.join(scratch, "customer"),
+        ("c_custkey",), 8,
+    )
     ob = spark.table(f"orders_bq_{tag}")
     cb = spark.table(f"customer_bq_{tag}")
     return (

@@ -227,6 +227,77 @@ def write_bucketed(
     writer.format("parquet").saveAsTable(name)
 
 
+def source_fingerprint(*paths: str) -> str:
+    """12-hex content fingerprint of source files (size + mtime_ns per
+    path) — folded into bucketed-cache tags so regenerated sources at
+    the same path can never silently reuse a stale bucketed table
+    (round-8 ADVICE)."""
+    import hashlib
+    import os
+
+    h = hashlib.sha256()
+    for p in sorted(paths):
+        st = os.stat(p)
+        h.update(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:12]
+
+
+def ensure_bucketed(
+    spark,
+    df: DataFrame,
+    name: str,
+    path: str,
+    bucket_cols: tuple[str, ...],
+    n_buckets: int = 16,
+) -> None:
+    """Idempotent, cross-session-safe form of :func:`write_bucketed`:
+    the write-once/amortize-forever cache for bucketed scratch tables.
+
+    * If ``name`` is registered and ``path`` exists → no-op (same
+      session re-run: bench pass 2, driver re-run).
+    * If ``path`` exists but the session catalog is fresh (a DIFFERENT
+      session produced it) → register an external bucketed table over
+      the existing files via CREATE TABLE … CLUSTERED BY … LOCATION,
+      WITHOUT rewriting — this is what stops a new session from
+      clobbering a shared path another session may be mid-read on
+      (round-8 ADVICE: tableExists() alone is session-local and lied
+      about the files).
+    * Otherwise → write to a process-unique temp dir, then atomically
+      ``os.rename`` into ``path``. If a concurrent session won the
+      rename race, discard our temp and register over the winner's
+      files (same content by construction — callers put a
+      source_fingerprint in ``path``/``name``, so a path can only ever
+      hold one logical content version; stale fingerprints just leave
+      orphaned dirs behind, which is safe garbage, never wrong reuse).
+    """
+    import os
+    import shutil
+    import uuid
+
+    if spark.catalog.tableExists(name) and os.path.isdir(path):
+        return
+    if not os.path.isdir(path):
+        tmp = f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+        tmp_name = f"{name}_tmp_{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").option("path", tmp).bucketBy(
+            n_buckets, *bucket_cols
+        ).format("parquet").saveAsTable(tmp_name)
+        # external table: DROP unregisters without touching the files
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    cols_ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS `{name}` ({cols_ddl}) USING parquet "
+        f"CLUSTERED BY ({', '.join(bucket_cols)}) INTO {n_buckets} BUCKETS "
+        f"LOCATION '{path}'"
+    )
+
+
 # Extension → modality for media ingested from a landing directory.
 MEDIA_MODALITIES = {
     "jpg": "image/jpeg",

@@ -24,8 +24,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 # Output/state schemas for the dedup operator over (key, ts, payload).
+# max_ts = the largest event time EVER seen for the key: the eviction
+# deadline anchors to it, not to the current batch's max, so an
+# out-of-order (within-watermark) batch of older rows can never move
+# the timeout backward and evict a key before last-occurrence+horizon.
 DEDUP_OUTPUT_SCHEMA = "key string, first_ts timestamp, n_dropped long"
-DEDUP_STATE_SCHEMA = "seen boolean, first_ts timestamp, n_dropped long"
+DEDUP_STATE_SCHEMA = (
+    "seen boolean, first_ts timestamp, n_dropped long, max_ts timestamp"
+)
 
 
 def _make_dedup_first_wins(horizon: "pd.Timedelta | None"):
@@ -65,18 +71,23 @@ def _make_dedup_first_wins(horizon: "pd.Timedelta | None"):
             return iter(())
 
         if state.exists:
-            seen, prev_first, dropped = state.get
-            state.update((True, prev_first, dropped + n_new))
+            seen, prev_first, dropped, prev_max = state.get
+            # idle-anchor on the max event time ever seen: late
+            # (within-watermark) batches of older rows must not shrink
+            # the eviction horizon
+            max_ts = max(pd.Timestamp(prev_max), last_ts)
+            state.update((True, prev_first, dropped + n_new, max_ts))
             out = pd.DataFrame(
                 {"key": [key[0]], "first_ts": [prev_first], "n_dropped": [dropped + n_new]}
             )
         else:
-            state.update((True, first_ts, n_new - 1))
+            max_ts = last_ts
+            state.update((True, first_ts, n_new - 1, max_ts))
             out = pd.DataFrame(
                 {"key": [key[0]], "first_ts": [first_ts], "n_dropped": [n_new - 1]}
             )
         if horizon is not None:
-            state.setTimeoutTimestamp(int((last_ts + horizon).value // 1_000_000))
+            state.setTimeoutTimestamp(int((max_ts + horizon).value // 1_000_000))
         return iter((out,))
 
     return _fold

@@ -152,6 +152,54 @@ def test_bucketed_join_has_zero_exchanges(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS orders_b")
 
 
+def test_ensure_bucketed_fingerprint_and_cross_session_register(spark, tmp_path):
+    """Round-8 ADVICE regressions for the bucketed write-once cache:
+    (a) source_fingerprint changes when a source file is regenerated at
+    the same path, so a content-fingerprinted tag can never reuse a
+    stale bucketed table; (b) ensure_bucketed over an ALREADY-existing
+    path registers an external bucketed table (zero rewrite — the
+    cross-session case where tableExists() is false but the files are
+    live) that still joins with zero shuffle exchanges; (c) no
+    partially-written table dir is ever visible at the final path
+    (temp + atomic rename)."""
+    import os
+    import time
+
+    from projektdataengineering_spark.sources import (
+        ensure_bucketed,
+        source_fingerprint,
+    )
+
+    src = tmp_path / "src.parquet"
+    spark.range(100).selectExpr("id AS k", "id * 2 AS v").write.parquet(str(src))
+    fp1 = source_fingerprint(str(src))
+    time.sleep(0.01)
+    spark.range(100).selectExpr("id AS k", "id * 3 AS v").write.mode(
+        "overwrite"
+    ).parquet(str(src))
+    fp2 = source_fingerprint(str(src))
+    assert fp1 != fp2  # regenerated content → different tag
+
+    df = spark.read.parquet(str(src))
+    path = str(tmp_path / "bq" / f"t_{fp2}")
+    try:
+        ensure_bucketed(spark, df, f"eb_{fp2}", path, ("k",), 4)
+        assert os.path.isdir(path)
+        assert not any(
+            ".tmp." in d for d in os.listdir(tmp_path / "bq")
+        )  # atomic rename left no temp dirs
+        # simulate a FRESH session: drop only the catalog entry, keep files
+        spark.sql(f"DROP TABLE IF EXISTS eb_{fp2}")
+        ensure_bucketed(spark, df, f"eb_{fp2}", path, ("k",), 4)  # registers, no rewrite
+        t = spark.table(f"eb_{fp2}")
+        joined = t.join(t.groupBy("k").count(), "k")
+        f = plan_facts(joined)
+        assert f.shuffles == 0, f.nodes  # bucket metadata survived re-registration
+        assert t.count() == 100
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS eb_{fp2}")
+
+
 def test_partitioned_write_prunes_partitions_on_read(spark, sf_dir, tmp_path):
     """A warehouse written with partitionBy must turn an equality filter
     on the partition column into PartitionFilters (directory pruning —

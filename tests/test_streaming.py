@@ -329,3 +329,70 @@ def test_stateful_dedup_horizon_evicts_and_reemits(spark, sf_dir, tmp_path):
     a_final = max((r for r in rows if r["key"] == "a"), key=lambda r: r["n_dropped"])
     assert a_final["n_dropped"] == 2
     assert a_final["first_ts"] == pd.Timestamp("2024-01-01 00:00:00")
+
+
+def test_stateful_dedup_late_batch_cannot_shrink_horizon(spark, tmp_path):
+    """Round-8 ADVICE regression: the eviction deadline anchors to the
+    max event time EVER seen for the key, not the current batch's max.
+    A later out-of-order (within-watermark) batch with OLDER rows must
+    not move the timeout backward — otherwise the key evicts before
+    last-occurrence + horizon and a within-horizon duplicate re-emits
+    as a fresh first."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from projektdataengineering_spark.streaming.stateful import dedup_stream_first_wins
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    batches = [
+        # b1: a @ Jan-20 → deadline Jan-22 (horizon 2 days)
+        (["a"], ["2024-01-20 00:00:00"]),
+        # b2: a again, 10 days OLDER but inside the 30-day watermark.
+        # Unclamped, this would drag the deadline back to Jan-12.
+        (["a"], ["2024-01-10 00:00:00"]),
+        # b3: watermark advances to Jan-16 — past the buggy Jan-12
+        # deadline, NOT past the correct Jan-22 one
+        (["z"], ["2024-02-15 00:00:00"]),
+        # b4: a has no data; a buggy timeout would fire here and evict
+        (["z"], ["2024-02-15 00:01:00"]),
+        # b5: a returns within wm — must still be a DUPLICATE of Jan-20
+        (["a"], ["2024-02-16 00:00:00"]),
+    ]
+    now = time.time()
+    for i, (keys, tss) in enumerate(batches):
+        f = src / f"batch{i + 1}.parquet"
+        pd.DataFrame({"key": keys, "ts": pd.to_datetime(tss)}).to_parquet(
+            f, coerce_timestamps="us"
+        )
+        os.utime(f, (now - 100 + 20 * i, now - 100 + 20 * i))
+
+    stream = (
+        spark.readStream.schema("key string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "30 days")
+    )
+    out = dedup_stream_first_wins(stream, horizon="2 days")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("dedup_clamp_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_clamp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = spark.table("dedup_clamp_out").collect()
+    a_rows = {(r["first_ts"], r["n_dropped"]) for r in rows if r["key"] == "a"}
+    # every a-emission keeps the original first; the b5 arrival counts
+    # as the 2nd dropped duplicate — an eviction bug would surface as a
+    # fresh (2024-02-16, 0) first instead
+    assert a_rows == {
+        (pd.Timestamp("2024-01-20 00:00:00"), 0),
+        (pd.Timestamp("2024-01-20 00:00:00"), 1),
+        (pd.Timestamp("2024-01-20 00:00:00"), 2),
+    }, a_rows
