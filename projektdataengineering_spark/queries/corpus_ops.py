@@ -300,6 +300,68 @@ _BPE_MERGES = 12
 _END_TOK = "</w>"
 
 
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """DuckDB replay of the FULL iterative BPE training loop, unrolled
+    as chained MATERIALIZED CTEs (the graph_pagerank playbook applied
+    to a string algorithm — round-8 graduation).
+
+    Encoding trick that makes each merge pass one SQL ``replace``:
+    every word's token list is wrapped as ``(t1)(t2)...`` so the merge
+    pair (l, r) is the literal substring ``(l)(r)`` — parens delimit
+    whole tokens (token alphabet is a-z + '</w>', no parens), so a
+    pattern can never match across or inside token boundaries, and
+    SQL replace's left-to-right non-overlapping scan IS the BPE apply
+    step (a merged token is emitted into the output and never
+    reconsidered within the pass — exactly the Spark-side F.aggregate
+    fold's pend-clearing semantics). Integer counts + string merges
+    only, so the hash needs no float discipline. MATERIALIZED is
+    load-bearing: the scalar subqueries reference each m{{k}} several
+    times and inlining would re-evaluate the whole chain
+    exponentially."""
+    iters = []
+    for k in range(1, n_merges + 1):
+        iters.append(f"""
+    p{k} AS MATERIALIZED (
+      SELECT t[i] AS l, t[i+1] AS r, SUM(freq) AS cnt
+      FROM (SELECT string_split(substring(s, 2, length(s) - 2), ')(') AS t,
+                   freq
+            FROM w{k - 1}) tok,
+           UNNEST(range(1, len(t))) AS u(i)
+      GROUP BY 1, 2
+    ),
+    m{k} AS MATERIALIZED (
+      SELECT {k - 1} AS rank, l, r, l || r AS m, cnt
+      FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
+    ),
+    w{k} AS MATERIALIZED (
+      SELECT replace(s,
+                     '(' || (SELECT l FROM m{k}) || ')('
+                         || (SELECT r FROM m{k}) || ')',
+                     '(' || (SELECT m FROM m{k}) || ')') AS s,
+             freq
+      FROM w{k - 1}
+    )""")
+    selects = " UNION ALL ".join(
+        f"SELECT * FROM m{k}" for k in range(1, n_merges + 1)
+    )
+    return f"""
+    WITH words AS MATERIALIZED (
+      SELECT w, COUNT(*) AS freq FROM (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        FROM documents
+      ) WHERE w <> '' GROUP BY w
+    ),
+    w0 AS MATERIALIZED (
+      SELECT regexp_replace(w, '(.)', '(\\1)', 'g') || '({_END_TOK})' AS s,
+             freq
+      FROM words
+    ),{",".join(iters)}
+    SELECT CAST(rank AS INTEGER) AS rank, l AS "left", r AS "right",
+           m AS merged, CAST(cnt AS BIGINT) AS pair_count
+    FROM ({selects})
+    """
+
+
 def _bpe_apply_merge(tokens_col: str, left: str, right: str):
     """One left-to-right, non-overlapping BPE merge pass over a token
     array — pure ``F.aggregate`` HOF (JVM-side, no UDF): the fold
@@ -334,7 +396,9 @@ def _bpe_apply_merge(tokens_col: str, left: str, right: str):
     )
 
 
-@query("pipeline_bpe_train", family="corpus_ops")
+@query(
+    "pipeline_bpe_train", family="corpus_ops", oracle=_bpe_oracle_sql(_BPE_MERGES)
+)
 def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL byte-pair-encoding training (not just round-1 pair counts
     — pipeline_bpe_pair_counts stops there): learn the first 12 merge
@@ -352,10 +416,13 @@ def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     touch only it, and the only driver materialization is 1 row per
     merge — the same contract as high_water_mark.
 
-    No SQL oracle: the loop is iterative (12 chained argmaxes), which
-    DuckDB-SQL can't express in one statement — rows-only driver check;
-    tests/test_operators.py pins the learned merge table against an
-    independent pure-Python BPE reference on the same corpus."""
+    Hash-checked since round 8: the oracle (_bpe_oracle_sql) unrolls
+    the 12 chained argmax+rewrite rounds as MATERIALIZED DuckDB CTEs,
+    with the merge-apply expressed as a single string replace over
+    paren-wrapped token lists — bit-exact integer/string output, no
+    float discipline needed. tests/test_operators.py additionally pins
+    the merge table against an independent pure-Python BPE reference
+    on the same corpus."""
     docs = load_table(spark, sf_dir, "documents").select("text")
     words = (
         docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"))
