@@ -132,3 +132,123 @@ def pipeline_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("zvalue").alias("z_lo"),
         F.max("zvalue").alias("z_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction planning (layout MAINTENANCE — the other half
+# of the storage story: zorder decides the order, compaction keeps the
+# file count sane as incremental appends accumulate)
+# ---------------------------------------------------------------------------
+
+# Target output file size for the rewrite. 4 KiB matches fixture row
+# volumes (events rows ≈ 50-70 B; a busy partition holds a few KiB) so
+# the plan exercises both the 1-file collapse AND multi-file outputs;
+# production sets this to 128 MiB-1 GiB — the math is identical.
+_COMPACT_TARGET_BYTES = 4096
+# Simulated historical writer parallelism: each (event_type, day)
+# partition's rows arrived via 16 writer tasks → up to 16 files/day,
+# the classic streaming-ingest small-file pathology.
+_COMPACT_WRITERS = 16
+
+_COMPACTION_SQL = f"""
+    WITH files AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+             event_id % {_COMPACT_WRITERS} AS file_id,
+             SUM(32 + length(CAST(event_id AS VARCHAR))
+                    + length(CAST(user_id AS VARCHAR))
+                    + length(event_type)
+                    + length(COALESCE(props, ''))) AS file_bytes,
+             COUNT(*) AS n_rows
+      FROM events
+      GROUP BY 1, 2, 3
+    )
+    SELECT event_type, event_date,
+           COUNT(*) AS n_files,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           CAST(SUM(file_bytes) AS BIGINT) AS part_bytes,
+           CAST(GREATEST(1, (SUM(file_bytes) + {_COMPACT_TARGET_BYTES - 1})
+                            // {_COMPACT_TARGET_BYTES}) AS BIGINT)
+             AS target_files,
+           COUNT(*) > GREATEST(1, (SUM(file_bytes) + {_COMPACT_TARGET_BYTES - 1})
+                                  // {_COMPACT_TARGET_BYTES})
+             AS needs_compaction,
+           CAST(GREATEST(0, COUNT(*)
+                            - GREATEST(1, (SUM(file_bytes)
+                                           + {_COMPACT_TARGET_BYTES - 1})
+                                          // {_COMPACT_TARGET_BYTES}))
+                AS BIGINT) AS files_saved
+    FROM files
+    GROUP BY event_type, event_date
+"""
+
+
+@query("pipeline_compaction_plan", oracle=_COMPACTION_SQL)
+def pipeline_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition small-file compaction manifest for a
+    date/type-partitioned events table: for every (event_type, day)
+    partition, the current file count and bytes, the post-rewrite
+    target file count at _COMPACT_TARGET_BYTES, and whether/how much a
+    compaction pass saves. The reference's closest analog is its
+    archive step's per-file move loop
+    (/root/reference/spark_tasks/weather_task.py:105-126) — file-level
+    layout maintenance done one object at a time; this is the
+    table-scale planning form.
+
+    Fixture modeling: a real lakehouse reads (file_id, bytes) from the
+    table's transaction-log/manifest metadata — no data scan at all.
+    The fixtures ship no file manifest, so the query derives a
+    deterministic one from the rows themselves: file_id =
+    event_id % {_COMPACT_WRITERS} (16 simulated writer tasks per
+    partition — the streaming-ingest small-file pathology) and an
+    integer per-row byte estimate (fixed overhead + string lengths; no
+    doubles anywhere, so the manifest hashes bit-exactly).
+
+    Manifest math is INTEGER-ONLY (the pipeline_zorder_layout
+    discipline): target_files = max(1, ceil_div(part_bytes, target))
+    via (b + t - 1) DIV t.
+
+    Scale shape: two single-exchange hash aggregates (rows→files,
+    files→partitions) — and at 100 TB the first one disappears into
+    the metadata read; the second groups a manifest whose row count is
+    the file count, not the data. The plan output is exactly what an
+    OPTIMIZE/rewrite job consumes: one row per partition, rewrite
+    width pre-computed."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "user_id", "props"
+    )
+    row_bytes = (
+        F.lit(32)
+        + F.length(F.col("event_id").cast("string"))
+        + F.length(F.col("user_id").cast("string"))
+        + F.length("event_type")
+        + F.length(F.coalesce(F.col("props"), F.lit("")))
+    )
+    files = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").cast("string").alias("event_date"),
+            (F.col("event_id") % _COMPACT_WRITERS).alias("file_id"),
+            row_bytes.alias("row_bytes"),
+        )
+        .groupBy("event_type", "event_date", "file_id")
+        .agg(
+            F.sum("row_bytes").alias("file_bytes"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    t = _COMPACT_TARGET_BYTES
+    target_files = F.greatest(
+        F.lit(1).cast("long"),
+        F.expr(f"(sum(file_bytes) + {t - 1}) div {t}"),
+    )
+    return files.groupBy("event_type", "event_date").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("file_bytes").cast("long").alias("part_bytes"),
+        target_files.cast("long").alias("target_files"),
+        (F.count(F.lit(1)) > target_files).alias("needs_compaction"),
+        F.greatest(F.lit(0).cast("long"), F.count(F.lit(1)) - target_files)
+        .cast("long")
+        .alias("files_saved"),
+    )

@@ -746,6 +746,37 @@ def test_jaro_winkler_matches_duckdb_bit_exact(duck):
         assert jaro_winkler(a, b) == theirs, (a, b)
 
 
+def test_compaction_plan_semantics(spark, sf_dir):
+    """pipeline_compaction_plan invariants the oracle hash alone can't
+    state: the manifest must actually find compactable partitions on
+    the fixture (not be vacuously all-compact), every flagged partition
+    must save files, target counts must respect the size target, and
+    the file accounting must reconcile with the raw row count."""
+    import math
+
+    from projektdataengineering_spark.queries.layout import (
+        _COMPACT_TARGET_BYTES,
+        _COMPACT_WRITERS,
+        pipeline_compaction_plan,
+    )
+
+    rows = pipeline_compaction_plan(spark, sf_dir).collect()
+    assert rows
+    assert any(r["needs_compaction"] for r in rows), "fixture found nothing to compact"
+    total_rows = 0
+    for r in rows:
+        assert 1 <= r["n_files"] <= _COMPACT_WRITERS, r
+        assert r["target_files"] == max(
+            1, math.ceil(r["part_bytes"] / _COMPACT_TARGET_BYTES)
+        ), r
+        assert r["needs_compaction"] == (r["n_files"] > r["target_files"]), r
+        assert r["files_saved"] == max(0, r["n_files"] - r["target_files"]), r
+        total_rows += r["n_rows"]
+    from projektdataengineering_spark.catalog import load_table
+
+    assert total_rows == load_table(spark, sf_dir, "events").count()
+
+
 def test_zorder_layout_beats_single_dim_sort(spark, sf_dir):
     """The point of the Morton layout: every file's envelope is tight
     in BOTH dimensions, so pruning works for filters on either. A
