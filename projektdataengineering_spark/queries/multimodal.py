@@ -1,7 +1,23 @@
-"""Multimodal pipeline query — the registry face of
-operators/multimodal.py (rows-only check: decode+featurize is not
-SQL-expressible; codec and feature correctness are unit-tested in
-tests/test_multimodal.py against pure-Python recomputes).
+"""Multimodal pipeline queries — the registry face of
+operators/multimodal.py.
+
+Round-8 graduation: the image and audio queries are HASH-CHECKED via
+decoded-domain oracles. The fixture adapters build media
+deterministically from each document's UTF-8 bytes (PNG pixels = the
+bytes zero-padded to a 32-wide raster; WAV samples = byte*128−16384
+padded to 1600), and the registered outputs carry only features of the
+DECODED values — so DuckDB can replay them from ``encode(text)`` byte
+arithmetic (hex-pair extraction) without any codec, and a hash match
+PROVES the lossless encode→decode roundtrip end-to-end: a codec that
+corrupts one pixel/sample changes feat_mean/energy and fails the hash.
+``multimodal_video_frames`` stays rows-only by design: its MJPG leg is
+lossy JPEG, so decoded pixels are NOT a SQL-replayable function of the
+source bytes — per-frame fidelity is pinned in
+tests/test_multimodal.py instead. Container-level metadata
+(n_bytes/checksum of the encoded blob) is still available from the raw
+operators; it is deliberately absent from the certified outputs
+because compressed byte counts are codec-implementation detail, not
+content.
 """
 
 from __future__ import annotations
@@ -20,19 +36,94 @@ from ..operators.multimodal import (
 from . import query
 
 
-@query("multimodal_features", oracle=None)
+_HEXPOS = "strpos('0123456789ABCDEF', substr(hx, CAST(2*i+{o} AS INT), 1)) - 1"
+
+_IMAGE_FEATURES_SQL = f"""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR octet_length(encode(text)) = 0
+                  THEN '\\x00'::BLOB ELSE encode(text) END AS b
+      FROM documents
+    ),
+    meta AS (
+      SELECT doc_id, hex(b) AS hx, octet_length(b) AS n_raw,
+             ((octet_length(b) + 31) // 32) * 32 AS n_pix
+      FROM raw
+    ),
+    bytes AS (
+      SELECT doc_id, i,
+             ({_HEXPOS.format(o=1)}) * 16 + ({_HEXPOS.format(o=2)}) AS v
+      FROM meta, UNNEST(range(0, n_raw)) AS u(i)
+    ),
+    allvals AS (
+      SELECT doc_id, v, 1 AS w FROM bytes
+      UNION ALL
+      SELECT doc_id, 0 AS v, n_pix - n_raw AS w FROM meta WHERE n_pix > n_raw
+    ),
+    hist AS (
+      SELECT doc_id, v // 16 AS bin, SUM(w) AS c FROM allvals GROUP BY 1, 2
+    ),
+    amax AS (
+      SELECT doc_id, bin FROM (
+        SELECT doc_id, bin,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, bin) AS rn
+        FROM hist
+      ) WHERE rn = 1
+    ),
+    meanv AS (
+      SELECT a.doc_id,
+             CAST(SUM(v * w) AS DOUBLE) / CAST(MAX(m.n_pix) AS DOUBLE)
+               AS feat_mean
+      FROM allvals a JOIN meta m USING (doc_id) GROUP BY a.doc_id
+    )
+    SELECT m.doc_id, 'image/png' AS modality,
+           CAST(m.n_pix AS BIGINT) AS n_pixels,
+           mv.feat_mean, CAST(ax.bin AS INT) AS feat_argmax
+    FROM meta m JOIN meanv mv ON m.doc_id = mv.doc_id
+    JOIN amax ax ON m.doc_id = ax.doc_id
+"""
+
+
+@query("multimodal_features", oracle=_IMAGE_FEATURES_SQL)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image pipeline end-to-end: each document rendered as an
     actual PNG (attach_png_payload — signature, zlib, scanlines), then
     Arrow-batched decode + featurization over the DECODED pixels
     (extract_features(fake=False) → operators/codecs.png_decode). Both
     directions of the codec run distributed, deterministically; see
-    operators/multimodal.py for the 100-TB partition-sizing notes."""
+    operators/multimodal.py for the 100-TB partition-sizing notes.
+
+    HASH-CHECKED since round 8 (decoded-domain certification): the
+    fixture pixels are the document's UTF-8 bytes zero-padded to a
+    32-wide raster, so the oracle replays feat_mean (exact byte sum /
+    pixel count — one double division, bit-stable) and feat_argmax
+    (16-bin histogram, ties to the smaller bin = the high hex nibble
+    of each byte) straight from encode(text) byte arithmetic. A PNG
+    encode→decode roundtrip that corrupts ANY pixel shifts the mean
+    and fails the hash — the oracle certifies the codec without being
+    able to run it. Container metadata (n_bytes/checksum) stays on the
+    raw extract_features operator; compressed sizes are
+    zlib-implementation detail, not content."""
     # no spread here: the PNG leg's python cost is small enough that
     # the extra exchange costs more than it buys (A/B'd at sf0.1:
     # 0.80 s plain vs 0.94 s spread) — contrast the video leg below
     docs = load_table(spark, sf_dir, "documents")
-    return extract_features(attach_png_payload(docs), fake=False)
+    feats = extract_features(attach_png_payload(docs), fake=False)
+    # n_pixels from the raw byte length (integer math mirrored by the
+    # oracle); the decode path determines feat_mean/feat_argmax
+    meta = docs.select(
+        "doc_id",
+        F.expr(
+            "((greatest(octet_length(encode(coalesce(text, ''), 'UTF-8')),"
+            " 1) + 31) div 32) * 32"
+        )
+        .cast("long")
+        .alias("n_pixels"),
+    )
+    return feats.join(meta, "doc_id").select(
+        "doc_id", "modality", "n_pixels", "feat_mean", "feat_argmax"
+    )
 
 
 @query("multimodal_video_frames", oracle=None)
@@ -46,10 +137,13 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     un-flip or full JPEG entropy-decode/IDCT per frame), strides 2
     frames per clip and re-encodes each as a standalone PNG, and
     extract_features(fake=False) featurizes the DECODED pixels of
-    every sampled frame. Rows-only check (binary plumbing is not
-    SQL-expressible); per-frame pixel fidelity for both codec paths is
-    unit-tested in tests/test_multimodal.py. Output: 2 frame-feature
-    rows per doc, keyed (doc_id, frame_idx) — deterministic."""
+    every sampled frame. The engine's ONE remaining rows-only query
+    (round 8): the MJPG leg is LOSSY JPEG, so decoded pixels are not a
+    SQL-replayable function of the source bytes — unlike the
+    image/audio legs' lossless decoded-domain oracles; per-frame pixel
+    fidelity for both codec paths is unit-tested in
+    tests/test_multimodal.py instead. Output: 2 frame-feature rows per
+    doc, keyed (doc_id, frame_idx) — deterministic."""
     # spread_small_input: the per-blob Python codec cost is the whole
     # query; a single-split local fixture would serialize it on one
     # core (measured 20.8 s vs ~2 s spread at sf0.1 with the MJPG leg).
@@ -70,23 +164,77 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_audio_features", oracle=None)
+_WAV_N = 1600  # attach_wav_payload default: 0.1 s @ 16 kHz
+
+_AUDIO_FEATURES_SQL = f"""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR octet_length(encode(text)) = 0
+                  THEN '\\x00'::BLOB ELSE encode(text) END AS b
+      FROM documents
+    ),
+    meta AS (
+      SELECT doc_id, hex(b) AS hx, LEAST(octet_length(b), {_WAV_N}) AS take
+      FROM raw
+    ),
+    samples AS (
+      SELECT doc_id, i,
+             (({_HEXPOS.format(o=1)}) * 16 + ({_HEXPOS.format(o=2)}))
+             * 128 - 16384 AS s
+      FROM meta, UNNEST(range(0, take)) AS u(i)
+    ),
+    feats AS (
+      SELECT doc_id,
+             MAX(ABS(s)) AS peak,
+             SUM(s * s) AS energy,
+             COUNT(*) FILTER (WHERE neg <> prev_neg) AS zc_body,
+             MAX(CASE WHEN i = t_last
+                      THEN CASE WHEN neg THEN 1 ELSE 0 END END) AS last_neg
+      FROM (
+        SELECT doc_id, i, s, s < 0 AS neg,
+               LAG(s < 0) OVER (PARTITION BY doc_id ORDER BY i) AS prev_neg,
+               MAX(i) OVER (PARTITION BY doc_id) AS t_last
+        FROM samples
+      ) GROUP BY doc_id
+    )
+    SELECT f.doc_id, 'audio/wav' AS modality,
+           CAST(f.peak AS BIGINT) AS peak,
+           CAST(f.energy AS BIGINT) AS energy,
+           CAST(f.zc_body + CASE WHEN m.take < {_WAV_N} THEN f.last_neg
+                                 ELSE 0 END AS BIGINT) AS zero_crossings,
+           CAST({_WAV_N} AS BIGINT) AS n_samples,
+           CAST(16000 AS BIGINT) AS sample_rate
+    FROM feats f JOIN meta m USING (doc_id)
+"""
+
+
+@query("multimodal_audio_features", oracle=_AUDIO_FEATURES_SQL)
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio pipeline end-to-end, completing the modality
     triangle (image r4, video r5, audio r6): each document rendered as
     an actual 16-bit PCM WAV (attach_wav_payload — RIFF/fmt/data via
     the vendored codec), then Arrow-batched decode + featurization
     over the DECODED samples (extract_audio_features): peak, EXACT
-    integer energy, zero crossings, duration. Rows-only check (binary
-    plumbing is not SQL-expressible); waveform fidelity and feature
-    values are pinned against pure-python recomputes in
-    tests/test_multimodal.py. Both directions run distributed with
-    constant worker memory — the same mapInPandas profile as the
+    integer energy, zero crossings. Both directions run distributed
+    with constant worker memory — the same mapInPandas profile as the
     image/video legs, which is the property that matters when the
-    payload column is 100 TB of real clips."""
+    payload column is 100 TB of real clips.
+
+    HASH-CHECKED since round 8 (decoded-domain certification, the
+    image-leg pattern): fixture samples are byte*128−16384 zero-padded
+    to {_WAV_N}, every feature is integer math over them, so the
+    oracle replays peak/energy/zero-crossings from encode(text) byte
+    arithmetic (LAG over the sample sequence for sign changes, plus
+    the boundary crossing into the zero padding). A WAV roundtrip
+    that corrupts ANY sample changes the exact energy sum and fails
+    the hash. Waveform fidelity is additionally pinned against
+    pure-python recomputes in tests/test_multimodal.py."""
     from ..operators.multimodal import attach_wav_payload, extract_audio_features
 
     # no spread: WAV encode/decode is cheap; the exchange would cost
     # more than the python work (A/B'd at sf0.1: 0.77 s vs 1.69 s)
     docs = load_table(spark, sf_dir, "documents")
-    return extract_audio_features(attach_wav_payload(docs))
+    return extract_audio_features(attach_wav_payload(docs)).select(
+        "doc_id", "modality", "peak", "energy", "zero_crossings",
+        "n_samples", "sample_rate",
+    )
