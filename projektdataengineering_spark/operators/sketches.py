@@ -25,7 +25,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hll_partial", "hll_union", "hll_estimate", "distinct_over_groups"]
+__all__ = [
+    "hll_partial",
+    "hll_union",
+    "hll_estimate",
+    "distinct_over_groups",
+    "misra_gries_summary",
+]
 
 _LG_K = 13  # 2^13 registers ≈ 1.04/sqrt(2^13) ≈ 1.1% relative std error
 
@@ -70,3 +76,58 @@ def distinct_over_groups(
         hll_estimate("m").alias("est_distinct"),
     )
     return groups.unionAll(total)
+
+
+def misra_gries_summary(df: DataFrame, term_col: str, k: int = 400) -> DataFrame:
+    """Mergeable Misra-Gries heavy-hitters summary — the frequent-items
+    member of the mergeable-summaries triad (HLL distinct above, GK
+    quantiles via percentile_approx): returns (term, est) with at most
+    ~k rows of state per partition and the classic MG guarantees for
+    the MERGED output (Agarwal, Cormode, Huang, Phillips, Wei, Yi —
+    "Mergeable Summaries", PODS'12):
+
+      * underestimate only:  est ≤ exact_count(term);
+      * bounded error:       exact_count(term) − est ≤ n/(k+1)
+        (n = total items), for EVERY term — including ones the summary
+        dropped (their est is 0);
+      * hitter completeness: any term with exact_count > n/(k+1) is
+        guaranteed present in the summary.
+
+    Distributed shape: each partition folds its Arrow batches into an
+    O(k) counter dict — a batch is first reduced exactly (pandas
+    value_counts, itself a mergeable summary with zero error) and then
+    MG-reduced to k counters by subtracting the (k+1)-th largest and
+    dropping non-positives, the PODS'12 reduce step. Partition
+    summaries then merge with ONE ids-only shuffle: groupBy(term).sum.
+    The merged counters are ≤ partitions×k rows and already satisfy
+    the bounds (error adds across partials: Σ nᵖ/(k+1) = n/(k+1)), so
+    no final reduce is applied — callers that need exactly-k rows can
+    top-k the result. Counter VALUES depend on row order/partitioning
+    (inherent to MG); the guarantees above do not — which is what the
+    hash-checked certification query pins."""
+    import numpy as np
+    import pandas as pd
+
+    def part(batches):
+        counters: dict = {}
+        for pdf in batches:
+            vc = pdf[term_col].value_counts()
+            for t, c in vc.items():
+                counters[t] = counters.get(t, 0) + int(c)
+            if len(counters) > k:
+                vals = np.fromiter(counters.values(), dtype=np.int64)
+                # (k+1)-th largest value — the PODS'12 reduce offset
+                off = int(np.partition(vals, -(k + 1))[-(k + 1)])
+                counters = {
+                    t: c - off for t, c in counters.items() if c - off > 0
+                }
+        if counters:
+            yield pd.DataFrame(
+                {"term": list(counters.keys()),
+                 "est": np.fromiter(counters.values(), dtype=np.int64)}
+            )
+
+    partials = df.select(F.col(term_col).cast("string").alias(term_col)).mapInPandas(
+        part, schema="term string, est long"
+    )
+    return partials.groupBy("term").agg(F.sum("est").alias("est"))

@@ -765,3 +765,77 @@ def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return groups.unionAll(total)
+
+
+_MG_K = 400  # heavy-hitter threshold n/(k+1): ~0.25% of the corpus
+
+
+@query(
+    "agg_heavy_hitters_mg",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+      FROM documents
+    ),
+    counts AS (
+      SELECT term, COUNT(*) AS exact_count FROM words
+      WHERE term <> '' GROUP BY term
+    )
+    SELECT term, exact_count, TRUE AS in_summary, TRUE AS within_bound
+    FROM counts ORDER BY exact_count DESC, term LIMIT 10
+    """,
+)
+def agg_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters over the corpus vocabulary
+    (operators/sketches.misra_gries_summary), certified against exact
+    counts — the frequent-items member of the mergeable-summaries
+    triad (HLL distinct / GK quantiles / MG heavy hitters). At 100 TB
+    this is the operator behind "top boilerplate n-grams / dominant
+    domains" reports: O(k) state per partition, ONE ids-only shuffle
+    to merge, no full vocabulary aggregation.
+
+    What the driver hash pins (the hll_merge playbook): the exact
+    top-10 terms and counts (SQL-replayable), ``in_summary`` — the
+    PODS'12 completeness theorem that every term with exact_count >
+    n/(k+1) survives the merged summary — and ``within_bound`` — the
+    underestimate-only error bound (exact − est) · (k+1) ≤ n, checked
+    in pure integer arithmetic. MG counter VALUES are partition-order
+    dependent (inherent), so they are deliberately NOT in the hashed
+    output; the booleans are theorems and replay-stable at any
+    parallelism. The fixture's top-10 counts sit far above the
+    threshold (≥ 10× at every SF), so completeness never rides the
+    boundary.
+
+    The 1-row corpus total broadcasts onto the 10 certified rows —
+    the allowlisted scalar-broadcast shape."""
+    from ..operators.sketches import misra_gries_summary
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    words = docs.select(
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term")
+    ).filter(F.col("term") != "")
+    summary = misra_gries_summary(words, "term", k=_MG_K)
+    top10 = (
+        words.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("term"))
+        .limit(10)
+    )
+    n_total = words.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        top10.join(summary, "term", "left")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "term",
+            "exact_count",
+            F.col("est").isNotNull().alias("in_summary"),
+            (
+                F.col("est").isNotNull()
+                & (F.col("est") <= F.col("exact_count"))
+                & (
+                    (F.col("exact_count") - F.col("est")) * (_MG_K + 1)
+                    <= F.col("n")
+                )
+            ).alias("within_bound"),
+        )
+    )

@@ -746,6 +746,47 @@ def test_jaro_winkler_matches_duckdb_bit_exact(duck):
         assert jaro_winkler(a, b) == theirs, (a, b)
 
 
+def test_misra_gries_guarantees(spark, sf_dir):
+    """Misra-Gries merged summary (operators/sketches.py): for EVERY
+    vocabulary term (not just the certified top-10) the estimate must
+    be an underestimate within n/(k+1), every term above the threshold
+    must be present, and the guarantees must hold again under a
+    different partitioning (counter values may move; the theorems may
+    not)."""
+    from pyspark.sql import functions as F
+
+    from projektdataengineering_spark.catalog import load_table
+    from projektdataengineering_spark.operators.sketches import misra_gries_summary
+
+    k = 50  # tight k so the reduce step actually fires on the fixture
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    words = docs.select(
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term")
+    ).filter(F.col("term") != "")
+    exact = {
+        r["term"]: r["c"]
+        for r in words.groupBy("term").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    n = sum(exact.values())
+    bound = n / (k + 1)
+    for shuffled in (words, words.repartition(7, "term")):
+        est = {
+            r["term"]: r["est"]
+            for r in misra_gries_summary(shuffled, "term", k=k).collect()
+        }
+        assert est, "summary empty"
+        for t, e in est.items():
+            assert e <= exact[t], (t, e, exact[t])
+        for t, c in exact.items():
+            assert c - est.get(t, 0) <= bound, (t, c, est.get(t, 0), bound)
+            if c > bound:
+                assert t in est, (t, c, bound)
+    # the certified query's margin claim: top-10 counts >= 10x the
+    # production threshold n/(401), so completeness never rides the edge
+    top10 = sorted(exact.values(), reverse=True)[:10]
+    assert min(top10) >= 10 * (n / 401), (min(top10), n / 401)
+
+
 def test_compaction_plan_semantics(spark, sf_dir):
     """pipeline_compaction_plan invariants the oracle hash alone can't
     state: the manifest must actually find compactable partitions on
