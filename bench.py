@@ -110,13 +110,32 @@ def main() -> int:
         print(f"bench: warm-up failed: {exc}", file=sys.stderr)
     warmup_sec = round(time.perf_counter() - t_suite0, 3)
 
+    import gc
+
     pass_timings: list[dict[str, float]] = []
     pass_walls: list[float] = []
     for _ in range(n_passes):
         timings: dict[str, float] = {}
         t_pass = time.perf_counter()
-        for name in sorted(registry):
+        for qi, name in enumerate(sorted(registry)):
             qd = registry[name]
+            # Session hygiene BETWEEN queries, inside the pass wall but
+            # outside each per-query timer (the tools/scale_probe.py
+            # lesson, applied here in round 8): drop cached/checkpoint
+            # blocks (cheap, every query) and force a JVM GC every 8th
+            # so one query's leftovers can't tax a later query's
+            # driver-side loop. Measured: without this,
+            # pipeline_bpe_train (12 sequential argmax actions) reads
+            # 11-16 s mid-suite vs ~5 s in a clean session — the
+            # accumulated state of ~100 earlier queries, not bpe
+            # itself, was being measured. (A per-query System.gc makes
+            # every number clean but adds ~0.6 s × registry to the
+            # wall; every-8th keeps per-query noise ≲1 s at ~1/8 the
+            # gc cost.)
+            gc.collect()
+            spark.catalog.clearCache()
+            if qi % 8 == 0:
+                spark._jvm.System.gc()
             t0 = time.perf_counter()
             try:
                 qd.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -464,10 +464,15 @@ def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             (rank, best["left"], best["right"], best["left"] + best["right"],
              best["pair_count"])
         )
+        # LAZY checkpoint (the graph_pagerank trick): the lineage is
+        # still cut per round, but materialization happens inside the
+        # NEXT iteration's argmax action instead of a dedicated
+        # per-round driver barrier — 12 jobs instead of 24. The RDD
+        # caches on that first use, so the final return sees it too.
         words = words.select(
             _bpe_apply_merge("tokens", best["left"], best["right"]).alias("tokens"),
             "freq",
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count long"
     )

@@ -84,6 +84,14 @@ def get_spark(
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
+        # Whole-stage-codegen class cache: the default 100 entries
+        # thrashes once a session runs >100 distinct plans (this
+        # engine's bench runs 163 queries/pass), forcing multi-second
+        # Janino recompiles of heavy expression chains (the 64-hash
+        # MinHash signature stage measured 8 s cold vs 1.6 s with its
+        # generated classes cached). 5000 comfortably holds the whole
+        # registry's codegen units at a few MB of driver heap.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
     )
     if master is not None:
         builder = builder.master(master)

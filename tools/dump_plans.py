@@ -178,6 +178,28 @@ HEADLINERS: list[tuple[str, str]] = [
         "product is a fold over zip_with inside codegen — no UDF, no "
         "cartesian; pair cardinality is bounded by the label block sizes.",
     ),
+    (
+        "pipeline_compaction_plan",
+        "Round-8 layout maintenance: two chained partial→final hash "
+        "aggregates (rows→simulated files→partitions) with integer-only "
+        "manifest math; at production scale the first aggregate is replaced "
+        "by the table's transaction-log metadata read, so the plan cost is "
+        "the file count, not the data.",
+    ),
+    (
+        "agg_heavy_hitters_mg",
+        "Round-8 mergeable Misra-Gries heavy hitters: mapInPandas folds O(k) "
+        "counters per partition, ONE ids-only groupBy merges them; the exact "
+        "top-10 certification side is a separate partial→final count whose "
+        "1-row corpus total broadcasts onto 10 rows (allowlisted BNLJ).",
+    ),
+    (
+        "graph_pagerank",
+        "Round-7 iterative shape: 8 unrolled power-iteration rounds, each one "
+        "edges⋈ranks hash join + partial→final integer-numerator sum + left "
+        "join back to the node set, with a lazy localCheckpoint lineage cut "
+        "per round so the final plan stays flat instead of 8 stacked joins.",
+    ),
 ]
 
 
