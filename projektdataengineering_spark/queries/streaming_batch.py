@@ -8,7 +8,7 @@ tests/test_streaming.py for the streaming-mode mirrors.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -358,5 +358,97 @@ def stream_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("n_events").alias("n_events"),
             F.expr("max_by(last_ewma, n_events)").alias("last_ewma"),
+        )
+    )
+
+
+_STREAM_MG_K = 400
+_STREAM_MG_BUCKETS = 8
+
+
+@query(
+    "stream_heavy_hitters",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(user_id AS VARCHAR) AS term, COUNT(*) AS exact_count
+      FROM events GROUP BY 1
+    )
+    SELECT term, exact_count, TRUE AS in_summary, TRUE AS within_bound
+    FROM c ORDER BY exact_count DESC, term LIMIT 10
+    """,
+)
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters as a STREAMING stateful operator —
+    sketches as keyed state (streaming/stateful.py:heavy_hitters_stream):
+    the term space (user ids here — "who dominates event volume") is
+    hash-bucketed, each bucket's applyInPandasWithState state is one
+    MG(k) counter summary folded continuously across micro-batches.
+    State is buckets × k counters FOREVER — the streaming sketch's
+    whole point: an unbounded stream of an unbounded term space tracked
+    in fixed memory, vs stream_dedup_stateful's per-key state that
+    needs a watermark horizon to stay bounded.
+
+    Certification (the agg_heavy_hitters_mg playbook): exact top-10
+    terms/counts (SQL-replayable) stamped with the MG theorems —
+    ``in_summary`` (a term lives in exactly ONE bucket, so any term
+    with exact > n/(k+1) ≥ n_bucket/(k+1) must survive that bucket's
+    summary) and ``within_bound`` ((exact − est)·(k+1) ≤ n, integer
+    arithmetic). Both hold regardless of micro-batch boundaries,
+    arrival order, or parallelism — counter values wobble, theorems
+    don't. The update-mode sink accumulates every batch's emission;
+    each bucket's max-batch_no rows are its final summary.
+
+    The 1-row corpus total broadcasts onto the 10 certified rows —
+    the allowlisted scalar-broadcast shape."""
+    from ..streaming import (
+        open_event_stream,
+        run_to_memory_sink,
+        stream_state_partitions,
+    )
+    from ..streaming.stateful import heavy_hitters_stream
+
+    keyed = open_event_stream(spark, sf_dir).select(
+        F.pmod(F.hash(F.col("user_id").cast("string")), F.lit(_STREAM_MG_BUCKETS))
+        .cast("int")
+        .alias("bucket"),
+        F.col("user_id").cast("string").alias("term"),
+    )
+    with stream_state_partitions(spark):
+        run_to_memory_sink(
+            heavy_hitters_stream(keyed, k=_STREAM_MG_K),
+            "stream_heavy_hitters_sink",
+            output_mode="update",
+        )
+    sink = spark.table("stream_heavy_hitters_sink")
+    w = Window.partitionBy("bucket")
+    summary = (
+        sink.withColumn("mx", F.max("batch_no").over(w))
+        .filter(F.col("batch_no") == F.col("mx"))
+        .select("term", "est")
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    top10 = (
+        ev.groupBy(F.col("user_id").cast("string").alias("term"))
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("term"))
+        .limit(10)
+    )
+    n_total = ev.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        top10.join(summary, "term", "left")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "term",
+            "exact_count",
+            F.col("est").isNotNull().alias("in_summary"),
+            (
+                F.col("est").isNotNull()
+                & (F.col("est") <= F.col("exact_count"))
+                & (
+                    (F.col("exact_count") - F.col("est")) * (_STREAM_MG_K + 1)
+                    <= F.col("n")
+                )
+            ).alias("within_bound"),
         )
     )

@@ -246,3 +246,71 @@ def ewma_stream(keyed: DataFrame, alpha: float = 0.25) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# Streaming Misra-Gries heavy hitters: SKETCHES AS KEYED STATE. The
+# term space is hash-partitioned into buckets; each bucket's state is
+# one MG(k) counter summary folded continuously across micro-batches —
+# fixed-width state per bucket forever, the streaming form of
+# operators/sketches.misra_gries_summary. Because a term lives in
+# exactly ONE bucket, the merged guarantees are the per-bucket ones
+# (est ≤ exact; exact − est ≤ n_bucket/(k+1) ≤ n/(k+1); any term with
+# exact > n/(k+1) is present) — theorems independent of batch boundaries
+# and arrival order, which is what the certification query hashes.
+MG_OUTPUT_SCHEMA = "bucket int, batch_no long, term string, est long"
+MG_STATE_SCHEMA = "batch_no long, terms array<string>, counts array<long>"
+
+
+def make_mg_fold(k: int):
+    """Factory for the per-bucket MG fold: exact batch reduce
+    (value_counts), add into the bucket's counters, PODS'12 reduce to k
+    by subtracting the (k+1)-th largest and dropping non-positives.
+    Emits the bucket's FULL current summary each batch tagged with a
+    per-bucket batch_no — the consumer keeps each bucket's max-batch_no
+    rows (update-mode memory sinks accumulate every emission)."""
+
+    def _fold(key, pdf_iter, state: GroupState):
+        import numpy as np
+
+        if state.exists:
+            bno, terms, counts = state.get
+            counters = dict(zip(terms, (int(c) for c in counts)))
+        else:
+            bno, counters = 0, {}
+        for pdf in pdf_iter:
+            vc = pdf["term"].value_counts()
+            for t, c in vc.items():
+                counters[t] = counters.get(t, 0) + int(c)
+            if len(counters) > k:
+                vals = np.fromiter(counters.values(), dtype=np.int64)
+                off = int(np.partition(vals, -(k + 1))[-(k + 1)])
+                counters = {
+                    t: c - off for t, c in counters.items() if c - off > 0
+                }
+        bno += 1
+        state.update((bno, list(counters.keys()),
+                      [int(c) for c in counters.values()]))
+        yield pd.DataFrame(
+            {
+                "bucket": key[0],
+                "batch_no": bno,
+                "term": list(counters.keys()),
+                "est": [int(c) for c in counters.values()],
+            }
+        )
+
+    return _fold
+
+
+def heavy_hitters_stream(keyed: DataFrame, k: int = 400) -> DataFrame:
+    """Apply the stateful MG summary to a streaming DataFrame with
+    columns (bucket int, term string). State per bucket is O(k)
+    forever — no timeout needed; an unbounded production stream keeps
+    exactly buckets × k counters."""
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        make_mg_fold(k),
+        outputStructType=MG_OUTPUT_SCHEMA,
+        stateStructType=MG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

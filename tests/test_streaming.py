@@ -331,6 +331,67 @@ def test_stateful_dedup_horizon_evicts_and_reemits(spark, sf_dir, tmp_path):
     assert a_final["first_ts"] == pd.Timestamp("2024-01-01 00:00:00")
 
 
+def test_stream_heavy_hitters_mg_reduce_across_batches(spark, tmp_path):
+    """Streaming MG state (streaming/stateful.py:heavy_hitters_stream)
+    with a tiny k so the PODS'12 reduce actually fires mid-stream: the
+    final summary must keep the MG theorems across micro-batch
+    boundaries (underestimate-only, error <= n_bucket/(k+1), heavy
+    terms present) and carry per-bucket batch counters."""
+    import os
+    import time
+    from collections import Counter
+
+    import pandas as pd
+
+    from projektdataengineering_spark.streaming.stateful import heavy_hitters_stream
+
+    k = 3
+    # one bucket (0); a heavy term among chaff, split across 2 batches
+    b1 = ["hot"] * 12 + ["a", "b", "c", "d", "e", "a", "b"]
+    b2 = ["hot"] * 9 + ["f", "g", "h", "a", "f"]
+    src = tmp_path / "mg_src"
+    src.mkdir()
+    now = time.time()
+    for i, terms in enumerate([b1, b2]):
+        f = src / f"batch{i + 1}.parquet"
+        pd.DataFrame({"bucket": [0] * len(terms), "term": terms}).to_parquet(f)
+        os.utime(f, (now - 40 + 20 * i, now - 40 + 20 * i))
+
+    stream = (
+        spark.readStream.schema("bucket long, term string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .selectExpr("CAST(bucket AS INT) AS bucket", "term")
+    )
+    q = (
+        heavy_hitters_stream(stream, k=k)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("mg_stream_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_mg"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = spark.table("mg_stream_out").collect()
+    max_bno = max(r["batch_no"] for r in rows)
+    assert max_bno == 2, sorted({r["batch_no"] for r in rows})
+    final = {r["term"]: r["est"] for r in rows if r["batch_no"] == max_bno}
+    assert len(final) <= k
+    exact = Counter(b1 + b2)
+    n = sum(exact.values())
+    bound = n / (k + 1)
+    for t, e in final.items():
+        assert e <= exact[t], (t, e, exact[t])
+    for t, c in exact.items():
+        assert c - final.get(t, 0) <= bound, (t, c, final.get(t, 0), bound)
+        if c > bound:
+            assert t in final, (t, c, bound)
+    # the heavy term's estimate must dominate the chaff's
+    assert final["hot"] == max(final.values())
+
+
 def test_stateful_dedup_late_batch_cannot_shrink_horizon(spark, tmp_path):
     """Round-8 ADVICE regression: the eviction deadline anchors to the
     max event time EVER seen for the key, not the current batch's max.
