@@ -195,3 +195,95 @@ def profile_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+# Priority sampling (Duffield–Lund–Thorup, JACM'07): weight-aware
+# fixed-size sampling with an unbiased subset-sum estimator. Each item
+# draws priority w/u (u uniform in (0,1]); the top-k priorities are the
+# sample, tau = the (k+1)-th priority, and est_weight = max(w, tau) is
+# unbiased for every item's weight (0 for unsampled). Chosen over
+# Efraimidis–Spirakis A-ES because its math is ONE division per item —
+# no ln/pow, whose libm implementations differ across engines by ulps
+# and would make the ranking (and the driver hash) engine-dependent.
+_PRIORITY_K = 64
+# u = (first 13 md5 hex chars + 1) / (2^52 + 1): integer numerator is
+# exact in a double (16^13 = 2^52), one division, u ∈ (0, 1].
+_PRIORITY_U_DENOM = float(16**13 + 1)
+
+
+@query(
+    "sample_priority",
+    oracle=f"""
+    WITH pri AS (
+      SELECT o_orderkey, o_totalprice AS weight,
+             o_totalprice /
+             ((CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                        1, 13)) AS BIGINT) + 1)
+              / {16**13 + 1}.0) AS priority
+      FROM orders
+    ),
+    ranked AS (
+      SELECT o_orderkey, weight, priority,
+             ROW_NUMBER() OVER (ORDER BY priority DESC, o_orderkey) AS rk
+      FROM pri
+    )
+    SELECT o_orderkey, weight, priority, CAST(rk AS BIGINT) AS rk,
+           GREATEST(weight,
+                    (SELECT priority FROM ranked
+                     WHERE rk = {_PRIORITY_K + 1})) AS est_weight
+    FROM ranked WHERE rk <= {_PRIORITY_K}
+    """,
+)
+def sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted fixed-size sample of orders by priority sampling: the
+    {_PRIORITY_K} orders with the largest priority = o_totalprice / u,
+    where u is a deterministic md5-derived uniform — plus the DLT
+    estimator column est_weight = max(weight, tau) with tau the
+    (k+1)-th priority, the classic unbiased subset-sum estimator
+    (E[est over sampled] = Σ weights). Importance sampling for
+    training-data curation: big documents/orders are near-certain
+    picks, small ones enter with probability ∝ weight, and downstream
+    sums stay unbiased.
+
+    Engine-deterministic by construction: u's numerator is an exact
+    ≤2^52 integer from md5 hex (identical bytes in Spark and DuckDB),
+    and priority needs exactly two IEEE-754 divisions — no rand(), no
+    transcendentals, so the full ranking, tau, and estimator replay
+    bit-for-bit in the oracle at any partitioning.
+
+    Scale shape: map-side priority computation + TakeOrdered(k+1) —
+    Spark's distributed top-k (per-partition heaps, then a k-sized
+    driver merge), NO global sort and no single-partition window; the
+    65-row ranked frame and the 1-row tau broadcast are driver-scale
+    by construction."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("weight")
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 13), 16, 10
+        ).cast("long")
+        + F.lit(1)
+    ).cast("double") / F.lit(_PRIORITY_U_DENOM)
+    pri = orders.select(
+        "o_orderkey", "weight", (F.col("weight") / u).alias("priority")
+    )
+    topk1 = pri.orderBy(F.desc("priority"), F.asc("o_orderkey")).limit(
+        _PRIORITY_K + 1
+    )
+    w = Window.orderBy(F.desc("priority"), F.asc("o_orderkey"))
+    ranked = topk1.withColumn("rk", F.row_number().over(w).cast("bigint"))
+    tau = ranked.filter(F.col("rk") == _PRIORITY_K + 1).select(
+        F.col("priority").alias("tau")
+    )
+    return (
+        ranked.filter(F.col("rk") <= _PRIORITY_K)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            "o_orderkey",
+            "weight",
+            "priority",
+            "rk",
+            F.greatest(F.col("weight"), F.col("tau")).alias("est_weight"),
+        )
+    )

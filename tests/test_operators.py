@@ -746,6 +746,39 @@ def test_jaro_winkler_matches_duckdb_bit_exact(duck):
         assert jaro_winkler(a, b) == theirs, (a, b)
 
 
+def test_priority_sampling_properties(spark, sf_dir):
+    """DLT priority sampling (queries/mlprep.py:sample_priority):
+    exactly k rows, ranking consistent, estimator = max(weight, tau)
+    with tau above every sampled-out priority, and the certainty
+    property — every order whose WEIGHT exceeds tau must be in the
+    sample (priority = w/u >= w, so w > tau implies top-k)."""
+    from pyspark.sql import functions as F
+
+    from projektdataengineering_spark.catalog import load_table
+    from projektdataengineering_spark.queries.mlprep import (
+        _PRIORITY_K,
+        sample_priority,
+    )
+
+    rows = sample_priority(spark, sf_dir).orderBy("rk").collect()
+    assert len(rows) == _PRIORITY_K
+    pris = [r["priority"] for r in rows]
+    assert pris == sorted(pris, reverse=True)
+    # est_weight = max(weight, tau) for one consistent tau
+    taus = {r["est_weight"] for r in rows if r["est_weight"] > r["weight"]}
+    assert len(taus) <= 1
+    tau = taus.pop() if taus else 0.0
+    assert all(r["est_weight"] == max(r["weight"], tau) for r in rows)
+    assert tau <= min(pris)  # tau is the (k+1)-th priority
+    # certainty property over the full table
+    sampled = {r["o_orderkey"] for r in rows}
+    heavy = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > tau
+    )
+    for r in heavy.collect():
+        assert r["o_orderkey"] in sampled, r["o_orderkey"]
+
+
 def test_misra_gries_guarantees(spark, sf_dir):
     """Misra-Gries merged summary (operators/sketches.py): for EVERY
     vocabulary term (not just the certified top-10) the estimate must

@@ -127,6 +127,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "sim_cosine_ivf",  # 1-row recall-ok certification broadcast
         "agg_heavy_hitters_mg",  # 1-row corpus-total certification broadcast
         "stream_heavy_hitters",  # 1-row corpus-total certification broadcast
+        "sample_priority",  # 1-row tau threshold broadcast (DLT estimator)
     }
     for name, qd in REGISTRY.items():
         f = plan_facts(qd.fn(spark, sf_dir))
