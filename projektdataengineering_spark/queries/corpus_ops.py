@@ -318,6 +318,22 @@ def _bpe_oracle_sql(n_merges: int) -> str:
     load-bearing: the scalar subqueries reference each m{{k}} several
     times and inlining would re-evaluate the whole chain
     exponentially."""
+    selects = " UNION ALL ".join(
+        f"SELECT * FROM m{k}" for k in range(1, n_merges + 1)
+    )
+    return f"""
+    WITH {_bpe_cte_chain(n_merges)}
+    SELECT CAST(rank AS INTEGER) AS rank, l AS "left", r AS "right",
+           m AS merged, CAST(cnt AS BIGINT) AS pair_count
+    FROM ({selects})
+    """
+
+
+def _bpe_cte_chain(n_merges: int) -> str:
+    """The shared CTE body replaying the training loop: words → w0 …
+    w{{n}} (the word-type table after every learned merge, with the
+    word key ``w`` carried through so the encode oracle can join it
+    back to documents) and m1 … m{{n}} (the learned merges)."""
     iters = []
     for k in range(1, n_merges + 1):
         iters.append(f"""
@@ -334,32 +350,24 @@ def _bpe_oracle_sql(n_merges: int) -> str:
       FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
     ),
     w{k} AS MATERIALIZED (
-      SELECT replace(s,
+      SELECT w, replace(s,
                      '(' || (SELECT l FROM m{k}) || ')('
                          || (SELECT r FROM m{k}) || ')',
                      '(' || (SELECT m FROM m{k}) || ')') AS s,
              freq
       FROM w{k - 1}
     )""")
-    selects = " UNION ALL ".join(
-        f"SELECT * FROM m{k}" for k in range(1, n_merges + 1)
-    )
-    return f"""
-    WITH words AS MATERIALIZED (
+    return f"""words AS MATERIALIZED (
       SELECT w, COUNT(*) AS freq FROM (
         SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
         FROM documents
       ) WHERE w <> '' GROUP BY w
     ),
     w0 AS MATERIALIZED (
-      SELECT regexp_replace(w, '(.)', '(\\1)', 'g') || '({_END_TOK})' AS s,
+      SELECT w, regexp_replace(w, '(.)', '(\\1)', 'g') || '({_END_TOK})' AS s,
              freq
       FROM words
-    ),{",".join(iters)}
-    SELECT CAST(rank AS INTEGER) AS rank, l AS "left", r AS "right",
-           m AS merged, CAST(cnt AS BIGINT) AS pair_count
-    FROM ({selects})
-    """
+    ),{",".join(iters)}"""
 
 
 def _bpe_apply_merge(tokens_col: str, left: str, right: str):
@@ -423,6 +431,17 @@ def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     float discipline needed. tests/test_operators.py additionally pins
     the merge table against an independent pure-Python BPE reference
     on the same corpus."""
+    merges, _ = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_count long"
+    )
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """The full training loop shared by pipeline_bpe_train (emits the
+    merge table) and pipeline_bpe_encode (consumes the final
+    fully-merged word-type table): returns (merges, words) where words
+    carries (w, tokens, freq) AFTER all learned merges were applied."""
     docs = load_table(spark, sf_dir, "documents").select("text")
     words = (
         docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"))
@@ -430,6 +449,7 @@ def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(
+            "w",
             F.concat(F.split("w", ""), F.array(F.lit(_END_TOK))).alias("tokens"),
             "freq",
         )
@@ -470,9 +490,62 @@ def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per-round driver barrier — 12 jobs instead of 24. The RDD
         # caches on that first use, so the final return sees it too.
         words = words.select(
+            "w",
             _bpe_apply_merge("tokens", best["left"], best["right"]).alias("tokens"),
             "freq",
         ).localCheckpoint(eager=False)
-    return spark.createDataFrame(
-        merges, "rank int, left string, right string, merged string, pair_count long"
+    return merges, words
+
+
+@query(
+    "pipeline_bpe_encode",
+    family="corpus_ops",
+    oracle=f"""
+    WITH {_bpe_cte_chain(_BPE_MERGES)},
+    enc AS (
+      SELECT w,
+             len(string_split(substring(s, 2, length(s) - 2), ')(')) AS n_tokens
+      FROM w{_BPE_MERGES}
+    ),
+    docw AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        FROM documents
+      ) WHERE w <> ''
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_words,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_bpe_tokens
+    FROM docw JOIN enc USING (w)
+    GROUP BY doc_id
+    """,
+)
+def pipeline_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE INFERENCE — the other half of the tokenizer loop
+    (pipeline_bpe_train learns the merges; this applies them to the
+    corpus): per-document word and BPE-token counts under the learned
+    tokenizer, the number every sequence-packing / token-budget stage
+    downstream actually consumes (contrast pipeline_token_budget's
+    whitespace estimate).
+
+    Encode-on-the-TYPE-table: merges are applied once per distinct
+    WORD (the training loop's final word-type table already carries
+    every word fully merged — zero extra merge work), and documents
+    join their words against that ~vocabulary-sized table — at 100 TB
+    the encode cost is corpus-explode + one hash join on word, never
+    per-token Python. Hash-checked end-to-end: the oracle replays
+    training AND encode (the w-carrying CTE chain + a token count per
+    word + the same join), so a drift in any of the 12 learned merges,
+    the merge-apply fold, or the join shape flips the per-doc counts
+    and fails the hash."""
+    _, words = _bpe_train(spark, sf_dir)
+    per_word = words.select("w", F.size("tokens").cast("long").alias("n_tokens"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docw = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w")
+    ).filter(F.col("w") != "")
+    return docw.join(per_word, "w").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_tokens").alias("n_bpe_tokens"),
     )
