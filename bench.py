@@ -27,7 +27,7 @@ Stdout size contract (round-5 verdict #8): the driver stores only the
 TAIL (~2 KB) of stdout, and a 143-query map is ~4 KB — every earlier
 round's driver bench artifact therefore ended up truncated and
 unparseable ("parsed": null). The single stdout line now keeps itself
-under ~1.8 KB by carrying only the SLOWEST queries (they are the ones
+under ~1.1 KB / 10 queries by carrying only the SLOWEST queries (they are the ones
 cross-round comparisons need), with ``queries_elided`` counting the
 fast ones dropped from the line; the COMPLETE payload — full per-query
 map and per-pass matrix — is always written to BENCH_full.json, which

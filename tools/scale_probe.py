@@ -94,6 +94,10 @@ HEAVY_QUERIES = [
     ("agg_hll_merge", "sketches (round 7, mergeable HLL + exact twin)"),
     ("multimodal_video_frames", "multimodal (round 7, BI_RGB+MJPG mix; r8 LUT decode)"),
     ("pipeline_compaction_plan", "layout maintenance (round 8, manifest math)"),
+    ("pipeline_bpe_encode", "corpus_ops (round 8, tokenizer inference on the type table)"),
+    ("stream_heavy_hitters", "streaming (round 8, MG sketch as keyed state)"),
+    ("agg_heavy_hitters_mg", "sketches (round 8, mergeable Misra-Gries)"),
+    ("sample_priority", "mlprep (round 8, DLT weighted top-k sample)"),
 ]
 
 
