@@ -246,54 +246,81 @@ _R06_WINDOW = frozenset((
     "pipeline_chunk_overlap", "pipeline_pmi_collocations",
     "pipeline_repetition_filter",
 ))
+# Round-7's recorded window (CORRECTNESS_r07.json keys — on disk,
+# 49 hash-pass + 1 by-design rows-only clean, zero errors; it cleared
+# the whole round-7 _RECHECK population and graduated graph_pagerank,
+# agg_hll_merge, sim_minhash_lsh and dedup_cluster_cc).
+_R07_WINDOW = frozenset((
+    "agg_hll_merge", "agg_top_supplier_revenue", "dedup_cluster_cc",
+    "graph_pagerank", "join_bucketed_colocated", "join_cross_calendar",
+    "join_large_volume_customers", "join_min_cost_supplier",
+    "join_only_late_supplier", "multimodal_video_frames",
+    "pipeline_bigram_lm", "pipeline_bpe_pair_counts",
+    "pipeline_canonical_docs", "pipeline_corpus_build",
+    "pipeline_dedup_clusters_portable", "pipeline_doc_signature",
+    "pipeline_domain_mix", "pipeline_embedding_norm_filter",
+    "pipeline_ewma_smooth", "pipeline_market_share",
+    "pipeline_minhash_pairs_portable", "pipeline_mixture_temperature",
+    "pipeline_prefix_dedup", "pipeline_promo_revenue",
+    "pipeline_span_mask", "pipeline_vocab_encode",
+    "pipeline_volume_shipping", "scan_csv_roundtrip",
+    "scan_jsonl_roundtrip", "scan_orc_roundtrip", "sim_minhash_lsh",
+    "sim_ngram_jaccard", "stream_dedup_stateful", "stream_ewma_stateful",
+    "stream_late_data_policy", "stream_native_tumbling",
+    "stream_session_windows", "stream_sliding_avg",
+    "stream_tumbling_counts", "text_fingerprint", "text_langid",
+    "text_ngram", "text_normalize", "text_quality_score",
+    "text_redact_pattern", "text_token_count", "text_tokenize_wordcount",
+    "udaf_grouped", "udf_scalar", "udtf_explode_like",
+))
 _DRIVER_VERIFIED = (
     _R01_WINDOW | _R03_WINDOW | _R04_WINDOW | _R05_WINDOW | _R06_WINDOW
+    | _R07_WINDOW
 )
 
 # Verified in an earlier round, but the implementation, oracle, or an
 # upstream seam changed afterwards — their old driver row no longer
 # certifies the current code, so they re-enter the window right after
-# the never-verified block.  Round-7 population:
-# * sim_minhash_lsh — GRADUATED to a DuckDB oracle: rebuilt on the
-#   portable 16-lane md5 signature (the xxh64→md5 port pattern that
-#   graduated sim_simhash in r6) — its r06 rows-only row certifies a
-#   different query;
-# * dedup_cluster_cc — GRADUATED: edge source swapped to the portable
-#   multi-band pairs with a recursive-CTE transitive-closure oracle;
-# * pipeline_ewma_smooth / stream_ewma_stateful — oracle gained
-#   `WHERE value IS NOT NULL` and both folds now drop NULL values
-#   before folding (ADVICE r6 NaN-poisoning fix);
-# * join_bucketed_colocated — bucketed write now cached per tag
-#   (skip-if-exists) instead of rewritten per invocation (ADVICE r6);
-# * sim_ngram_jaccard — sf1 performance rework this round (verdict
-#   ask #4);
-# * stream_dedup_stateful — state TTL/eviction semantics added this
-#   round (verdict ask #5);
-# * multimodal_video_frames — MJPEG-in-AVI decode leg added this
-#   round (verdict ask #6);
-# * scan_jsonl_roundtrip — its r6 bench regressed ~0.3 s alongside
-#   the two r3-stale scan roundtrips (verdict ask #7); cheap to
-#   re-certify with them.
-# * pipeline_doc_signature / pipeline_minhash_pairs_portable /
-#   pipeline_dedup_clusters_portable / pipeline_canonical_docs /
-#   pipeline_corpus_build — the shared _portable_signature seam's
-#   empty-gram filter moved to the cheap token-count form (pushdown
-#   re-inline fix) after their r4/r6 rows; values verified locally
-#   unchanged, but the plan seam differs.
+# the never-verified block.  Round-8 population:
+# * agg_approx_distinct / agg_approx_quantile — GRADUATED to
+#   hash-checked oracles (exact twin columns + theorem-grade
+#   within-bound booleans, the agg_hll_merge r7 playbook); their
+#   r5 rows certify the old rows-only queries;
+# * sim_cosine_ann_lsh / sim_cosine_ivf — GRADUATED: per-query recall
+#   certified against the DuckDB exact-neighbor recompute; their r6
+#   rows certify the old rows-only queries;
+# * pipeline_bpe_train — GRADUATED: unrolled-merge-round DuckDB
+#   replay (MATERIALIZED CTEs) replaces the rows-only check;
+# * multimodal_features / multimodal_audio_features — GRADUATED to
+#   decoded-domain oracles (PNG pixel stats / WAV sample stats
+#   replayed from deterministic fixture parameters);
+# * agg_hll_merge — total_exact now explicitly F.broadcast() (red
+#   plan-suite fix); values unchanged, plan seam differs from its r7
+#   row;
+# * graph_pagerank — contribution quantization moved to integer
+#   numerators before the decimal cast (cross-engine cast-parity
+#   ADVICE fix) after its r7 row;
+# * join_bucketed_colocated — bucketed-table cache now keyed by a
+#   source-content fingerprint with atomic-rename publication
+#   (ADVICE r8) after its r7 row;
+# * stream_dedup_stateful — eviction deadline now clamped monotone
+#   (max(prev, last_ts + horizon), ADVICE r8) after its r7 row;
+# * multimodal_video_frames — LUT-based entropy decode + T.81 K.3
+#   default-Huffman fallback landed after its r7 rows-only row.
 _RECHECK: tuple[str, ...] = (
-    "sim_minhash_lsh", "dedup_cluster_cc", "pipeline_ewma_smooth",
-    "stream_ewma_stateful", "join_bucketed_colocated",
-    "sim_ngram_jaccard", "stream_dedup_stateful",
-    "multimodal_video_frames", "scan_jsonl_roundtrip",
-    "pipeline_doc_signature", "pipeline_minhash_pairs_portable",
-    "pipeline_dedup_clusters_portable", "pipeline_canonical_docs",
-    "pipeline_corpus_build",
+    "agg_approx_distinct", "agg_approx_quantile", "sim_cosine_ann_lsh",
+    "sim_cosine_ivf", "pipeline_bpe_train", "multimodal_features",
+    "multimodal_audio_features", "agg_hll_merge", "graph_pagerank",
+    "join_bucketed_colocated", "stream_dedup_stateful",
+    "multimodal_video_frames",
 )
 
 
 def _latest_row_round(name: str) -> int:
     """Most recent round whose on-disk driver artifact holds this
     query's correctness row (0 = never verified)."""
+    if name in _R07_WINDOW:
+        return 7
     if name in _R06_WINDOW:
         return 6
     if name in _R05_WINDOW:
