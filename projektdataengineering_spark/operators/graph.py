@@ -279,3 +279,68 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def triangle_counts(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph given
+    as canonical (src < dst) distinct edges. Returns (node, degree,
+    triangles) — degree counts distinct neighbors, triangles counts the
+    3-cliques the node participates in.
+
+    Algorithm: degree-ordered orientation (Cohen's MapReduce triangle
+    enumeration; also Suri & Vassilvitskii, WWW'11): orient every edge
+    from its lower-(degree, id) endpoint to the higher one, build
+    wedges (u→v, u→w) at the low end, and close each wedge against the
+    oriented edge (v→w). Every triangle {x,y,z} is counted exactly
+    once — at its lowest-ranked vertex. Orientation bounds out-degree
+    by O(√m) on any graph, so the wedge fan-out — the quadratic term
+    a hub vertex would otherwise explode — is capped without
+    sampling: the hot key that has 10⁶ neighbors as an undirected
+    node has at most ~√m out-neighbors after orientation, which is
+    what lets the self-join survive a skewed 100-TB edge list.
+
+    Every step is a key-partitioned equi-join / aggregation (joins on
+    u, then on the (v, w) pair) — no cartesian, no driver state; the
+    edge list is the only input read, and it is read from a
+    caller-provided (typically checkpointed) frame."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # Orientation key is the (degree, id) pair; a < b already holds, so
+    # ties orient a → b and the order is total.
+    keyed = (
+        e.join(deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("degree").alias("deg_b")), "b")
+    )
+    a_low = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = keyed.select(
+        F.when(a_low, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_low, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_low, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_v"),
+    ).localCheckpoint(eager=False)
+    o1 = oriented.select(F.col("u"), F.col("v").alias("v1"), F.col("deg_v").alias("dv1"))
+    o2 = oriented.select(F.col("u"), F.col("v").alias("v2"), F.col("deg_v").alias("dv2"))
+    wedges = o1.join(o2, "u").filter(
+        (F.col("dv1") < F.col("dv2"))
+        | ((F.col("dv1") == F.col("dv2")) & (F.col("v1") < F.col("v2")))
+    )
+    closing = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+    per_node = (
+        tri.select(F.explode(F.array("u", "v1", "v2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            F.col("degree").cast("bigint").alias("degree"),
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("bigint").alias("triangles"),
+        )
+    )

@@ -120,3 +120,103 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node"), F.col("rank").alias("pr")
     ).orderBy("node")
+
+
+_TRI_STAR_CAP = 64
+
+
+def _triangle_sql() -> str:
+    """DuckDB replay of the capped candidate edge set + id-oriented
+    triangle enumeration. The edge set mirrors _bucket_pairs'
+    star_cap semantics exactly (all-pairs for buckets ≤ cap, star
+    edges min-member→other past it, DISTINCT across bands) — unlike
+    the CC oracle, which may ignore the cap because a star and a
+    clique have the same closure, triangle counts DO see the
+    difference, so the oracle replays the cap. Triangles are
+    enumerated a<b<c (id orientation); Spark enumerates them
+    degree-oriented — different join order, identical triangle SET,
+    and only the per-node counts are emitted."""
+    from .similarity import _PORTABLE_MH_CTE
+
+    return f"""
+    WITH {_PORTABLE_MH_CTE},
+    mem AS (
+      SELECT band_idx, band_key, doc_id,
+             COUNT(*) OVER (PARTITION BY band_idx, band_key) AS bsz,
+             MIN(doc_id) OVER (PARTITION BY band_idx, band_key) AS mn
+      FROM bands
+    ),
+    edges AS (
+      SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM mem a JOIN mem b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+        WHERE a.bsz <= {_TRI_STAR_CAP}
+        UNION ALL
+        SELECT mn AS doc_a, doc_id AS doc_b
+        FROM mem WHERE bsz > {_TRI_STAR_CAP} AND doc_id <> mn
+      ) raw
+    ),
+    tri AS (
+      SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+      FROM edges e1
+      JOIN edges e2 ON e2.doc_a = e1.doc_b
+      JOIN edges e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    pn AS (
+      SELECT node, COUNT(*) AS tri_cnt FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) t GROUP BY node
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT doc_a AS node FROM edges
+        UNION ALL SELECT doc_b FROM edges
+      ) d GROUP BY node
+    )
+    SELECT deg.node AS doc_id, CAST(deg.degree AS BIGINT) AS degree,
+           CAST(COALESCE(pn.tri_cnt, 0) AS BIGINT) AS triangles
+    FROM deg LEFT JOIN pn ON deg.node = pn.node
+    ORDER BY doc_id
+    """
+
+
+@query("graph_triangle_count", oracle=_triangle_sql())
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle counts over the full 4-band MinHash
+    candidate graph (the same capped edge set dedup_cluster_cc
+    clusters): degree and 3-clique participation per node — the local
+    clustering signal that separates genuinely dense near-dup clumps
+    (template families, mirrored shards: triangle-rich) from chains of
+    borderline pairwise matches (triangle-free), which CC alone cannot
+    distinguish because it only sees reachability.
+
+    Scale shape (operators/graph.py:triangle_counts): degree-ordered
+    orientation caps wedge fan-out at O(√m) per vertex regardless of
+    hub skew, then two key-partitioned equi-joins (on u, then on the
+    (v,w) pair) enumerate each triangle exactly once. The edge list —
+    already star-capped per bucket upstream — is checkpointed once;
+    ids are the only payload that shuffles. Integer-only output, so
+    the DuckDB oracle (same capped edge set, id-oriented enumeration)
+    hash-matches bit-for-bit."""
+    from ..operators.graph import triangle_counts
+    from .similarity import _bucket_pairs, _portable_mh_bands
+
+    bands = _portable_mh_bands(spark, sf_dir)
+    edges = _bucket_pairs(
+        bands,
+        ["band_idx", "band_key"],
+        ["doc_id"],
+        star_cap=_TRI_STAR_CAP,
+        project=lambda a, b: (
+            [a["doc_id"].alias("doc_a"), b["doc_id"].alias("doc_b")],
+            [],
+        ),
+    ).localCheckpoint()
+    out = triangle_counts(edges, "doc_a", "doc_b")
+    return out.select(
+        F.col("node").alias("doc_id"), "degree", "triangles"
+    ).orderBy("doc_id")

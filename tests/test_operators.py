@@ -1035,3 +1035,95 @@ def test_pagerank_on_neardup_graph_conserves_mass(spark, sf_dir):
     stats = pr.agg(F.sum("rank").alias("s"), F.min("rank").alias("lo")).collect()[0]
     assert abs(stats["s"] - 1.0) < 1e-9, stats
     assert stats["lo"] > 0.0
+
+
+def test_triangle_counts_known_graphs(spark):
+    """triangle_counts (operators/graph.py) on pinned toy graphs:
+    K4 (every node in 3 of the 4 triangles), a triangle-free path,
+    and two triangles sharing an edge — plus a hub star whose
+    degree-ordered orientation must not explode or miscount."""
+    from projektdataengineering_spark.operators.graph import triangle_counts
+
+    def run(edges):
+        df = spark.createDataFrame(edges, ["a", "b"])
+        return {
+            r["node"]: (r["degree"], r["triangles"])
+            for r in triangle_counts(df, "a", "b").collect()
+        }
+
+    # K4: 4 triangles, each node in C(3,2)=3 of them, degree 3.
+    k4 = run([("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")])
+    assert k4 == {n: (3, 3) for n in "abcd"}
+
+    # Path a-b-c-d: no triangles.
+    path = run([("a", "b"), ("b", "c"), ("c", "d")])
+    assert path == {"a": (1, 0), "b": (2, 0), "c": (2, 0), "d": (1, 0)}
+
+    # Two triangles sharing edge b-c: abc and bcd.
+    bowtie = run([("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d")])
+    assert bowtie == {"a": (2, 1), "b": (3, 2), "c": (3, 2), "d": (2, 1)}
+
+    # Star hub h-x0..x9 plus one closing edge x0-x1: exactly 1 triangle;
+    # the hub's high degree must route wedge work to the leaves.
+    star_edges = [("h", f"x{i}") if "h" < f"x{i}" else (f"x{i}", "h") for i in range(10)]
+    star = run(star_edges + [("x0", "x1")])
+    assert star["h"] == (10, 1)
+    assert star["x0"] == (2, 1) and star["x1"] == (2, 1)
+    assert all(star[f"x{i}"] == (1, 0) for i in range(2, 10))
+
+
+def test_triangle_query_star_cap_parity(spark, tmp_path):
+    """The star-cap branch never triggers at fixture scale (max band
+    bucket = 4), so pin the oracle's cap replay against the Spark edge
+    builder on a synthetic over-cap bucket: a 70-member bucket must
+    emit 69 star edges (not C(70,2) pairs) on BOTH sides."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+    from projektdataengineering_spark.queries.graphs import _TRI_STAR_CAP
+    from projektdataengineering_spark.queries.similarity import _bucket_pairs
+
+    n = _TRI_STAR_CAP + 6
+    rows = [(0, "k", f"d{i:03d}") for i in range(n)] + [
+        (1, "small", "d000"), (1, "small", "d001"), (1, "small", "d002")
+    ]
+    bands = spark.createDataFrame(rows, ["band_idx", "band_key", "doc_id"])
+    got = (
+        _bucket_pairs(
+            bands, ["band_idx", "band_key"], ["doc_id"],
+            star_cap=_TRI_STAR_CAP,
+            project=lambda a, b: (
+                [a["doc_id"].alias("doc_a"), b["doc_id"].alias("doc_b")], []
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE bands (band_idx INT, band_key VARCHAR, doc_id VARCHAR)")
+    con.executemany("INSERT INTO bands VALUES (?, ?, ?)", rows)
+    oracle = con.execute(f"""
+        WITH mem AS (
+          SELECT band_idx, band_key, doc_id,
+                 COUNT(*) OVER (PARTITION BY band_idx, band_key) AS bsz,
+                 MIN(doc_id) OVER (PARTITION BY band_idx, band_key) AS mn
+          FROM bands
+        )
+        SELECT DISTINCT doc_a, doc_b FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM mem a JOIN mem b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+          WHERE a.bsz <= {_TRI_STAR_CAP}
+          UNION ALL
+          SELECT mn, doc_id FROM mem
+          WHERE bsz > {_TRI_STAR_CAP} AND doc_id <> mn
+        ) raw ORDER BY doc_a, doc_b
+    """).fetchall()
+    got_pairs = [(r["doc_a"], r["doc_b"]) for r in got]
+    assert got_pairs == oracle
+    # n-1 star edges from d000; the small bucket's (d000,d001)/(d000,d002)
+    # dedup into them, and its one novel pair is (d001,d002).
+    assert len([p for p in got_pairs if p[0] == "d000"]) == n - 1
+    assert ("d001", "d002") in got_pairs
+    assert len(got_pairs) == n - 1 + 1
