@@ -1335,3 +1335,320 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@query(
+    "pipeline_cdc_apply",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_del,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS gen,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rnd
+      FROM events
+    ),
+    last AS (
+      SELECT user_id, event_type AS last_event_type, gen, is_del
+      FROM r WHERE rnd = 1
+    ),
+    stats AS (
+      SELECT user_id, gen,
+             CAST(COUNT(*) AS BIGINT) AS gen_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS gen_value_sum,
+             MIN(ts) AS gen_first_ts, MAX(ts) AS gen_last_ts
+      FROM r WHERE is_del = 0 GROUP BY user_id, gen
+    )
+    SELECT l.user_id, CAST(l.gen + 1 AS BIGINT) AS n_generations,
+           l.last_event_type, s.gen_events, s.gen_value_sum,
+           s.gen_first_ts, s.gen_last_ts
+    FROM last l JOIN stats s ON s.user_id = l.user_id AND s.gen = l.gen
+    WHERE l.is_del = 0
+    ORDER BY l.user_id
+    """,
+)
+def pipeline_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply with tombstones: replay the event log as a
+    change stream keyed by user_id — 'error' events are DELETE
+    tombstones, everything else upserts — and materialize the final
+    table state. A key whose LAST op is a tombstone is absent from the
+    output; a key that was deleted and re-inserted surfaces only its
+    CURRENT generation (the events after its last tombstone), with
+    n_generations counting the delete-separated lifetimes. This is the
+    warehouse MERGE/CDC-apply the reference's append-only JDBC sink
+    (reference spark_tasks/weather_task.py:95-99) cannot express — the
+    row-level generalization of pipeline_scd2_history's interval
+    compression.
+
+    Shape: ONE user_id exchange, join-free — the generation numbering
+    (running tombstone count, exclusive frame) and the last-row marker
+    sort on user_id, and the per-generation aggregates run as WINDOW
+    functions over (user_id, gen), whose clustering requirement
+    hashpartitioning(user_id) already satisfies — Catalyst inserts a
+    re-sort, not a re-shuffle, and the final state falls out of the
+    single surviving last-row filter. At 100 TB the changelog apply is
+    one shuffle of the log, period: no second scan, no co-partitioned
+    self-join, no driver state. Value sums are DECIMAL(18,2)-exact
+    (functions.MONEY discipline), so the hash replays across
+    engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    is_del = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        is_del.alias("is_del"),
+        F.coalesce(
+            F.sum(is_del).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("bigint").alias("gen"),
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id").orderBy(
+                F.desc("ts"), F.desc("event_id")
+            )
+        )
+        .alias("rnd"),
+    )
+    live = F.col("is_del") == 0
+    wg = Window.partitionBy("user_id", "gen")
+    agg = r.select(
+        "user_id",
+        "event_type",
+        "gen",
+        "rnd",
+        "is_del",
+        F.sum(F.when(live, 1)).over(wg).alias("gen_events"),
+        F.sum(F.when(live, F.col("value").cast("decimal(18,2)")))
+        .over(wg)
+        .cast("double")
+        .alias("gen_value_sum"),
+        F.min(F.when(live, F.col("ts"))).over(wg).alias("gen_first_ts"),
+        F.max(F.when(live, F.col("ts"))).over(wg).alias("gen_last_ts"),
+    )
+    return (
+        agg.filter((F.col("rnd") == 1) & live)
+        .select(
+            "user_id",
+            (F.col("gen") + 1).cast("bigint").alias("n_generations"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("gen_events").cast("bigint").alias("gen_events"),
+            "gen_value_sum",
+            "gen_first_ts",
+            "gen_last_ts",
+        )
+        .orderBy("user_id")
+    )
+
+
+def _snapshot_diff_sql() -> str:
+    from . import HWM_LITERAL
+
+    return f"""
+    WITH olds AS (
+      SELECT user_id, event_type, ts,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_del,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_events
+      FROM events WHERE ts <= TIMESTAMP '{HWM_LITERAL}'
+    ),
+    old_state AS (
+      SELECT user_id, event_type AS last_event_type, n_events
+      FROM olds WHERE rn = 1 AND is_del = 0
+    ),
+    news AS (
+      SELECT user_id, event_type, ts,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_del,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_events
+      FROM events
+    ),
+    new_state AS (
+      SELECT user_id, event_type AS last_event_type, ts AS last_ts, n_events
+      FROM news WHERE rn = 1 AND is_del = 0
+    )
+    SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+           CASE WHEN o.user_id IS NULL THEN 'added'
+                WHEN n.user_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS status,
+           o.last_event_type AS old_last_event_type,
+           n.last_event_type AS new_last_event_type,
+           CAST(COALESCE(o.n_events, 0) AS BIGINT) AS old_n_events,
+           CAST(COALESCE(n.n_events, 0) AS BIGINT) AS new_n_events,
+           n.last_ts AS new_last_ts
+    FROM old_state o FULL JOIN new_state n ON o.user_id = n.user_id
+    WHERE o.user_id IS NULL OR n.user_id IS NULL
+       OR o.n_events <> n.n_events
+    ORDER BY user_id
+    """
+
+
+@query("pipeline_snapshot_diff", oracle=_snapshot_diff_sql())
+def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: diff the materialized table STATE at the
+    incremental high-water mark (reference O4 semantics,
+    weather_task.py:78-84) against the state now, under the CDC
+    tombstone convention ('error' = delete, pipeline_cdc_apply). Each
+    surviving row is a key whose state changed between the snapshots:
+    'added' (alive now, absent-or-dead at the HWM), 'removed'
+    (tombstoned since), 'changed' (alive at both, new events in
+    between); unchanged keys are suppressed. This is the audit query a
+    warehouse runs to certify an incremental load against a full
+    rebuild — diffing STATES, not logs.
+
+    Scale shape: the naive form materializes two snapshots and
+    full-outer-joins them — two scans, three shuffles. This is ONE
+    scan and ONE partial-aggregable groupBy(user_id): each snapshot's
+    last-row is a conditional MAX over the lexicographic
+    (ts, event_id, …) struct (associative, so it map-side combines;
+    the watermark filter moves INSIDE the aggregate as a CASE), and
+    the diff falls out of comparing the two structs per key. No join,
+    no window sort — at 100 TB the reconciliation costs exactly one
+    shuffle of (key, 2 structs + 2 counts)."""
+    from . import HWM_LITERAL
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_del"),
+    )
+    le = F.col("ts") <= F.lit(HWM_LITERAL).cast("timestamp")
+    snap = F.struct("ts", "event_id", "is_del", "event_type")
+    g = ev.groupBy("user_id").agg(
+        F.max(F.when(le, snap)).alias("o"),
+        F.max(snap).alias("n"),
+        F.sum(F.when(le, 1)).alias("old_n"),
+        F.count(F.lit(1)).alias("new_n"),
+    )
+    old_alive = F.col("o").isNotNull() & (F.col("o.is_del") == 0)
+    new_alive = F.col("n.is_del") == 0
+    status = (
+        F.when(~old_alive & new_alive, "added")
+        .when(old_alive & ~new_alive, "removed")
+        .when(
+            old_alive & new_alive & (F.col("old_n") != F.col("new_n")),
+            "changed",
+        )
+    )
+    return (
+        g.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(
+            "user_id",
+            "status",
+            F.when(old_alive, F.col("o.event_type")).alias(
+                "old_last_event_type"
+            ),
+            F.when(new_alive, F.col("n.event_type")).alias(
+                "new_last_event_type"
+            ),
+            F.when(old_alive, F.col("old_n"))
+            .otherwise(0)
+            .cast("bigint")
+            .alias("old_n_events"),
+            F.when(new_alive, F.col("new_n"))
+            .otherwise(0)
+            .cast("bigint")
+            .alias("new_n_events"),
+            F.when(new_alive, F.col("n.ts")).alias("new_last_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_RRF_K = 60
+_RRF_SCALE = 10**12
+_RRF_TOP = 5
+
+
+@query(
+    "pipeline_rank_fusion",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY n_chars DESC, doc_id) AS BIGINT)
+               AS rank_len,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY len(list_distinct(string_split(text, ' '))) DESC,
+                          doc_id) AS BIGINT) AS rank_vocab
+      FROM documents
+    ),
+    fused AS (
+      SELECT source, doc_id, rank_len, rank_vocab,
+             {_RRF_SCALE} // ({_RRF_K} + rank_len)
+               + {_RRF_SCALE} // ({_RRF_K} + rank_vocab) AS rrf_num
+      FROM ranked
+    )
+    SELECT source, doc_id, rank_len, rank_vocab, rrf_num,
+           CAST(fused_rank AS BIGINT) AS fused_rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY rrf_num DESC, doc_id) AS fused_rank
+      FROM fused
+    ) t WHERE fused_rank <= {_RRF_TOP}
+    ORDER BY source, fused_rank
+    """,
+)
+def pipeline_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of two
+    independent per-source document rankings — length (n_chars desc)
+    and vocabulary richness (distinct whitespace tokens desc) — into
+    one exemplar list: the top-{_RRF_TOP} fused docs per source. The
+    multi-signal canonical-pick every retrieval/curation pipeline
+    runs when no single relevance score exists; RRF needs only RANKS,
+    so wildly different score scales fuse without normalization.
+
+    Float discipline: 1/(k+r) terms are served as the integer
+    numerators {_RRF_SCALE}//(k+r) — floor division is exact in both
+    engines, the fused ORDER is identical to the textbook float
+    (x→1/x is strictly monotone and the numerators stay far from
+    collision: adjacent ranks differ by ≥ ~10⁵ at rank 10⁴), and the
+    emitted score is hash-comparable with zero ulp risk.
+
+    Scale shape: both rankings AND the fused top-k are windows over
+    the SAME source partitioning — one exchange, three in-partition
+    sorts, no join (the two rank columns ride the same row through
+    all three windows). Per-source ranking is the scale-correct RRF:
+    fusion happens inside each retrieval shard, never via a global
+    sort."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars", "text"
+    )
+    w_len = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    w_voc = Window.partitionBy("source").orderBy(
+        F.desc(F.size(F.array_distinct(F.split(F.col("text"), " ")))),
+        F.asc("doc_id"),
+    )
+    ranked = docs.select(
+        "source",
+        "doc_id",
+        F.row_number().over(w_len).cast("bigint").alias("rank_len"),
+        F.row_number().over(w_voc).cast("bigint").alias("rank_vocab"),
+    )
+    fused = ranked.withColumn(
+        "rrf_num",
+        F.expr(
+            f"{_RRF_SCALE} div ({_RRF_K} + rank_len) + "
+            f"{_RRF_SCALE} div ({_RRF_K} + rank_vocab)"
+        ),
+    )
+    w_fuse = Window.partitionBy("source").orderBy(F.desc("rrf_num"), F.asc("doc_id"))
+    return (
+        fused.withColumn(
+            "fused_rank", F.row_number().over(w_fuse).cast("bigint")
+        )
+        .filter(F.col("fused_rank") <= _RRF_TOP)
+        .orderBy("source", "fused_rank")
+    )
