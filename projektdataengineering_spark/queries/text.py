@@ -292,3 +292,83 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.alias("norm_text"),
         F.sha2(norm, 256).alias("norm_sha256"),
     )
+
+
+# Collision-probability quantization: ppm numerators keep the whole
+# diversity score in BIGINT arithmetic (floor division is exact and
+# identical in both engines — no log, no float).
+# 72k ≈ the corpus median (sf0.01 median 72349; English-like text sits
+# near 65-75k), so the boolean actually splits the corpus instead of
+# rubber-stamping one class. Safe at ANY value: ppm is integer-exact,
+# so the comparison can never flake across engines or partitionings.
+_DIVERSITY_PPM_THRESHOLD = 72_000
+
+
+@query(
+    "text_char_diversity",
+    oracle=f"""
+    WITH ch AS (
+      SELECT doc_id, UNNEST(string_split(text, '')) AS ch FROM documents
+    ),
+    cnt AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2),
+    s AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_cp,
+             CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+             CAST(SUM(c * (c - 1)) AS BIGINT) AS coll
+      FROM cnt GROUP BY 1
+    )
+    SELECT doc_id, n_cp, distinct_chars,
+           (coll * 1000000) // (n_cp * (n_cp - 1)) AS collision_ppm,
+           (coll * 1000000) // (n_cp * (n_cp - 1))
+             < {_DIVERSITY_PPM_THRESHOLD} AS diverse
+    FROM s WHERE n_cp >= 2 ORDER BY doc_id
+    """,
+)
+def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-diversity quality signal: the EXACT collision
+    probability of each document's character distribution — Σc(c−1) /
+    n(n−1), the Rényi-order-2 counterpart of Shannon entropy — in
+    parts-per-million. High collision = low diversity (keyboard mash,
+    repeated padding, single-char floods) and is the filter signal;
+    unlike a real entropy it needs NO transcendentals, so the score is
+    integer-exact and replays bit-for-bit in the oracle (the engine's
+    float discipline: when a monotone transform of the textbook metric
+    is integer-representable, ship the transform, not the float).
+
+    Scale shape: zero-shuffle map-side compute — the per-doc histogram
+    never materializes; collisions come from an O(n log n) sorted-run
+    fold (array_sort + one aggregate() pass whose accumulator carries
+    (prev char, run length, running Σc(c−1)) — appending to a run of
+    length r adds 2r), distinct chars from array_distinct. The oracle
+    takes the vectorized UNNEST+GROUP BY road to the same integers.
+    Only (doc_id, 4 scalars) survive the map stage."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chars = F.split(F.col("text"), "")
+    fold = F.aggregate(
+        F.array_sort(chars),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("coll"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            (acc["coll"] + F.when(x == acc["prev"], 2 * acc["run"]).otherwise(F.lit(0).cast("long"))).alias("coll"),
+        ),
+        lambda acc: acc["coll"],
+    )
+    s = docs.select(
+        "doc_id",
+        F.size(chars).cast("bigint").alias("n_cp"),
+        F.size(F.array_distinct(chars)).cast("bigint").alias("distinct_chars"),
+        fold.alias("coll"),
+    ).filter(F.col("n_cp") >= 2)
+    ppm = F.expr("(coll * 1000000) div (n_cp * (n_cp - 1))")
+    return s.select(
+        "doc_id",
+        "n_cp",
+        "distinct_chars",
+        ppm.alias("collision_ppm"),
+        (ppm < _DIVERSITY_PPM_THRESHOLD).alias("diverse"),
+    ).orderBy("doc_id")
