@@ -131,3 +131,58 @@ def misra_gries_summary(df: DataFrame, term_col: str, k: int = 400) -> DataFrame
         part, schema="term string, est long"
     )
     return partials.groupBy("term").agg(F.sum("est").alias("est"))
+
+
+def count_min_cells(
+    df: DataFrame, term_col: str, depth: int = 4, width: int = 512
+) -> DataFrame:
+    """Count-Min sketch cells (Cormode & Muthukrishnan, J.Alg'05) —
+    the frequency-estimation member of the mergeable triad (HLL
+    distinct / MG heavy hitters / CMS point frequencies): returns
+    (j, b, cell) — for each of `depth` hash rows, the total count of
+    items landing in each of `width` buckets. Point estimate for any
+    term = MIN over its depth cells; overestimate-only by
+    construction (every cell ≥ the term's true count because counts
+    are non-negative).
+
+    Mergeability is literal: cells are plain sums, so sketches of two
+    partitions/datasets merge by adding cell-wise — the same
+    union-of-partials contract as hll_merge. And unlike MG, the cell
+    VALUES are partition-order independent (sums commute), so the
+    whole sketch — not just its guarantees — is deterministic and
+    replayable in an external engine given the same hash family.
+
+    Hash family: bucket_j(t) = int(md5(t || '#' || j)[:13 hex]) mod
+    width — the engine's portable md5 lane pattern (same md5-hex ↔
+    BIGINT bridge sample_priority proves against DuckDB), so one SQL
+    expression reproduces every cell bit-for-bit.
+
+    Scale shape: one projection fans each row out `depth`× map-side,
+    then ONE groupBy over (j, b) whose partial aggregation collapses
+    every partition to ≤ depth×width rows before the exchange — the
+    shuffle carries at most depth×width×partitions tiny rows no
+    matter how many items stream in, and no per-term state ever
+    materializes (that full-vocabulary aggregate is exactly what a
+    sketch exists to avoid)."""
+    j = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("j")
+    return (
+        df.select(F.col(term_col).cast("string").alias("t"))
+        .select("t", j)
+        .select(
+            "j",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("t"), F.lit("#"), F.col("j").cast("string"))),
+                        1,
+                        13,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % width
+            ).alias("b"),
+        )
+        .groupBy("j", "b")
+        .agg(F.count(F.lit(1)).alias("cell"))
+    )

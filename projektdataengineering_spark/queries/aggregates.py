@@ -839,3 +839,116 @@ def agg_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_bound"),
         )
     )
+
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 8
+
+
+@query(
+    "agg_countmin_freq",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+      FROM documents
+    ),
+    counts AS (
+      SELECT term, COUNT(*) AS exact_count FROM words
+      WHERE term <> '' GROUP BY term
+    ),
+    cells AS (
+      SELECT r.j AS j,
+             CAST(concat('0x', substr(md5(c.term || '#' || r.j), 1, 13))
+                  AS BIGINT) % {_CMS_WIDTH} AS b,
+             SUM(c.exact_count) AS cell
+      FROM counts c, range(0, {_CMS_DEPTH}) r(j)
+      GROUP BY 1, 2
+    ),
+    top10 AS (
+      SELECT term, exact_count FROM counts
+      ORDER BY exact_count DESC, term LIMIT 10
+    )
+    SELECT t.term, CAST(t.exact_count AS BIGINT) AS exact_count,
+           CAST(MIN(cl.cell) AS BIGINT) AS cms_est,
+           MIN(cl.cell) >= t.exact_count AS over_ok
+    FROM top10 t
+    JOIN range(0, {_CMS_DEPTH}) r(j) ON TRUE
+    JOIN cells cl
+      ON cl.j = r.j
+     AND cl.b = CAST(concat('0x', substr(md5(t.term || '#' || r.j), 1, 13))
+                     AS BIGINT) % {_CMS_WIDTH}
+    GROUP BY t.term, t.exact_count
+    ORDER BY exact_count DESC, term
+    """,
+)
+def agg_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point-frequency estimation over the corpus vocabulary
+    (operators/sketches.count_min_cells), completing the mergeable
+    sketch trio: HLL (distinct), Misra-Gries (heavy hitters), CMS
+    (point frequencies). The certified output is the exact top-10
+    terms with their CMS estimates and the overestimate-only theorem
+    (cell sums of non-negative counts can never undercount).
+
+    Stronger certification than MG's: CMS cells are SUMS, so the
+    sketch is partition-order independent — the ESTIMATE VALUES
+    themselves are in the driver hash, replayed cell-for-cell by the
+    DuckDB oracle from the same md5 hash family (d={_CMS_DEPTH},
+    w={_CMS_WIDTH}: the fixture vocabulary is 31 terms, so the
+    sketch runs ~4× loaded — collisions are real and the estimates
+    genuinely overestimate, the interesting regime rather than a
+    trivially-exact sparse sketch; at production scale w grows with
+    the memory budget, never with the vocabulary).
+
+    Scale: the sketch aggregation never touches per-term state —
+    partial aggregation collapses each partition to ≤ d×w cells
+    before ONE tiny exchange; the d×w-cell sketch then broadcasts
+    onto the certified rows. The exact top-10 twin is
+    certification-only (at 100 TB you'd certify against a sampled or
+    domain-restricted exact count; the sketch path itself never
+    needs it)."""
+    from ..operators.sketches import count_min_cells
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    words = docs.select(
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term")
+    ).filter(F.col("term") != "")
+    cells = count_min_cells(words, "term", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    top10 = (
+        words.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("term"))
+        .limit(10)
+    )
+    probes = top10.select(
+        "term",
+        "exact_count",
+        F.explode(F.array(*[F.lit(i) for i in range(_CMS_DEPTH)])).alias("j"),
+    ).select(
+        "term",
+        "exact_count",
+        "j",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("term"), F.lit("#"), F.col("j").cast("string"))),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_WIDTH
+        ).alias("b"),
+    )
+    return (
+        probes.join(F.broadcast(cells), ["j", "b"])
+        .groupBy("term", "exact_count")
+        .agg(F.min("cell").alias("cms_est"))
+        .select(
+            "term",
+            F.col("exact_count").cast("bigint").alias("exact_count"),
+            F.col("cms_est").cast("bigint").alias("cms_est"),
+            (F.col("cms_est") >= F.col("exact_count")).alias("over_ok"),
+        )
+        .orderBy(F.desc("exact_count"), F.asc("term"))
+    )
