@@ -307,3 +307,68 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("payload").alias("min_payload"),
         F.max("payload").alias("max_payload"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hive-partitioned warehouse round-trip (pruned re-read, end-to-end)
+# ---------------------------------------------------------------------------
+
+_HIVE_SQL = f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           {SQL_DSUM.format(x="value")} AS sum_value,
+           MIN(ts) AS min_ts, MAX(ts) AS max_ts
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+"""
+
+_EVENTS_DDL = (
+    "event_id long, ts timestamp_ntz, user_id long, value double, "
+    "props string, event_type string"
+)
+
+
+@query("scan_hive_partitioned", oracle=_HIVE_SQL)
+def scan_hive_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → Hive-layout partitioned warehouse
+    (``event_type=<v>/part-*.parquet``, the directory scheme of the
+    reference's archive step generalized to a queryable table,
+    weather_task.py:105-126) → re-read with an EXPLICIT schema and an
+    IN-filter on the partition column → aggregate, hash-checked
+    against DuckDB on the ORIGINAL parquet. Certifies the whole
+    partitioned-sink seam: values survive the write (including µs
+    timestamps and the partition column's round-trip through its
+    DIRECTORY NAME — a value mangled by path encoding breaks the
+    hash), and the re-read filter prunes at the directory level.
+
+    tests/test_plans.py:test_partitioned_write_prunes_partitions_on_read
+    asserts the pruning side (PartitionFilters, 2 of 5 directories
+    listed); this query makes the round-trip itself driver-visible.
+
+    At 100 TB partition-on-ingest is THE first-line scan reducer: a
+    5-way event_type partitioning turns any single-type query into a
+    20% scan before a byte is read; the explicit-schema re-read keeps
+    schema authority with the engine (inference is banned,
+    SURVEY.md §1.2)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = _scratch_dir("hive_events", sf_dir)
+    (
+        ev.select("event_id", "ts", "user_id", "value", "props", "event_type")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(out)
+    )
+    back = (
+        spark.read.schema(_EVENTS_DDL)
+        .parquet(out)
+        .filter(F.col("event_type").isin("click", "purchase"))
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum("value").alias("sum_value"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
