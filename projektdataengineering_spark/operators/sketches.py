@@ -186,3 +186,54 @@ def count_min_cells(
         .groupBy("j", "b")
         .agg(F.count(F.lit(1)).alias("cell"))
     )
+
+
+def bloom_filter_words(
+    df: DataFrame, term_col: str, m_bits: int = 4096, k_hashes: int = 3
+) -> DataFrame:
+    """Bloom filter over a term column as a DataFrame of bitmap WORDS:
+    returns (w, bits) where w = bit_index // 63 and bits = OR of
+    (1 << bit_index % 63) — the distributed representation of the
+    m_bits-wide filter (one row per non-empty 63-bit word; 63, not
+    64, because DuckDB's BIGINT << 63 raises on the sign bit while
+    the JVM wraps — shifts 0..62 agree in both engines and every
+    word stays positive).
+
+    This is the runtime-filter / semi-join-pruning primitive: build
+    the filter on the small/unique side of a join, broadcast the few-
+    KB word table, and discard probe rows whose k bits aren't all set
+    BEFORE the shuffle. Zero false negatives is a THEOREM (bit_or
+    only adds bits); false positives are the documented trade
+    (rate ≈ (1 - e^{-kn/m})^k).
+
+    Same portability contract as count_min_cells: bit positions come
+    from the md5 lane family (bit_j(t) = int(md5(t||'#bloom'||j)[:13
+    hex]) mod m_bits), and bit_or is commutative/associative, so the
+    whole word table is partition-order independent and replays
+    bit-for-bit in DuckDB. Scale: k_hashes-way map-side fanout, then
+    one groupBy(w) whose partial aggregation collapses every
+    partition to ≤ m_bits/64 words before a tiny exchange."""
+    j = F.explode(F.array(*[F.lit(i) for i in range(k_hashes)])).alias("j")
+    pos = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("t"), F.lit("#bloom"), F.col("j").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % m_bits
+    )
+    return (
+        df.select(F.col(term_col).cast("string").alias("t"))
+        .select("t", j)
+        .select(pos.alias("pos"))
+        .select(
+            F.expr("pos div 63").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+    )

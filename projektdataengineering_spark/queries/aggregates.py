@@ -952,3 +952,156 @@ def agg_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_count"), F.asc("term"))
     )
+
+
+_BLOOM_M = 4096
+_BLOOM_K = 3
+
+
+@query(
+    "agg_bloom_membership",
+    oracle=f"""
+    WITH keys AS (SELECT DISTINCT o_custkey FROM orders
+              WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 450000),
+    positions AS (
+      SELECT CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)
+                 || '#bloom' || j), 1, 13)) AS BIGINT) % {_BLOOM_M} AS pos
+      FROM keys, range(0, {_BLOOM_K}) r(j)
+    ),
+    words AS (
+      SELECT pos // 63 AS w,
+             BIT_OR(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS bits
+      FROM positions GROUP BY 1
+    ),
+    probe AS (
+      SELECT c.c_custkey, c.c_mktsegment,
+             CAST(concat('0x', substr(md5(CAST(c.c_custkey AS VARCHAR)
+                  || '#bloom' || r.j), 1, 13)) AS BIGINT) % {_BLOOM_M} AS pos
+      FROM customer c, range(0, {_BLOOM_K}) r(j)
+    ),
+    memb AS (
+      SELECT p.c_custkey, p.c_mktsegment,
+             MIN(CASE WHEN b.bits IS NOT NULL
+                       AND (b.bits & (CAST(1 AS BIGINT)
+                                      << CAST(p.pos % 63 AS INT))) <> 0
+                      THEN 1 ELSE 0 END) AS member
+      FROM probe p LEFT JOIN words b ON b.w = p.pos // 63
+      GROUP BY 1, 2
+    ),
+    joined AS (
+      SELECT m.c_mktsegment, m.member,
+             CASE WHEN k.o_custkey IS NULL THEN 0 ELSE 1 END AS actual
+      FROM memb m LEFT JOIN keys k ON k.o_custkey = m.c_custkey
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(actual) AS BIGINT) AS n_actual,
+           CAST(SUM(member) AS BIGINT) AS n_pass_filter,
+           CAST(SUM(CASE WHEN member = 1 AND actual = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           BOOL_AND(member >= actual) AS fn_free
+    FROM joined GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def agg_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning, certified end-to-end
+    (operators/sketches.bloom_filter_words): build the filter over the
+    custkeys holding an urgent >450k order (a ~18% selective build
+    side — the filtered-dimension shape that makes runtime filters
+    pay), probe EVERY customer, and compare the filter's verdict
+    against the exact semi-join — the runtime-filter
+    pattern that at 100 TB discards probe-side rows BEFORE the join
+    shuffle (broadcast a few-KB word table instead of shuffling the
+    fact table against a dimension that matches a fraction of it).
+
+    The driver hash pins: per-segment customer counts, exact semi-join
+    matches, how many customers PASS the filter, the FALSE-POSITIVE
+    count (real and SF-dependent: m={_BLOOM_M} is fixture-sized, so
+    the filter runs lightly loaded at sf0.01 and saturating at sf1 —
+    the honest regime spectrum; production sizes m to the build-side
+    cardinality), and ``fn_free`` — the zero-false-negative THEOREM
+    (bit_or only sets bits, so member ≥ actual always). The word
+    table itself is deterministic (md5 positions, commutative OR), so
+    the FP count replays exactly in DuckDB — sketch VALUES in the
+    hash, the CMS discipline.
+
+    Scale: filter build = {_BLOOM_K}-way fanout + partial-aggregated
+    groupBy to ≤ {_BLOOM_M // 63 + 1} words; probe = broadcast join
+    on word index + one groupBy(custkey); certification join is
+    oracle-side only in production."""
+    from ..operators.sketches import bloom_filter_words
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    urgent = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 450000)
+    )
+    keys = urgent.select(
+        F.col("o_custkey").cast("string").alias("t")
+    ).distinct()
+    words = bloom_filter_words(keys, "t", m_bits=_BLOOM_M, k_hashes=_BLOOM_K)
+    j = F.explode(F.array(*[F.lit(i) for i in range(_BLOOM_K)])).alias("j")
+    pos = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("c_custkey").cast("string"),
+                        F.lit("#bloom"),
+                        F.col("j").cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _BLOOM_M
+    )
+    probe = (
+        cust.select("c_custkey", "c_mktsegment", j)
+        .select("c_custkey", "c_mktsegment", pos.alias("pos"))
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.expr("pos div 63").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))").alias("mask"),
+        )
+    )
+    hit = F.when(
+        F.col("bits").isNotNull() & ((F.col("bits").bitwiseAND(F.col("mask"))) != 0),
+        1,
+    ).otherwise(0)
+    memb = (
+        probe.join(F.broadcast(words), "w", "left")
+        .select("c_custkey", "c_mktsegment", hit.alias("hit"))
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.min("hit").alias("member"))
+    )
+    actual_keys = urgent.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    joined = memb.join(
+        actual_keys.withColumn("actual", F.lit(1)), "c_custkey", "left"
+    ).select(
+        "c_mktsegment",
+        "member",
+        F.coalesce(F.col("actual"), F.lit(0)).alias("actual"),
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("actual").cast("bigint").alias("n_actual"),
+            F.sum("member").cast("bigint").alias("n_pass_filter"),
+            F.sum(
+                F.when((F.col("member") == 1) & (F.col("actual") == 0), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_false_pos"),
+            F.min(F.col("member") >= F.col("actual")).alias("fn_free"),
+        )
+        .orderBy("c_mktsegment")
+    )

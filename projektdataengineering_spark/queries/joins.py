@@ -558,3 +558,138 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+# Spatial neighbor join: deterministic md5-derived coordinates on a
+# 1e6 × 1e6 integer grid; radius and cell size in the same units so
+# every distance check is exact BIGINT arithmetic (dist² vs r², no
+# sqrt, no float).
+_SPATIAL_SIDE = 1_000_000
+_SPATIAL_R = 8_000
+
+
+def _spatial_coord_sql(axis: str) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5('{axis}#' || "
+        f"CAST(c_custkey AS VARCHAR)), 1, 13)) AS BIGINT) % {_SPATIAL_SIDE}"
+    )
+
+
+@query(
+    "join_spatial_grid",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             {_spatial_coord_sql("x")} AS x,
+             {_spatial_coord_sql("y")} AS y
+      FROM customer
+    ),
+    cells AS (
+      SELECT id, x, y, x // {_SPATIAL_R} AS cx, y // {_SPATIAL_R} AS cy
+      FROM pts
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+    FROM cells a
+    JOIN range(-1, 2) dx(i) ON TRUE
+    JOIN range(-1, 2) dy(j) ON TRUE
+    JOIN cells b ON b.cx = a.cx + dx.i AND b.cy = a.cy + dy.j
+    WHERE a.id < b.id
+      AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+            <= {_SPATIAL_R * _SPATIAL_R}
+    ORDER BY id_a, id_b
+    """,
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius neighbor join via grid bucketing — the spatial member of
+    the engine's blocked-join family (LSH bands for text, hyperplane
+    buckets for vectors, range buckets for θ-joins, HERE uniform grid
+    cells for points): find every pair of customers whose
+    deterministic md5-derived point on a {_SPATIAL_SIDE}²-unit grid
+    lies within Euclidean distance {_SPATIAL_R}. Cell size = radius,
+    so a pair within r can only straddle adjacent cells: expanding
+    each LEFT point into its 3×3 cell neighborhood and equi-joining
+    on the single RIGHT cell finds every qualifying pair exactly once
+    (the right point's cell is unique), and the id_a < id_b guard
+    halves the symmetric matches. NO cross join, no distance matrix —
+    the quadratic work is confined to 9-cell neighborhoods exactly
+    like LSH confines it to bands.
+
+    Float discipline: coordinates are integers, the predicate is
+    dist² ≤ r² in BIGINT — no sqrt, no epsilon, so Spark and DuckDB
+    agree on every boundary pair bit-for-bit.
+
+    Scale: the equi-join shuffles on cell id; occupancy is ~uniform
+    by construction of the md5 coordinates (and for real skewed
+    geodata the salted-join/star-cap patterns compose here
+    unchanged). Output is physics-bound — pair count grows with
+    density × area, the spatial analog of sim_cosine_exact_pairs'
+    output-bound contract."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    def coord(axis: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{axis}#"),
+                            F.col("c_custkey").cast("string"),
+                        )
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _SPATIAL_SIDE
+        )
+
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        coord("x").alias("x"),
+        coord("y").alias("y"),
+    ).select(
+        "id",
+        "x",
+        "y",
+        F.expr(f"x div {_SPATIAL_R}").alias("cx"),
+        F.expr(f"y div {_SPATIAL_R}").alias("cy"),
+    )
+    neigh = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    (F.col("cx") + i).alias("ncx"), (F.col("cy") + j).alias("ncy")
+                )
+                for i in (-1, 0, 1)
+                for j in (-1, 0, 1)
+            ]
+        )
+    )
+    left = pts.select(
+        F.col("id").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        neigh.alias("n"),
+    ).select("id_a", "xa", "ya", F.col("n.ncx").alias("cx"), F.col("n.ncy").alias("cy"))
+    right = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        "cx",
+        "cy",
+    )
+    dist2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        left.join(right, ["cx", "cy"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (dist2 <= F.lit(_SPATIAL_R * _SPATIAL_R))
+        )
+        .select("id_a", "id_b", dist2.alias("dist2"))
+        .orderBy("id_a", "id_b")
+    )

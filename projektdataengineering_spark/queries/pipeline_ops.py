@@ -1652,3 +1652,102 @@ def pipeline_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("fused_rank") <= _RRF_TOP)
         .orderBy("source", "fused_rank")
     )
+
+
+_KANON_K = 5
+
+
+@query(
+    "pipeline_kanon_generalize",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, source,
+             (n_chars // 100) * 100 AS b100,
+             (n_chars // 1000) * 1000 AS b1000
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, lang, source, b100, b1000,
+             COUNT(*) OVER (PARTITION BY lang, source, b100) AS c0,
+             COUNT(*) OVER (PARTITION BY lang, source, b1000) AS c1,
+             COUNT(*) OVER (PARTITION BY lang, source) AS c2
+      FROM d
+    ),
+    assigned AS (
+      SELECT lang, source,
+             CASE WHEN c0 >= {_KANON_K} THEN 0
+                  WHEN c1 >= {_KANON_K} THEN 1
+                  WHEN c2 >= {_KANON_K} THEN 2
+                  ELSE 3 END AS level,
+             CASE WHEN c0 >= {_KANON_K} THEN 'c' || b100
+                  WHEN c1 >= {_KANON_K} THEN 'c' || b1000
+                  WHEN c2 >= {_KANON_K} THEN '*'
+                  ELSE 'suppressed' END AS band_label
+      FROM sized
+    )
+    SELECT CAST(level AS BIGINT) AS level, lang, source, band_label,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM assigned
+    GROUP BY level, lang, source, band_label
+    ORDER BY level, lang, source, band_label
+    """,
+)
+def pipeline_kanon_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity generalization ladder over the corpus's quasi-
+    identifiers (lang, source, document-length band) — the governance
+    gate a training-data release runs so no published equivalence
+    class isolates fewer than k={_KANON_K} documents: each doc is
+    assigned the FINEST band generalization (100-char band → 1000-char
+    band → banded-out '*') whose class reaches k, and rows that stay
+    under k even fully banded are marked suppressed. Output is the
+    released-class census: every non-suppressed class size is ≥ k by
+    construction.
+
+    Scale shape: the three ladder-level class sizes are window counts
+    whose partition keys all CONTAIN (lang, source) — evaluated
+    coarsest-first, Catalyst plans ONE hashpartitioning(lang, source)
+    exchange and re-sorts in place for the finer levels (the same
+    partitioning-reuse discipline as pipeline_cdc_apply), then the
+    census aggregate reuses it again. One scan, one exchange, no
+    joins, no per-doc state beyond 3 counters."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    d = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        (F.expr("n_chars div 100") * 100).alias("b100"),
+        (F.expr("n_chars div 1000") * 1000).alias("b1000"),
+    )
+    c2 = F.count(F.lit(1)).over(Window.partitionBy("lang", "source"))
+    c1 = F.count(F.lit(1)).over(Window.partitionBy("lang", "source", "b1000"))
+    c0 = F.count(F.lit(1)).over(Window.partitionBy("lang", "source", "b100"))
+    sized = d.select(
+        "lang", "source", "b100", "b1000",
+        c2.alias("c2"), c1.alias("c1"), c0.alias("c0"),
+    )
+    k = _KANON_K
+    level = (
+        F.when(F.col("c0") >= k, 0)
+        .when(F.col("c1") >= k, 1)
+        .when(F.col("c2") >= k, 2)
+        .otherwise(3)
+    )
+    band_label = (
+        F.when(F.col("c0") >= k, F.concat(F.lit("c"), F.col("b100").cast("string")))
+        .when(F.col("c1") >= k, F.concat(F.lit("c"), F.col("b1000").cast("string")))
+        .when(F.col("c2") >= k, F.lit("*"))
+        .otherwise(F.lit("suppressed"))
+    )
+    return (
+        sized.select(
+            level.cast("bigint").alias("level"),
+            "lang",
+            "source",
+            band_label.alias("band_label"),
+        )
+        .groupBy("level", "lang", "source", "band_label")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("level", "lang", "source", "band_label")
+    )

@@ -452,3 +452,87 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_bound"),
         )
     )
+
+
+@query(
+    "stream_cdc_stateful",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_del,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rnd,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS dels_inc,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id) AS BIGINT) AS n_dels
+      FROM events
+    )
+    SELECT CAST(user_id AS VARCHAR) AS key,
+           MAX(n_dels) AS n_tombstones,
+           MAX(CASE WHEN rnd = 1 THEN is_del END) = 0 AS alive,
+           MAX(CASE WHEN rnd = 1 THEN event_type END) AS last_event_type,
+           CAST(SUM(CASE WHEN is_del = 0 AND dels_inc = n_dels
+                         THEN 1 ELSE 0 END) AS BIGINT) AS gen_events,
+           CAST(COUNT(*) AS BIGINT) AS n_seen
+    FROM r GROUP BY user_id
+    """,
+)
+def stream_cdc_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply as a REAL streaming query with a custom
+    per-key state machine (streaming/stateful.py:cdc_apply_stream):
+    'error' tombstones close a generation, upserts extend it, and the
+    keyed state carries O(1) scalars per key — the continuous form of
+    the batch pipeline_cdc_apply (same tombstone convention, same
+    generation semantics), i.e. the reference's append-only JDBC sink
+    upgraded to a continuously-maintained MERGE target.
+
+    Emits EVERY key with its final (alive, tombstone count, open-
+    generation size, last op) — dead keys included, which is what a
+    downstream sink needs to DELETE them; the batch twin materializes
+    only the surviving rows.
+
+    Determinism bound: a CDC fold is order-defined, so the oracle
+    equality holds under ordered replay (availableNow over the
+    bounded fixture — one batch, rows sorted in the fold); the
+    multi-batch state-machine path (generation counts carried across
+    ordered batches, tombstone-at-boundary) is pinned in
+    tests/test_streaming.py with a file-split ordered stream.
+    Production shape: watermarked input + 365-day idle horizon so
+    state stays ∝ active keys (the dedup-horizon contract, max-ts
+    anchored monotone eviction)."""
+    from ..streaming import (
+        open_event_stream,
+        run_to_memory_sink,
+        stream_state_partitions,
+    )
+    from ..streaming.stateful import cdc_apply_stream
+
+    keyed = (
+        open_event_stream(spark, sf_dir)
+        .select(
+            F.col("user_id").cast("string").alias("key"),
+            "ts",
+            "event_id",
+            "event_type",
+        )
+        .withWatermark("ts", "1 minute")
+    )
+    with stream_state_partitions(spark):
+        run_to_memory_sink(
+            cdc_apply_stream(keyed, horizon="365 days"),
+            "stream_cdc_stateful_sink",
+            output_mode="update",
+        )
+    return (
+        spark.table("stream_cdc_stateful_sink")
+        .groupBy("key")
+        .agg(
+            F.expr("max_by(n_tombstones, n_seen)").alias("n_tombstones"),
+            F.expr("max_by(alive, n_seen)").alias("alive"),
+            F.expr("max_by(last_event_type, n_seen)").alias("last_event_type"),
+            F.expr("max_by(gen_events, n_seen)").alias("gen_events"),
+            F.max("n_seen").alias("n_seen"),
+        )
+    )

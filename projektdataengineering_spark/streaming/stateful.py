@@ -314,3 +314,105 @@ def heavy_hitters_stream(keyed: DataFrame, k: int = 400) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Stateful CDC apply: per-key state machine over a tombstoned changelog
+# ---------------------------------------------------------------------------
+
+CDC_OUTPUT_SCHEMA = (
+    "key string, n_tombstones long, alive boolean, "
+    "last_event_type string, gen_events long, n_seen long"
+)
+CDC_STATE_SCHEMA = (
+    "n_tombstones long, gen_events long, last_event_type string, "
+    "alive boolean, n_seen long, max_ts timestamp"
+)
+
+
+def _make_cdc_apply(horizon: "pd.Timedelta | None"):
+    """Factory for the per-key CDC state machine
+    (the streaming form of queries/pipeline_ops.pipeline_cdc_apply):
+    'error' rows are DELETE tombstones that close the key's current
+    generation; every other row upserts into it. State carries
+    (tombstone count, live events in the open generation, last op,
+    alive, rows seen) — O(1) per key regardless of history length.
+
+    Ordering contract: rows WITHIN a micro-batch are sorted by
+    (ts, event_id) before folding (applyInPandasWithState gives no
+    intra-batch order); ACROSS batches the fold is a state machine,
+    so correctness requires batches to arrive in event order — the
+    replay/backfill situation (availableNow over a bounded landing
+    zone) where CDC apply must be deterministic, and the situation
+    the oracle equality certifies. A live out-of-order stream needs
+    the watermark small enough that reordering stays intra-batch.
+
+    Eviction mirrors the dedup horizon contract: a key idle past
+    ``horizon`` (anchored to the max event time ever seen — the
+    monotone clamp, never moved backward by late batches) is evicted
+    at the watermark; a later re-arrival restarts its history (fresh
+    generation/tombstone counts) — the bounded-horizon CDC contract:
+    state ∝ keys active within one horizon."""
+
+    def _fold(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return iter(())
+        parts = [pdf for pdf in pdf_iter if len(pdf)]
+        if not parts:
+            return iter(())
+        batch = pd.concat(parts).sort_values(["ts", "event_id"])
+        is_del = (batch["event_type"] == "error").to_numpy()
+        b_dels = int(is_del.sum())
+        if state.exists:
+            n_tomb, gen_events, last_et, alive, n_seen, prev_max = state.get
+            max_ts = max(pd.Timestamp(prev_max), batch["ts"].max())
+        else:
+            n_tomb, gen_events, n_seen = 0, 0, 0
+            max_ts = batch["ts"].max()
+        if b_dels:
+            # live rows after the batch's last tombstone open the new
+            # generation; everything before belongs to closed ones
+            last_del_pos = int(is_del.nonzero()[0][-1])
+            gen_events = int((~is_del[last_del_pos + 1 :]).sum())
+        else:
+            gen_events = gen_events + len(batch)
+        n_tomb += b_dels
+        n_seen += len(batch)
+        last_et = str(batch["event_type"].iloc[-1])
+        alive = not bool(is_del[-1])
+        state.update((n_tomb, gen_events, last_et, alive, n_seen, max_ts))
+        if horizon is not None:
+            state.setTimeoutTimestamp(int((max_ts + horizon).value // 1_000_000))
+        out = pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_tombstones": [n_tomb],
+                "alive": [alive],
+                "last_event_type": [last_et],
+                "gen_events": [gen_events],
+                "n_seen": [n_seen],
+            }
+        )
+        return iter((out,))
+
+    return _fold
+
+
+def cdc_apply_stream(keyed: DataFrame, horizon: str | None = None) -> DataFrame:
+    """Apply the stateful CDC fold to a streaming DataFrame with columns
+    (key string, ts timestamp, event_id long, event_type string).
+    Output mode: update — the sink's last update per key is the final
+    materialized state (n_seen is monotone, so max_by(·, n_seen)
+    extracts it deterministically)."""
+    return keyed.groupBy("key").applyInPandasWithState(
+        _make_cdc_apply(pd.Timedelta(horizon) if horizon else None),
+        outputStructType=CDC_OUTPUT_SCHEMA,
+        stateStructType=CDC_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if horizon
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

@@ -457,3 +457,73 @@ def test_stateful_dedup_late_batch_cannot_shrink_horizon(spark, tmp_path):
         (pd.Timestamp("2024-01-20 00:00:00"), 1),
         (pd.Timestamp("2024-01-20 00:00:00"), 2),
     }, a_rows
+
+
+def test_stream_cdc_state_machine_across_batches(spark, tmp_path):
+    """Streaming CDC fold (streaming/stateful.py:cdc_apply_stream) across
+    ordered micro-batches: generation counts must carry over a batch
+    boundary, a tombstone at a boundary must close the generation, and
+    a post-tombstone re-insert in a LATER batch must open a fresh one."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from projektdataengineering_spark.streaming.stateful import cdc_apply_stream
+
+    def rows(eid0, ts0, spec):
+        # spec: list of (key, event_type); timestamps strictly increasing
+        return pd.DataFrame(
+            {
+                "key": [k for k, _ in spec],
+                "ts": [pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=ts0 + i) for i in range(len(spec))],
+                "event_id": [eid0 + i for i in range(len(spec))],
+                "event_type": [t for _, t in spec],
+            }
+        )
+
+    # batch 1: u1 upserts twice; u2 upsert then tombstone (dead at boundary)
+    b1 = rows(0, 0, [("u1", "click"), ("u2", "view"), ("u1", "view"), ("u2", "error")])
+    # batch 2: u1 tombstone then re-insert (fresh generation);
+    #          u2 re-inserts after its batch-1 tombstone
+    b2 = rows(10, 100, [("u1", "error"), ("u1", "purchase"), ("u2", "click"), ("u2", "view")])
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    now = time.time()
+    for i, b in enumerate([b1, b2]):
+        f = src / f"batch{i + 1}.parquet"
+        b.astype({"ts": "datetime64[us]"}).to_parquet(f)
+        os.utime(f, (now - 40 + 20 * i, now - 40 + 20 * i))
+
+    stream = (
+        spark.readStream.schema("key string, ts timestamp, event_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        cdc_apply_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("cdc_stream_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cdc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = spark.table("cdc_stream_out").toPandas()
+    final = {
+        r["key"]: r
+        for _, r in out.sort_values("n_seen").iterrows()  # last update wins
+    }
+    u1, u2 = final["u1"], final["u2"]
+    # u1: 2 upserts | tombstone + re-insert -> 1 tombstone, alive,
+    # open generation has exactly the re-inserted row
+    assert (u1["n_tombstones"], u1["alive"], u1["gen_events"], u1["n_seen"]) == (1, True, 1, 4)
+    assert u1["last_event_type"] == "purchase"
+    # u2: upsert+tombstone | 2 re-inserts -> dead at the boundary, then
+    # a fresh 2-event generation
+    assert (u2["n_tombstones"], u2["alive"], u2["gen_events"], u2["n_seen"]) == (1, True, 2, 4)
+    # and the mid-stream state after batch 1 must have shown u2 dead
+    mid = out[(out["key"] == "u2") & (out["n_seen"] == 2)].iloc[0]
+    assert not mid["alive"] and mid["gen_events"] == 0 and mid["n_tombstones"] == 1
