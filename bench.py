@@ -163,6 +163,9 @@ def main() -> int:
         "passes": n_passes,
         "warmup_sec": warmup_sec,
         "pass_walls": pass_walls,
+        # headline-level failure count: survives even if the stdout
+        # byte budget truncates individual failure entries below
+        "failed": sum(1 for v in merged.values() if v < 0),
     }
 
     # complete record → BENCH_full.json (committed per round)
@@ -183,7 +186,8 @@ def main() -> int:
     n_failed = sum(1 for v in merged.values() if v < 0)
     kept: dict[str, float] = {}
     for name in ordered:
-        if len(kept) >= max(_STDOUT_MAX_QUERIES, n_failed):
+        is_fail = merged[name] < 0
+        if not is_fail and len(kept) >= max(_STDOUT_MAX_QUERIES, n_failed):
             break
         kept[name] = merged[name]
         line = json.dumps(
@@ -191,7 +195,9 @@ def main() -> int:
              "queries_elided": len(merged) - len(kept),
              "full": "BENCH_full.json"}
         )
-        if len(line) > _STDOUT_LINE_BUDGET and len(kept) > 1:
+        # failure entries are exempt from byte-budget eviction (the
+        # headline "failed" count backstops even a hard truncation)
+        if len(line) > _STDOUT_LINE_BUDGET and len(kept) > 1 and not is_fail:
             del kept[name]
             break
     print(json.dumps(

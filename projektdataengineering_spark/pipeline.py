@@ -49,11 +49,15 @@ def run_incremental_batch(
     schema,
     key_col: str | None = None,
     now: datetime | None = None,
+    surrogate_key: str | None = None,
 ) -> BatchResult:
     """One landing-zone → warehouse batch; returns what happened.
 
     ``key_col`` adds the anti-join dedup (O4 fix) for sources whose
-    timestamps can collide with the high-water mark.
+    timestamps can collide with the high-water mark. ``surrogate_key``
+    names a UUID column generated per written row (SURVEY §2.1 D1, the
+    reference's ``gen_random_uuid()`` DDL default — postgres/init.sql:2);
+    it identifies the load event and plays no part in idempotence.
     """
     df = read_csv_with_casts(spark, landing_path, casts=casts, schema=schema)
 
@@ -68,6 +72,11 @@ def run_incremental_batch(
         from .operators.incremental import dedup_incremental
 
         fresh = dedup_incremental(fresh, existing, key_col)
+
+    if surrogate_key is not None:
+        from .sources import with_surrogate_key
+
+        fresh = with_surrogate_key(fresh, surrogate_key)
 
     from pyspark.sql import Observation
 

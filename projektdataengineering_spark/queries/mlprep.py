@@ -273,8 +273,13 @@ def sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.desc("priority"), F.asc("o_orderkey"))
     ranked = topk1.withColumn("rk", F.row_number().over(w).cast("bigint"))
-    tau = ranked.filter(F.col("rk") == _PRIORITY_K + 1).select(
-        F.col("priority").alias("tau")
+    # agg (not select) so tau is ALWAYS exactly one row — NULL when the
+    # table has ≤ k rows — matching the oracle's NULL-ignoring
+    # GREATEST(weight, scalar-subquery); a bare filter+select yields an
+    # EMPTY frame on a sub-(k+1)-row table and the crossJoin would then
+    # drop every sampled row (round-8 advice)
+    tau = ranked.filter(F.col("rk") == _PRIORITY_K + 1).agg(
+        F.max("priority").alias("tau")
     )
     return (
         ranked.filter(F.col("rk") <= _PRIORITY_K)

@@ -341,7 +341,12 @@ def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (prev char, run length, running Σc(c−1)) — appending to a run of
     length r adds 2r), distinct chars from array_distinct. The oracle
     takes the vectorized UNNEST+GROUP BY road to the same integers.
-    Only (doc_id, 4 scalars) survive the map stage."""
+    Only (doc_id, 4 scalars) survive the map stage.
+
+    Unicode: F.split(text, "") splits at CODE POINT boundaries (Java
+    regex is code-point aware — surrogate pairs stay whole), matching
+    DuckDB's string_split(text, '') even for non-BMP input; pinned by
+    tests/test_properties.py::test_char_split_is_codepoint_safe_cross_engine."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     chars = F.split(F.col("text"), "")
     fold = F.aggregate(

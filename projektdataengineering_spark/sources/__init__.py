@@ -54,6 +54,22 @@ def weather_raw_schema() -> T.StructType:
     )
 
 
+def with_surrogate_key(df: DataFrame, col_name: str = "row_uuid") -> DataFrame:
+    """Prepend a UUID surrogate-key column (SURVEY §2.1 D1).
+
+    Reproduces the reference DDL's ``gen_random_uuid()`` default
+    (postgres/init.sql:2) as Spark's ``uuid()`` expression — generated
+    executor-side at write time, one fresh v4 UUID per row, no shuffle
+    and no driver round-trip. Non-deterministic by design (a surrogate
+    key identifies the ROW LOAD EVENT, not the business content), so
+    tests assert uniqueness + schema, never values; anything
+    replay-idempotent must key on business columns (see
+    ``dedup_incremental``), exactly as with the reference's database-
+    generated default.
+    """
+    return df.select(F.expr("uuid()").alias(col_name), "*")
+
+
 def read_csv_with_casts(
     spark: SparkSession,
     path: str,
@@ -287,7 +303,13 @@ def ensure_bucketed(
         try:
             os.rename(tmp, path)
         except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+            shutil.rmtree(tmp, ignore_errors=True)
+            # "lost the race" is only true if a winner's directory is
+            # actually there; a permissions/path failure must surface
+            # HERE, not as an obscure read error off the registered
+            # table later
+            if not os.path.isdir(path):
+                raise
     cols_ddl = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
     )

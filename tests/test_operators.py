@@ -1127,3 +1127,23 @@ def test_triangle_query_star_cap_parity(spark, tmp_path):
     assert len([p for p in got_pairs if p[0] == "d000"]) == n - 1
     assert ("d001", "d002") in got_pairs
     assert len(got_pairs) == n - 1 + 1
+
+
+def test_sample_priority_survives_tiny_table(spark, tmp_path):
+    """Priority sampling on a table SMALLER than k+1 rows: tau is NULL
+    (no (k+1)-th priority exists) and every row must still be returned
+    with est_weight = weight — matching the oracle's NULL-ignoring
+    GREATEST(weight, scalar-subquery). Pins the round-8 advice bug
+    where an empty tau frame crossJoined away the whole sample."""
+    from projektdataengineering_spark.queries.mlprep import sample_priority
+
+    tiny = spark.createDataFrame(
+        [(i, float(100 + i)) for i in range(5)],
+        "o_orderkey long, o_totalprice double",
+    )
+    d = str(tmp_path / "sfx")
+    tiny.write.parquet(f"{d}/orders.parquet")
+    out = sample_priority(spark, d).orderBy("o_orderkey").collect()
+    assert len(out) == 5
+    for r in out:
+        assert r.est_weight == r.weight

@@ -240,3 +240,55 @@ def test_s3a_session_hook_sets_hadoop_conf(spark):
         hconf.get("fs.s3a.aws.credentials.provider")
         == "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider"
     )
+
+
+def test_surrogate_key_uuid_column_d1(spark, dirs):
+    """SURVEY §2.1 D1: the warehouse write can generate a UUID
+    surrogate key per written row (reference postgres/init.sql:2
+    ``gen_random_uuid()``). Non-deterministic by design — assert
+    schema + per-row uniqueness + RFC-4122 shape, never values; and
+    replay idempotence must NOT depend on it (HWM drops the replay
+    before any uuid is generated)."""
+    import re
+
+    (dirs["landing"] / "b1.csv").write_text(BATCH1)
+    res = run_incremental_batch(
+        spark,
+        landing_path=str(dirs["landing"]),
+        warehouse_path=dirs["warehouse"],
+        archive_root=dirs["archive"],
+        dataset="weather_data",
+        ts_col="StartTimeUTC",
+        casts=WEATHER_CASTS,
+        schema=weather_raw_schema(),
+        now=datetime(2022, 1, 2, tzinfo=timezone.utc),
+        surrogate_key="row_uuid",
+    )
+    assert res.rows_written == 2
+    wh = spark.read.parquet(dirs["warehouse"])
+    assert wh.schema["row_uuid"].dataType.simpleString() == "string"
+    rows = wh.select("row_uuid", "EventId").collect()
+    uuids = [r.row_uuid for r in rows]
+    assert len(set(uuids)) == len(uuids) == 2
+    v4 = re.compile(
+        r"^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"
+    )
+    assert all(v4.match(u) for u in uuids), uuids
+
+    # replay: same file again → zero new rows, uuid set unchanged
+    (dirs["landing"] / "b1_replay.csv").write_text(BATCH1)
+    res2 = run_incremental_batch(
+        spark,
+        landing_path=str(dirs["landing"]),
+        warehouse_path=dirs["warehouse"],
+        archive_root=dirs["archive"],
+        dataset="weather_data",
+        ts_col="StartTimeUTC",
+        casts=WEATHER_CASTS,
+        schema=weather_raw_schema(),
+        now=datetime(2022, 1, 3, tzinfo=timezone.utc),
+        surrogate_key="row_uuid",
+    )
+    assert res2.rows_written == 0
+    after = {r.row_uuid for r in spark.read.parquet(dirs["warehouse"]).select("row_uuid").collect()}
+    assert after == set(uuids)

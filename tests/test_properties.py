@@ -237,3 +237,36 @@ def test_keep_latest_is_idempotent_and_newest(sp, rows):
         if k not in expected or (o, i) > (expected[k][3], expected[k][0]):
             expected[k] = (i, u, str(t), o)
     assert once == sorted(expected.values())
+
+
+def test_char_split_is_codepoint_safe_cross_engine(sp):
+    """text_char_diversity splits with F.split(text, "") — Java regex
+    splits at CODE POINT boundaries (surrogate pairs stay whole), which
+    must agree with DuckDB's string_split(text, '') for any input,
+    including non-BMP characters (emoji, rare CJK).  Pins the round-8
+    advice concern: if either engine ever regressed to UTF-16 code
+    units, n_cp/collision_ppm would diverge and this fails first."""
+    import duckdb
+
+    samples = [
+        "\U0001F600a\U0001F600",          # emoji surrogate pairs
+        "\U00020000\U00020000x",          # CJK ext-B (non-BMP)
+        "plain ascii",
+        "café 中文",        # BMP accents + CJK
+        "\U0001F600" * 5,                 # run of identical non-BMP
+    ]
+    df = sp.createDataFrame([(s,) for s in samples], "text string")
+    got = [
+        (r.n, r.arr)
+        for r in df.select(
+            F.size(F.split("text", "")).alias("n"),
+            F.split("text", "").alias("arr"),
+        ).collect()
+    ]
+    for s, (n, arr) in zip(samples, got):
+        want_n, want_arr = duckdb.sql(
+            "SELECT len(string_split(?, '')), string_split(?, '')",
+            params=[s, s],
+        ).fetchone()
+        assert n == want_n == len(s), s
+        assert arr == want_arr == list(s), s
