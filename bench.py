@@ -51,6 +51,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _STDOUT_LINE_BUDGET = 1100
 _STDOUT_MAX_QUERIES = 10
 
+# Per-query warm-min ceilings (seconds, sf0.1) for queries that have
+# silently regressed before (round-8 verdict: sim_minhash_lsh went
+# 1.3 s → 5.0 s warm behind a green hash; sim_cosine_exact_pairs
+# wobbled 4.4 s ↔ 11.3 s between passes). Visibility guard, not a
+# failure gate: a breach rides the stdout line as "over_budget" so the
+# per-round record shows the regression the moment it happens.
+_WARM_BUDGETS_SF01 = {
+    "sim_minhash_lsh": 3.0,
+    "sim_cosine_exact_pairs": 9.0,
+}
+
 
 def _sf_of(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))
@@ -167,6 +178,14 @@ def main() -> int:
         # byte budget truncates individual failure entries below
         "failed": sum(1 for v in merged.values() if v < 0),
     }
+    if abs(_sf_of(SF_DIR) - 0.1) < 1e-9:
+        over = {
+            n: merged[n]
+            for n, cap in _WARM_BUDGETS_SF01.items()
+            if merged.get(n, -1.0) > cap
+        }
+        if over:
+            headline["over_budget"] = over
 
     # complete record → BENCH_full.json (committed per round)
     full_payload = json.dumps(

@@ -970,29 +970,38 @@ def minhash_band_pairs(
 
 
 # ---------------------------------------------------------------------------
-# Portable 16-lane md5 MinHash — the SQL-replayable production estimator
+# Portable 16-lane MinHash — the SQL-replayable production estimator
 # ---------------------------------------------------------------------------
 #
 # The xxh64 kernel above stays as the compact-lane (8-byte) variant for
 # connectivity-only consumers and the calibration tests; the REGISTERED
-# estimator runs on md5 lanes so DuckDB can replay the whole
-# shingle→lane→band→pair pipeline value-for-value — the same xxh64→md5
-# port pattern that graduated sim_simhash in round 6 (its r1-r5 xxh64
-# form was rows-only for exactly this reason).
+# estimator must be DuckDB-replayable, so its randomness comes from md5.
+# Round-9 perf fix: the round-8 form computed SIXTEEN md5s per shingle
+# (lane j = min md5(digest || '#j')), which regressed the query 3.8×
+# warm at sf0.1 — ~17 string hashes per (doc, gram) dominated the whole
+# pipeline. Now each distinct gram is md5-hashed ONCE and the digest is
+# split into two 32-bit ints (h1, h2); lane i is the min over grams of
+# the affine rehash (h1 + i·h2) mod 2^32 — the public MinHashLSH
+# construction (Spark MLlib uses per-lane affine transforms of one
+# element hash; Kirsch–Mitzenmacher double hashing). All lane math is
+# exact BIGINT arithmetic (max h1 + 15·h2 < 2^36), so DuckDB replays it
+# bit-for-bit and the 16 lane passes are integer folds, not hashes.
 
 _N_PORTABLE_MH = 16  # lanes; est_jaccard resolution = 1/16
 _PORTABLE_MH_BANDS = 4  # 4 bands × 4 lanes → same s-curve as the xxh64 path
 _PORTABLE_MH_BAND_SIZE = _N_PORTABLE_MH // _PORTABLE_MH_BANDS
+_PORTABLE_MH_MOD = 1 << 32  # lane modulus; (h1 + i·h2) stays < 2^36
 
 
 def _portable_mh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, lanes array<string>, band_idx, band_key) — one row per
-    (doc, band). Each shingle is md5-hashed ONCE (distinct 3-token
-    grams → 32-hex digests), then lane j takes the min over shingles of
-    md5(digest || '#j') — hashing the fixed-width digest instead of the
-    raw shingle keeps the 16-lane pass O(16·shingles·33B) regardless of
-    shingle length. Lane mins run inside the per-row array (no explode,
-    no shuffle); only (doc_id, 16×32-hex, band key) leaves the scan."""
+    """(doc_id, lanes array<bigint>, band_idx, band_key) — one row per
+    (doc, band). Each distinct 3-token gram is md5-hashed ONCE; hex
+    chars 1-8 / 9-16 of the digest become 32-bit ints h1/h2, and lane i
+    takes the min over grams of (h1 + i·h2) mod 2^32 (see the module
+    comment: the MLlib-style affine-rehash family, one true hash + 16
+    integer folds). Lane mins run inside the per-row arrays (no
+    explode, no shuffle); only (doc_id, 16 longs, band key) leaves the
+    scan."""
     from ..functions import token_ngrams
 
     docs = _spread_small_input(
@@ -1011,16 +1020,27 @@ def _portable_mh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(token_ngrams("toks", 3), lambda s: F.md5(s))
         ).alias("ghs"),
     )
+    hs = g.select(
+        "doc_id",
+        F.transform(
+            "ghs", lambda d: F.conv(F.substring(d, 1, 8), 16, 10).cast("long")
+        ).alias("h1s"),
+        F.transform(
+            "ghs", lambda d: F.conv(F.substring(d, 9, 8), 16, 10).cast("long")
+        ).alias("h2s"),
+    )
 
     def lane(i: int):
         # factory closure, NOT a defaulted two-param lambda (the
         # _minhash_lane pitfall: `lambda s, i=i` becomes an
         # (element, index) function and the index overwrites the lane)
         return F.array_min(
-            F.transform("ghs", lambda s: F.md5(F.concat(s, F.lit(f"#{i}"))))
+            F.zip_with(
+                "h1s", "h2s", lambda a, b: (a + F.lit(i) * b) % _PORTABLE_MH_MOD
+            )
         )
 
-    sig = g.select(
+    sig = hs.select(
         "doc_id", F.array(*[lane(i) for i in range(_N_PORTABLE_MH)]).alias("lanes")
     )
     return sig.select(
@@ -1031,15 +1051,16 @@ def _portable_mh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band_idx"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
+                        F.concat_ws(
+                            ",",
+                            F.transform(
                                 F.slice(
                                     "lanes",
                                     b * _PORTABLE_MH_BAND_SIZE + 1,
                                     _PORTABLE_MH_BAND_SIZE,
                                 ),
-                            )
+                                lambda x: x.cast("string"),
+                            ),
                         ).alias("band_key"),
                     )
                     for b in range(_PORTABLE_MH_BANDS)
@@ -1056,23 +1077,29 @@ _PORTABLE_MH_CTE = f"""
     sig AS (
       SELECT doc_id,
              [{", ".join(
-                 f"list_min([md5(gh || '#{i}') for gh in ghs])"
+                 f"list_min(list_transform(range(1, len(h1s) + 1),"
+                 f" j -> (h1s[j] + {i} * h2s[j]) % {_PORTABLE_MH_MOD}))"
                  for i in range(_N_PORTABLE_MH)
              )}] AS lanes
       FROM (
         SELECT doc_id,
-               list_distinct([md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-                              for i in range(1, len(toks) - 1)]) AS ghs
-        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+               list_transform(ghs, d -> CAST(concat('0x', substr(d, 1, 8)) AS BIGINT)) AS h1s,
+               list_transform(ghs, d -> CAST(concat('0x', substr(d, 9, 8)) AS BIGINT)) AS h2s
+        FROM (
+          SELECT doc_id,
+                 list_distinct([md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                                for i in range(1, len(toks) - 1)]) AS ghs
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        )
+        WHERE len(ghs) > 0
       )
-      WHERE len(ghs) > 0
     ),
     bands AS (
       SELECT doc_id, lanes, r.band_idx AS band_idx,
-             md5(array_to_string(
+             array_to_string(list_transform(
                lanes[r.band_idx * {_PORTABLE_MH_BAND_SIZE} + 1 :
                      r.band_idx * {_PORTABLE_MH_BAND_SIZE} + {_PORTABLE_MH_BAND_SIZE}],
-               ',')) AS band_key
+               x -> CAST(x AS VARCHAR)), ',') AS band_key
       FROM sig, range(0, {_PORTABLE_MH_BANDS}) r(band_idx)
     )
 """
@@ -1104,9 +1131,11 @@ def sim_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate candidates with estimated Jaccard = fraction of
     matching minhash lanes — HASH-CHECKED against a full DuckDB replay
     since round 7 (previously rows-only: the xxh64 lanes had no SQL
-    twin; the 16 md5 lanes do — see _portable_mh_bands and the module
-    comment above it). Statistical calibration vs exact shingle
-    Jaccard stays pinned in tests/test_operators.py.
+    twin; the md5-seeded affine lanes do — see _portable_mh_bands and
+    the module comment above it for the round-9 one-hash-per-gram
+    rework that undid the 16-md5s-per-gram perf regression).
+    Statistical calibration vs exact shingle Jaccard stays pinned in
+    tests/test_operators.py.
 
     Round-6 scale shape retained: buckets past star_cap=256 emit
     min-member star edges with an honest ``capped`` marker (True = the
