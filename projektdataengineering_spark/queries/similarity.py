@@ -567,6 +567,8 @@ def _ivf_train_centroids(spark: SparkSession, e: DataFrame) -> "np.ndarray":
     the driver. At 100 TB the component explosion would be replaced by
     per-batch partial sums in the same mapInPandas (one row per
     cell×dim per batch); the plan shape is otherwise identical."""
+    global _IVF_TRAIN_RUNS
+    _IVF_TRAIN_RUNS += 1
     init = [r["vec"] for r in e.orderBy("vec_id").limit(_IVF_K).collect()]
     cents = np.stack([np.asarray(v, dtype=np.float64) for v in init])
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
@@ -612,7 +614,77 @@ def _ivf_train_centroids(spark: SparkSession, e: DataFrame) -> "np.ndarray":
     return cents
 
 
-def ivf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+_IVF_CENTROID_CACHE: dict[str, "np.ndarray"] = {}
+_IVF_TRAIN_RUNS = 0  # Lloyd trainings this process; tests assert reuse skips them
+
+
+def _ivf_index_path(sf_dir: str) -> tuple[str, str]:
+    """(tag, path) for the persisted coarse-quantizer index.
+
+    The tag folds the CONTENT fingerprint of the embeddings source with
+    every hyperparameter that shapes the trained centroids, so a
+    regenerated fixture or a retuned quantizer can never silently reuse
+    a stale index — the same keying discipline as ensure_bucketed
+    (round-8 ADVICE)."""
+    import os
+
+    from ..sources import source_fingerprint
+
+    fp = source_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    tag = f"{fp}_k{_IVF_K}_i{_IVF_ITERS}_d{_IVF_DIM}"
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+        "ivf",
+        f"centroids_{tag}.npy",
+    )
+    return tag, path
+
+
+def _ivf_centroids(
+    spark: SparkSession, sf_dir: str, e: DataFrame, force_disk_reload: bool = False
+) -> "np.ndarray":
+    """Train-once / reuse-forever IVF index: memory cache → on-disk
+    ``.npy`` keyed by source fingerprint (+ hyperparams) → Lloyd
+    training as the last resort, persisted via write-temp + atomic
+    rename (the ensure_bucketed recipe — a concurrent session's winner
+    is bit-identical by determinism of the trainer, so losing the race
+    just means loading the winner's file).
+
+    This is the difference between an ANN demo and an ANN system: at
+    100 TB the index is built once per corpus version and every query
+    session mmap-loads K×dim floats instead of re-running k-means.
+    ``force_disk_reload`` drops the in-process cache first so the
+    registered reuse query genuinely exercises the disk round-trip."""
+    import os
+
+    tag, path = _ivf_index_path(sf_dir)
+    if force_disk_reload:
+        _IVF_CENTROID_CACHE.pop(tag, None)
+    cached = _IVF_CENTROID_CACHE.get(tag)
+    if cached is not None:
+        return cached
+    if os.path.exists(path):
+        cents = np.load(path)
+        _IVF_CENTROID_CACHE[tag] = cents
+        return cents
+    cents = _ivf_train_centroids(spark, e)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.{os.getpid()}.tmp.npy"  # .npy suffix: np.save appends otherwise
+    np.save(tmp, cents)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        os.unlink(tmp)
+        if not os.path.exists(path):  # not a lost race — surface it
+            raise
+    _IVF_CENTROID_CACHE[tag] = cents
+    return cents
+
+
+def ivf_top3(
+    spark: SparkSession, sf_dir: str, force_disk_reload: bool = False
+) -> DataFrame:
     """Raw IVF ANN producer (columns id_q, id_n, cos_sim): spherical-
     k-means coarse quantizer (_IVF_K cells), each vector indexed in its
     nearest cell, each query probing its _IVF_NPROBE nearest cells;
@@ -636,7 +708,7 @@ def ivf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     recompute. At 100 TB the same seam becomes
     persist(MEMORY_AND_DISK) on a real cluster."""
     e = _embeddings_normed(spark, sf_dir).select("vec_id", "vec").localCheckpoint()
-    cents = _ivf_train_centroids(spark, e)
+    cents = _ivf_centroids(spark, sf_dir, e, force_disk_reload=force_disk_reload)
     bc = spark.sparkContext.broadcast(cents)
 
     def assign(batches):
@@ -714,6 +786,25 @@ def sim_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     additionally pinned in tests/test_operators.py."""
     exact = _exact_top3_per_query(spark, sf_dir)
     return _recall_certified(exact, ivf_top3(spark, sf_dir), _IVF_RECALL_BOUND)
+
+
+@query("sim_cosine_ivf_reuse", oracle=_EXACT_TOP3_ORACLE)
+def sim_cosine_ivf_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN on the PERSISTED index — same pipeline, same recall
+    certification, and (by the trainer's decimal-sum determinism) the
+    same hash as ``sim_cosine_ivf``, but the coarse quantizer is loaded
+    from the on-disk ``.npy`` written by whichever invocation trained
+    first (``force_disk_reload=True`` drops the in-process cache so the
+    disk round-trip genuinely happens; if no index exists yet this
+    call trains and persists it — still hash-identical). The
+    train-once/probe-forever split is the 100-TB operating mode: index
+    build is a per-corpus-version batch job, query sessions load K×dim
+    floats. Index keying/staleness discipline in _ivf_index_path;
+    Lloyd-skip on second invocation proven in tests/test_operators.py."""
+    exact = _exact_top3_per_query(spark, sf_dir)
+    return _recall_certified(
+        exact, ivf_top3(spark, sf_dir, force_disk_reload=True), _IVF_RECALL_BOUND
+    )
 
 
 def _bucket_pairs(

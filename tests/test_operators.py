@@ -1147,3 +1147,41 @@ def test_sample_priority_survives_tiny_table(spark, tmp_path):
     assert len(out) == 5
     for r in out:
         assert r.est_weight == r.weight
+
+
+def test_ivf_index_persists_and_skips_retraining(spark, sf_dir):
+    """The IVF coarse quantizer is train-once/reuse-forever: the first
+    _ivf_centroids call runs Lloyd and persists a .npy keyed by the
+    embeddings fingerprint; a later call in a FRESH process (simulated
+    by clearing the in-memory cache) loads the file and must NOT
+    retrain — and the loaded centroids are bit-identical."""
+    import os
+
+    import numpy as np
+
+    from projektdataengineering_spark.queries import similarity as S
+
+    e = (
+        S._embeddings_normed(spark, sf_dir)
+        .select("vec_id", "vec")
+        .localCheckpoint()
+    )
+    tag, path = S._ivf_index_path(sf_dir)
+    S._IVF_CENTROID_CACHE.pop(tag, None)
+    if os.path.exists(path):
+        os.unlink(path)
+
+    runs0 = S._IVF_TRAIN_RUNS
+    c1 = S._ivf_centroids(spark, sf_dir, e)
+    assert S._IVF_TRAIN_RUNS == runs0 + 1, "first call must train"
+    assert os.path.exists(path), "index file must be persisted"
+
+    S._IVF_CENTROID_CACHE.pop(tag, None)  # simulate a new session
+    c2 = S._ivf_centroids(spark, sf_dir, e)
+    assert S._IVF_TRAIN_RUNS == runs0 + 1, "second call must NOT retrain"
+    np.testing.assert_array_equal(c1, c2)
+
+    # third call: warm in-process path, still no retrain
+    c3 = S._ivf_centroids(spark, sf_dir, e)
+    assert S._IVF_TRAIN_RUNS == runs0 + 1
+    np.testing.assert_array_equal(c1, c3)
