@@ -126,7 +126,87 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_video_frames", oracle=None)
+# --- video certification constants -----------------------------------
+_VID_W = 16                     # frame is 16×16×3
+_VID_FRAME_PX = _VID_W * _VID_W * 3  # 768 bytes per frame
+_VID_N_FRAMES = 4
+_VID_SAMPLED = 2                # sample_frames(n_frames=2) → source frames 0, 2
+# MJPG frame-mean reconstruction bound (bytes, on a 0..255 scale).
+# Derivation (quality=85 tables, 4:2:0): the DCT AC basis functions sum
+# to zero, so a plane's MEAN is touched only by DC quantization —
+# |Δmean| ≤ q00/16 ≈ 0.32 per plane — and the 2×2 box-mean/repeat
+# chroma cycle preserves plane means exactly on even dims; per-stage
+# integer rounding adds ≤ 0.5, and the affine YCbCr↔RGB transform
+# propagates plane-mean errors with coefficient sum < 2.2 → the
+# analytic frame-mean bound is ≈ 2. Pixel clipping after ringing is
+# the one term without a tight closed form, so the certified bound is
+# widened to 16.0 — still 6% of the byte range, and the fixture's
+# actual error measures ≪ 1, so the boolean is a stable theorem, never
+# a measurement near its boundary (the agg_hll_merge graduation rule).
+_VID_MJPG_MEAN_BOUND = 16.0
+
+_VIDEO_HEXPOS = (
+    "strpos('0123456789ABCDEF', substr(hx, CAST(2*(off+i)+{o} AS INT), 1)) - 1"
+)
+
+_VIDEO_FRAMES_SQL = f"""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR octet_length(encode(text)) = 0
+                  THEN '\\x00'::BLOB ELSE encode(text) END AS b
+      FROM documents
+    ),
+    meta AS (
+      SELECT doc_id, hex(b) AS hx, octet_length(b) AS n_raw FROM raw
+    ),
+    fr AS (
+      SELECT doc_id, hx, n_raw, u.k AS frame_idx,
+             u.k * {2 * _VID_FRAME_PX} AS off,
+             LEAST(GREATEST(n_raw - u.k * {2 * _VID_FRAME_PX}, 0),
+                   {_VID_FRAME_PX}) AS take
+      FROM meta, (SELECT unnest([0, 1]) AS k) u
+    ),
+    allvals AS (
+      SELECT doc_id, frame_idx,
+             ({_VIDEO_HEXPOS.format(o=1)}) * 16
+               + ({_VIDEO_HEXPOS.format(o=2)}) AS v,
+             1 AS w
+      FROM fr, UNNEST(range(0, take)) AS u(i)
+      UNION ALL
+      SELECT doc_id, frame_idx, 0 AS v, {_VID_FRAME_PX} - take AS w
+      FROM fr WHERE take < {_VID_FRAME_PX}
+    ),
+    hist AS (
+      SELECT doc_id, frame_idx, v // 16 AS bin, SUM(w) AS c
+      FROM allvals GROUP BY 1, 2, 3
+    ),
+    amax AS (
+      SELECT doc_id, frame_idx, bin FROM (
+        SELECT doc_id, frame_idx, bin,
+               ROW_NUMBER() OVER (PARTITION BY doc_id, frame_idx
+                                  ORDER BY c DESC, bin) AS rn
+        FROM hist
+      ) WHERE rn = 1
+    ),
+    meanv AS (
+      SELECT doc_id, frame_idx,
+             CAST(SUM(v * w) AS DOUBLE) / {float(_VID_FRAME_PX)} AS src_mean
+      FROM allvals GROUP BY 1, 2
+    )
+    SELECT m.doc_id, CAST(m.frame_idx AS INT) AS frame_idx,
+           CASE WHEN m.doc_id % 2 = 1 THEN 'MJPG' ELSE 'DIB' END AS codec,
+           CAST({_VID_FRAME_PX} AS BIGINT) AS n_pixels,
+           CASE WHEN m.doc_id % 2 = 0 THEN mv.src_mean END AS feat_mean_exact,
+           CASE WHEN m.doc_id % 2 = 0 THEN CAST(ax.bin AS INT) END
+             AS feat_argmax_exact,
+           TRUE AS mean_err_ok
+    FROM fr m
+    JOIN meanv mv ON m.doc_id = mv.doc_id AND m.frame_idx = mv.frame_idx
+    JOIN amax ax ON m.doc_id = ax.doc_id AND m.frame_idx = ax.frame_idx
+"""
+
+
+@query("multimodal_video_frames", oracle=_VIDEO_FRAMES_SQL)
 def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video pipeline end-to-end: each document packed into an
     actual AVI — even doc_ids as uncompressed BI_RGB, odd doc_ids as
@@ -135,32 +215,88 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     video→image expansion a training curriculum runs:
     sample_frames(fake=False) decodes the container (RIFF walk + DIB
     un-flip or full JPEG entropy-decode/IDCT per frame), strides 2
-    frames per clip and re-encodes each as a standalone PNG, and
-    extract_features(fake=False) featurizes the DECODED pixels of
-    every sampled frame. The engine's ONE remaining rows-only query
-    (round 8): the MJPG leg is LOSSY JPEG, so decoded pixels are not a
-    SQL-replayable function of the source bytes — unlike the
-    image/audio legs' lossless decoded-domain oracles; per-frame pixel
-    fidelity for both codec paths is unit-tested in
-    tests/test_multimodal.py instead. Output: 2 frame-feature rows per
-    doc, keyed (doc_id, frame_idx) — deterministic."""
+    frames per clip (source frames 0 and 2 of 4) and re-encodes each
+    as a standalone PNG, and extract_features(fake=False) featurizes
+    the DECODED pixels of every sampled frame.
+
+    HASH-CHECKED since round 9 (the last rows-only query graduated,
+    split by codec losslessness):
+
+    * DIB rows (even doc_ids): ``feat_mean_exact``/``feat_argmax_exact``
+      are the DECODED frame's mean and 16-bin histogram argmax — the
+      oracle replays them from encode(text) byte arithmetic (frame f
+      occupies source bytes [768f, 768(f+1)) zero-padded), so a
+      BI_RGB/PNG roundtrip that corrupts ANY byte fails the hash.
+      Mean and argmax are invariant to the decoder's BGR→RGB reorder
+      and vertical un-flip, which is what makes them replayable.
+    * MJPG rows (odd doc_ids): lossy — exact columns are NULL by
+      contract and the certification is ``mean_err_ok``: the decoded
+      frame mean within _VID_MJPG_MEAN_BOUND of the exact source mean
+      (see the bound's derivation at its definition). A broken Huffman
+      table, IDCT, or upsampler shifts the mean far past the bound and
+      flips the boolean → hash fails.
+
+    Per-frame pixel fidelity for both codec paths stays unit-pinned in
+    tests/test_multimodal.py; this query makes the driver check it."""
+    import numpy as np
+    import pandas as pd
+
     # spread_small_input: the per-blob Python codec cost is the whole
     # query; a single-split local fixture would serialize it on one
     # core (measured 20.8 s vs ~2 s spread at sf0.1 with the MJPG leg).
     docs = spread_small_input(load_table(spark, sf_dir, "documents"))
-    clips = attach_avi_payload(docs, width=16, n_frames=4, codec="mixed")
-    frames = sample_frames(clips, n_frames=2, fake=False)
+    clips = attach_avi_payload(
+        docs, width=_VID_W, n_frames=_VID_N_FRAMES, codec="mixed"
+    )
+    frames = sample_frames(clips, n_frames=_VID_SAMPLED, fake=False)
     feats = extract_features(
         frames.select(
             (F.col("doc_id") * 10 + F.col("frame_idx")).alias("doc_id"),
             "modality", "payload", "n_bytes", "checksum",
         ),
         fake=False,
-    )
-    return feats.select(
+    ).select(
         (F.col("doc_id") / 10).cast("long").alias("doc_id"),
         F.pmod("doc_id", F.lit(10)).cast("int").alias("frame_idx"),
-        "modality", "n_bytes", "checksum", "feat_mean", "feat_argmax",
+        "feat_mean", "feat_argmax",
+    )
+
+    def src_stats(batches):
+        # source-byte twin of the oracle's hex arithmetic: numpy over
+        # the raw text bytes, no codec in the path — independent of
+        # everything the query certifies
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "src_mean": [], "src_argmax": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text or "").encode("utf-8") or b"\x00"
+                buf = np.zeros(_VID_N_FRAMES * _VID_FRAME_PX, dtype=np.uint8)
+                buf[: min(len(raw), buf.size)] = np.frombuffer(
+                    raw[: buf.size], dtype=np.uint8
+                )
+                for k in range(_VID_SAMPLED):
+                    f = (k * _VID_N_FRAMES) // _VID_SAMPLED
+                    fb = buf[f * _VID_FRAME_PX : (f + 1) * _VID_FRAME_PX]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(k)
+                    out["src_mean"].append(float(int(fb.sum()) / _VID_FRAME_PX))
+                    out["src_argmax"].append(
+                        int(np.argmax(np.bincount(fb >> 4, minlength=16)))
+                    )
+            yield pd.DataFrame(out)
+
+    src = docs.select("doc_id", "text").mapInPandas(
+        src_stats, "doc_id long, frame_idx int, src_mean double, src_argmax int"
+    )
+    is_dib = F.pmod("doc_id", F.lit(2)) == 0
+    return feats.join(src, ["doc_id", "frame_idx"]).select(
+        "doc_id",
+        "frame_idx",
+        F.when(is_dib, F.lit("DIB")).otherwise(F.lit("MJPG")).alias("codec"),
+        F.lit(_VID_FRAME_PX).cast("long").alias("n_pixels"),
+        F.when(is_dib, F.col("feat_mean")).alias("feat_mean_exact"),
+        F.when(is_dib, F.col("feat_argmax")).cast("int").alias("feat_argmax_exact"),
+        (F.abs(F.col("feat_mean") - F.col("src_mean")) <= _VID_MJPG_MEAN_BOUND)
+        .alias("mean_err_ok"),
     )
 
 
