@@ -1185,3 +1185,47 @@ def test_ivf_index_persists_and_skips_retraining(spark, sf_dir):
     c3 = S._ivf_centroids(spark, sf_dir, e)
     assert S._IVF_TRAIN_RUNS == runs0 + 1
     np.testing.assert_array_equal(c1, c3)
+
+
+def test_compaction_apply_executes_and_reuses(spark, sf_dir):
+    """pipeline_compaction_apply must (a) materialize the small-file
+    table and its compacted rewrite for REAL (leaf parquet files on
+    disk matching the manifest's counts), (b) hold row parity per
+    partition, and (c) be content-addressed: a second invocation
+    serves the frozen manifest without touching the tables."""
+    import glob
+    import os
+
+    from projektdataengineering_spark.queries.layout import (
+        _compaction_workdir,
+        pipeline_compaction_apply,
+    )
+
+    rows = pipeline_compaction_apply(spark, sf_dir).collect()
+    assert rows
+    base = _compaction_workdir(sf_dir)
+    for sub in ("before", "after", "manifest"):
+        assert os.path.isdir(os.path.join(base, sub)), sub
+    total_before = total_after = 0
+    for r in rows:
+        assert r["row_parity"] and r["rows_before"] == r["rows_after"]
+        assert 1 <= r["files_after"]
+        # manifest file counts == actual leaf parquet files on disk
+        for side, n in (("before", r["files_before"]), ("after", r["files_after"])):
+            leaf = glob.glob(
+                os.path.join(
+                    base, side,
+                    f"event_type={r['event_type']}",
+                    f"event_date={r['event_date']}",
+                    "*", "*.parquet",
+                )
+            )
+            assert len(leaf) == n, (side, r)
+        total_before += r["files_before"]
+        total_after += r["files_after"]
+    assert total_after < total_before, "compaction must reduce total file count"
+
+    mtime = os.path.getmtime(os.path.join(base, "manifest"))
+    again = pipeline_compaction_apply(spark, sf_dir).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+    assert os.path.getmtime(os.path.join(base, "manifest")) == mtime
