@@ -267,3 +267,93 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly comparable."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup_exact_frame(docs).select("doc_id", "lang", "source", "content_sha256")
+
+
+# ---------------------------------------------------------------------------
+# Substring-level dedup (round 9): repeated-substring spans, the level
+# BELOW document dedup — the public Lee et al. ("Deduplicating Training
+# Data Makes Language Models Better") result is that exact SUBSTRING
+# dedup removes duplication document-level passes cannot see (boiler-
+# plate, quoted blocks, templated sections shared by otherwise-distinct
+# documents).
+# ---------------------------------------------------------------------------
+
+_SUBSTR_W = 8  # window width in tokens
+
+_SUBSTR_SPANS_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    win AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(t[i + 1 : i + {_SUBSTR_W}], ' ')) AS fp
+      FROM toks, UNNEST(range(0, len(t) - {_SUBSTR_W} + 1)) AS u(i)
+    ),
+    rep AS (
+      SELECT doc_id, pos, fp,
+             COUNT(*) OVER (PARTITION BY fp) AS c
+      FROM win
+    ),
+    isl AS (
+      SELECT doc_id, pos, fp,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM rep WHERE c >= 2
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {_SUBSTR_W} AS BIGINT) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           MIN(fp) AS span_key
+    FROM isl GROUP BY doc_id, g
+"""
+
+
+@query("dedup_substring_spans", oracle=_SUBSTR_SPANS_SQL)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-substring spans over the corpus: every {_SUBSTR_W}-token
+    window is fingerprinted (md5 of the window string — the portable
+    lane discipline); a window whose fingerprint occurs ≥ 2 times
+    ANYWHERE in the corpus (another document or elsewhere in the same
+    one) is duplicated text, and runs of duplicated windows merge into
+    maximal token spans via gaps-and-islands. Output: one row per
+    (doc_id, span) with token bounds [span_start, span_end), the
+    window count, and the span's min window fingerprint as a stable
+    key — exactly the byte ranges a substring-dedup pass would cut.
+
+    Scale shape (bucketed, never all-pairs): windows are fingerprinted
+    map-side and ONLY (digest, doc_id, pos) ever shuffles — one
+    exchange on fp for the corpus-wide repeat count, one on doc_id for
+    the island merge. Repeated-window mass is proportional to actual
+    duplication, not corpus²; a 100-TB run replaces the within-window
+    COUNT with the same groupBy and the islands stay per-doc local.
+    The suffix-array formulation of Lee et al. finds arbitrary-length
+    repeats; the fixed-width shingle formulation here is its bucketed
+    streaming-friendly approximation (repeats ≥ W tokens are found
+    exactly; shorter ones are below the dedup threshold by design)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toked = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= _SUBSTR_W
+    )
+    wins = toked.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - _SUBSTR_W),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice("t", i + 1, _SUBSTR_W))
+                ),
+            )
+        ).alias("pos", "fp"),
+    )
+    rep = wins.withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+    isl = rep.filter(F.col("c") >= 2).withColumn(
+        "g",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    return isl.groupBy("doc_id", "g").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + _SUBSTR_W).cast("long").alias("span_end"),
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.min("fp").alias("span_key"),
+    ).drop("g")

@@ -1229,3 +1229,40 @@ def test_compaction_apply_executes_and_reuses(spark, sf_dir):
     again = pipeline_compaction_apply(spark, sf_dir).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
     assert os.path.getmtime(os.path.join(base, "manifest")) == mtime
+
+
+def test_substring_spans_semantics(spark, tmp_path):
+    """dedup_substring_spans on a planted corpus: a shared 10-token
+    block between two docs yields one maximal span in each (bounds
+    [pos, pos+10)); a doc that repeats its own block is caught too;
+    unique text yields nothing."""
+    from projektdataengineering_spark.queries.dedup import (
+        _SUBSTR_W,
+        dedup_substring_spans,
+    )
+
+    assert _SUBSTR_W == 8
+    block = "q w e r t y u i o p"          # 10 tokens, planted twice
+    uniq = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    rows = [
+        (1, f"{uniq('a', 5)} {block} {uniq('b', 5)}"),   # block at pos 5
+        (2, f"{block} {uniq('c', 12)}"),                  # block at pos 0
+        (3, f"{uniq('d', 4)} {block} {uniq('e', 2)} {block}"),  # self-repeat
+        (4, uniq("f", 30)),                               # all unique
+    ]
+    d = str(tmp_path / "sfx")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end): r.n_windows
+        for r in dedup_substring_spans(spark, d).collect()
+    }
+    # 10-token block → windows at 3 consecutive starts (10 - 8 + 1)
+    assert got[(1, 5, 15)] == 3
+    assert got[(2, 0, 10)] == 3
+    # doc 3: block at pos 4 and pos 16 (4 + 10 + 2), separate spans
+    assert got[(3, 4, 14)] == 3
+    assert got[(3, 16, 26)] == 3
+    assert not any(k[0] == 4 for k in got), got
+    assert len(got) == 4
