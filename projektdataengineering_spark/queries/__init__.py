@@ -87,6 +87,8 @@ _MODULES = (
     "diagnostics",
     # round-7 additions
     "graphs",
+    # round-9 additions
+    "retrieval",
 )
 
 # Window packing: the driver's correctness pass records the FIRST 50

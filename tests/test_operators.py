@@ -1266,3 +1266,31 @@ def test_substring_spans_semantics(spark, tmp_path):
     assert got[(3, 16, 26)] == 3
     assert not any(k[0] == 4 for k in got), got
     assert len(got) == 4
+
+
+def test_bm25_semantics_planted(spark, tmp_path):
+    """pipeline_bm25_topk on a planted corpus: docs containing the rare
+    informative term outrank docs with only common terms; among docs
+    with the rare term, more occurrences rank higher (tf saturation is
+    monotone); score is integer ppm and ranks are dense from 1."""
+    from projektdataengineering_spark.queries.retrieval import pipeline_bm25_topk
+
+    filler = "the a of and to in is it on at"        # 10 common tokens
+    rows = [(i, filler) for i in range(20)]          # background docs
+    rows += [
+        (100, f"zebra {filler}"),                    # rare term once
+        (101, f"zebra zebra zebra {filler}"),        # rare term thrice
+        (102, f"zebra zebra {filler}"),
+    ]
+    d = str(tmp_path / "sfx")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    out = pipeline_bm25_topk(spark, d).collect()
+    by_rank = sorted(out, key=lambda r: r.rank)
+    assert [r.rank for r in by_rank] == list(range(1, len(out) + 1))
+    # zebra docs first, ordered by tf descending (101 > 102 > 100)
+    assert [r.doc_id for r in by_rank[:3]] == [101, 102, 100]
+    assert by_rank[0].score_ppm > by_rank[1].score_ppm > by_rank[2].score_ppm > 0
+    # background docs: zero score (all their terms are in >half the corpus)
+    assert all(r.score_ppm == 0 for r in by_rank[3:])
