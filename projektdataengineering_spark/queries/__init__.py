@@ -275,52 +275,68 @@ _R07_WINDOW = frozenset((
     "text_redact_pattern", "text_token_count", "text_tokenize_wordcount",
     "udaf_grouped", "udf_scalar", "udtf_explode_like",
 ))
+# Round-8's recorded window (CORRECTNESS_r08.json keys — on disk,
+# 49 hash-pass + 1 by-design rows-only (multimodal_video_frames, since
+# graduated), zero errors; it cleared the whole round-8 _RECHECK
+# population and the 11 round-8 additions).
+_R08_WINDOW = frozenset((
+    "agg_approx_distinct", "agg_approx_quantile", "agg_bloom_membership",
+    "agg_countmin_freq", "agg_heavy_hitters_mg", "agg_hll_merge",
+    "dedup_incremental", "dedup_keep_latest", "graph_pagerank",
+    "graph_triangle_count", "join_bucketed_colocated", "join_spatial_grid",
+    "multimodal_audio_features", "multimodal_features",
+    "multimodal_video_frames", "pipeline_bpe_encode", "pipeline_bpe_train",
+    "pipeline_cdc_apply", "pipeline_compaction_plan",
+    "pipeline_contamination", "pipeline_corpus_stats",
+    "pipeline_customer_revenue", "pipeline_distinctive_terms",
+    "pipeline_event_funnel", "pipeline_event_zscore", "pipeline_gram_df",
+    "pipeline_kanon_generalize", "pipeline_lang_balance",
+    "pipeline_length_filter", "pipeline_price_deciles",
+    "pipeline_quality_band", "pipeline_rank_fusion",
+    "pipeline_schema_profile", "pipeline_session_stats",
+    "pipeline_sessionize", "pipeline_snapshot_diff",
+    "pipeline_token_budget", "pipeline_user_retention",
+    "pipeline_value_outliers", "profile_numeric_stats", "sample_priority",
+    "sample_stratified", "scan_hive_partitioned", "sim_cosine_ann_lsh",
+    "sim_cosine_ivf", "split_train_test", "stream_cdc_stateful",
+    "stream_dedup_stateful", "stream_heavy_hitters", "text_char_diversity",
+))
 _DRIVER_VERIFIED = (
     _R01_WINDOW | _R03_WINDOW | _R04_WINDOW | _R05_WINDOW | _R06_WINDOW
-    | _R07_WINDOW
+    | _R07_WINDOW | _R08_WINDOW
 )
 
 # Verified in an earlier round, but the implementation, oracle, or an
 # upstream seam changed afterwards — their old driver row no longer
 # certifies the current code, so they re-enter the window right after
-# the never-verified block.  Round-8 population:
-# * agg_approx_distinct / agg_approx_quantile — GRADUATED to
-#   hash-checked oracles (exact twin columns + theorem-grade
-#   within-bound booleans, the agg_hll_merge r7 playbook); their
-#   r5 rows certify the old rows-only queries;
-# * sim_cosine_ann_lsh / sim_cosine_ivf — GRADUATED: per-query recall
-#   certified against the DuckDB exact-neighbor recompute; their r6
-#   rows certify the old rows-only queries;
-# * pipeline_bpe_train — GRADUATED: unrolled-merge-round DuckDB
-#   replay (MATERIALIZED CTEs) replaces the rows-only check;
-# * multimodal_features / multimodal_audio_features — GRADUATED to
-#   decoded-domain oracles (PNG pixel stats / WAV sample stats
-#   replayed from deterministic fixture parameters);
-# * agg_hll_merge — total_exact now explicitly F.broadcast() (red
-#   plan-suite fix); values unchanged, plan seam differs from its r7
-#   row;
-# * graph_pagerank — contribution quantization moved to integer
-#   numerators before the decimal cast (cross-engine cast-parity
-#   ADVICE fix) after its r7 row;
-# * join_bucketed_colocated — bucketed-table cache now keyed by a
-#   source-content fingerprint with atomic-rename publication
-#   (ADVICE r8) after its r7 row;
-# * stream_dedup_stateful — eviction deadline now clamped monotone
-#   (max(prev, last_ts + horizon), ADVICE r8) after its r7 row;
-# * multimodal_video_frames — LUT-based entropy decode + T.81 K.3
-#   default-Huffman fallback landed after its r7 rows-only row.
+# the never-verified block.  Round-9 population:
+# * sim_minhash_lsh / dedup_cluster_cc / graph_pagerank /
+#   graph_triangle_count — the portable MinHash kernel was reworked
+#   (one md5 per gram + affine integer lanes, undoing the r8 16-md5
+#   perf regression); all four share the lane CTE, so both engines'
+#   pair sets changed together after their last rows;
+# * multimodal_video_frames — GRADUATED from rows-only to the
+#   decoded-domain + bounded-error oracle after its r8 row;
+# * sample_priority — tau is now a 1-row aggregate (tiny-table ADVICE
+#   fix) after its r8 row;
+# * sim_cosine_ivf — the coarse quantizer is now a persisted index
+#   (bit-identical centroids by trainer determinism, but the load path
+#   differs) after its r8 row;
+# * sim_cosine_exact_pairs — the BLAS prefilter moved into an
+#   applyInPandas block kernel (same final pair set and values; the
+#   candidate-generation seam differs) after its r5 row.
 _RECHECK: tuple[str, ...] = (
-    "agg_approx_distinct", "agg_approx_quantile", "sim_cosine_ann_lsh",
-    "sim_cosine_ivf", "pipeline_bpe_train", "multimodal_features",
-    "multimodal_audio_features", "agg_hll_merge", "graph_pagerank",
-    "join_bucketed_colocated", "stream_dedup_stateful",
-    "multimodal_video_frames",
+    "sim_minhash_lsh", "dedup_cluster_cc", "graph_pagerank",
+    "graph_triangle_count", "multimodal_video_frames", "sample_priority",
+    "sim_cosine_ivf", "sim_cosine_exact_pairs",
 )
 
 
 def _latest_row_round(name: str) -> int:
     """Most recent round whose on-disk driver artifact holds this
     query's correctness row (0 = never verified)."""
+    if name in _R08_WINDOW:
+        return 8
     if name in _R07_WINDOW:
         return 7
     if name in _R06_WINDOW:
