@@ -40,8 +40,10 @@ _BM25_N_TERMS = 4   # deterministic derived query: the 4 most mid-band terms
 _BM25_TOP_K = 50
 
 
-_BM25_SQL = f"""
-    WITH base AS (
+# Shared CTE body: documents → integer BM25 scores, ending in a
+# `scored(doc_id, score)` relation both registered oracles build on.
+_BM25_CTE = f"""
+    base AS (
       SELECT doc_id, string_split(text, ' ') AS t,
              len(string_split(text, ' ')) AS dl
       FROM documents
@@ -68,6 +70,10 @@ _BM25_SQL = f"""
       JOIN base b ON tf.doc_id = b.doc_id, stats s
       GROUP BY tf.doc_id
     )
+"""
+
+_BM25_SQL = f"""
+    WITH {_BM25_CTE}
     SELECT doc_id, CAST(score AS BIGINT) AS score_ppm,
            CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
              AS rank
@@ -75,26 +81,9 @@ _BM25_SQL = f"""
 """
 
 
-@query("pipeline_bm25_topk", oracle=_BM25_SQL)
-def pipeline_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-{_BM25_TOP_K} over documents for a deterministic derived
-    query (the {_BM25_N_TERMS} tokens whose document frequency is
-    closest to N/4 — discriminative mid-band terms, ties by token).
-    Integer-exact scoring end-to-end (see the module docstring for the
-    ppm-quantized saturation + log2-floor IDF construction), so the
-    oracle replays every score bit-for-bit.
-
-    Scale shape: tokenization and window math are map-side; the only
-    exchanges are the df aggregate (shuffles (token, doc-distinct)
-    partials), the {_BM25_N_TERMS}-row term pick (TakeOrdered — a
-    driver merge of per-partition heaps, the HWM scalar-read pattern),
-    the tf aggregate FILTERED to the query terms before it shuffles
-    (at 100 TB the filter is what matters: per-query work is
-    ∝ postings of the query terms, not the corpus), and the final
-    distributed top-k. The df table is the reusable inverted-index
-    statistic — a production deployment persists it once per corpus
-    version like the IVF centroids (similarity._ivf_centroids) and
-    pays only the tf side per query."""
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score_ppm) — the Spark twin of the _BM25_CTE `scored`
+    relation; see pipeline_bm25_topk for the construction notes."""
     base = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", F.split("text", " ").alias("t"))
@@ -106,9 +95,7 @@ def pipeline_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, total = int(s["n"]), int(s["total"])
 
     tok = base.select("doc_id", F.explode("t").alias("token"))
-    dfreq = tok.groupBy("token").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
+    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     qrows = (
         dfreq.orderBy(F.abs(4 * F.col("df") - F.lit(n)), "token")
         .limit(_BM25_N_TERMS)
@@ -138,14 +125,209 @@ def pipeline_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(22 * tf * {total} * 1000000) div "
         f"(10 * tf * {total} + 3 * {total} + 9 * dl * {n})"
     )
-    scored = (
+    return (
         tf.join(base.select("doc_id", "dl"), "doc_id")
         .withColumn("contrib", idf_map[F.col("token")] * term_ppm)
         .groupBy("doc_id")
         .agg(F.sum("contrib").cast("long").alias("score_ppm"))
     )
+
+
+@query("pipeline_bm25_topk", oracle=_BM25_SQL)
+def pipeline_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{_BM25_TOP_K} over documents for a deterministic derived
+    query (the {_BM25_N_TERMS} tokens whose document frequency is
+    closest to N/4 — discriminative mid-band terms, ties by token).
+    Integer-exact scoring end-to-end (see the module docstring for the
+    ppm-quantized saturation + log2-floor IDF construction), so the
+    oracle replays every score bit-for-bit.
+
+    Scale shape: tokenization and window math are map-side; the only
+    exchanges are the df aggregate (shuffles (token, doc-distinct)
+    partials), the {_BM25_N_TERMS}-row term pick (TakeOrdered — a
+    driver merge of per-partition heaps, the HWM scalar-read pattern),
+    the tf aggregate FILTERED to the query terms before it shuffles
+    (at 100 TB the filter is what matters: per-query work is
+    ∝ postings of the query terms, not the corpus), and the final
+    distributed top-k. The df table is the reusable inverted-index
+    statistic — a production deployment persists it once per corpus
+    version like the IVF centroids (similarity._ivf_centroids) and
+    pays only the tf side per query."""
+    scored = _bm25_scored(spark, sf_dir)
     from pyspark.sql import Window
 
     top = scored.orderBy(F.desc("score_ppm"), F.asc("doc_id")).limit(_BM25_TOP_K)
     w = Window.orderBy(F.desc("score_ppm"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 → pseudo-relevance-feedback dense re-rank → RRF
+# ---------------------------------------------------------------------------
+
+_PRF_SEEDS = 5      # BM25 top-k whose embedding mean is the dense query
+_HYBRID_POOL = 50   # per-ranking candidate pool entering the fusion
+_HYBRID_TOP = 20
+_HYBRID_RRF_K = 60
+_HYBRID_RRF_SCALE = 10**12
+
+_HYBRID_SQL = f"""
+    WITH {_BM25_CTE},
+    lex AS (
+      SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                          AS BIGINT) AS rank_lex
+      FROM scored ORDER BY score DESC, doc_id LIMIT {_HYBRID_POOL}
+    ),
+    seedvecs AS (
+      SELECT e.vec_id, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings e
+      JOIN (SELECT doc_id FROM lex WHERE rank_lex <= {_PRF_SEEDS}) s
+        ON e.vec_id = s.doc_id
+    ),
+    cent AS (
+      SELECT r.j AS j,
+             list_reduce(list_prepend(0.0, list(sv.v[r.j] ORDER BY sv.vec_id)),
+                         (a, b) -> a + b) / {float(_PRF_SEEDS)} AS c
+      FROM seedvecs sv, range(1, 65) r(j) GROUP BY r.j
+    ),
+    centv AS (SELECT list(c ORDER BY j) AS cv FROM cent),
+    dense AS (
+      SELECT vec_id AS doc_id,
+             list_reduce(
+               list_transform(range(1, 65),
+                              i -> CAST(embedding[i] AS DOUBLE) * cv[i]),
+               (p, q) -> p + q)
+             / (sqrt(list_reduce(
+                  list_transform(embedding,
+                                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                  (p, q) -> p + q))
+                * sqrt(list_reduce(list_transform(cv, x -> x * x),
+                                   (p, q) -> p + q))) AS cos_c
+      FROM embeddings, centv
+    ),
+    denser AS (
+      SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cos_c DESC, doc_id)
+                          AS BIGINT) AS rank_dense
+      FROM dense ORDER BY cos_c DESC, doc_id LIMIT {_HYBRID_POOL}
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+             l.rank_lex, d.rank_dense,
+             COALESCE({_HYBRID_RRF_SCALE} // ({_HYBRID_RRF_K} + l.rank_lex), 0)
+               + COALESCE({_HYBRID_RRF_SCALE} // ({_HYBRID_RRF_K} + d.rank_dense), 0)
+               AS rrf_num
+      FROM lex l FULL OUTER JOIN denser d ON l.doc_id = d.doc_id
+    )
+    SELECT doc_id, rank_lex, rank_dense, CAST(rrf_num AS BIGINT) AS rrf_num,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf_num DESC, doc_id) AS BIGINT)
+             AS fused_rank
+    FROM fused ORDER BY rrf_num DESC, doc_id LIMIT {_HYBRID_TOP}
+"""
+
+
+@query("pipeline_hybrid_retrieval", oracle=_HYBRID_SQL)
+def pipeline_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+dense retrieval with pseudo-relevance feedback —
+    the full modern RAG ranking stack as one certified query:
+
+    1. BM25 ranks the corpus for the derived query (integer-exact, see
+       pipeline_bm25_topk); top {_HYBRID_POOL} form the lexical list.
+    2. PRF: the embedding mean of the lexical top {_PRF_SEEDS} becomes
+       the DENSE query vector (classic Rocchio-style feedback — no
+       query embedding model needed), and every document is re-ranked
+       by cosine to it; top {_HYBRID_POOL} form the dense list.
+    3. Reciprocal-rank fusion on integer rank reciprocals (the
+       pipeline_rank_fusion discipline) merges the two lists; a doc
+       missing from one list contributes 0 from it.
+
+    Float discipline: the centroid is a per-dimension LEFT FOLD over
+    the seed vectors in doc_id order (python loop ≡ DuckDB list_reduce
+    over an ORDER BY list, both starting from 0.0) divided by
+    {_PRF_SEEDS}.0, and every cosine is the bit-stable fold pattern
+    proven by sim_cosine_exact_pairs — so the dense RANKING (float
+    sort order!) matches the oracle exactly, and the fused output is
+    integer math over it.
+
+    Scale shape: two distributed TakeOrdered pools, a {_PRF_SEEDS}-row
+    collect for the centroid (HWM scalar pattern), one map-side cosine
+    pass with the centroid as plan literals (no join, no shuffle), and
+    a {_HYBRID_POOL}-row broadcast fusion. Per-query cost at 100 TB is
+    the BM25 postings + one embedding scan — the scan is the part a
+    production deployment replaces with the persisted IVF index
+    (sim_cosine_ivf_reuse) probing around the centroid."""
+    from pyspark.sql import Window
+
+    scored = _bm25_scored(spark, sf_dir)
+    wl = Window.orderBy(F.desc("score_ppm"), F.asc("doc_id"))
+    lex = (
+        scored.orderBy(F.desc("score_ppm"), F.asc("doc_id"))
+        .limit(_HYBRID_POOL)
+        .withColumn("rank_lex", F.row_number().over(wl).cast("long"))
+        .select("doc_id", "rank_lex")
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed_ids = [
+        r["doc_id"]
+        for r in lex.filter(F.col("rank_lex") <= _PRF_SEEDS).collect()
+    ]
+    seeds = (
+        emb.filter(F.col("vec_id").isin(seed_ids))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    dim = len(seeds[0]["embedding"])
+    cent = []
+    for j in range(dim):
+        acc = 0.0
+        for r in seeds:  # left fold in doc_id order == oracle's list_reduce
+            acc += float(r["embedding"][j])
+        cent.append(acc / float(_PRF_SEEDS))
+    nrm_c_sq = cent[0] * cent[0]
+    for j in range(1, dim):  # left fold, matching the no-seed SQL reduce
+        nrm_c_sq += cent[j] * cent[j]
+    import math
+
+    nrm_c = math.sqrt(nrm_c_sq)
+
+    cvec = F.array(*[F.lit(v) for v in cent])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), cvec, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    nrm_v = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    wd = Window.orderBy(F.desc("cos_c"), F.asc("doc_id"))
+    dense = (
+        emb.select(
+            F.col("vec_id").alias("doc_id"),
+            (dot / (nrm_v * F.lit(nrm_c))).alias("cos_c"),
+        )
+        .orderBy(F.desc("cos_c"), F.asc("doc_id"))
+        .limit(_HYBRID_POOL)
+        .withColumn("rank_dense", F.row_number().over(wd).cast("long"))
+        .select("doc_id", "rank_dense")
+    )
+
+    rrf = F.coalesce(
+        F.expr(f"{_HYBRID_RRF_SCALE} div ({_HYBRID_RRF_K} + rank_lex)"), F.lit(0)
+    ) + F.coalesce(
+        F.expr(f"{_HYBRID_RRF_SCALE} div ({_HYBRID_RRF_K} + rank_dense)"),
+        F.lit(0),
+    )
+    fused = lex.join(dense, "doc_id", "full_outer").select(
+        "doc_id", "rank_lex", "rank_dense", rrf.cast("long").alias("rrf_num")
+    )
+    wf = Window.orderBy(F.desc("rrf_num"), F.asc("doc_id"))
+    return (
+        fused.orderBy(F.desc("rrf_num"), F.asc("doc_id"))
+        .limit(_HYBRID_TOP)
+        .withColumn("fused_rank", F.row_number().over(wf).cast("long"))
+    )

@@ -1294,3 +1294,30 @@ def test_bm25_semantics_planted(spark, tmp_path):
     assert by_rank[0].score_ppm > by_rank[1].score_ppm > by_rank[2].score_ppm > 0
     # background docs: zero score (all their terms are in >half the corpus)
     assert all(r.score_ppm == 0 for r in by_rank[3:])
+
+
+def test_hybrid_retrieval_rrf_invariants(spark, sf_dir):
+    """pipeline_hybrid_retrieval: rrf_num must equal the integer RRF
+    recomputed from the emitted ranks (missing list membership = 0
+    contribution), fused ranks dense from 1, and the PRF seed docs
+    (lexical top-5) must appear in the fused output with both ranks
+    populated unless they fell out of the dense pool."""
+    from projektdataengineering_spark.queries.retrieval import (
+        _HYBRID_RRF_K,
+        _HYBRID_RRF_SCALE,
+        pipeline_hybrid_retrieval,
+    )
+
+    rows = sorted(
+        pipeline_hybrid_retrieval(spark, sf_dir).collect(),
+        key=lambda r: r.fused_rank,
+    )
+    assert [r.fused_rank for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        want = 0
+        if r.rank_lex is not None:
+            want += _HYBRID_RRF_SCALE // (_HYBRID_RRF_K + r.rank_lex)
+        if r.rank_dense is not None:
+            want += _HYBRID_RRF_SCALE // (_HYBRID_RRF_K + r.rank_dense)
+        assert r.rrf_num == want, r
+    assert any(r.rank_lex is not None and r.rank_dense is not None for r in rows)
