@@ -357,3 +357,143 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_windows"),
         F.min("fp").alias("span_key"),
     ).drop("g")
+
+
+_SUBSTR_CUT_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    win AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(t[i + 1 : i + {_SUBSTR_W}], ' ')) AS fp
+      FROM toks, UNNEST(range(0, len(t) - {_SUBSTR_W} + 1)) AS u(i)
+    ),
+    rep AS (
+      SELECT doc_id, pos, fp,
+             COUNT(*) OVER (PARTITION BY fp) AS c,
+             ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS occ
+      FROM win
+    ),
+    isl AS (
+      SELECT doc_id, pos, occ = 1 AS canon,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM rep WHERE c >= 2
+    ),
+    spans AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(pos) + {_SUBSTR_W} AS e,
+             bool_or(canon) AS keep
+      FROM isl GROUP BY doc_id, g
+    ),
+    cuts AS (
+      SELECT doc_id, list(struct_pack(s := s, e := e)) AS cut_spans,
+             SUM(e - s) AS cut_tokens, COUNT(*) AS cut_spans_n
+      FROM spans WHERE NOT keep GROUP BY doc_id
+    ),
+    cleaned AS (
+      SELECT t.doc_id,
+             CAST(len(t.t) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(c.cut_tokens, 0) AS BIGINT) AS cut_tokens,
+             CAST(COALESCE(c.cut_spans_n, 0) AS BIGINT) AS cut_spans,
+             COALESCE(array_to_string(
+               list_transform(
+                 list_filter(range(1, len(t.t) + 1),
+                   j -> c.cut_spans IS NULL OR
+                        len(list_filter(c.cut_spans,
+                            sp -> j - 1 >= sp.s AND j - 1 < sp.e)) = 0),
+                 j -> t.t[j]),
+               ' '), '') AS cleaned_text
+      FROM toks t LEFT JOIN cuts c ON t.doc_id = c.doc_id
+    )
+    SELECT doc_id, n_tokens, cut_tokens, cut_spans,
+           CAST(n_tokens - cut_tokens AS BIGINT) AS kept_tokens,
+           sha256(cleaned_text) AS cleaned_sha256
+    FROM cleaned
+"""
+
+
+@query("pipeline_substring_cut", oracle=_SUBSTR_CUT_SQL)
+def pipeline_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED substring dedup (the rewrite half of
+    dedup_substring_spans, the Lee-et-al cut): every repeated span
+    whose windows are all NON-canonical occurrences (canonical = the
+    corpus-first (doc_id, pos) occurrence of the window fingerprint)
+    is cut from its document's token stream; the canonical copy stays.
+    Output is the per-document cut manifest plus sha256 of the REBUILT
+    cleaned text — the oracle reconstructs the same cleaned string
+    from its own span algebra, so a hash match certifies the actual
+    edit, not just the plan (the pipeline_compaction_apply
+    discipline: execute, then certify from the artifact).
+
+    Scale shape: same two exchanges as dedup_substring_spans (window
+    fingerprints + per-doc islands) plus one join of the cut-span
+    lists back to the token arrays — cut lists are span-count-sized,
+    never token-sized, and the rebuild is map-side array filtering.
+    Only (digest, ids, positions) ever shuffles; cleaned TEXT exists
+    only inside the map stage that hashes it."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toked = docs.select("doc_id", F.split("text", " ").alias("t"))
+    eligible = toked.filter(F.size("t") >= _SUBSTR_W)
+    wins = eligible.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - _SUBSTR_W),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice("t", i + 1, _SUBSTR_W))
+                ),
+            )
+        ).alias("pos", "fp"),
+    )
+    wfp = Window.partitionBy("fp")
+    rep = wins.select(
+        "doc_id",
+        "pos",
+        F.count(F.lit(1)).over(wfp).alias("c"),
+        (
+            F.row_number().over(wfp.orderBy("doc_id", "pos")) == 1
+        ).alias("canon"),
+    )
+    isl = rep.filter(F.col("c") >= 2).withColumn(
+        "g",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    spans = isl.groupBy("doc_id", "g").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + _SUBSTR_W).alias("e"),
+        F.max(F.col("canon").cast("int")).alias("keep"),
+    )
+    cuts = (
+        spans.filter(F.col("keep") == 0)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("s", "e")).alias("cut_span_list"),
+            F.sum(F.col("e") - F.col("s")).alias("cut_tokens"),
+            F.count(F.lit(1)).alias("cut_spans_n"),
+        )
+    )
+    joined = toked.join(cuts, "doc_id", "left")
+    in_cut = lambda j: F.exists(
+        F.col("cut_span_list"),
+        lambda sp: (j - 1 >= sp["s"]) & (j - 1 < sp["e"]),
+    )
+    cleaned_text = F.concat_ws(
+        " ",
+        F.transform(
+            F.filter(
+                F.sequence(F.lit(1), F.size("t")),
+                lambda j: F.col("cut_span_list").isNull() | ~in_cut(j),
+            ),
+            lambda j: F.element_at("t", j.cast("int")),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("cut_tokens"), F.lit(0)).cast("long").alias("cut_tokens"),
+        F.coalesce(F.col("cut_spans_n"), F.lit(0)).cast("long").alias("cut_spans"),
+        (F.size("t") - F.coalesce(F.col("cut_tokens"), F.lit(0)))
+        .cast("long")
+        .alias("kept_tokens"),
+        F.sha2(cleaned_text, 256).alias("cleaned_sha256"),
+    )

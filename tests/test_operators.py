@@ -1321,3 +1321,34 @@ def test_hybrid_retrieval_rrf_invariants(spark, sf_dir):
             want += _HYBRID_RRF_SCALE // (_HYBRID_RRF_K + r.rank_dense)
         assert r.rrf_num == want, r
     assert any(r.rank_lex is not None and r.rank_dense is not None for r in rows)
+
+
+def test_substring_cut_preserves_canonical(spark, tmp_path):
+    """pipeline_substring_cut on a planted corpus: the corpus-first
+    occurrence of a duplicated block survives, later copies are cut,
+    and the cleaned text is the doc minus exactly those spans."""
+    import hashlib
+
+    from projektdataengineering_spark.queries.dedup import pipeline_substring_cut
+
+    block = "q w e r t y u i o p"  # 10 tokens
+    uniq = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    rows = [
+        (1, f"{uniq('a', 5)} {block} {uniq('b', 5)}"),  # canonical (first by doc_id,pos)
+        (2, f"{block} {uniq('c', 12)}"),                # later copy → cut
+        (3, uniq("d", 30)),                              # untouched
+    ]
+    d = str(tmp_path / "sfx")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    got = {r.doc_id: r for r in pipeline_substring_cut(spark, d).collect()}
+    sha = lambda t: hashlib.sha256(t.encode()).hexdigest()
+    # doc 1 holds the canonical occurrence → nothing cut
+    assert got[1].cut_spans == 0 and got[1].kept_tokens == 20
+    assert got[1].cleaned_sha256 == sha(rows[0][1])
+    # doc 2's copy is cut: tokens [0, 10) removed
+    assert got[2].cut_spans == 1 and got[2].cut_tokens == 10
+    assert got[2].cleaned_sha256 == sha(uniq("c", 12))
+    assert got[3].cut_spans == 0
+    assert got[3].cleaned_sha256 == sha(rows[2][1])
