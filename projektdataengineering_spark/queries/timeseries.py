@@ -162,3 +162,81 @@ def pipeline_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("filled").alias("min_filled"),
         F.max("filled").alias("max_filled"),
     )
+
+
+# OHLC downsampling: exact-order open/close via arg-min/max on the
+# unique (ts, event_id) key; volume-sum via the engine's float
+# discipline (1e6-quantized integer numerators, DECIMAL(38,0) sums).
+_OHLC_Q = 10**6
+
+_OHLC_SQL = f"""
+    WITH ranked AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_z
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(bucket AS VARCHAR) AS bucket_start,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_z = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS volume,
+           CAST(SUM(CAST(floor(value * {_OHLC_Q} + 0.5) AS DECIMAL(38,0)))
+                AS BIGINT) AS vsum_q6
+    FROM ranked
+    GROUP BY event_type, bucket
+"""
+
+
+@query("pipeline_resample_ohlc", oracle=_OHLC_SQL)
+def pipeline_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar downsampling — the classic time-series resample: per
+    (event_type, hour) bucket, the first/last value under the UNIQUE
+    (ts, event_id) total order (open/close), the min/max (low/high),
+    the event count (volume), and the exact value sum as a
+    1e6-quantized integer (the engine's float-sum discipline — raw
+    double sums are accumulation-order-dependent and would never hash
+    across engines; min/max/first/last are order-insensitive picks of
+    EXISTING doubles, so they replay bit-for-bit as-is).
+
+    Spark shape: ONE hash-aggregate exchange — open/close come from
+    min_by/max_by on a packed (ts, event_id) struct (SPARK-27653
+    aggregates, no window pass), so partial aggregation happens
+    map-side and only per-bucket state shuffles. The oracle takes the
+    two-window ROW_NUMBER road to the same picks. At 100 TB this is
+    the canonical downsample job: state per (type, hour) is O(1), and
+    a date-partitioned table prunes the scan to the resample range."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("bucket"),
+            "value",
+            key.alias("k"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.min_by("value", "k").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "k").alias("close"),
+            F.count(F.lit(1)).cast("long").alias("volume"),
+            F.sum(
+                F.floor(F.col("value") * _OHLC_Q + F.lit(0.5)).cast(
+                    "decimal(38,0)"
+                )
+            )
+            .cast("long")
+            .alias("vsum_q6"),
+        )
+        .select(
+            "event_type",
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            "open", "high", "low", "close", "volume", "vsum_q6",
+        )
+    )
