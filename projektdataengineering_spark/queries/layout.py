@@ -490,3 +490,119 @@ def pipeline_compaction_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "event_date", "rows_before", "rows_after",
         "files_before", "files_after", "row_parity",
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order EXECUTION — the clustered rewrite pipeline_zorder_layout
+# plans, written to disk for real and certified from the files
+# ---------------------------------------------------------------------------
+
+_ZORDER_APPLY_SQL = f"""
+    WITH coded AS (
+      SELECT event_id, user_id, value,
+             ((RANK() OVER (ORDER BY user_id) - 1) * {1 << _BITS}) // COUNT(*) OVER ()
+               AS xcode,
+             ((RANK() OVER (ORDER BY value, event_id) - 1) * {1 << _BITS}) // COUNT(*) OVER ()
+               AS ycode
+      FROM events
+    ), curved AS (
+      SELECT *, {_sql_interleave("xcode", "ycode")} AS zvalue FROM coded
+    ), filed AS (
+      SELECT *, NTILE({_N_FILES}) OVER (ORDER BY zvalue, event_id) AS file_id
+      FROM curved
+    )
+    SELECT CAST(file_id AS INT) AS file_id,
+           COUNT(*) AS n_rows,
+           MIN(user_id) AS min_user, MAX(user_id) AS max_user,
+           MIN(value) AS min_value, MAX(value) AS max_value,
+           MIN(zvalue) AS z_lo, MAX(zvalue) AS z_hi,
+           CAST(1 AS BIGINT) AS n_files
+    FROM filed GROUP BY file_id
+"""
+
+
+def _zorder_workdir(sf_dir: str) -> str:
+    import os
+
+    from ..sources import source_fingerprint
+
+    fp = source_fingerprint(os.path.join(sf_dir, "events.parquet"))
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+        "zorder",
+        f"{fp}_b{_BITS}_f{_N_FILES}",
+    )
+
+
+@query("pipeline_zorder_apply", oracle=_ZORDER_APPLY_SQL)
+def pipeline_zorder_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED Z-order rewrite (the clustered write
+    pipeline_zorder_layout only plans): events is physically rewritten
+    into {_N_FILES} real parquet files in Morton order — file_id as a
+    leaf partition directory with the frame repartitioned on it, so
+    each planned file IS exactly one on-disk file — and the manifest
+    is then measured FROM THE WRITTEN FILES: rows re-read, every
+    envelope recomputed over actual file contents, and n_files counted
+    via ``_metadata.file_path`` (must be exactly 1 per planned file).
+    The oracle recomputes the plan from the source rows alone, so a
+    hash match certifies the physical layout equals the plan — same
+    execute-then-certify discipline as pipeline_compaction_apply,
+    whose staged-write/atomic-rename and frozen-manifest reuse this
+    query shares (_atomic_dir_write; content-addressed by the events
+    fingerprint + layout parameters).
+
+    At 100 TB: the NTILE becomes repartitionByRange(zvalue) +
+    sortWithinPartitions + write (same curve, sampled boundaries), and
+    the certification becomes a catalog diff of footer stats — the
+    envelopes here are exactly what the catalog stores for pruning."""
+    import os
+
+    base = _zorder_workdir(sf_dir)
+    table_path = os.path.join(base, "table")
+    manifest_path = os.path.join(base, "manifest")
+
+    cols = [
+        "file_id", "n_rows", "min_user", "max_user",
+        "min_value", "max_value", "z_lo", "z_hi", "n_files",
+    ]
+    if os.path.isdir(manifest_path):
+        return spark.read.parquet(manifest_path).select(*cols)
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    coded = e.selectExpr(
+        "event_id",
+        "user_id",
+        "value",
+        f"((CAST(RANK() OVER (ORDER BY user_id) AS BIGINT) - 1) * {1 << _BITS})"
+        " div (COUNT(*) OVER ()) AS xcode",
+        f"((CAST(RANK() OVER (ORDER BY value, event_id) AS BIGINT) - 1) * {1 << _BITS})"
+        " div (COUNT(*) OVER ()) AS ycode",
+    )
+    curved = coded.withColumn("zvalue", _spark_interleave("xcode", "ycode"))
+    filed = curved.withColumn(
+        "file_id", F.ntile(_N_FILES).over(Window.orderBy("zvalue", "event_id"))
+    ).select("event_id", "user_id", "value", "zvalue", "file_id")
+
+    if not os.path.isdir(table_path):
+        _atomic_dir_write(
+            lambda p: filed.repartition("file_id")
+            .sortWithinPartitions("zvalue", "event_id")
+            .write.partitionBy("file_id")
+            .parquet(p),
+            table_path,
+        )
+
+    d = spark.read.parquet(table_path)
+    result = d.groupBy(F.col("file_id").cast("int").alias("file_id")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.min("zvalue").alias("z_lo"),
+        F.max("zvalue").alias("z_hi"),
+        F.countDistinct(F.col("_metadata.file_path")).cast("long").alias("n_files"),
+    )
+    _atomic_dir_write(lambda p: result.coalesce(1).write.parquet(p), manifest_path)
+    return spark.read.parquet(manifest_path).select(*cols)
