@@ -549,3 +549,152 @@ def pipeline_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_words"),
         F.sum("n_tokens").alias("n_bpe_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perplexity filtering (round 9): CCNet-style LM quality scoring with
+# integer-exact quarter-bit surprisal
+# ---------------------------------------------------------------------------
+
+_PPL_KEEP_QBITS = 24  # keep docs with mean surprisal <= 6.0 bits/bigram
+
+# floor(4*log2(a/b)) for integers a >= b >= 1, no float log anywhere:
+# whole bits w = length(bin(a DIV b)) - 1, then y = b << w normalizes
+# a/y into [1, 2) and the quarter-bit remainder k solves
+# (a/y)^4 >= 2^k by EXACT integer comparison — a,y <= ~1e6 so the
+# fourth powers sit well inside DECIMAL(38,0)/HUGEINT.
+_QBITS_SQL = """
+    (4 * (length(bin({a} // {b})) - 1)
+     + CASE
+         WHEN CAST({a} AS HUGEINT)**4 >=
+              8 * (CAST({b} AS HUGEINT) << (length(bin({a} // {b})) - 1))**4 THEN 3
+         WHEN CAST({a} AS HUGEINT)**4 >=
+              4 * (CAST({b} AS HUGEINT) << (length(bin({a} // {b})) - 1))**4 THEN 2
+         WHEN CAST({a} AS HUGEINT)**4 >=
+              2 * (CAST({b} AS HUGEINT) << (length(bin({a} // {b})) - 1))**4 THEN 1
+         ELSE 0
+       END)
+"""
+
+_PPL_SQL = f"""
+    WITH enc AS (
+      SELECT doc_id, CAST(p.pos AS BIGINT) AS pos, t.toks[p.pos] AS token
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
+           UNNEST(range(1, len(t.toks) + 1)) AS p(pos)
+    ), inst AS (
+      SELECT e1.doc_id, e1.token AS w1, e2.token AS w2
+      FROM enc e1 JOIN enc e2
+        ON e2.doc_id = e1.doc_id AND e2.pos = e1.pos + 1
+    ), pc AS (
+      SELECT w1, w2, COUNT(*) AS pair_n FROM inst GROUP BY w1, w2
+    ), wc AS (
+      SELECT w1, CAST(SUM(pair_n) AS BIGINT) AS w1_n FROM pc GROUP BY w1
+    ), qb AS (
+      SELECT pc.w1, pc.w2,
+             {_QBITS_SQL.format(a="wc.w1_n", b="pc.pair_n")} AS qbits
+      FROM pc JOIN wc ON wc.w1 = pc.w1
+    ), scored AS (
+      SELECT i.doc_id, COUNT(*) AS n_bigrams,
+             CAST(SUM(q.qbits) AS BIGINT) AS surprisal_qbits
+      FROM inst i JOIN qb q ON i.w1 = q.w1 AND i.w2 = q.w2
+      GROUP BY i.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(s.surprisal_qbits, 0) AS BIGINT) AS surprisal_qbits,
+           CASE WHEN s.n_bigrams > 0
+                THEN CAST(s.surprisal_qbits // s.n_bigrams AS BIGINT) END
+             AS mean_qbits,
+           CASE WHEN s.n_bigrams > 0
+                THEN s.surprisal_qbits // s.n_bigrams <= {_PPL_KEEP_QBITS}
+                ELSE FALSE END AS keep
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
+@query("pipeline_perplexity_filter", oracle=_PPL_SQL)
+def pipeline_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filtering, integer-exact: the corpus
+    bigram LM (same counts as pipeline_bigram_lm) scores every
+    document by total surprisal Σ −log₂ p(w2|w1) over its bigram
+    instances, in QUARTER-BITS computed without any float log —
+    floor(4·log2(w1_n/pair_n)) via whole-bits-from-bin(a DIV b) plus
+    an exact fourth-power comparison for the fractional quarter-bits
+    (see _QBITS_SQL; the pipeline_bm25_topk log2-floor discipline,
+    refined to ¼-bit granularity). Docs with mean surprisal ≤
+    {_PPL_KEEP_QBITS} quarter-bits (6 bits/bigram) are kept — the
+    low-perplexity side, exactly how CCNet buckets a crawl against a
+    reference LM. Every emitted number is an integer, so the oracle
+    replays bit-for-bit with no boundary wobble by construction.
+
+    Scale shape: the LM table is (vocab²)-sized, never corpus-sized —
+    counts aggregate map-side before their single exchange; instance
+    scoring is a broadcast-joinable lookup (qb is small) + one per-doc
+    aggregate. At 100 TB the LM is trained once per corpus version and
+    persisted (the _ivf_centroids pattern); scoring is one map-side
+    join pass."""
+    from ..functions import token_ngrams  # noqa: F401  (module convention)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    enc = toked.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    e1 = enc.select("doc_id", F.col("pos").alias("p1"), F.col("token").alias("w1"))
+    e2 = enc.select(
+        F.col("doc_id").alias("d2"), F.col("pos").alias("p2"), F.col("token").alias("w2")
+    )
+    inst = e1.join(
+        e2, (F.col("doc_id") == F.col("d2")) & (F.col("p2") == F.col("p1") + 1)
+    ).select("doc_id", "w1", "w2")
+    pc = inst.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_n"))
+    wc = pc.groupBy("w1").agg(F.sum("pair_n").cast("bigint").alias("w1_n"))
+
+    a = F.col("w1_n")
+    whole = (F.length(F.bin(F.expr("w1_n div pair_n"))) - 1).cast("int")
+    # F.shiftleft only takes a literal bit count; the SQL form accepts
+    # a column expression
+    y = F.expr("shiftleft(pair_n, length(bin(w1_n div pair_n)) - 1)")
+    x4 = (
+        a.cast("decimal(19,0)") * a.cast("decimal(19,0)")
+        * a.cast("decimal(19,0)") * a.cast("decimal(19,0)")
+    )
+    y4 = (
+        y.cast("decimal(19,0)") * y.cast("decimal(19,0)")
+        * y.cast("decimal(19,0)") * y.cast("decimal(19,0)")
+    )
+    frac = (
+        F.when(x4 >= 8 * y4, 3)
+        .when(x4 >= 4 * y4, 2)
+        .when(x4 >= 2 * y4, 1)
+        .otherwise(0)
+    )
+    qb = pc.join(wc, "w1").select(
+        "w1", "w2", (4 * whole + frac).cast("bigint").alias("qbits")
+    )
+    scored = (
+        inst.join(F.broadcast(qb), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("qbits").cast("bigint").alias("surprisal_qbits"),
+        )
+    )
+    has = F.col("n_bigrams") > 0
+    mean_q = F.expr("surprisal_qbits div n_bigrams")
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("surprisal_qbits", F.lit(0))
+            .cast("long")
+            .alias("surprisal_qbits"),
+            F.when(has, mean_q).cast("long").alias("mean_qbits"),
+            F.when(has, mean_q <= _PPL_KEEP_QBITS)
+            .otherwise(F.lit(False))
+            .alias("keep"),
+        )
+    )

@@ -1352,3 +1352,38 @@ def test_substring_cut_preserves_canonical(spark, tmp_path):
     assert got[2].cleaned_sha256 == sha(uniq("c", 12))
     assert got[3].cut_spans == 0
     assert got[3].cleaned_sha256 == sha(rows[2][1])
+
+
+def test_perplexity_qbits_match_float_log(spark, sf_dir):
+    """The integer quarter-bit surprisal must equal floor(4*log2(a/b))
+    computed with float math for every (a, b) pair the corpus LM
+    produces — the integer path is the portable replacement, not an
+    approximation. Also: keep == (mean <= threshold) on scored docs."""
+    import math
+
+    from projektdataengineering_spark.queries.corpus_ops import (
+        _PPL_KEEP_QBITS,
+        pipeline_perplexity_filter,
+    )
+
+    rows = pipeline_perplexity_filter(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.n_bigrams == 0:
+            assert r.mean_qbits is None and r.keep is False
+        else:
+            assert r.mean_qbits == r.surprisal_qbits // r.n_bigrams
+            assert r.keep == (r.mean_qbits <= _PPL_KEEP_QBITS)
+
+    # direct kernel check over a wide (a, b) grid
+    for a in [1, 2, 3, 7, 100, 12345, 999983]:
+        for b in [1, 2, 3, 7, 99, 12344]:
+            if b > a:
+                continue
+            w = (a // b).bit_length() - 1
+            y = b << w
+            frac = 3 if a**4 >= 8 * y**4 else 2 if a**4 >= 4 * y**4 else (
+                1 if a**4 >= 2 * y**4 else 0)
+            got = 4 * w + frac
+            want = math.floor(4 * math.log2(a / b) + 1e-12)
+            assert got == want, (a, b, got, want)
