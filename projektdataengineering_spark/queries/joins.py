@@ -693,3 +693,88 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", dist2.alias("dist2"))
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered join (round 9): the runtime-filter / semi-join
+# reduction pattern, built from the engine's own portable Bloom
+# ---------------------------------------------------------------------------
+
+_BLOOM_JOIN_THRESH = 450_000.0  # selective build side: top ~5% of orders
+_BLOOM_JOIN_M = 1 << 16
+_BLOOM_JOIN_K = 3
+
+_BLOOM_JOIN_SQL = f"""
+    SELECT o.o_orderkey, o.o_totalprice,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > {_BLOOM_JOIN_THRESH}
+    GROUP BY o.o_orderkey, o.o_totalprice
+"""
+
+
+@query("join_bloom_prefiltered", oracle=_BLOOM_JOIN_SQL)
+def join_bloom_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-value orders ⋈ lineitem with a BLOOM RUNTIME FILTER doing
+    the semi-join reduction by hand: the filter is built from the
+    selective build side (orders > {_BLOOM_JOIN_THRESH}, ~5%) with the
+    engine's own portable Bloom (operators/sketches.bloom_filter_words
+    — the agg_bloom_membership primitive, whose docstring declares
+    exactly this use), its ≤ m/63-word bitmap is read back through the
+    HWM scalar pattern and planted as PLAN LITERALS (the round-1
+    hyperplane discipline), and the probe side discards lineitem rows
+    whose {_BLOOM_JOIN_K} bits aren't all set MAP-SIDE — before the
+    join exchange ever sees them. Zero false negatives is a theorem
+    (bit_or only adds bits), so the post-join result is IDENTICAL to
+    the plain join: the oracle runs the plain join, and the hash match
+    proves the reduction is sound, false positives and all.
+
+    Why it matters at 100 TB: the shuffle ships ~5% of lineitem
+    instead of all of it — the classic runtime-filter win Spark's own
+    InjectRuntimeFilter applies when statistics allow; expressing it
+    as an explicit operator makes the reduction available to sinks the
+    optimizer can't see through (JDBC pushdown, pre-partitioned
+    probes) and pins its correctness contract in the driver gate.
+    Plan shape: one tiny build-side aggregate (the word table), then a
+    map-side probe filter + one broadcast hash join on the survivors."""
+    from ..operators.sketches import bloom_filter_words
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    hot = orders.filter(F.col("o_totalprice") > _BLOOM_JOIN_THRESH)
+    words = {
+        r["w"]: r["bits"]
+        for r in bloom_filter_words(
+            hot, "o_orderkey", m_bits=_BLOOM_JOIN_M, k_hashes=_BLOOM_JOIN_K
+        ).collect()
+    }
+    dense = [int(words.get(w, 0)) for w in range(_BLOOM_JOIN_M // 63 + 1)]
+    bw = F.array(*[F.lit(v) for v in dense])
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    ).withColumn("bw", bw)
+    conds = []
+    for j in range(_BLOOM_JOIN_K):
+        pos_sql = (
+            f"CAST(conv(substring(md5(concat(CAST(l_orderkey AS STRING), "
+            f"'#bloom', '{j}')), 1, 13), 16, 10) AS BIGINT) % {_BLOOM_JOIN_M}"
+        )
+        conds.append(
+            f"((shiftright(element_at(bw, CAST(({pos_sql}) div 63 AS INT) + 1), "
+            f"CAST(({pos_sql}) % 63 AS INT)) & 1) = 1)"
+        )
+    pruned = li.filter(F.expr(" AND ".join(conds))).drop("bw")
+    return (
+        pruned.join(F.broadcast(hot), pruned.l_orderkey == hot.o_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

@@ -1387,3 +1387,49 @@ def test_perplexity_qbits_match_float_log(spark, sf_dir):
             got = 4 * w + frac
             want = math.floor(4 * math.log2(a / b) + 1e-12)
             assert got == want, (a, b, got, want)
+
+
+def test_bloom_prefilter_prunes_probe_side(spark, sf_dir):
+    """join_bloom_prefiltered: the map-side Bloom test must actually
+    prune (probe survivors well under the full lineitem scan) while
+    keeping every true match — the full-result parity is the oracle's
+    job; here we pin the REDUCTION property that justifies the
+    operator, plus zero-false-negative containment of true keys."""
+    from projektdataengineering_spark.catalog import load_table
+    from projektdataengineering_spark.operators.sketches import bloom_filter_words
+    from projektdataengineering_spark.queries.joins import (
+        _BLOOM_JOIN_K,
+        _BLOOM_JOIN_M,
+        _BLOOM_JOIN_THRESH,
+    )
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    hot = orders.filter(F.col("o_totalprice") > _BLOOM_JOIN_THRESH)
+    words = {
+        r["w"]: r["bits"]
+        for r in bloom_filter_words(
+            hot, "o_orderkey", m_bits=_BLOOM_JOIN_M, k_hashes=_BLOOM_JOIN_K
+        ).collect()
+    }
+    bitmap = 0
+    for w, bits in words.items():
+        bitmap |= bits << (63 * w)
+
+    import hashlib
+
+    def contains(key: int) -> bool:
+        for j in range(_BLOOM_JOIN_K):
+            h = hashlib.md5(f"{key}#bloom{j}".encode()).hexdigest()[:13]
+            if not (bitmap >> (int(h, 16) % _BLOOM_JOIN_M)) & 1:
+                return False
+        return True
+
+    li_keys = [r["l_orderkey"] for r in
+               load_table(spark, sf_dir, "lineitem").select("l_orderkey").collect()]
+    hot_keys = {r["o_orderkey"] for r in hot.collect()}
+    survivors = [k for k in li_keys if contains(k)]
+    # zero false negatives: every lineitem row of a hot order survives
+    assert all(contains(k) for k in li_keys if k in hot_keys)
+    # and the filter genuinely prunes (hot side is ~5-20% of orders)
+    assert len(survivors) < 0.6 * len(li_keys), (len(survivors), len(li_keys))
