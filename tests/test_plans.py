@@ -484,3 +484,42 @@ def test_registered_bucketed_join_query_is_shuffle_free(spark, sf_dir):
     df = join_bucketed_colocated(spark, sf_dir)
     f = plan_facts(df)
     assert f.shuffles == 0, f.nodes
+
+
+def test_substring_spans_shuffles_digests_only(facts_of):
+    """dedup_substring_spans: the two windows (corpus repeat count on
+    fp, island merge on doc_id) plus the final span aggregate are the
+    ONLY exchanges — window fingerprinting stays inside the scan
+    stage's projection, and nothing cartesian appears."""
+    f = facts_of("dedup_substring_spans")
+    assert f.cartesian_like == 0, f.nodes
+    assert f.shuffles <= 3, f.nodes
+
+
+def test_bloom_prefilter_is_mapside_then_broadcast(facts_of):
+    """join_bloom_prefiltered: the probe prune runs inside the
+    lineitem scan stage (bit tests over plan-literal words — no
+    exchange below the join), the join is a BroadcastHashJoin, and the
+    only shuffle is the final aggregate's partial→final split."""
+    f = facts_of("join_bloom_prefiltered")
+    assert f.cartesian_like == 0, f.nodes
+    assert f.broadcast_joins >= 1, f.nodes
+    assert f.shuffles <= 1, f.nodes
+
+
+def test_bm25_topk_is_take_ordered_not_global_sort(facts_of):
+    """pipeline_bm25_topk's final ranking must be a distributed
+    TakeOrdered (per-partition heaps + driver merge), never a
+    whole-corpus Sort feeding a Limit."""
+    f = facts_of("pipeline_bm25_topk")
+    assert any(n.startswith("TakeOrderedAndProject") for n in f.nodes), f.nodes
+
+
+def test_ohlc_single_aggregate_exchange(facts_of):
+    """pipeline_resample_ohlc: open/close via min_by/max_by make the
+    whole bar ONE partial→final hash aggregate — exactly one shuffle,
+    no window, no join."""
+    f = facts_of("pipeline_resample_ohlc")
+    assert f.shuffles == 1, f.nodes
+    assert f.count("Window") == 0, f.nodes
+    assert f.cartesian_like == 0, f.nodes

@@ -200,6 +200,27 @@ HEADLINERS: list[tuple[str, str]] = [
         "join back to the node set, with a lazy localCheckpoint lineage cut "
         "per round so the final plan stays flat instead of 8 stacked joins.",
     ),
+    (
+        "dedup_substring_spans",
+        "Round-9 substring dedup: window fingerprints are map-side md5 over "
+        "sliced token arrays; only (digest, doc_id, pos) reaches the two "
+        "exchanges (corpus-wide repeat count on fp, island merge on doc_id) — "
+        "repeated-window mass, not corpus², sizes the shuffles.",
+    ),
+    (
+        "join_bloom_prefiltered",
+        "Round-9 runtime-filter shape: the Bloom word bitmap sits in the plan "
+        "as literals, the three bit tests run inside the lineitem scan's "
+        "WholeStageCodegen span (map-side pruning BEFORE any exchange), and "
+        "the surviving ~5% meet the hot orders in a BroadcastHashJoin.",
+    ),
+    (
+        "pipeline_bm25_topk",
+        "Round-9 retrieval: tf aggregation is FILTERED to the 4 query terms "
+        "before its exchange (per-query work ∝ postings, not corpus); the "
+        "term pick and the final top-50 are both TakeOrdered driver merges "
+        "of per-partition heaps — no global sort anywhere.",
+    ),
 ]
 
 

@@ -98,6 +98,16 @@ HEAVY_QUERIES = [
     ("stream_heavy_hitters", "streaming (round 8, MG sketch as keyed state)"),
     ("agg_heavy_hitters_mg", "sketches (round 8, mergeable Misra-Gries)"),
     ("sample_priority", "mlprep (round 8, DLT weighted top-k sample)"),
+    ("dedup_substring_spans", "dedup (round 9, repeated-substring spans)"),
+    ("pipeline_substring_cut", "dedup (round 9, executed substring cut)"),
+    ("pipeline_bm25_topk", "retrieval (round 9, integer BM25)"),
+    ("pipeline_hybrid_retrieval", "retrieval (round 9, BM25+PRF dense+RRF)"),
+    ("pipeline_perplexity_filter", "corpus_ops (round 9, quarter-bit LM scoring)"),
+    ("join_bloom_prefiltered", "joins (round 9, Bloom runtime filter)"),
+    ("pipeline_resample_ohlc", "timeseries (round 9, one-exchange OHLC)"),
+    ("sim_cosine_ivf_reuse", "similarity (round 9, persisted IVF index)"),
+    ("pipeline_compaction_apply", "layout (round 9, executed compaction)"),
+    ("pipeline_zorder_apply", "layout (round 9, executed z-order rewrite)"),
 ]
 
 
