@@ -788,6 +788,15 @@ def sim_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_certified(exact, ivf_top3(spark, sf_dir), _IVF_RECALL_BOUND)
 
 
+def ivf_top3_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw persisted-index IVF ANN (scale-probe twin of
+    sim_cosine_ivf_reuse WITHOUT the exact brute-force baseline leg —
+    the certification query's slope tracks the baseline's output-bound
+    quadratic cost, not the ANN path; same split as ann_lsh_top3 /
+    ivf_top3 in tools/scale_probe.py)."""
+    return ivf_top3(spark, sf_dir, force_disk_reload=True)
+
+
 @query("sim_cosine_ivf_reuse", oracle=_EXACT_TOP3_ORACLE)
 def sim_cosine_ivf_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN on the PERSISTED index — same pipeline, same recall
