@@ -536,3 +536,76 @@ def stream_cdc_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_seen").alias("n_seen"),
         )
     )
+
+
+@query(
+    "stream_ohlc_native",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_z
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(bucket AS VARCHAR) AS bucket_start,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_z = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS volume,
+           CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS DECIMAL(38,0)))
+                AS BIGINT) AS vsum_q6
+    FROM ranked
+    GROUP BY event_type, bucket
+    """,
+)
+def stream_ohlc_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar downsampling executed as an ACTUAL Structured
+    Streaming query — the streaming twin of pipeline_resample_ohlc,
+    same oracle: min_by/max_by on the unique (ts, event_id) struct run
+    as STREAMING AGGREGATE STATE (each window's open/close candidates
+    fold incrementally across micro-batches — the arg-min/max pair is
+    O(1) state per bar, exactly what a live market-data/telemetry
+    rollup keeps), with the quantized-decimal volume sum making the
+    result micro-batch-partition independent. readStream file source →
+    availableNow → complete-mode memory sink; the driver hash-check
+    proves batch plan ≡ streaming plan on real streaming execution.
+    In production the window gets a watermark so closed bars evict
+    (tests/test_streaming.py pins the eviction shape for the tumbling
+    family this query extends)."""
+    from ..streaming import (
+        open_event_stream,
+        run_to_memory_sink,
+        stream_state_partitions,
+    )
+
+    ev = open_event_stream(spark, sf_dir).filter(F.col("value").isNotNull())
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    bars = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("volume"),
+            F.sum(
+                F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast(
+                    "decimal(38,0)"
+                )
+            )
+            .cast("long")
+            .alias("vsum_q6"),
+        )
+        .select(
+            "event_type",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            "open", "high", "low", "close", "volume", "vsum_q6",
+        )
+    )
+    with stream_state_partitions(spark):
+        run_to_memory_sink(bars, "stream_ohlc_native_sink", output_mode="complete")
+    return spark.table("stream_ohlc_native_sink")
