@@ -778,3 +778,48 @@ def join_bloom_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+_LATERAL_TOPN_SQL = """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
+@query("join_lateral_topn", oracle=_LATERAL_TOPN_SQL)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join — each BUILDING-segment customer joined
+    to its OWN top-2 orders by price, expressed as SQL
+    ``, LATERAL (...ORDER BY...LIMIT 2)`` on BOTH engines (the ANSI
+    lateral-derived-table surface a reference user migrating real SQL
+    expects to keep). Catalyst decorrelates the per-row subquery into
+    a ranked window over the one orders⋈customer join — the classic
+    rewrite — so the executed plan is top-N-per-group, not N
+    subqueries; the oracle runs DuckDB's native lateral operator to
+    the same rows. Same result as topk_per_group's explicit window
+    formulation (windows.py) — registered separately because the
+    LATERAL surface itself is the operator under test.
+
+    Scale shape: one equi-join exchange + per-key rank, never a
+    re-scan per outer row; the segment filter pushes into the customer
+    scan."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_lat_v"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat_v")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer_lat_v c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders_lat_v o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )

@@ -113,3 +113,54 @@ def udtf_explode_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.explode(F.from_json("props", "map<string,bigint>")).alias("prop_key", "prop_value"),
     )
+
+
+@query(
+    "udtf_python_native",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST((s.i - 1) // 10 AS INT) AS chunk_idx,
+           array_to_string(t[s.i : s.i + 9], ' ') AS chunk,
+           CAST(LEAST(10, len(t) - s.i + 1) AS INT) AS n_tokens
+    FROM toks, LATERAL (
+      SELECT unnest(range(1, len(t) + 1, 10)) AS i
+    ) s(i)
+    """,
+)
+def udtf_python_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 NATIVE Python UDTF (``@F.udtf``) — the table-function
+    API surface itself, exercised on a real 1→N expansion: each
+    document yields one row per 10-token chunk (a windowless fixed-
+    width chunker). The module policy still holds — ``udtf_explode_like``
+    shows the built-in tier for expansions a built-in can express; this
+    query exists because the UDTF *interface* (analyze-less class-based
+    eval, yield-per-row, registered + called from SQL) is part of the
+    engine's declared UDF surface, and the oracle proves the Python
+    expansion agrees with pure SQL row algebra.
+
+    Scale shape: UDTFs run partition-parallel with rows streamed
+    through the Python worker — same worker economics as a pandas_udf
+    but row-oriented output; the oracle-equivalent built-in
+    (posexplode over slice) is what production uses on the hot path
+    (see pipeline_chunk_overlap). Output is deterministic per row, so
+    partitioning cannot reorder semantics."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_idx int, chunk string, n_tokens int")
+    class ChunkDoc:
+        def eval(self, doc_id: int, text: str, width: int):
+            toks = (text or "").split(" ")
+            for k in range(0, len(toks), width):
+                piece = toks[k : k + width]
+                yield doc_id, k // width, " ".join(piece), len(piece)
+
+    spark.udtf.register("chunk_doc_udtf", ChunkDoc)
+    load_table(spark, sf_dir, "documents").select("doc_id", "text") \
+        .createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        "SELECT c.* FROM docs_for_udtf d, "
+        "LATERAL chunk_doc_udtf(d.doc_id, d.text, 10) c"
+    )
