@@ -126,6 +126,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "sim_cosine_ann_lsh",  # 1-row recall-ok certification broadcast
         "sim_cosine_ivf",  # 1-row recall-ok certification broadcast
         "sim_cosine_ivf_reuse",  # same certification broadcast, persisted index
+        "sim_cosine_pq",  # 1-row recall-ok certification broadcast (PQ)
         "agg_heavy_hitters_mg",  # 1-row corpus-total certification broadcast
         "stream_heavy_hitters",  # 1-row corpus-total certification broadcast
         "sample_priority",  # 1-row tau threshold broadcast (DLT estimator)
