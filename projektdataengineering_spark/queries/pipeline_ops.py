@@ -1751,3 +1751,94 @@ def pipeline_kanon_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("level", "lang", "source", "band_label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset datasheet (round 9): the per-source corpus card a data-
+# governance review reads — one row per source, integer-exact
+# ---------------------------------------------------------------------------
+
+_DATASHEET_SQL = """
+    WITH base AS (
+      SELECT source, lang, doc_id, sha256(text) AS sha,
+             len(string_split(text, ' ')) AS n_toks
+      FROM documents
+    ),
+    per_source AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+             COUNT(DISTINCT lang) AS n_langs,
+             COUNT(*) - COUNT(DISTINCT sha) AS dup_docs
+      FROM base GROUP BY source
+    ),
+    lang_rank AS (
+      SELECT source, lang, COUNT(*) AS c,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY COUNT(*) DESC, lang) AS rn
+      FROM base GROUP BY source, lang
+    )
+    SELECT p.source,
+           CAST(p.n_docs AS BIGINT) AS n_docs,
+           p.n_tokens,
+           CAST(p.n_langs AS BIGINT) AS n_langs,
+           l.lang AS top_lang,
+           CAST((l.c * 1000000) // p.n_docs AS BIGINT) AS top_lang_ppm,
+           CAST(p.dup_docs AS BIGINT) AS dup_docs,
+           CAST((p.dup_docs * 1000000) // p.n_docs AS BIGINT) AS dup_ppm,
+           CAST(p.n_tokens // p.n_docs AS BIGINT) AS mean_tokens
+    FROM per_source p
+    JOIN lang_rank l ON l.source = p.source AND l.rn = 1
+"""
+
+
+@query("pipeline_dataset_datasheet", oracle=_DATASHEET_SQL)
+def pipeline_dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset datasheet — the corpus card a governance /
+    data-mixing review reads before training: document and token
+    volume, language spread with the dominant language's exact ppm
+    share, exact-duplicate mass (sha256 collisions within the source),
+    and mean document length. Every ratio is integer ppm (the
+    engine's float discipline), so the sheet replays bit-for-bit.
+
+    This is the composition layer over the per-doc signal family
+    (pipeline_corpus_stats, pipeline_lang_balance, dedup_exact): at
+    100 TB the same two hash aggregates run per source partition and
+    the datasheet is the table a mixture-weights job
+    (pipeline_domain_mix, pipeline_mixture_temperature) consumes.
+
+    Scale shape: one exchange for the per-source aggregate (count
+    distinct sha/lang fold into the same grouping), one for the
+    (source, lang) rank — both partial-aggregated map-side; output is
+    sources-sized, not corpus-sized."""
+    base = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        F.sha2(F.col("text"), 256).alias("sha"),
+        F.size(F.split("text", " ")).alias("n_toks"),
+    )
+    per_source = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        (F.count(F.lit(1)) - F.countDistinct("sha")).alias("dup_docs"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("lang"))
+    top_lang = (
+        base.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"), "c")
+    )
+    return per_source.join(top_lang, "source").select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "n_tokens",
+        F.col("n_langs").cast("long").alias("n_langs"),
+        "top_lang",
+        F.expr("(c * 1000000) div n_docs").cast("long").alias("top_lang_ppm"),
+        F.col("dup_docs").cast("long").alias("dup_docs"),
+        F.expr("(dup_docs * 1000000) div n_docs").cast("long").alias("dup_ppm"),
+        F.expr("n_tokens div n_docs").cast("long").alias("mean_tokens"),
+    )

@@ -277,6 +277,12 @@ def pipeline_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("embedding")
         .collect()
     )
+    if not seeds:
+        raise ValueError(
+            "pipeline_hybrid_retrieval: no seed embeddings — the corpus "
+            "has no BM25-scored documents with vectors; PRF needs a "
+            "non-empty lexical top-k"
+        )
     dim = len(seeds[0]["embedding"])
     cent = []
     for j in range(dim):
