@@ -563,15 +563,27 @@ _PPL_KEEP_QBITS = 24  # keep docs with mean surprisal <= 6.0 bits/bigram
 # a/y into [1, 2) and the quarter-bit remainder k solves
 # (a/y)^4 >= 2^k by EXACT integer comparison — a,y <= ~1e6 so the
 # fourth powers sit well inside DECIMAL(38,0)/HUGEINT.
+# NB: explicit CAST + repeated multiplication, NOT the ** operator —
+# DuckDB's ** returns DOUBLE (x**4 at ~1e24 rounds to 53 bits), while
+# chained HUGEINT products stay exact like Spark's DECIMAL(38,0) side.
 _QBITS_SQL = """
     (4 * (length(bin({a} // {b})) - 1)
      + CASE
-         WHEN CAST({a} AS HUGEINT)**4 >=
-              8 * (CAST({b} AS HUGEINT) << (length(bin({a} // {b})) - 1))**4 THEN 3
-         WHEN CAST({a} AS HUGEINT)**4 >=
-              4 * (CAST({b} AS HUGEINT) << (length(bin({a} // {b})) - 1))**4 THEN 2
-         WHEN CAST({a} AS HUGEINT)**4 >=
-              2 * (CAST({b} AS HUGEINT) << (length(bin({a} // {b})) - 1))**4 THEN 1
+         WHEN CAST({a} AS HUGEINT) * {a} * {a} * {a} >=
+              8 * ((CAST({b} AS HUGEINT) << (length(bin({a} // {b})) - 1))
+                   * (CAST({b} AS HUGEINT) << (length(bin({a} // {b})) - 1))
+                   * (CAST({b} AS HUGEINT) << (length(bin({a} // {b})) - 1))
+                   * (CAST({b} AS HUGEINT) << (length(bin({a} // {b})) - 1))) THEN 3
+         WHEN CAST({a} AS HUGEINT) * {a} * {a} * {a} >=
+              4 * ((CAST({b} AS HUGEINT) << (length(bin({a} // {b})) - 1))
+                   * (CAST({b} AS HUGEINT) << (length(bin({a} // {b})) - 1))
+                   * (CAST({b} AS HUGEINT) << (length(bin({a} // {b})) - 1))
+                   * (CAST({b} AS HUGEINT) << (length(bin({a} // {b})) - 1))) THEN 2
+         WHEN CAST({a} AS HUGEINT) * {a} * {a} * {a} >=
+              2 * ((CAST({b} AS HUGEINT) << (length(bin({a} // {b})) - 1))
+                   * (CAST({b} AS HUGEINT) << (length(bin({a} // {b})) - 1))
+                   * (CAST({b} AS HUGEINT) << (length(bin({a} // {b})) - 1))
+                   * (CAST({b} AS HUGEINT) << (length(bin({a} // {b})) - 1))) THEN 1
          ELSE 0
        END)
 """
