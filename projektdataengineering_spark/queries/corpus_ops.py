@@ -646,8 +646,6 @@ def pipeline_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate. At 100 TB the LM is trained once per corpus version and
     persisted (the _ivf_centroids pattern); scoring is one map-side
     join pass."""
-    from ..functions import token_ngrams  # noqa: F401  (module convention)
-
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
     enc = toked.select(
