@@ -89,6 +89,7 @@ _MODULES = (
     "graphs",
     # round-9 additions
     "retrieval",
+    "analytics",
 )
 
 # Window packing: the driver's correctness pass records the FIRST 50
