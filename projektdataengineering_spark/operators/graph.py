@@ -344,3 +344,48 @@ def triangle_counts(edges: DataFrame, src: str, dst: str) -> DataFrame:
             F.coalesce(F.col("triangles"), F.lit(0)).cast("bigint").alias("triangles"),
         )
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    seeds: DataFrame,
+    max_hops: int,
+) -> DataFrame:
+    """Level-synchronous BFS: hop distance (0..max_hops) from a seed
+    node set over a DIRECTED edge list (pass the symmetrized list for
+    undirected semantics). Returns (node, hop) for every node reachable
+    within max_hops, hop = length of the shortest path — the
+    "neighborhood expansion" primitive under k-hop audience queries,
+    blast-radius analysis, and graph-distance dedup policies.
+
+    ``seeds`` is a one-column ``node`` frame (hop 0). Each level is one
+    equi-join frontier⋈edges + one distinct + one anti-join against the
+    visited set — all key-partitioned, no driver-side graph; the
+    frontier is the only state that grows, and it is localCheckpointed
+    per level so the plan stays flat at any hop count (the
+    connected_components lineage discipline).
+
+    At 100 TB: BFS cost is Σ|frontier|·avg-degree per level, the same
+    shuffle volume a Pregel superstep pays; the anti-join keeps each
+    node's expansion to exactly one level, so total work is bounded by
+    edges-touched, not levels×edges."""
+    visited = seeds.select(
+        F.col("node"), F.lit(0).cast("bigint").alias("hop")
+    ).localCheckpoint(eager=False)
+    frontier = visited.select("node")
+    for k in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges[src])
+            .select(edges[dst].alias("node"))
+            .distinct()
+        )
+        new = (
+            nxt.join(visited, "node", "left_anti")
+            .select(F.col("node"), F.lit(k).cast("bigint").alias("hop"))
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionAll(new).localCheckpoint(eager=False)
+        frontier = new.select("node")
+    return visited

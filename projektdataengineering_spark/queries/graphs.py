@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import load_table
 from . import query
 from .pipeline_ops import _PORTABLE_PAIRS_SQL
 
@@ -220,3 +221,102 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("node").alias("doc_id"), "degree", "triangles"
     ).orderBy("doc_id")
+
+
+_BFS_HOPS = 3
+
+# Bipartite purchase graph: customer c ↔ part p whenever c ordered p.
+# Node ids live in one BIGINT space via parity encoding (2·custkey for
+# customers, 2·partkey+1 for parts) so the two key domains cannot
+# collide — integer arithmetic both engines evaluate identically.
+_BFS_EDGE_SQL = """
+      SELECT DISTINCT o.o_custkey * 2 AS src, l.l_partkey * 2 + 1 AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+"""
+
+
+def _bfs_sql(max_hops: int) -> str:
+    """DuckDB replay of level-synchronous BFS from the max-degree
+    customer of the customer↔part purchase graph: each level is one
+    join + EXCEPT against the visited set — the same frontier algebra
+    the Spark operator runs, unrolled as chained CTEs."""
+    ctes = []
+    for k in range(1, max_hops + 1):
+        ctes.append(f"""
+    f{k} AS (
+      SELECT DISTINCT e.dst AS node
+      FROM und e JOIN f{k - 1} f ON e.src = f.node
+      EXCEPT SELECT node FROM v{k - 1}
+    ),
+    v{k} AS (
+      SELECT node, hop FROM v{k - 1}
+      UNION ALL SELECT node, {k} AS hop FROM f{k}
+    )""")
+    return f"""
+    WITH bip AS ({_BFS_EDGE_SQL}),
+    und AS (
+      SELECT src, dst FROM bip
+      UNION ALL SELECT dst AS src, src AS dst FROM bip
+    ),
+    f0 AS (
+      SELECT src AS node FROM und GROUP BY src
+      ORDER BY COUNT(*) DESC, src LIMIT 1
+    ),
+    v0 AS (SELECT node, 0 AS hop FROM f0),{",".join(ctes)}
+    SELECT CAST(node AS BIGINT) AS node, CAST(hop AS BIGINT) AS hop
+    FROM v{max_hops}
+    """
+
+
+@query("graph_bfs_hops", oracle=_bfs_sql(_BFS_HOPS))
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-hop neighborhood expansion: shortest-path hop distance
+    (0..3) from the max-degree node of the customer↔part purchase
+    graph (orders ⋈ lineitem, parity-encoded bipartite ids) — the
+    collaborative-filtering expansion ("parts bought by customers who
+    bought what this customer bought") and the blast-radius primitive
+    under k-hop audience and recall queries. The seed is the
+    max-degree node tie-broken by min id, so the query is a total
+    function of the data (the HWM scalar-read pattern applied to a
+    graph seed) and walks the graph's densest neighborhood.
+
+    Plan shape (operators/graph.py:bfs_hops): per level one
+    frontier⋈edges equi-join + distinct + anti-join against visited,
+    everything key-partitioned on node id; the edge list is built
+    once (one distinct over the orders⋈lineitem join — ids only),
+    checkpointed, and symmetrized. The DuckDB oracle unrolls the
+    identical frontier algebra as chained CTEs, so (node, hop)
+    hash-matches bit-for-bit.
+
+    At 100 TB the frontier join shuffles (id, id) pairs only; BFS
+    total work is bounded by edges-touched (each node expands exactly
+    once past the anti-join), the same volume a Pregel superstep
+    family pays."""
+    from ..operators.graph import bfs_hops
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    bip = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_partkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    und = bip.unionAll(
+        bip.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        und.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .orderBy(F.col("d").desc(), F.col("src"))
+        .limit(1)
+        .select(F.col("src").alias("node"))
+    )
+    return bfs_hops(und, "src", "dst", seeds, max_hops=_BFS_HOPS)
