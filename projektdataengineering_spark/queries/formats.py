@@ -372,3 +372,64 @@ def scan_hive_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("min_ts"),
         F.max("ts").alias("max_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# binaryFile source (the opaque-payload ingest path: images, audio, models)
+# ---------------------------------------------------------------------------
+
+_BINFILE_N_DOCS = 48
+
+_BINFILE_SQL = f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id < {_BINFILE_N_DOCS}
+"""
+
+
+@query("scan_binary_files", oracle=_BINFILE_SQL)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's ``binaryFile`` source — the ingest path for opaque
+    payloads (images, audio, serialized models) that have no row
+    structure: one landing-zone file per document (UTF-8 text bytes,
+    doc_id in the filename), read back as (path, length, content
+    BINARY) and projected to (doc_id, n_bytes, md5). The oracle
+    computes the same three columns from the documents VIEW alone, so
+    a hash match certifies the whole loop: the file write was
+    lossless, binaryFile's length matches true byte length, and the
+    content column carries exactly the original bytes (md5-proven) —
+    the property multimodal_* rely on upstream when they treat binary
+    columns as ground truth.
+
+    The file materialization collects _BINFILE_N_DOCS (48) tiny rows
+    driver-side — a bounded fixture-building step (the landing zone
+    at 100 TB is written by producers, not this query); the READ side
+    is the scale path: binaryFile lists and splits by file like any
+    source, so a million-object landing zone scans
+    partition-parallel, with ``pathGlobFilter``/``modifiedAfter``
+    pushdown for incremental pickup (the R5 high-water-mark semantics
+    applied to objects).
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _BINFILE_N_DOCS)
+        .select("doc_id", "text")
+    )
+    out = _scratch_dir("binfiles", sf_dir)
+    os.makedirs(out, exist_ok=True)
+    # overwrite-every-call (module convention): regenerated fixtures
+    # can never leave stale payloads behind
+    for f in os.listdir(out):
+        os.unlink(os.path.join(out, f))
+    for row in docs.collect():
+        with open(os.path.join(out, f"doc_{row['doc_id']}.bin"), "wb") as fh:
+            fh.write(row["text"].encode("utf-8"))
+    back = spark.read.format("binaryFile").load(out)
+    return back.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
