@@ -606,3 +606,199 @@ def pipeline_zorder_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _atomic_dir_write(lambda p: result.coalesce(1).write.parquet(p), manifest_path)
     return spark.read.parquet(manifest_path).select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# pipeline_file_skipping — zone-map pruning over the installed z-order table
+# ---------------------------------------------------------------------------
+
+_SKIP_SQL = f"""
+    WITH coded AS (
+      SELECT event_id, user_id, value,
+             ((RANK() OVER (ORDER BY user_id) - 1) * {1 << _BITS}) // COUNT(*) OVER ()
+               AS xcode,
+             ((RANK() OVER (ORDER BY value, event_id) - 1) * {1 << _BITS}) // COUNT(*) OVER ()
+               AS ycode
+      FROM events
+    ), curved AS (
+      SELECT *, {_sql_interleave("xcode", "ycode")} AS zvalue FROM coded
+    ), filed AS (
+      SELECT *, NTILE({_N_FILES}) OVER (ORDER BY zvalue, event_id) AS file_id
+      FROM curved
+    ), bounds AS (
+      SELECT MIN(user_id) AS u_min,
+             MIN(user_id) + (MAX(user_id) - MIN(user_id)) // 4 AS u_hi,
+             MIN(value) AS v_min,
+             (MIN(value) + MAX(value)) / 2 AS v_hi
+      FROM events
+    )
+    SELECT CAST(file_id AS INT) AS file_id,
+           COUNT(*) AS n_rows,
+           CAST(MIN(f.user_id) <= b.u_hi AND MAX(f.user_id) >= b.u_min
+                AND MIN(f.value) <= b.v_hi AND MAX(f.value) >= b.v_min
+                AS BOOLEAN) AS kept,
+           CAST(SUM(CASE WHEN f.user_id BETWEEN b.u_min AND b.u_hi
+                          AND f.value BETWEEN b.v_min AND b.v_hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+    FROM filed f CROSS JOIN bounds b
+    GROUP BY file_id, b.u_min, b.u_hi, b.v_min, b.v_hi
+"""
+
+
+@query("pipeline_file_skipping", oracle=_SKIP_SQL)
+def pipeline_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file skipping MEASURED FROM DISK: against the
+    physically installed Z-order table (pipeline_zorder_apply's
+    output, shared via the content-addressed workdir), evaluate a
+    2-D predicate (lowest user-id quartile × lower value half, both
+    bounds data-derived scalars) per REAL file: the file's measured
+    min/max envelope decides ``kept`` — exactly the decision a
+    catalog/footer-stats pruner makes — and ``n_match`` counts the
+    rows inside the file that actually satisfy the predicate. The
+    DuckDB oracle recomputes file assignment, envelopes, and match
+    counts from the source rows alone, so a hash match certifies that
+    (a) the on-disk layout produces exactly these zone maps and
+    (b) every pruned file (kept = false) truly contains ZERO matching
+    rows — pruning soundness as a certified fact, not a trust-me.
+
+    This is the query-side payoff of Z-ORDER: both predicate
+    dimensions prune simultaneously (the layout module docstring's
+    whole point). At 100 TB the kept/pruned decision runs against
+    catalog file statistics without touching data; here the envelopes
+    are re-measured from the files to certify those statistics."""
+    import os
+
+    base = _zorder_workdir(sf_dir)
+    table_path = os.path.join(base, "table")
+    if not os.path.isdir(table_path):
+        # install the z-order table (and freeze its manifest) once;
+        # content-addressed, so this is a no-op when already present
+        pipeline_zorder_apply(spark, sf_dir).count()
+
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.agg(
+            F.min("user_id").alias("u_min"),
+            (F.min("user_id") + F.expr("(max(user_id) - min(user_id)) div 4")).alias("u_hi"),
+            F.min("value").alias("v_min"),
+            ((F.min("value") + F.max("value")) / 2).alias("v_hi"),
+        )
+    ).collect()[0]
+
+    d = spark.read.parquet(table_path)
+    match = (
+        F.col("user_id").between(F.lit(b["u_min"]), F.lit(b["u_hi"]))
+        & F.col("value").between(F.lit(b["v_min"]), F.lit(b["v_hi"]))
+    )
+    return d.groupBy(F.col("file_id").cast("int").alias("file_id")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            (F.min("user_id") <= F.lit(b["u_hi"]))
+            & (F.max("user_id") >= F.lit(b["u_min"]))
+            & (F.min("value") <= F.lit(b["v_hi"]))
+            & (F.max("value") >= F.lit(b["v_min"]))
+        ).alias("kept"),
+        F.sum(F.when(match, 1).otherwise(0)).cast("long").alias("n_match"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_gdpr_erasure — executed right-to-be-forgotten, certified from disk
+# ---------------------------------------------------------------------------
+
+_ERASE_SQL = """
+    WITH tomb AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE substring(md5(CAST(user_id AS VARCHAR)), 1, 1) = '0'
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS rows_before,
+           CAST(SUM(CASE WHEN t.user_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS rows_after,
+           CAST(SUM(CASE WHEN t.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS erased_rows,
+           CAST(COUNT(DISTINCT t.user_id) AS BIGINT) AS erased_users
+    FROM events e LEFT JOIN tomb t ON e.user_id = t.user_id
+    GROUP BY e.event_type
+"""
+
+
+def _erasure_workdir(sf_dir: str) -> str:
+    import os
+
+    from ..sources import source_fingerprint
+
+    fp = source_fingerprint(os.path.join(sf_dir, "events.parquet"))
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+        "erasure",
+        fp,
+    )
+
+
+@query("pipeline_gdpr_erasure", oracle=_ERASE_SQL)
+def pipeline_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED right-to-be-forgotten: a deterministic tombstone set
+    (users whose id md5 starts with nibble '0' — a stand-in for the
+    deletion-request table; ~1/16 of users) is anti-joined out of
+    events, the surviving rows are physically written as a real
+    parquet table (staged write + atomic rename, content-addressed by
+    the events fingerprint), and the audit manifest is then measured
+    from BOTH tables: rows_before from the source, rows_after re-read
+    FROM THE ERASED TABLE ON DISK. The oracle recomputes every column
+    from the events view and the same md5 predicate, so a hash match
+    certifies the erasure end-to-end: every tombstoned user's rows
+    are gone from the physical table, no bystander row was lost, and
+    the per-type audit counts are exact — the deletion-compliance
+    evidence a data-protection audit asks for.
+
+    Scale shape: the tombstone set is DISTINCT user ids (broadcast-
+    sized vs events); the anti-join is one broadcast probe, the write
+    one partitioned pass, the audit two partial-aggregated scans. At
+    100 TB this is the standard erasure rewrite: tombstones bounded
+    by deletion requests, rewrite bounded by affected partitions
+    (here: all, since user_id is not the partition key — the audit
+    counts are the same either way)."""
+    import os
+
+    base = _erasure_workdir(sf_dir)
+    erased_path = os.path.join(base, "erased")
+    manifest_path = os.path.join(base, "manifest")
+
+    cols = [
+        "event_type", "rows_before", "rows_after", "erased_rows",
+        "erased_users",
+    ]
+    if os.path.isdir(manifest_path):
+        return spark.read.parquet(manifest_path).select(*cols)
+
+    ev = load_table(spark, sf_dir, "events")
+    is_tomb = F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) == "0"
+
+    if not os.path.isdir(erased_path):
+        keep = ev.filter(~is_tomb)
+        _atomic_dir_write(
+            lambda p: keep.write.parquet(p), erased_path
+        )
+
+    before = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("rows_before"),
+        F.sum(F.when(is_tomb, 1).otherwise(0)).cast("long").alias("erased_rows"),
+        F.countDistinct(F.when(is_tomb, F.col("user_id"))).cast("long")
+        .alias("erased_users"),
+    )
+    after = (
+        spark.read.parquet(erased_path)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("rows_after"))
+    )
+    result = before.join(after, "event_type", "left").select(
+        "event_type",
+        F.col("rows_before").cast("long").alias("rows_before"),
+        F.coalesce(F.col("rows_after"), F.lit(0)).cast("long").alias("rows_after"),
+        "erased_rows",
+        "erased_users",
+    )
+    _atomic_dir_write(lambda p: result.coalesce(1).write.parquet(p), manifest_path)
+    return spark.read.parquet(manifest_path).select(*cols)
