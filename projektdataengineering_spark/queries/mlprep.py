@@ -292,3 +292,158 @@ def sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.col("weight"), F.col("tau")).alias("est_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_feature_scale — min-max + z-score normalization, exact-stat form
+# ---------------------------------------------------------------------------
+
+_FEATURE_SCALE_SQL = """
+    WITH c AS (
+      SELECT c_custkey,
+             CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      FROM customer
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS BIGINT) AS s,
+             CAST(SUM(CAST(cents AS DECIMAL(38,0))
+                      * CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS q,
+             MIN(cents) AS mn, MAX(cents) AS mx
+      FROM c
+    )
+    SELECT c.c_custkey,
+           c.cents,
+           CAST(FLOOR((c.cents - st.mn) * 1000000.0
+                      / (st.mx - st.mn) + 0.5) AS BIGINT) AS minmax_ppm,
+           CAST(FLOOR(1000.0 * (c.cents * st.n - st.s)
+                      / sqrt(CAST(st.n * st.q - CAST(st.s AS DECIMAL(38,0))
+                                                * CAST(st.s AS DECIMAL(38,0))
+                                  AS DOUBLE)) + 0.5) AS BIGINT) AS z_milli
+    FROM c CROSS JOIN stats st
+"""
+
+
+@query("pipeline_feature_scale", oracle=_FEATURE_SCALE_SQL)
+def pipeline_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature normalization — the two standard scalers of tabular ML
+    prep, in cross-engine-exact form: min-max position in ppm and
+    z-score in milli-units per customer balance. The statistics are
+    EXACT (cent-quantized balances; Σx and Σx² as DECIMAL(38,0) — the
+    agg_corr_exact co-moment discipline), so the only float steps are
+    one subtraction/multiply/divide chain and one correctly-rounded
+    IEEE sqrt, each a single operation both engines evaluate
+    identically. z = (x·n − S) / √(n·Q − S²) is the co-moment identity
+    that never materializes the mean — the same one-pass shape a
+    1000-executor scaler uses (no mean-then-second-pass).
+
+    Plan shape: one partial→final single-row aggregate (the stats),
+    broadcast back over the rows as a literal-free cross join — no
+    second scan of the table, no driver round-trip for the row side.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    d38 = "decimal(38,0)"
+    stats = c.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cents").cast(d38)).cast("long").alias("s"),
+        F.sum(F.col("cents").cast(d38) * F.col("cents").cast(d38))
+        .cast(d38)
+        .alias("q"),
+        F.min("cents").alias("mn"),
+        F.max("cents").alias("mx"),
+    )
+    joined = c.crossJoin(F.broadcast(stats))
+    return joined.select(
+        "c_custkey",
+        "cents",
+        F.floor(
+            (F.col("cents") - F.col("mn"))
+            * F.lit(1000000.0)
+            / (F.col("mx") - F.col("mn"))
+            + 0.5
+        )
+        .cast("long")
+        .alias("minmax_ppm"),
+        F.floor(
+            F.lit(1000.0)
+            * (F.col("cents") * F.col("n") - F.col("s"))
+            / F.sqrt(
+                (
+                    F.col("n") * F.col("q")
+                    - F.col("s").cast(d38) * F.col("s").cast(d38)
+                ).cast("double")
+            )
+            + 0.5
+        )
+        .cast("long")
+        .alias("z_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_target_encode — leave-one-out categorical target encoding
+# ---------------------------------------------------------------------------
+
+_TARGET_ENCODE_SQL = """
+    WITH c AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      FROM customer
+    ),
+    seg AS (
+      SELECT c_custkey, c_mktsegment, cents,
+             SUM(cents) OVER (PARTITION BY c_mktsegment) AS s_seg,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS n_seg
+      FROM c
+    )
+    SELECT c_custkey, c_mktsegment,
+           CAST(CASE WHEN n_seg <= 1 THEN NULL
+                     ELSE ((s_seg - cents) * 1000) // (n_seg - 1)
+                END AS BIGINT) AS te_millicents
+    FROM seg
+"""
+
+
+@query("pipeline_target_encode", oracle=_TARGET_ENCODE_SQL)
+def pipeline_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the categorical-feature
+    workhorse of gradient-boosting prep: each customer's market
+    segment is encoded as the mean balance of the OTHER members of
+    that segment, ``(S_seg − x) / (n_seg − 1)``, which removes the
+    self-leakage plain mean-encoding suffers. All integer: balances
+    in cents, the LOO mean in milli-cents via truncating integer
+    division (Spark ``div`` ≡ DuckDB ``//`` — both truncate toward
+    zero, checked for the negative-balance rows); singleton segments
+    encode NULL (the caller's smoothing/global-prior policy slot).
+
+    Plan shape: one exchange on the segment key; both window passes
+    (sum, count) share the partition sort, and the division is
+    map-side arithmetic after it — the same single-shuffle bound a
+    100-TB encode pays, with no per-category driver state.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("c_mktsegment")
+    seg = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "cents",
+        F.sum("cents").over(w).alias("s_seg"),
+        F.count(F.lit(1)).over(w).alias("n_seg"),
+    )
+    return seg.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(
+            F.col("n_seg") <= 1, F.lit(None).cast("long")
+        )
+        .otherwise(F.expr("(s_seg - cents) * 1000 div (n_seg - 1)"))
+        .cast("long")
+        .alias("te_millicents"),
+    )
