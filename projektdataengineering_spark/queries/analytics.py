@@ -81,9 +81,11 @@ def pipeline_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: ONE shuffle on user_id — both IGNORE-NULLS window
     passes share the (user_id × (ts, event_id)) sort (the _sessionized
     single-exchange discipline), then the two attribution models fan
-    out of the same windowed frame as a union before a partial→final
-    aggregate on (model, channel). event_id tie-breaks equal
-    timestamps, so attribution is a total function of the data.
+    out of the same windowed frame MAP-SIDE via explode (a union of
+    two selects would re-evaluate the window pipeline per branch)
+    before one partial→final aggregate on (model, channel). event_id
+    tie-breaks equal timestamps, so attribution is a total function of
+    the data.
 
     At 100 TB: the window state per user is one running (first, last)
     pair — no per-user buffering; channel cardinality is tiny, so the
@@ -110,17 +112,24 @@ def pipeline_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("first_touch", F.lit("direct")).alias("first_ch"),
         F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
     )
+    # explode, not union: a union of two selects over `conv` would
+    # re-evaluate the window pipeline once per branch (two scans, two
+    # exchanges); the explode fans out map-side after ONE window pass
     both = conv.select(
-        F.lit("last_touch").alias("model"),
-        F.col("last_ch").alias("channel"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("last_touch").alias("model"),
+                    F.col("last_ch").alias("channel"),
+                ),
+                F.struct(
+                    F.lit("first_touch").alias("model"),
+                    F.col("first_ch").alias("channel"),
+                ),
+            )
+        ).alias("mc"),
         "cents",
-    ).unionAll(
-        conv.select(
-            F.lit("first_touch").alias("model"),
-            F.col("first_ch").alias("channel"),
-            "cents",
-        )
-    )
+    ).select("mc.model", "mc.channel", "cents")
     return both.groupBy("model", "channel").agg(
         F.count(F.lit(1)).alias("n_conversions"),
         F.sum("cents").alias("revenue_cents"),

@@ -130,6 +130,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "agg_heavy_hitters_mg",  # 1-row corpus-total certification broadcast
         "stream_heavy_hitters",  # 1-row corpus-total certification broadcast
         "sample_priority",  # 1-row tau threshold broadcast (DLT estimator)
+        "pipeline_feature_scale",  # 1-row exact-stats broadcast (scaler constants)
     }
     for name, qd in REGISTRY.items():
         f = plan_facts(qd.fn(spark, sf_dir))
@@ -524,4 +525,50 @@ def test_ohlc_single_aggregate_exchange(facts_of):
     f = facts_of("pipeline_resample_ohlc")
     assert f.shuffles == 1, f.nodes
     assert f.count("Window") == 0, f.nodes
+    assert f.cartesian_like == 0, f.nodes
+
+
+def test_attribution_single_window_pass(facts_of):
+    """pipeline_attribution: both touch models must come out of ONE
+    window pass (explode fan-out, not a union that re-evaluates the
+    window pipeline per branch) — one user_id exchange + the final
+    aggregate's, and exactly one Window node."""
+    f = facts_of("pipeline_attribution")
+    assert f.shuffles == 2, f.nodes
+    assert f.count("Window") == 1, f.nodes
+    assert f.count("Generate") == 1, f.nodes
+
+
+def test_pareto_frontier_never_self_joins(facts_of):
+    """filter_pareto_frontier: the dominance test must be the sort-scan
+    identity (aggregate + tiny window + broadcast join-back), never the
+    definitional O(n²) self-join the oracle runs."""
+    f = facts_of("filter_pareto_frontier")
+    assert f.cartesian_like == 0, f.nodes
+    assert f.broadcast_joins >= 1, f.nodes
+    assert f.count("SortMergeJoin") == 0, f.nodes
+
+
+def test_ab_lift_two_aggregate_exchanges_only(facts_of):
+    """pipeline_ab_lift: per-user conversion rollup + one global row —
+    two partial→final aggregates, no window, no join."""
+    f = facts_of("pipeline_ab_lift")
+    assert f.shuffles == 2, f.nodes
+    assert f.count("Window") == 0, f.nodes
+    assert f.cartesian_like == 0, f.nodes
+
+
+def test_target_encode_single_exchange(facts_of):
+    """pipeline_target_encode: both window passes (segment sum, count)
+    share one exchange on the segment key."""
+    f = facts_of("pipeline_target_encode")
+    assert f.shuffles == 1, f.nodes
+    assert f.count("Window") == 1, f.nodes
+
+
+def test_bfs_frontier_joins_are_equi_not_cartesian(facts_of):
+    """graph_bfs_hops: every frontier expansion must plan as an
+    equi-join (hash/broadcast on node id) — no cartesian-like node
+    anywhere in the unrolled 3-level plan."""
+    f = facts_of("graph_bfs_hops")
     assert f.cartesian_like == 0, f.nodes
