@@ -56,6 +56,12 @@ PROBE_QUERIES = [
     ("pipeline_zorder_layout", "Morton layout manifest (2 ranks + curve sort)"),
     ("pipeline_time_gapfill", "hourly grid explode + LOCF window"),
     ("pipeline_interval_concurrency", "sweep-line running sum"),
+    # round 9b — fixed-size-table queries probe the sf decades here
+    # (their inputs don't grow in the sf1 heavy set)
+    ("graph_bfs_hops", "3-level BFS frontier expansion (purchase graph)"),
+    ("filter_pareto_frontier", "skyline via per-price collapse + prefix max"),
+    ("pipeline_target_encode", "LOO target encoding, single segment exchange"),
+    ("pipeline_feature_scale", "exact-stats scaler, 1-row broadcast"),
 ]
 
 # Heavy families probed one decade past bench scale (sf0.1 → sf1) when
@@ -111,6 +117,11 @@ HEAVY_QUERIES = [
     ("ivf_top3_reuse", "similarity (round 9, persisted IVF index, raw ANN)"),
     ("pipeline_compaction_apply", "layout (round 9, executed compaction)"),
     ("pipeline_zorder_apply", "layout (round 9, executed z-order rewrite)"),
+    ("pipeline_attribution", "analytics (round 9b, one-window attribution)"),
+    ("pipeline_event_transitions", "analytics (round 9b, Markov cells)"),
+    ("pipeline_ab_lift", "analytics (round 9b, two-aggregate experiment readout)"),
+    ("pipeline_gdpr_erasure", "layout (round 9b, executed erasure, content-addressed)"),
+    ("pipeline_file_skipping", "layout (round 9b, zone-map pruning proof)"),
 ]
 
 
