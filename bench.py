@@ -60,6 +60,11 @@ _STDOUT_MAX_QUERIES = 10
 _WARM_BUDGETS_SF01 = {
     "sim_minhash_lsh": 3.0,
     "sim_cosine_exact_pairs": 9.0,
+    # round 9b: the sketch families moved to one-md5 affine lanes
+    # (join_bloom probe 3.6→2.0 s, countmin 2.4→1.0 s warm) — pin so
+    # a per-lane hash can't silently creep back in
+    "join_bloom_prefiltered": 5.0,
+    "agg_countmin_freq": 2.0,
 }
 
 

@@ -152,34 +152,36 @@ def count_min_cells(
     whole sketch — not just its guarantees — is deterministic and
     replayable in an external engine given the same hash family.
 
-    Hash family: bucket_j(t) = int(md5(t || '#' || j)[:13 hex]) mod
-    width — the engine's portable md5 lane pattern (same md5-hex ↔
-    BIGINT bridge sample_priority proves against DuckDB), so one SQL
-    expression reproduces every cell bit-for-bit.
+    Hash family: ONE md5 per term, split into two 32-bit ints
+    (h1 = hex[1..8], h2 = hex[9..16]); row j buckets at
+    ((h1 + j·h2) mod 2³²) mod width — the engine's affine-rehash
+    lane family (the portable-MinHash construction; also the
+    round-8→9 lesson: hashing once per LANE instead of once per ITEM
+    cost the MinHash kernel 3.8×). Exact BIGINT arithmetic
+    (h1 + depth·h2 < 2³⁵), so one SQL expression reproduces every
+    cell bit-for-bit in DuckDB.
 
-    Scale shape: one projection fans each row out `depth`× map-side,
-    then ONE groupBy over (j, b) whose partial aggregation collapses
-    every partition to ≤ depth×width rows before the exchange — the
-    shuffle carries at most depth×width×partitions tiny rows no
-    matter how many items stream in, and no per-term state ever
-    materializes (that full-vocabulary aggregate is exactly what a
-    sketch exists to avoid)."""
+    Scale shape: one md5 + projection per row, a `depth`× map-side
+    fanout of integer arithmetic, then ONE groupBy over (j, b) whose
+    partial aggregation collapses every partition to ≤ depth×width
+    rows before the exchange — the shuffle carries at most
+    depth×width×partitions tiny rows no matter how many items stream
+    in, and no per-term state ever materializes (that
+    full-vocabulary aggregate is exactly what a sketch exists to
+    avoid)."""
+    h = F.md5(F.concat(F.col("t"), F.lit("#cms")))
     j = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("j")
     return (
         df.select(F.col(term_col).cast("string").alias("t"))
-        .select("t", j)
+        .select(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("h2"),
+        )
+        .select("h1", "h2", j)
         .select(
             "j",
             (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.col("t"), F.lit("#"), F.col("j").cast("string"))),
-                        1,
-                        13,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
+                (F.col("h1") + F.col("j") * F.col("h2")) % F.lit(1 << 32)
                 % width
             ).alias("b"),
         )
@@ -207,29 +209,29 @@ def bloom_filter_words(
     (rate ≈ (1 - e^{-kn/m})^k).
 
     Same portability contract as count_min_cells: bit positions come
-    from the md5 lane family (bit_j(t) = int(md5(t||'#bloom'||j)[:13
-    hex]) mod m_bits), and bit_or is commutative/associative, so the
-    whole word table is partition-order independent and replays
-    bit-for-bit in DuckDB. Scale: k_hashes-way map-side fanout, then
-    one groupBy(w) whose partial aggregation collapses every
-    partition to ≤ m_bits/64 words before a tiny exchange."""
+    from the affine md5 lane family — ONE md5 per key, h1/h2 = its
+    two 32-bit halves, bit_j = ((h1 + j·h2) mod 2³²) mod m_bits —
+    and bit_or is commutative/associative, so the whole word table is
+    partition-order independent and replays bit-for-bit in DuckDB
+    (hashing once per LANE instead of once per KEY is the round-8
+    MinHash regression; probes pay the same rule, see
+    join_bloom_prefiltered). Scale: one md5 + k_hashes-way integer
+    fanout map-side, then one groupBy(w) whose partial aggregation
+    collapses every partition to ≤ m_bits/64 words before a tiny
+    exchange."""
+    h = F.md5(F.concat(F.col("t"), F.lit("#bloom")))
     j = F.explode(F.array(*[F.lit(i) for i in range(k_hashes)])).alias("j")
-    pos = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("t"), F.lit("#bloom"), F.col("j").cast("string"))),
-                1,
-                13,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % m_bits
-    )
     return (
         df.select(F.col(term_col).cast("string").alias("t"))
-        .select("t", j)
-        .select(pos.alias("pos"))
+        .select(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("h2"),
+        )
+        .select("h1", "h2", j)
+        .select(
+            ((F.col("h1") + F.col("j") * F.col("h2")) % F.lit(1 << 32) % m_bits)
+            .alias("pos")
+        )
         .select(
             F.expr("pos div 63").alias("w"),
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))").alias("bit"),

@@ -325,11 +325,16 @@ _DRIVER_VERIFIED = (
 #   differs) after its r8 row;
 # * sim_cosine_exact_pairs — the BLAS prefilter moved into an
 #   applyInPandas block kernel (same final pair set and values; the
-#   candidate-generation seam differs) after its r5 row.
+#   candidate-generation seam differs) after its r5 row;
+# * agg_countmin_freq / agg_bloom_membership — the CMS/Bloom hash
+#   family moved from one-md5-per-lane to one-md5-per-item affine
+#   lanes (the MinHash r9 lesson applied to the sketch trio; oracles
+#   updated in lockstep) after their r8 rows.
 _RECHECK: tuple[str, ...] = (
     "sim_minhash_lsh", "dedup_cluster_cc", "graph_pagerank",
     "graph_triangle_count", "multimodal_video_frames", "sample_priority",
-    "sim_cosine_ivf", "sim_cosine_exact_pairs",
+    "sim_cosine_ivf", "sim_cosine_exact_pairs", "agg_countmin_freq",
+    "agg_bloom_membership",
 )
 
 

@@ -856,16 +856,23 @@ _CMS_WIDTH = 8
       SELECT term, COUNT(*) AS exact_count FROM words
       WHERE term <> '' GROUP BY term
     ),
+    hashed AS (
+      SELECT term, exact_count,
+             CAST(concat('0x', substr(md5(term || '#cms'), 1, 8))
+                  AS BIGINT) AS h1,
+             CAST(concat('0x', substr(md5(term || '#cms'), 9, 8))
+                  AS BIGINT) AS h2
+      FROM counts
+    ),
     cells AS (
       SELECT r.j AS j,
-             CAST(concat('0x', substr(md5(c.term || '#' || r.j), 1, 13))
-                  AS BIGINT) % {_CMS_WIDTH} AS b,
+             ((c.h1 + r.j * c.h2) % 4294967296) % {_CMS_WIDTH} AS b,
              SUM(c.exact_count) AS cell
-      FROM counts c, range(0, {_CMS_DEPTH}) r(j)
+      FROM hashed c, range(0, {_CMS_DEPTH}) r(j)
       GROUP BY 1, 2
     ),
     top10 AS (
-      SELECT term, exact_count FROM counts
+      SELECT term, exact_count, h1, h2 FROM hashed
       ORDER BY exact_count DESC, term LIMIT 10
     )
     SELECT t.term, CAST(t.exact_count AS BIGINT) AS exact_count,
@@ -875,8 +882,7 @@ _CMS_WIDTH = 8
     JOIN range(0, {_CMS_DEPTH}) r(j) ON TRUE
     JOIN cells cl
       ON cl.j = r.j
-     AND cl.b = CAST(concat('0x', substr(md5(t.term || '#' || r.j), 1, 13))
-                     AS BIGINT) % {_CMS_WIDTH}
+     AND cl.b = ((t.h1 + r.j * t.h2) % 4294967296) % {_CMS_WIDTH}
     GROUP BY t.term, t.exact_count
     ORDER BY exact_count DESC, term
     """,
@@ -919,24 +925,20 @@ def agg_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("exact_count"), F.asc("term"))
         .limit(10)
     )
+    ph = F.md5(F.concat(F.col("term"), F.lit("#cms")))
     probes = top10.select(
         "term",
         "exact_count",
+        F.conv(F.substring(ph, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(ph, 9, 8), 16, 10).cast("long").alias("h2"),
         F.explode(F.array(*[F.lit(i) for i in range(_CMS_DEPTH)])).alias("j"),
     ).select(
         "term",
         "exact_count",
         "j",
         (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.col("term"), F.lit("#"), F.col("j").cast("string"))),
-                    1,
-                    13,
-                ),
-                16,
-                10,
-            ).cast("long")
+            (F.col("h1") + F.col("j") * F.col("h2"))
+            % F.lit(1 << 32)
             % _CMS_WIDTH
         ).alias("b"),
     )
@@ -963,10 +965,16 @@ _BLOOM_K = 3
     oracle=f"""
     WITH keys AS (SELECT DISTINCT o_custkey FROM orders
               WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 450000),
-    positions AS (
+    keyh AS (
       SELECT CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)
-                 || '#bloom' || j), 1, 13)) AS BIGINT) % {_BLOOM_M} AS pos
-      FROM keys, range(0, {_BLOOM_K}) r(j)
+                  || '#bloom'), 1, 8)) AS BIGINT) AS h1,
+             CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)
+                  || '#bloom'), 9, 8)) AS BIGINT) AS h2
+      FROM keys
+    ),
+    positions AS (
+      SELECT ((h1 + r.j * h2) % 4294967296) % {_BLOOM_M} AS pos
+      FROM keyh, range(0, {_BLOOM_K}) r(j)
     ),
     words AS (
       SELECT pos // 63 AS w,
@@ -974,10 +982,16 @@ _BLOOM_K = 3
       FROM positions GROUP BY 1
     ),
     probe AS (
-      SELECT c.c_custkey, c.c_mktsegment,
-             CAST(concat('0x', substr(md5(CAST(c.c_custkey AS VARCHAR)
-                  || '#bloom' || r.j), 1, 13)) AS BIGINT) % {_BLOOM_M} AS pos
-      FROM customer c, range(0, {_BLOOM_K}) r(j)
+      SELECT c_custkey, c_mktsegment,
+             ((h1 + r.j * h2) % 4294967296) % {_BLOOM_M} AS pos
+      FROM (
+        SELECT c_custkey, c_mktsegment,
+               CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)
+                    || '#bloom'), 1, 8)) AS BIGINT) AS h1,
+               CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)
+                    || '#bloom'), 9, 8)) AS BIGINT) AS h2
+        FROM customer
+      ) c, range(0, {_BLOOM_K}) r(j)
     ),
     memb AS (
       SELECT p.c_custkey, p.c_mktsegment,
@@ -1044,26 +1058,18 @@ def agg_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     words = bloom_filter_words(keys, "t", m_bits=_BLOOM_M, k_hashes=_BLOOM_K)
     j = F.explode(F.array(*[F.lit(i) for i in range(_BLOOM_K)])).alias("j")
+    bh = F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit("#bloom")))
     pos = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("c_custkey").cast("string"),
-                        F.lit("#bloom"),
-                        F.col("j").cast("string"),
-                    )
-                ),
-                1,
-                13,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % _BLOOM_M
+        (F.col("h1") + F.col("j") * F.col("h2")) % F.lit(1 << 32) % _BLOOM_M
     )
     probe = (
-        cust.select("c_custkey", "c_mktsegment", j)
+        cust.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.conv(F.substring(bh, 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(bh, 9, 8), 16, 10).cast("long").alias("h2"),
+        )
+        .select("c_custkey", "c_mktsegment", "h1", "h2", j)
         .select("c_custkey", "c_mktsegment", pos.alias("pos"))
         .select(
             "c_custkey",

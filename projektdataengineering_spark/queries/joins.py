@@ -754,20 +754,36 @@ def join_bloom_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = [int(words.get(w, 0)) for w in range(_BLOOM_JOIN_M // 63 + 1)]
     bw = F.array(*[F.lit(v) for v in dense])
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice"
-    ).withColumn("bw", bw)
-    conds = []
-    for j in range(_BLOOM_JOIN_K):
-        pos_sql = (
-            f"CAST(conv(substring(md5(concat(CAST(l_orderkey AS STRING), "
-            f"'#bloom', '{j}')), 1, 13), 16, 10) AS BIGINT) % {_BLOOM_JOIN_M}"
-        )
-        conds.append(
-            f"((shiftright(element_at(bw, CAST(({pos_sql}) div 63 AS INT) + 1), "
-            f"CAST(({pos_sql}) % 63 AS INT)) & 1) = 1)"
-        )
-    pruned = li.filter(F.expr(" AND ".join(conds))).drop("bw")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+        .withColumn("bw", bw)
+    )
+    # ONE md5 per probe row (the affine-lane rule — hashing per LANE
+    # was the round-8 MinHash 3.8x regression, and here the per-lane
+    # md5 probe cost more than the plain join it was supposed to
+    # beat). The single-element transform() binds the digest — and
+    # then its two 32-bit halves — to lambda variables, because
+    # Catalyst's project-collapse would otherwise inline the md5 into
+    # every one of the 6 position references (measured 3.6 s → 2.0 s
+    # at sf0.1 for the probe alone); lanes stay plain BIGINT
+    # arithmetic on the bound halves.
+    tests = " AND ".join(
+        f"((shiftright(element_at(bw, CAST((((s.x + {j} * s.y) % 4294967296)"
+        f" % {_BLOOM_JOIN_M}) div 63 AS INT) + 1), "
+        f"CAST((((s.x + {j} * s.y) % 4294967296) % {_BLOOM_JOIN_M}) % 63"
+        f" AS INT)) & 1) = 1)"
+        for j in range(_BLOOM_JOIN_K)
+    )
+    cond = f"""
+    element_at(transform(
+      array(md5(concat(CAST(l_orderkey AS STRING), '#bloom'))), h ->
+        element_at(transform(array(named_struct(
+            'x', CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT),
+            'y', CAST(conv(substring(h, 9, 8), 16, 10) AS BIGINT))),
+          s -> ({tests})), 1)), 1)
+    """
+    pruned = li.filter(F.expr(cond)).drop("bw")
     return (
         pruned.join(F.broadcast(hot), pruned.l_orderkey == hot.o_orderkey)
         .groupBy("o_orderkey", "o_totalprice")

@@ -1419,9 +1419,11 @@ def test_bloom_prefilter_prunes_probe_side(spark, sf_dir):
     import hashlib
 
     def contains(key: int) -> bool:
+        h = hashlib.md5(f"{key}#bloom".encode()).hexdigest()
+        h1, h2 = int(h[:8], 16), int(h[8:16], 16)
         for j in range(_BLOOM_JOIN_K):
-            h = hashlib.md5(f"{key}#bloom{j}".encode()).hexdigest()[:13]
-            if not (bitmap >> (int(h, 16) % _BLOOM_JOIN_M)) & 1:
+            pos = ((h1 + j * h2) % (1 << 32)) % _BLOOM_JOIN_M
+            if not (bitmap >> pos) & 1:
                 return False
         return True
 
