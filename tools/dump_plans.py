@@ -221,6 +221,29 @@ HEADLINERS: list[tuple[str, str]] = [
         "term pick and the final top-50 are both TakeOrdered driver merges "
         "of per-partition heaps — no global sort anywhere.",
     ),
+    (
+        "pipeline_attribution",
+        "Round-9b analytics: both IGNORE-NULLS touch carries come out of ONE "
+        "exchange + sort + Window pass on user_id; the two attribution "
+        "models fan out MAP-SIDE via Generate (explode) — a union of two "
+        "selects would have re-run the window pipeline per branch — before "
+        "the tiny (model, channel) partial→final aggregate.",
+    ),
+    (
+        "filter_pareto_frontier",
+        "Round-9b skyline: the dominance test is the sort-scan identity — "
+        "per-price max collapse (one aggregate exchange), a shifted running "
+        "max over the distinct-price frame, and a BroadcastHashJoin back on "
+        "price. The definitional O(n²) NOT-EXISTS self-join (what the "
+        "oracle runs) never appears in the plan.",
+    ),
+    (
+        "graph_bfs_hops",
+        "Round-9b BFS: three unrolled frontier levels, each an equi-join on "
+        "node id + distinct + left-anti against the visited set, lineage cut "
+        "per level; the purchase-graph edge list (ids only, one distinct "
+        "over orders⋈lineitem) is checkpointed once and reused.",
+    ),
 ]
 
 
