@@ -568,3 +568,84 @@ def pipeline_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame
             "first_peak_ts",
         )
     )
+
+
+_REACH_MAX_HOPS = 3
+# Premium-order subgraph (same hot-5% threshold as join_bloom_prefiltered):
+# Spark's recursive CTE has no per-level dedup yet (UNION ALL only,
+# UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so the walk carries PATHS and the
+# edge density must bound frontier×degree — the full graph measured 32 s
+# at sf0.1 on path volume alone, the hot subgraph 4 s.
+_REACH_PRICE_THRESH = 450_000.0
+
+_REACH_CORE = """
+    bip AS (
+      SELECT DISTINCT o.o_custkey * 2 AS src, l.l_partkey * 2 + 1 AS dst
+      FROM {orders} o JOIN {lineitem} l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_totalprice > {thresh}
+    ),
+    und AS (
+      SELECT src, dst FROM bip
+      UNION ALL SELECT dst AS src, src AS dst FROM bip
+    ),
+    seed AS (
+      SELECT src AS node FROM und GROUP BY src
+      ORDER BY COUNT(*) DESC, src LIMIT 1
+    ),
+    walk AS (
+      SELECT node, 0 AS hop FROM seed
+      UNION ALL
+      SELECT e.dst AS node, w.hop + 1 AS hop
+      FROM walk w JOIN und e ON e.src = w.node
+      WHERE w.hop < {max_hops}
+    ),
+    dist AS (SELECT node, MIN(hop) AS hop FROM walk GROUP BY node)
+    SELECT CAST(hop AS BIGINT) AS hop,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM dist GROUP BY hop
+"""
+
+
+@query(
+    "sql_recursive_reachability",
+    oracle="WITH RECURSIVE "
+    + _REACH_CORE.format(
+        orders="orders", lineitem="lineitem", max_hops=_REACH_MAX_HOPS,
+        thresh=_REACH_PRICE_THRESH,
+    ),
+)
+def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded transitive closure as a NATIVE recursive CTE (Spark 4
+    WITH RECURSIVE), executed by both engines from the same SQL text:
+    hop-distance histogram (nodes per shortest-path hop, 0..3) from
+    the max-degree node of the PREMIUM-order customer↔part purchase
+    subgraph (orders > 450000, the join_bloom_prefiltered hot set) — the
+    identical semantics graph_bfs_hops computes with an explicit
+    DataFrame frontier loop, here left to the engine's recursion
+    operator. Registering both pins the cross-surface equivalence the
+    same way the batch/streaming twins do: a user migrating recursive
+    SQL keeps their query text; a user needing per-level control
+    (adaptive caps, checkpointing) drops to the operator.
+
+    Scale lesson (the month-spine rule applied to graphs): each
+    recursion level is a barrier job, and the recursive term carries
+    PATHS, not nodes — revisits are deduplicated only by the final
+    MIN(hop), so the per-level volume is frontier×degree. The
+    hop < {h} bound caps that product; unbounded closure over a
+    high-degree graph wants the operator loop (anti-join dedup per
+    level, graph_bfs_hops) or the large-star/small-star rewrite
+    (operators/graph.py docstring). The walk never carries text —
+    (node, hop) pairs only.""".format(h=_REACH_MAX_HOPS)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_rxr")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_rxr"
+    )
+    return spark.sql(
+        "WITH RECURSIVE "
+        + _REACH_CORE.format(
+            orders="orders_rxr",
+            lineitem="lineitem_rxr",
+            max_hops=_REACH_MAX_HOPS,
+            thresh=_REACH_PRICE_THRESH,
+        )
+    )
