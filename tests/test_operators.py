@@ -1479,3 +1479,87 @@ def test_pq_recall_and_codebook_persistence(spark, sf_dir):
 
     rows = S.sim_cosine_pq(spark, sf_dir).collect()
     assert rows and all(r["recall_ok"] for r in rows)
+
+
+def test_bfs_hops_known_graphs(spark):
+    """bfs_hops (operators/graph.py) on pinned toy graphs: a path (hops
+    count up to the max and stop), a cycle (both directions race, each
+    node keeps its shortest side), a disconnected component (never
+    appears), and a multi-seed frontier (distance = min over seeds)."""
+    from pyspark.sql import functions as F
+
+    from projektdataengineering_spark.operators.graph import bfs_hops
+
+    def run(edges, seeds, max_hops=3):
+        e = spark.createDataFrame(edges, ["s", "d"])
+        und = e.unionAll(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        sdf = spark.createDataFrame([(x,) for x in seeds], ["node"])
+        return {
+            r["node"]: r["hop"]
+            for r in bfs_hops(und, "s", "d", sdf, max_hops=max_hops).collect()
+        }
+
+    # Path 1-2-3-4-5-6 from node 1, 3 hops: node 5 unreached at hop 3? no —
+    # hops 0..3 reach 1,2,3,4; 5 and 6 stay absent.
+    path = run([(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], [1])
+    assert path == {1: 0, 2: 1, 3: 2, 4: 3}
+
+    # 6-cycle from one node: two directions meet; farthest node is hop 3.
+    cyc = run([(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 1)], [1])
+    assert cyc == {1: 0, 2: 1, 6: 1, 3: 2, 5: 2, 4: 3}
+
+    # Disconnected island 10-11 never appears when seeding the triangle.
+    disc = run([(1, 2), (2, 3), (1, 3), (10, 11)], [1])
+    assert disc == {1: 0, 2: 1, 3: 1}
+
+    # Two seeds: each node takes its min distance over the seed set.
+    multi = run([(1, 2), (2, 3), (3, 4), (4, 5)], [1, 5])
+    assert multi == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_bfs_hops_matches_python_reference(spark, sf_dir):
+    """The registered purchase-graph BFS against a driver-side python
+    BFS over the same (collected) edge list — pins the operator's
+    frontier algebra, not just the toy cases."""
+    import collections
+
+    from projektdataengineering_spark.queries import load_registry
+
+    reg = load_registry()
+    got = {
+        r["node"]: r["hop"]
+        for r in reg["graph_bfs_hops"].fn(spark, sf_dir).collect()
+    }
+
+    from pyspark.sql import functions as F
+
+    from projektdataengineering_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    bip = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_partkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+        .collect()
+    )
+    adj = collections.defaultdict(set)
+    deg = collections.Counter()
+    for r in bip:
+        adj[r["src"]].add(r["dst"])
+        adj[r["dst"]].add(r["src"])
+    for n, ns in adj.items():
+        deg[n] = len(ns)
+    seed = max(sorted(deg), key=lambda n: deg[n])
+    want, frontier = {seed: 0}, [seed]
+    for hop in (1, 2, 3):
+        nxt = sorted(
+            {m for n in frontier for m in adj[n] if m not in want}
+        )
+        for m in nxt:
+            want[m] = hop
+        frontier = nxt
+    assert got == want
