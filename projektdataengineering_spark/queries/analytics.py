@@ -368,3 +368,61 @@ def filter_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.filter(~dominated).select(
         "p_partkey", "p_brand", "p_size", "p_retailprice"
     )
+
+
+@query("stream_attribution", oracle=_ATTRIB_SQL)
+def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of pipeline_attribution: the same first/last
+    touch credit assignment running as a live stateful streaming query
+    — applyInPandasWithState carries one (first_ch, last_ch) pair per
+    user across micro-batches (O(1) state forever), and every purchase
+    emits its credited row the moment it arrives. The batch twin
+    recomputes the whole window on every run; this one never re-reads
+    history — the standing-attribution shape a real pipeline runs.
+
+    Still HASH-CHECKED against the identical oracle as the batch twin
+    (the stream_ewma_stateful discipline): under availableNow over the
+    bounded single-file fixture the fold processes rows in
+    (ts, event_id) order, so each purchase sees exactly the
+    strictly-earlier touch state — the batch window's
+    rowsBetween(unboundedPreceding, -1) frame — and the aggregated
+    sink equals the batch result row for row. Emissions are
+    append-mode (each purchase credited exactly once), so the memory
+    sink needs no dedup; the (model, channel) rollup happens
+    batch-side on the tiny credited-purchase table."""
+    from ..streaming import (
+        open_event_stream,
+        run_to_memory_sink,
+        stream_state_partitions,
+    )
+    from ..streaming.stateful import attribution_stream
+
+    keyed = open_event_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    with stream_state_partitions(spark):
+        run_to_memory_sink(
+            attribution_stream(keyed),
+            "stream_attribution_sink",
+            output_mode="append",
+        )
+    sink = spark.table("stream_attribution_sink")
+    both = sink.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("last_touch").alias("model"),
+                    F.col("last_ch").alias("channel"),
+                ),
+                F.struct(
+                    F.lit("first_touch").alias("model"),
+                    F.col("first_ch").alias("channel"),
+                ),
+            )
+        ).alias("mc"),
+        "cents",
+    ).select("mc.model", "mc.channel", "cents")
+    return both.groupBy("model", "channel").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.sum("cents").alias("revenue_cents"),
+    )

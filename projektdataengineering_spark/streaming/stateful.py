@@ -19,6 +19,8 @@ group; the per-group pandas work is O(rows in batch).
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -415,4 +417,104 @@ def cdc_apply_stream(keyed: DataFrame, horizon: str | None = None) -> DataFrame:
             if horizon
             else GroupStateTimeout.NoTimeout
         ),
+    )
+
+
+# Streaming conversion attribution: the per-user state is just the
+# (first, last) non-purchase channel seen so far — O(1) forever — and
+# every purchase emits its credit the moment it arrives, carrying the
+# state ACROSS micro-batches (the batch twin recomputes the whole
+# window every run; this one never re-reads history).
+ATTRIB_OUTPUT_SCHEMA = (
+    "user_id long, event_id long, last_ch string, first_ch string, "
+    "cents long"
+)
+ATTRIB_STATE_SCHEMA = "first_ch string, last_ch string"
+
+
+def _attribution_fold(key, pdf_iter, state: GroupState):
+    """Per-user fold: rows sort (ts, event_id) within the batch; a
+    non-purchase row updates the carried (first, last) touch state, a
+    purchase row emits (last_ch, first_ch, cents) from the state AS OF
+    strictly-earlier rows — exactly the batch twin's
+    rowsBetween(unboundedPreceding, -1) frame, since the purchase is
+    processed after every earlier row and before itself. '' encodes
+    "no touch yet" in the state tuple; it surfaces as the 'direct'
+    channel at emit. Cents floor(value·100 + 0.5) matches the oracle;
+    a NULL value emits a NULL cents (object column → Arrow null), so
+    the sink's SUM skips it exactly as SQL does.
+
+    Ordering bound: the make_ewma_fold contract — within-batch order
+    pinned by the sort, cross-batch order is arrival order; exact
+    under availableNow on the bounded fixture (one in-order batch)."""
+    first_ch, last_ch = state.get if state.exists else ("", "")
+    frames = []
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        # Vectorized strictly-before carries (no per-row python): the
+        # carried state is prepended as a virtual row 0, the last-touch
+        # as-of each row is the ffill of the touch series at the
+        # PREVIOUS index, and the first-touch as-of is the same with
+        # everything after the first valid masked out.
+        touch = pdf["event_type"].where(
+            pdf["event_type"] != "purchase", other=None
+        )
+        carried = pd.concat(
+            [pd.Series([last_ch or None], dtype=object), touch],
+            ignore_index=True,
+        )
+        last_asof = carried.ffill().to_numpy()[:-1]
+        fc = pd.concat(
+            [pd.Series([first_ch or None], dtype=object), touch],
+            ignore_index=True,
+        )
+        fvi = fc.first_valid_index()
+        first_fill = fc.copy()
+        if fvi is not None:
+            first_fill[:] = None
+            first_fill.iloc[fvi:] = fc.iloc[fvi]
+        first_asof = first_fill.to_numpy()[:-1]
+        is_p = (pdf["event_type"] == "purchase").to_numpy()
+        if is_p.any():
+            v = pdf["value"].to_numpy()[is_p]
+            cents = [
+                None if pd.isna(x) else int(math.floor(x * 100 + 0.5))
+                for x in v
+            ]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "user_id": int(key[0]),
+                        "event_id": pdf["event_id"].to_numpy()[is_p],
+                        "last_ch": [
+                            c if c is not None else "direct"
+                            for c in last_asof[is_p]
+                        ],
+                        "first_ch": [
+                            c if c is not None else "direct"
+                            for c in first_asof[is_p]
+                        ],
+                        "cents": pd.Series(cents, dtype=object),
+                    }
+                )
+            )
+        nn = touch.dropna()
+        if len(nn):
+            last_ch = nn.iloc[-1]
+            if not first_ch:
+                first_ch = nn.iloc[0]
+    state.update((first_ch, last_ch))
+    return iter(frames)
+
+
+def attribution_stream(keyed: DataFrame) -> DataFrame:
+    """Apply the stateful attribution fold to a streaming DataFrame
+    with columns (user_id long, ts timestamp, event_id long,
+    event_type string, value double)."""
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _attribution_fold,
+        outputStructType=ATTRIB_OUTPUT_SCHEMA,
+        stateStructType=ATTRIB_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
