@@ -61,10 +61,13 @@ _WARM_BUDGETS_SF01 = {
     "sim_minhash_lsh": 3.0,
     "sim_cosine_exact_pairs": 9.0,
     # round 9b: the sketch families moved to one-md5 affine lanes
-    # (join_bloom probe 3.6→2.0 s, countmin 2.4→1.0 s warm) — pin so
-    # a per-lane hash can't silently creep back in
-    "join_bloom_prefiltered": 5.0,
-    "agg_countmin_freq": 2.0,
+    # (join_bloom probe 3.6→2.0 s, countmin 2.4→1.0 s warm) — pinned so
+    # a per-lane hash can't silently creep back in. The pins catch the
+    # 2-4x cost of re-hashing per lane, sized ABOVE host-contention
+    # wobble (this VM's in-suite warm mins ranged 4.3-5.8 s across
+    # three same-code runs on 2026-08-15).
+    "join_bloom_prefiltered": 7.0,
+    "agg_countmin_freq": 3.0,
 }
 
 
