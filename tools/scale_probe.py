@@ -62,6 +62,7 @@ PROBE_QUERIES = [
     ("filter_pareto_frontier", "skyline via per-price collapse + prefix max"),
     ("pipeline_target_encode", "LOO target encoding, single segment exchange"),
     ("pipeline_feature_scale", "exact-stats scaler, 1-row broadcast"),
+    ("sql_recursive_reachability", "native recursive-CTE closure (hot subgraph)"),
 ]
 
 # Heavy families probed one decade past bench scale (sf0.1 → sf1) when
@@ -122,6 +123,7 @@ HEAVY_QUERIES = [
     ("pipeline_ab_lift", "analytics (round 9b, two-aggregate experiment readout)"),
     ("pipeline_gdpr_erasure", "layout (round 9b, executed erasure, content-addressed)"),
     ("pipeline_file_skipping", "layout (round 9b, zone-map pruning proof)"),
+    ("stream_attribution", "streaming (round 9b, stateful attribution twin)"),
 ]
 
 
