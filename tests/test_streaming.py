@@ -527,3 +527,82 @@ def test_stream_cdc_state_machine_across_batches(spark, tmp_path):
     # and the mid-stream state after batch 1 must have shown u2 dead
     mid = out[(out["key"] == "u2") & (out["n_seen"] == 2)].iloc[0]
     assert not mid["alive"] and mid["gen_events"] == 0 and mid["n_tombstones"] == 1
+
+
+def test_attribution_stream_carries_touch_state_across_batches(spark, tmp_path):
+    """stream_attribution's fold: the (first, last) touch state must
+    carry across micro-batches — a purchase in batch 2 credits a
+    channel seen only in batch 1; first-touch stays pinned to the very
+    first channel forever; a user whose purchase precedes any touch
+    credits 'direct'; a NULL purchase value emits a NULL cents (not
+    NaN), so the sink aggregate skips it like SQL."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from projektdataengineering_spark.streaming.stateful import attribution_stream
+
+    src = tmp_path / "attrib_src"
+    src.mkdir()
+    b1 = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 00:10", "2024-01-01 00:05"]
+            ),
+            "event_id": [10, 11, 12],
+            "event_type": ["click", "view", "purchase"],
+            "value": [None, None, 7.004],
+        }
+    )
+    b1.to_parquet(src / "b1.parquet", coerce_timestamps="us")
+    b2 = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1],
+            "ts": pd.to_datetime(
+                ["2024-01-02 00:00", "2024-01-02 00:01", "2024-01-02 00:02"]
+            ),
+            "event_id": [20, 21, 22],
+            # purchase BEFORE any batch-2 touch: credits batch-1 state
+            "event_type": ["purchase", "signup", "purchase"],
+            "value": [1.0, None, None],
+        }
+    )
+    b2.to_parquet(src / "b2.parquet", coerce_timestamps="us")
+    now = time.time()
+    os.utime(src / "b1.parquet", (now - 60, now - 60))
+    os.utime(src / "b2.parquet", (now, now))
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, event_type string, "
+            "value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        attribution_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attrib_out")
+        .option("checkpointLocation", str(tmp_path / "attrib_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = {r["event_id"]: r for r in spark.table("attrib_out").collect()}
+    assert set(rows) == {12, 20, 22}  # one credit per purchase, exactly once
+    # user 2 purchased with no prior touch → direct, cents rounds half-up
+    assert rows[12]["last_ch"] == "direct" and rows[12]["first_ch"] == "direct"
+    assert rows[12]["cents"] == 700
+    # batch-2 purchase before any batch-2 touch → credited from batch-1
+    # state: last touch 'view' (00:10), first touch 'click' (00:00)
+    assert rows[20]["last_ch"] == "view" and rows[20]["first_ch"] == "click"
+    # after the batch-2 'signup', last follows it; first stays pinned
+    assert rows[22]["last_ch"] == "signup" and rows[22]["first_ch"] == "click"
+    assert rows[20]["cents"] == 100
+    # NULL purchase values surface as NULL cents (Arrow null, not NaN)
+    assert rows[22]["cents"] is None
