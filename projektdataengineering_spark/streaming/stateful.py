@@ -425,56 +425,71 @@ def cdc_apply_stream(keyed: DataFrame, horizon: str | None = None) -> DataFrame:
 # every purchase emits its credit the moment it arrives, carrying the
 # state ACROSS micro-batches (the batch twin recomputes the whole
 # window every run; this one never re-reads history).
+#
+# Keyed-state granularity is a HASH BUCKET of users, not one user (the
+# heavy_hitters_stream posture): applyInPandasWithState pays one
+# python/Arrow round-trip per KEY per batch, which at 10k users made
+# the per-group overhead — not the arithmetic — the whole cost
+# (measured sf1: 18.7 s per-user keys vs ~5 s bucketed). A bucket's
+# state holds its users' (first, last) pairs as parallel arrays;
+# within the bucket every carry is a C-speed grouped ffill/shift, and
+# users remain fully independent (bucket co-residence never mixes
+# their state).
+_ATTRIB_BUCKETS = 64
+
 ATTRIB_OUTPUT_SCHEMA = (
     "user_id long, event_id long, last_ch string, first_ch string, "
     "cents long"
 )
-ATTRIB_STATE_SCHEMA = "first_ch string, last_ch string"
+ATTRIB_STATE_SCHEMA = (
+    "user_ids array<long>, first_chs array<string>, last_chs array<string>"
+)
 
 
 def _attribution_fold(key, pdf_iter, state: GroupState):
-    """Per-user fold: rows sort (ts, event_id) within the batch; a
-    non-purchase row updates the carried (first, last) touch state, a
-    purchase row emits (last_ch, first_ch, cents) from the state AS OF
-    strictly-earlier rows — exactly the batch twin's
-    rowsBetween(unboundedPreceding, -1) frame, since the purchase is
-    processed after every earlier row and before itself. '' encodes
-    "no touch yet" in the state tuple; it surfaces as the 'direct'
-    channel at emit. Cents floor(value·100 + 0.5) matches the oracle;
-    a NULL value emits a NULL cents (object column → Arrow null), so
-    the sink's SUM skips it exactly as SQL does.
+    """Per-bucket fold: rows sort (user_id, ts, event_id); the
+    last-touch as of each row is the grouped ffill of the non-purchase
+    channel shifted one row within the user (exactly the batch twin's
+    rowsBetween(unboundedPreceding, -1) frame), the first-touch the
+    same over a keep-only-first-valid mask; rows whose batch-local
+    carry is empty fall back to the user's carried state, and absent
+    state surfaces as the 'direct' channel. Cents floor(value·100 +
+    0.5) matches the oracle; a NULL value emits a NULL cents (object
+    column → Arrow null), so the sink's SUM skips it exactly as SQL
+    does.
 
     Ordering bound: the make_ewma_fold contract — within-batch order
     pinned by the sort, cross-batch order is arrival order; exact
     under availableNow on the bounded fixture (one in-order batch)."""
-    first_ch, last_ch = state.get if state.exists else ("", "")
+    if state.exists:
+        uids, firsts, lasts = state.get
+        st_first = dict(zip(uids, firsts))
+        st_last = dict(zip(uids, lasts))
+    else:
+        st_first, st_last = {}, {}
     frames = []
     for pdf in pdf_iter:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        # Vectorized strictly-before carries (no per-row python): the
-        # carried state is prepended as a virtual row 0, the last-touch
-        # as-of each row is the ffill of the touch series at the
-        # PREVIOUS index, and the first-touch as-of is the same with
-        # everything after the first valid masked out.
-        touch = pdf["event_type"].where(
-            pdf["event_type"] != "purchase", other=None
-        )
-        carried = pd.concat(
-            [pd.Series([last_ch or None], dtype=object), touch],
-            ignore_index=True,
-        )
-        last_asof = carried.ffill().to_numpy()[:-1]
-        fc = pd.concat(
-            [pd.Series([first_ch or None], dtype=object), touch],
-            ignore_index=True,
-        )
-        fvi = fc.first_valid_index()
-        first_fill = fc.copy()
-        if fvi is not None:
-            first_fill[:] = None
-            first_fill.iloc[fvi:] = fc.iloc[fvi]
-        first_asof = first_fill.to_numpy()[:-1]
-        is_p = (pdf["event_type"] == "purchase").to_numpy()
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+        et = pdf["event_type"]
+        touch = et.where(et != "purchase", other=None)
+        g = touch.groupby(pdf["user_id"], sort=False)
+        # strictly-before last touch within the batch: grouped ffill,
+        # then shift 1 within the user
+        last_asof = g.ffill().groupby(pdf["user_id"], sort=False).shift(1)
+        # strictly-before first touch: keep only each user's first
+        # valid touch, carry it forward, shift 1 within the user
+        first_only = touch.where(g.cumcount() - touch.isna().groupby(pdf["user_id"], sort=False).cumsum() == 0)
+        fg = first_only.groupby(pdf["user_id"], sort=False)
+        first_asof = fg.ffill().groupby(pdf["user_id"], sort=False).shift(1)
+        users = pdf["user_id"]
+        # last-touch: the batch-local carry wins (more recent); the
+        # carried state fills the rows before any batch-local touch
+        last_asof = last_asof.fillna(users.map(st_last).astype(object))
+        # first-touch: pinned forever once set — the CARRIED state wins
+        # over any batch-local first; batch-local only seeds new users
+        first_asof = users.map(st_first).astype(object).fillna(first_asof)
+
+        is_p = (et == "purchase").to_numpy()
         if is_p.any():
             v = pdf["value"].to_numpy()[is_p]
             cents = [
@@ -484,34 +499,52 @@ def _attribution_fold(key, pdf_iter, state: GroupState):
             frames.append(
                 pd.DataFrame(
                     {
-                        "user_id": int(key[0]),
+                        "user_id": users.to_numpy()[is_p],
                         "event_id": pdf["event_id"].to_numpy()[is_p],
                         "last_ch": [
-                            c if c is not None else "direct"
-                            for c in last_asof[is_p]
+                            c if isinstance(c, str) else "direct"
+                            for c in last_asof.to_numpy()[is_p]
                         ],
                         "first_ch": [
-                            c if c is not None else "direct"
-                            for c in first_asof[is_p]
+                            c if isinstance(c, str) else "direct"
+                            for c in first_asof.to_numpy()[is_p]
                         ],
                         "cents": pd.Series(cents, dtype=object),
                     }
                 )
             )
+        # fold the batch's touches into the carried state
         nn = touch.dropna()
         if len(nn):
-            last_ch = nn.iloc[-1]
-            if not first_ch:
-                first_ch = nn.iloc[0]
-    state.update((first_ch, last_ch))
+            nu = users[nn.index]
+            batch_last = nn.groupby(nu, sort=False).last()
+            batch_first = nn.groupby(nu, sort=False).first()
+            for u, ch in batch_last.items():
+                st_last[int(u)] = ch
+            for u, ch in batch_first.items():
+                st_first.setdefault(int(u), ch)
+    uids = sorted(st_last)
+    state.update((
+        [int(u) for u in uids],
+        [st_first[u] for u in uids],
+        [st_last[u] for u in uids],
+    ))
     return iter(frames)
 
 
 def attribution_stream(keyed: DataFrame) -> DataFrame:
     """Apply the stateful attribution fold to a streaming DataFrame
     with columns (user_id long, ts timestamp, event_id long,
-    event_type string, value double)."""
-    return keyed.groupBy("user_id").applyInPandasWithState(
+    event_type string, value double). Users hash into
+    _ATTRIB_BUCKETS keyed-state buckets (see the module comment on
+    per-key round-trip overhead); the fold keeps users independent
+    inside a bucket."""
+    from pyspark.sql import functions as F
+
+    bucketed = keyed.withColumn(
+        "bucket", (F.col("user_id") % _ATTRIB_BUCKETS).cast("int")
+    )
+    return bucketed.groupBy("bucket").applyInPandasWithState(
         _attribution_fold,
         outputStructType=ATTRIB_OUTPUT_SCHEMA,
         stateStructType=ATTRIB_STATE_SCHEMA,
