@@ -426,3 +426,80 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_conversions"),
         F.sum("cents").alias("revenue_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_cohort_matrix — weekly signup-cohort retention
+# ---------------------------------------------------------------------------
+
+_COHORT_SQL = """
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cw
+      FROM events GROUP BY user_id
+    ),
+    sizes AS (SELECT cw, COUNT(*) AS cohort_size FROM firsts GROUP BY cw),
+    act AS (
+      SELECT f.cw,
+             (CAST(date_trunc('week', e.ts) AS DATE) - f.cw) // 7 AS wk,
+             e.user_id
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    ),
+    m AS (
+      SELECT cw, wk, COUNT(DISTINCT user_id) AS n_active
+      FROM act GROUP BY cw, wk
+    )
+    SELECT CAST(m.cw AS VARCHAR) AS cohort_week,
+           CAST(m.wk AS BIGINT) AS week_offset,
+           CAST(m.n_active AS BIGINT) AS n_active,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           CAST(m.n_active * 1000000 // s.cohort_size AS BIGINT)
+             AS retention_ppm
+    FROM m JOIN sizes s ON m.cw = s.cw
+"""
+
+
+@query("pipeline_cohort_matrix", oracle=_COHORT_SQL)
+def pipeline_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weekly cohort-retention matrix — the canonical growth
+    table: users cohort by the Monday-truncated week of their FIRST
+    event, and each (cohort_week, weeks-since-signup) cell counts the
+    cohort members still active that week, with retention in exact
+    integer ppm of the cohort size. Generalizes
+    pipeline_user_retention's single second-week readout to the full
+    triangular matrix. Week truncation and DATE day-arithmetic agree
+    between engines (both truncate to Monday; dates are NTZ so no
+    zone/DST skew), and the cohort date crosses the hash as VARCHAR —
+    the cross-engine DATE discipline.
+
+    Plan shape: one aggregate on user_id (first event), one shuffle
+    join of events back to the tiny firsts frame on the same key (the
+    aggregation's partitioning is reused — Catalyst plans no extra
+    exchange on the probe side), then a distinct-count aggregate on
+    the (cohort, offset) cells and a broadcast of the cohort sizes.
+    At 100 TB the firsts frame is |users| rows — the join stays
+    key-partitioned with no skew (cohort keys only fan IN)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cw")
+    )
+    sizes = firsts.groupBy("cw").agg(F.count(F.lit(1)).alias("cohort_size"))
+    act = ev.join(firsts, "user_id").select(
+        "cw",
+        F.expr(
+            "CAST(datediff(CAST(date_trunc('week', ts) AS DATE), cw) div 7"
+            " AS BIGINT)"
+        ).alias("wk"),
+        "user_id",
+    )
+    m = act.groupBy("cw", "wk").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    return m.join(F.broadcast(sizes), "cw").select(
+        F.col("cw").cast("string").alias("cohort_week"),
+        F.col("wk").alias("week_offset"),
+        F.col("n_active").cast("long").alias("n_active"),
+        F.col("cohort_size").cast("long").alias("cohort_size"),
+        F.expr("n_active * 1000000 div cohort_size")
+        .cast("long")
+        .alias("retention_ppm"),
+    )
