@@ -708,3 +708,87 @@ def pipeline_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_vocab_growth — Heaps'-law vocabulary-growth curve per source
+# ---------------------------------------------------------------------------
+
+_VOCAB_GROWTH_SQL = """
+    WITH words AS (
+      SELECT doc_id, source, CAST(i AS BIGINT) AS pos,
+             string_split(text, ' ')[i] AS word
+      FROM documents,
+           UNNEST(generate_series(1, len(string_split(text, ' ')))) AS t(i)
+    ), firsts AS (
+      SELECT doc_id, source,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY source, word
+                                          ORDER BY doc_id, pos) = 1
+                  THEN 1 ELSE 0 END AS is_new
+      FROM words
+    ), per_doc AS (
+      SELECT source, doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(is_new) AS BIGINT) AS n_new
+      FROM firsts GROUP BY source, doc_id
+    )
+    SELECT source,
+           CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+                AS BIGINT) AS doc_seq,
+           CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+                AS BIGINT) AS cum_tokens,
+           CAST(SUM(n_new) OVER (PARTITION BY source ORDER BY doc_id)
+                AS BIGINT) AS cum_vocab
+    FROM per_doc
+"""
+
+
+@query("pipeline_vocab_growth", oracle=_VOCAB_GROWTH_SQL)
+def pipeline_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: for each source, the running
+    (cumulative tokens, cumulative distinct vocabulary) pair after each
+    document in doc_id order — the corpus-health diagnostic that tells
+    a data curator whether a source is still contributing new
+    vocabulary or has gone stale/repetitive (the curve flattens).
+
+    Distinct-so-far is NOT a windowed COUNT(DISTINCT) (neither engine
+    supports one): each (source, word)'s FIRST occurrence — by
+    (doc_id, position), a total order — contributes 1, and a running
+    sum of first-occurrence counts per doc IS the cumulative vocabulary
+    size. Exact, no sketch.
+
+    Plan shape: explode → one exchange on (source, word) for the
+    first-occurrence window → one partial→final aggregate per
+    (source, doc) → one tiny window over the per-source doc spine. At
+    100 TB the (source, word) key is the corpus vocabulary — the same
+    cardinality the BPE trainer (pipeline_bpe_train) already shuffles;
+    per-doc output is sources × docs, never token-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    words = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "word"),
+    ).select(
+        "doc_id", "source", (F.col("pos0") + 1).cast("long").alias("pos"), "word"
+    )
+    w_first = Window.partitionBy("source", "word").orderBy("doc_id", "pos")
+    firsts = words.select(
+        "doc_id",
+        "source",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("is_new"),
+    )
+    per_doc = firsts.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("is_new").cast("long").alias("n_new"),
+    )
+    w_seq = Window.partitionBy("source").orderBy("doc_id")
+    w_cum = w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_doc.select(
+        "source",
+        F.row_number().over(w_seq).cast("long").alias("doc_seq"),
+        F.sum("n_tokens").over(w_cum).cast("long").alias("cum_tokens"),
+        F.sum("n_new").over(w_cum).cast("long").alias("cum_vocab"),
+    )

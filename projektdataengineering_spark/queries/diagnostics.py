@@ -98,3 +98,118 @@ def pipeline_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_active_reducers",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_mad_outliers — robust (median/MAD) outlier detection
+# ---------------------------------------------------------------------------
+
+# Exact per-group median via positional order statistics (the
+# agg_median_exact discipline, relational_deep.py): rank on
+# (value, unique id), average the two middle VALUES — one commutative
+# IEEE add + one divide, bit-identical in both engines.  The same
+# two-order-statistics trick runs twice: once for the median, once for
+# the median of absolute deviations.
+_MAD_SQL = """
+    WITH ranked AS (
+      SELECT event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), med AS (
+      SELECT event_type,
+             (MIN(value) + MAX(value)) / 2.0 AS med
+      FROM ranked
+      WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+      GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, e.event_id, e.value, m.med,
+             ABS(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ), dev_ranked AS (
+      SELECT event_type, event_id, value, med, adev,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY adev, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM dev
+    ), mad AS (
+      SELECT event_type,
+             (MIN(adev) + MAX(adev)) / 2.0 AS mad
+      FROM dev_ranked
+      WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+      GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, d.value, d.med, x.mad
+    FROM dev d JOIN mad x USING (event_type)
+    WHERE d.adev > 3.0 * x.mad
+"""
+
+
+@query("pipeline_mad_outliers", oracle=_MAD_SQL)
+def pipeline_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: flag events whose |value − median|
+    exceeds 3× the median absolute deviation of their event_type.
+    Median/MAD (the classic robust pair) survive the heavy tails that
+    wreck mean/stddev z-scores (pipeline_event_zscore is the fragile
+    twin this hardens) — a contaminated batch can't drag its own
+    threshold.
+
+    Both medians are EXACT positional order statistics (the
+    agg_median_exact two-middle-values discipline), so no percentile
+    interpolation kernel is involved; every arithmetic step (subtract,
+    abs, one add, one divide, compare) is bit-identical IEEE in Spark
+    and DuckDB, which is what lets a 3.0×MAD strict-inequality boundary
+    hash-certify.
+
+    Plan shape: two window exchanges on event_type (value rank, then
+    deviation rank) + two BROADCAST joins of the 5-row median/MAD
+    frames back onto events — events itself is scanned once and the
+    deviation frame is reused for ranking and for the final filter. At
+    100 TB each group sorts in parallel; for one pathological group the
+    distributed exact-rank operator (operators/rank.py) is the
+    documented upgrade, as with agg_median_exact.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w_grp = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_grp).alias("n"),
+    )
+    mid = (F.col("rn") == F.floor((F.col("n") + 1) / 2)) | (
+        F.col("rn") == F.floor(F.col("n") / 2) + 1
+    )
+    med = (
+        ranked.filter(mid)
+        .groupBy("event_type")
+        .agg(((F.min("value") + F.max("value")) / F.lit(2.0)).alias("med"))
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    w_dev = Window.partitionBy("event_type").orderBy("adev", "event_id")
+    dev_ranked = dev.select(
+        "event_type",
+        "adev",
+        F.row_number().over(w_dev).alias("rn"),
+        F.count(F.lit(1)).over(w_grp).alias("n"),
+    )
+    mad = (
+        dev_ranked.filter(mid)
+        .groupBy("event_type")
+        .agg(((F.min("adev") + F.max("adev")) / F.lit(2.0)).alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("adev") > 3.0 * F.col("mad"))
+        .select("event_id", "event_type", "value", "med", "mad")
+    )

@@ -433,3 +433,74 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gzip-compressed JSONL round-trip (codec path; the wire format of most
+# public web-scale corpora — Common Crawl WET/WARC derivatives ship gzipped)
+# ---------------------------------------------------------------------------
+
+_GZIP_SQL = f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           {{dsum_price}} AS sum_price,
+           {{dsum_qty}} AS sum_qty,
+           MIN(l_shipdate) AS min_ship,
+           MAX(l_shipdate) AS max_ship,
+           CAST(SUM(l_orderkey * 4 + l_linenumber) AS BIGINT) AS key_checksum
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+""".format(
+    dsum_price=SQL_DSUM.format(x="l_extendedprice"),
+    dsum_qty=SQL_DSUM.format(x="l_quantity"),
+)
+
+_LINEITEM_DDL = (
+    "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+    "l_quantity double, l_extendedprice double, l_discount double, "
+    "l_tax double, l_returnflag string, l_linestatus string, "
+    "l_shipdate timestamp_ntz"
+)
+
+
+@query("scan_gzip_roundtrip", oracle=_GZIP_SQL)
+def scan_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem → gzip-compressed JSONL → read back with the explicit
+    DDL schema → aggregate; the oracle aggregates the ORIGINAL parquet,
+    so the hash proves the compressed text cycle lost nothing
+    (timestamps through the pinned NTZ format, doubles through
+    shortest-round-trip encoding, a key checksum over every row).
+    Exercises the CODEC leg the plain-text round-trips don't: gzipped
+    JSONL is how public web-scale corpora actually arrive.
+
+    Scale note (the honest caveat a 100-TB design must state): gzip is
+    NOT splittable — one .gz file = one task, so ingest parallelism =
+    file count. Spark's writer emits one .gz per partition, which is
+    exactly the mitigation (many medium files, e.g. a few hundred MB
+    each); a single multi-TB .gz would serialize the scan. The read
+    back here consumes the multi-file layout the writer produced.
+    """
+    path = _scratch_dir("gzip_lineitem", sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "l_shipdate", F.col("l_shipdate").cast("timestamp_ntz")
+    )
+    (
+        li.write.mode("overwrite")
+        .option("compression", "gzip")
+        .option("timestampNTZFormat", _TS_FMT)
+        .json(path)
+    )
+    back = (
+        spark.read.schema(_LINEITEM_DDL)
+        .option("timestampNTZFormat", _TS_FMT)
+        .json(path)
+    )
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_extendedprice").alias("sum_price"),
+        dsum("l_quantity").alias("sum_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.sum(F.col("l_orderkey") * 4 + F.col("l_linenumber"))
+        .cast("long")
+        .alias("key_checksum"),
+    )

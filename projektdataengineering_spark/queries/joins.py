@@ -14,7 +14,7 @@ serving client pages a single flat table. This family is where the
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -838,4 +838,137 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         WHERE c.c_mktsegment = 'BUILDING'
         """
+    )
+
+
+# ---------------------------------------------------------------------------
+# er_mutual_best — blocked, mutual-best entity resolution (record linkage)
+# ---------------------------------------------------------------------------
+
+# The dirty side is a DETERMINISTIC corruption of part names keyed on an
+# md5 nibble of the part key (swap words / drop last char / remove the
+# space / unchanged) — the standard way to get a certifiable ER fixture
+# without shipping one: both engines derive the identical dirty table.
+_ER_DIRTY_SQL = """
+      SELECT p_partkey AS dpk,
+             CASE WHEN nib < '4' THEN w[2] || ' ' || w[1]
+                  WHEN nib < '8' THEN substr(p_name, 1, length(p_name) - 1)
+                  WHEN nib < 'c' THEN replace(p_name, ' ', '')
+                  ELSE p_name END AS dname
+      FROM (SELECT p_partkey, p_name,
+                   substr(md5(CAST(p_partkey AS VARCHAR)), 1, 1) AS nib,
+                   string_split(p_name, ' ') AS w
+            FROM part)
+"""
+_ER_SQL = f"""
+    WITH clean AS (
+      SELECT p_partkey AS cpk, p_name AS cname FROM part
+    ), dirty AS (
+      {_ER_DIRTY_SQL}
+    ), cand AS (
+      SELECT dpk, cpk, dname, cname
+      FROM dirty JOIN clean ON substr(dname, 1, 1) = substr(cname, 1, 1)
+      UNION
+      SELECT dpk, cpk, dname, cname
+      FROM dirty JOIN clean
+        ON substr(dname, length(dname), 1) = substr(cname, length(cname), 1)
+    ), scored AS (
+      SELECT dpk, cpk, dname, cname,
+             ROUND(jaro_winkler_similarity(dname, cname), 6) AS jw_sim
+      FROM cand
+      WHERE ROUND(jaro_winkler_similarity(dname, cname), 6) >= 0.7
+    ), ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY dpk
+                                ORDER BY jw_sim DESC, cpk) AS rn_d,
+             ROW_NUMBER() OVER (PARTITION BY cpk
+                                ORDER BY jw_sim DESC, dpk) AS rn_c
+      FROM scored
+    )
+    SELECT dpk, cpk, dname, cname, jw_sim
+    FROM ranked WHERE rn_d = 1 AND rn_c = 1
+"""
+
+
+@query("er_mutual_best", oracle=_ER_SQL)
+def er_mutual_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: multi-pass blocking → fuzzy
+    scoring → MUTUAL-best 1:1 matching.  A dirty catalog (deterministic
+    md5-keyed corruptions of part names: word swap, char drop, space
+    removal) is linked back to the clean catalog; a pair matches only
+    if each record is the other's best candidate (score desc, key asc
+    tie-break) — the greedy-free, order-independent 1:1 rule that makes
+    distributed ER deterministic.
+
+    Blocking is the union of TWO passes (first-char and last-char equi
+    keys): any single key misses some corruption type (dropping the
+    last char breaks a suffix key; removing the space breaks neither
+    end) — multi-pass blocking is the standard recall fix, and the
+    union of two equi-joins keeps the plan hash-joinable (an OR join
+    condition would plan a nested loop).
+
+    Scoring reuses the join_fuzzy_jaro discipline: the Arrow-batched
+    Jaro-Winkler UDF is bit-exact with DuckDB's, both sides ROUND(.,6),
+    and the UDF runs ONCE per distinct name pair — the record-level
+    candidate join then probes that verdict table broadcast-side, so
+    Python cost ∝ distinct names², not records².
+
+    At 100 TB: blocks shuffle on their equi key (salt hot blocks); the
+    two ranking windows share the scored frame (one exchange each on
+    dpk / cpk). Mutual-best needs no iteration — unlike greedy
+    matching, it is a pure function of the score table.
+    """
+    from ..functions.strdist import jaro_winkler_udf
+
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    clean = p.select(F.col("p_partkey").alias("cpk"), F.col("p_name").alias("cname"))
+    nib = F.substring(F.md5(F.col("p_partkey").cast("string")), 1, 1)
+    w = F.split(F.col("p_name"), " ")
+    dirty = p.select(
+        F.col("p_partkey").alias("dpk"),
+        F.when(nib < "4", F.concat_ws(" ", w[1], w[0]))
+        .when(
+            nib < "8",
+            F.expr("substr(p_name, 1, length(p_name) - 1)"),
+        )
+        .when(nib < "c", F.regexp_replace("p_name", " ", ""))
+        .otherwise(F.col("p_name"))
+        .alias("dname"),
+    )
+    b1 = dirty.join(
+        clean, F.expr("substr(dname, 1, 1) = substr(cname, 1, 1)")
+    )
+    b2 = dirty.join(
+        clean,
+        F.expr("substr(dname, length(dname), 1) = substr(cname, length(cname), 1)"),
+    )
+    cand = b1.select("dpk", "cpk", "dname", "cname").union(
+        b2.select("dpk", "cpk", "dname", "cname")
+    ).distinct()
+    # score once per distinct NAME pair (names repeat across records),
+    # then broadcast the verdict table onto the record-level candidates
+    verdict = (
+        cand.select("dname", "cname")
+        .distinct()
+        .select(
+            "dname",
+            "cname",
+            F.round(jaro_winkler_udf("dname", "cname"), 6).alias("jw_sim"),
+        )
+        .filter(F.col("jw_sim") >= 0.7)
+    )
+    scored = cand.join(F.broadcast(verdict), ["dname", "cname"])
+    w_d = Window.partitionBy("dpk").orderBy(F.col("jw_sim").desc(), "cpk")
+    w_c = Window.partitionBy("cpk").orderBy(F.col("jw_sim").desc(), "dpk")
+    ranked = scored.select(
+        "dpk",
+        "cpk",
+        "dname",
+        "cname",
+        "jw_sim",
+        F.row_number().over(w_d).alias("rn_d"),
+        F.row_number().over(w_c).alias("rn_c"),
+    )
+    return ranked.filter((F.col("rn_d") == 1) & (F.col("rn_c") == 1)).select(
+        "dpk", "cpk", "dname", "cname", "jw_sim"
     )

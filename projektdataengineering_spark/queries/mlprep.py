@@ -447,3 +447,178 @@ def pipeline_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("te_millicents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_kfold_assign — deterministic hash-based k-fold cross-validation
+# ---------------------------------------------------------------------------
+
+# Engine-portable "md5 mod k" without hex→int parsing (the two engines
+# expose hex parsing differently): map each of the first two hex chars
+# to its 0-based position in the hex alphabet via string search
+# (Spark locate / DuckDB strpos, both 1-based), combine to an integer
+# 0..255, reduce mod k.  Uniform by md5, identical bytes both engines.
+_KFOLD_K = 5
+_KFOLD_SQL = f"""
+    WITH h AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+             md5(CAST(c_custkey AS VARCHAR)) AS hx
+      FROM customer
+    ), fold AS (
+      SELECT c_custkey, c_mktsegment, cents,
+             CAST(((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1))
+                  % {_KFOLD_K} AS BIGINT) AS fold
+      FROM h
+    )
+    SELECT fold, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_keys
+    FROM fold
+    GROUP BY fold, c_mktsegment
+"""
+
+
+@query("pipeline_kfold_assign", oracle=_KFOLD_SQL)
+def pipeline_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment for cross-validation: every
+    customer lands in fold ``md5(key) mod 5`` — a pure function of the
+    key, so a re-run (or a different cluster/partitioning) reproduces
+    the same folds, unlike seeded ``rand()``.  Returns the per-(fold,
+    segment) balance audit (row count, account-balance cents, distinct
+    keys) a training pipeline checks before trusting the folds.
+
+    The mod-k is computed WITHOUT hex→int parsing (engines disagree on
+    conv/from_hex): the first two md5 hex chars are located in the hex
+    alphabet (1-based in both Spark ``locate`` and DuckDB ``strpos``)
+    and combined to 0..255.
+
+    Plan shape: map-side hash + one partial→final aggregate on
+    (fold, segment) — the same single-exchange bound at 100 TB; md5 is
+    uniform so folds can't skew. Grounding: SURVEY §2.3 mlprep family,
+    extending split_train_test (reference ingest bookkeeping,
+    dags/ingestion/ingestion.py:58-75) from one split to k folds.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("cents"),
+        F.md5(F.col("c_custkey").cast("string")).alias("hx"),
+    )
+    alphabet = "0123456789abcdef"
+    pos1 = F.expr(f"locate(substr(hx, 1, 1), '{alphabet}') - 1")
+    pos2 = F.expr(f"locate(substr(hx, 2, 1), '{alphabet}') - 1")
+    folded = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "cents",
+        ((pos1 * 16 + pos2) % _KFOLD_K).cast("long").alias("fold"),
+    )
+    return folded.groupBy("fold", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.countDistinct("c_custkey").cast("long").alias("n_keys"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_feature_hash — hashing-trick text vectorization (signed buckets)
+# ---------------------------------------------------------------------------
+
+_FHASH_BUCKETS = 64
+_FHASH_SQL = f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             CAST(((strpos('0123456789abcdef', substr(md5(word), 1, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(md5(word), 2, 1)) - 1))
+                  % {_FHASH_BUCKETS} AS BIGINT) AS bucket,
+             CASE WHEN substr(md5(word), 3, 1) < '8' THEN 1 ELSE -1 END AS sign
+      FROM words WHERE word <> ''
+    ), vec AS (
+      SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS weight
+      FROM hashed GROUP BY doc_id, bucket
+      HAVING SUM(sign) <> 0
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_nonzero,
+           CAST(SUM(ABS(weight)) AS BIGINT) AS l1,
+           CAST(SUM(weight * weight) AS BIGINT) AS l2sq,
+           md5(string_agg(bucket || ':' || weight, ',' ORDER BY bucket)) AS vec_md5
+    FROM vec GROUP BY doc_id
+"""
+
+
+@query("pipeline_feature_hash", oracle=_FHASH_SQL)
+def pipeline_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorization (Weinberger et al.'s public feature
+    hashing): each word hashes to one of 64 buckets with a ±1 sign from
+    an independent hash bit, so the sparse vector needs NO vocabulary
+    table — the standard fixed-width featurizer for streaming-scale
+    text.  Emits the per-document sparse-vector audit (nnz, L1, L2²)
+    plus an md5 fingerprint of the canonical ``bucket:weight`` list, so
+    the oracle certifies the ENTIRE vector, not just its norms.
+
+    Bucket index and sign reuse the engine-portable hex-alphabet
+    position trick (see pipeline_kfold_assign); the sign bit comes from
+    a DIFFERENT md5 nibble than the bucket, as the algorithm requires
+    independent hashes.
+
+    Plan shape: map-side explode + two partial→final aggregates
+    ((doc, bucket) then doc) — no join, no vocabulary broadcast; at
+    100 TB the (doc, bucket) key is bounded by nnz ≤ 64 per doc, so the
+    second exchange carries at most 64 rows per document.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    alphabet = "0123456789abcdef"
+    hx = F.md5(F.col("word"))
+    pos1 = F.expr(f"locate(substr(md5(word), 1, 1), '{alphabet}') - 1")
+    pos2 = F.expr(f"locate(substr(md5(word), 2, 1), '{alphabet}') - 1")
+    hashed = words.select(
+        "doc_id",
+        ((pos1 * 16 + pos2) % _FHASH_BUCKETS).cast("long").alias("bucket"),
+        F.when(F.substring(hx, 3, 1) < "8", F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("sign"),
+    )
+    vec = (
+        hashed.groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").cast("long").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )
+    return (
+        vec.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nonzero"),
+            F.sum(F.abs(F.col("weight"))).cast("long").alias("l1"),
+            F.sum(F.col("weight") * F.col("weight")).cast("long").alias("l2sq"),
+            F.sort_array(
+                F.collect_list(F.struct("bucket", "weight"))
+            ).alias("pairs"),
+        )
+        .select(
+            "doc_id",
+            "n_nonzero",
+            "l1",
+            "l2sq",
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.col("pairs"),
+                        lambda p: F.concat_ws(
+                            ":",
+                            p["bucket"].cast("string"),
+                            p["weight"].cast("string"),
+                        ),
+                    ),
+                )
+            ).alias("vec_md5"),
+        )
+    )

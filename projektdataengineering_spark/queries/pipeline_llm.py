@@ -225,3 +225,102 @@ def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("quota"))
         .select("doc_id", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_boilerplate_blocks — corpus-frequency block removal (CCNet-style)
+# ---------------------------------------------------------------------------
+
+_BOILER_W = 2  # words per block (the fixture's "paragraph" analog)
+_BOILER_MIN_DOCS = 25  # boilerplate = block seen in > 5% of the 500-doc corpus
+_BOILER_SQL = f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), blocks AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             array_to_string(
+               ws[((i - 1) * {_BOILER_W} + 1):((i - 1) * {_BOILER_W} + {_BOILER_W})],
+               ' ') AS block
+      FROM words,
+           UNNEST(generate_series(
+             1, CAST(ceil(len(ws) / {_BOILER_W}.0) AS BIGINT))) AS t(i)
+    ), df AS (
+      SELECT block, COUNT(DISTINCT doc_id) AS df FROM blocks GROUP BY block
+    )
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(CASE WHEN d.df > {_BOILER_MIN_DOCS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_removed,
+           md5(COALESCE(string_agg(
+                 CASE WHEN d.df <= {_BOILER_MIN_DOCS} THEN b.block END,
+                 ' ' ORDER BY b.pos), '')) AS clean_md5
+    FROM blocks b JOIN df d USING (block)
+    GROUP BY b.doc_id
+"""
+
+
+@query("pipeline_boilerplate_blocks", oracle=_BOILER_SQL)
+def pipeline_boilerplate_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate removal (the public CCNet/RefinedWeb
+    recipe: hash each paragraph, drop paragraphs whose hash recurs
+    across too many documents — headers, footers, cookie banners).  The
+    word-soup fixture has no newlines, so the "paragraph" is a
+    non-overlapping {_BOILER_W}-word block; a block seen in more than
+    {_BOILER_MIN_DOCS} distinct documents (>5% of the corpus) is
+    boilerplate.  Emits per doc: block count, removed count, and the
+    md5 of the text REBUILT from surviving blocks in order — the oracle
+    certifies the cleaned text itself, not just counts.
+
+    Unlike dedup_substring_spans / pipeline_substring_cut (which remove
+    long repeated SPANS, keeping one canonical copy), this removes
+    high-document-frequency short units from EVERY document — the two
+    compose in a real pipeline.
+
+    Plan shape: map-side block explode → one aggregate on block for
+    document frequency → one shuffle join back on block → one aggregate
+    on doc_id with an ordered in-group rebuild. The DF table is tiny
+    relative to the corpus (distinct blocks ≪ block instances), and
+    only (block, pos, doc_id) triples ever shuffle — never full texts.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("ws")
+    )
+    n_blocks = F.ceil(F.size("ws") / F.lit(float(_BOILER_W))).cast("int")
+    blocks = words.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n_blocks),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.slice(F.col("ws"), (i - 1) * _BOILER_W + 1, _BOILER_W),
+                ),
+            )
+        ).alias("pos", "block"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "block")
+    df_tbl = blocks.groupBy("block").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    joined = blocks.join(df_tbl, "block")
+    keep = F.col("df") <= _BOILER_MIN_DOCS
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum(F.when(~keep, 1).otherwise(0)).cast("long").alias("n_removed"),
+            F.sort_array(
+                F.collect_list(F.when(keep, F.struct("pos", "block")))
+            ).alias("kept"),
+        )
+        .select(
+            "doc_id",
+            "n_blocks",
+            "n_removed",
+            F.md5(
+                F.concat_ws(
+                    " ", F.transform(F.col("kept"), lambda s: s["block"])
+                )
+            ).alias("clean_md5"),
+        )
+    )

@@ -240,3 +240,124 @@ def pipeline_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "open", "high", "low", "close", "volume", "vsum_q6",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_time_interpolate — linear interpolation of missing grid hours
+# ---------------------------------------------------------------------------
+
+_INTERP_SQL = """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ), spine AS (
+      SELECT event_type,
+             unnest(generate_series(min(hr), max(hr), INTERVAL 1 HOUR)) AS hr
+      FROM hourly GROUP BY event_type
+    ), gridded AS (
+      SELECT s.event_type, s.hr, h.cents,
+             CAST(epoch(s.hr) AS BIGINT) // 3600 AS hix
+      FROM spine s LEFT JOIN hourly h USING (event_type, hr)
+    ), bracketed AS (
+      SELECT event_type, hr, cents, hix,
+             last_value(CASE WHEN cents IS NOT NULL THEN cents END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY hix
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS v_prev,
+             last_value(CASE WHEN cents IS NOT NULL THEN hix END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY hix
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS h_prev,
+             first_value(CASE WHEN cents IS NOT NULL THEN cents END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY hix
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS v_next,
+             first_value(CASE WHEN cents IS NOT NULL THEN hix END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY hix
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS h_next
+      FROM gridded
+    )
+    SELECT event_type, hr,
+           CASE WHEN cents IS NOT NULL THEN 0 ELSE 1 END AS imputed,
+           CASE
+             WHEN cents IS NOT NULL THEN cents * 1000
+             WHEN v_prev IS NULL OR v_next IS NULL THEN NULL
+             ELSE CAST((v_prev * 1000 * (h_next - hix)
+                        + v_next * 1000 * (hix - h_prev))
+                       // (h_next - h_prev) AS BIGINT)
+           END AS millicents
+    FROM bracketed
+"""
+
+
+@query("pipeline_time_interpolate", oracle=_INTERP_SQL)
+def pipeline_time_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing hours on a dense per-event-type
+    grid — the resampling twin of pipeline_time_gapfill (LOCF): a
+    missing hour gets the line between its bracketing observed hours,
+    in EXACT integer milli-cents (one BIGINT cross-multiplication and
+    one floor-division — no float lerp, so the hash certifies every
+    imputed value bit-for-bit). Grid edges with no bracket on one side
+    stay NULL (the honest contract: extrapolation is a different op).
+
+    Hour arithmetic runs on epoch-hour BIGINTs (epoch // 3600), not
+    timestamps, so the gap widths are integers in both engines.
+
+    Plan shape: one aggregate to the hourly grain, a map-side
+    sequence() grid explode per event_type, one window exchange for the
+    four bracket carries (all four share the (event_type × hix) sort),
+    and map-side integer arithmetic — the same single-window bound as
+    gapfill. At 100 TB the grid is |types| × hours (tiny vs events);
+    per-series skew splits by (type, month) with cross-chunk bracket
+    stitching, as documented for gapfill.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    spine = hourly.groupBy("event_type").agg(
+        F.explode(
+            F.sequence(F.min("hr"), F.max("hr"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr")
+    )
+    gridded = spine.join(hourly, ["event_type", "hr"], "left").select(
+        "event_type",
+        "hr",
+        "cents",
+        (F.unix_timestamp("hr") / F.lit(3600)).cast("long").alias("hix"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hix")
+    w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    w_next = w.rowsBetween(1, Window.unboundedFollowing)
+    obs_c = F.when(F.col("cents").isNotNull(), F.col("cents"))
+    obs_h = F.when(F.col("cents").isNotNull(), F.col("hix"))
+    br = gridded.select(
+        "event_type",
+        "hr",
+        "cents",
+        "hix",
+        F.last(obs_c, ignorenulls=True).over(w_prev).alias("v_prev"),
+        F.last(obs_h, ignorenulls=True).over(w_prev).alias("h_prev"),
+        F.first(obs_c, ignorenulls=True).over(w_next).alias("v_next"),
+        F.first(obs_h, ignorenulls=True).over(w_next).alias("h_next"),
+    )
+    lerp = F.floor(
+        (
+            F.col("v_prev") * 1000 * (F.col("h_next") - F.col("hix"))
+            + F.col("v_next") * 1000 * (F.col("hix") - F.col("h_prev"))
+        )
+        / (F.col("h_next") - F.col("h_prev"))
+    ).cast("long")
+    return br.select(
+        "event_type",
+        "hr",
+        F.when(F.col("cents").isNotNull(), 0).otherwise(1).alias("imputed"),
+        F.when(F.col("cents").isNotNull(), F.col("cents") * 1000)
+        .when(F.col("v_prev").isNull() | F.col("v_next").isNull(), F.lit(None))
+        .otherwise(lerp)
+        .cast("long")
+        .alias("millicents"),
+    )
