@@ -475,3 +475,64 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
         "sample_rate long"
     )
     return df.mapInPandas(run, schema=schema)
+
+
+PHASH_SCHEMA = "doc_id long, n_rows long, dhash string, ahash string"
+
+
+def image_perceptual_hashes(df: DataFrame) -> DataFrame:
+    """Perceptual image hashes over REAL PNG decodes (mapInPandas):
+    dHash (Krawetz's public difference hash — 8×9 nearest-neighbor
+    sample grid, bit = left pixel > right pixel) and aHash (8×8 grid,
+    bit = pixel > global raster mean), each packed msb-first into 16
+    lowercase hex chars.
+
+    Every step is pure integer arithmetic on decoded pixels —
+    nearest-neighbor sampling at ((2r+1)·H)//16 × ((2c+1)·W)//18 (resp.
+    //16), strict ``>`` comparisons, and the mean test cross-multiplied
+    as pixel·n_pix > total_sum — so the hash is an exact function of
+    the decoded raster and a SQL oracle can replay it from the
+    encode-side bytes (the decoded-domain certification discipline of
+    queries/multimodal.py)."""
+    import numpy as np
+
+    def _hashes(payload: bytes, modality: str) -> tuple[int, str, str]:
+        arr = np.asarray(decode_media(payload, modality), dtype=np.int64)
+        if arr.ndim == 1:  # degenerate single-row raster
+            arr = arr.reshape(1, -1)
+        h, w = arr.shape[0], arr.shape[1]
+        dbits = 0
+        for r in range(8):
+            row = ((2 * r + 1) * h) // 16
+            for c in range(8):
+                a = arr[row, ((2 * c + 1) * w) // 18]
+                b = arr[row, ((2 * (c + 1) + 1) * w) // 18]
+                if a > b:
+                    dbits |= 1 << (63 - (r * 8 + c))
+        total = int(arr.sum())
+        n_pix = h * w
+        abits = 0
+        for r in range(8):
+            row = ((2 * r + 1) * h) // 16
+            for c in range(8):
+                v = arr[row, ((2 * c + 1) * w) // 16]
+                if v * n_pix > total:
+                    abits |= 1 << (63 - (r * 8 + c))
+        return h, f"{dbits:016x}", f"{abits:016x}"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                _hashes(p, m)
+                for p, m in zip(pdf["payload"], pdf["modality"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_rows": [o[0] for o in out],
+                    "dhash": [o[1] for o in out],
+                    "ahash": [o[2] for o in out],
+                }
+            )
+
+    return df.mapInPandas(run, schema=PHASH_SCHEMA)

@@ -15,7 +15,7 @@ you want at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -1110,4 +1110,201 @@ def agg_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.col("member") >= F.col("actual")).alias("fn_free"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_quantile_sketch — mergeable log-histogram quantile sketch (DDSketch-
+# style, public Masson et al. 2019), quarter-bit buckets, integer-exact
+# ---------------------------------------------------------------------------
+
+# Bucket index = floor(4·log2(cents)) — the corpus_ops quarter-bit
+# discipline with b=1: whole bits from bin-length, fractional quarter
+# from an EXACT fourth-power comparison (no float log on either
+# engine).  Bucket width 2^(1/4) ⇒ any value in the chosen bucket is
+# within ×1.19 of the true quantile — the DDSketch relative-error
+# guarantee, here with α = 2^(1/4) − 1.
+_QSK_BUCKET_SQL = """
+    CASE WHEN {c} <= 0 THEN -1 ELSE
+      (4 * (length(bin({c})) - 1)
+       + CASE
+           WHEN CAST({c} AS HUGEINT) * {c} * {c} * {c} >=
+                8 * ((CAST(1 AS HUGEINT) << (length(bin({c})) - 1))
+                     * (CAST(1 AS HUGEINT) << (length(bin({c})) - 1))
+                     * (CAST(1 AS HUGEINT) << (length(bin({c})) - 1))
+                     * (CAST(1 AS HUGEINT) << (length(bin({c})) - 1))) THEN 3
+           WHEN CAST({c} AS HUGEINT) * {c} * {c} * {c} >=
+                4 * ((CAST(1 AS HUGEINT) << (length(bin({c})) - 1))
+                     * (CAST(1 AS HUGEINT) << (length(bin({c})) - 1))
+                     * (CAST(1 AS HUGEINT) << (length(bin({c})) - 1))
+                     * (CAST(1 AS HUGEINT) << (length(bin({c})) - 1))) THEN 2
+           WHEN CAST({c} AS HUGEINT) * {c} * {c} * {c} >=
+                2 * ((CAST(1 AS HUGEINT) << (length(bin({c})) - 1))
+                     * (CAST(1 AS HUGEINT) << (length(bin({c})) - 1))
+                     * (CAST(1 AS HUGEINT) << (length(bin({c})) - 1))
+                     * (CAST(1 AS HUGEINT) << (length(bin({c})) - 1))) THEN 1
+           ELSE 0
+         END)
+    END
+"""
+
+_QSK_SQL = f"""
+    WITH v AS (
+      SELECT event_type, event_id,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ), b AS (
+      SELECT event_type, {_QSK_BUCKET_SQL.format(c="cents")} AS bucket FROM v
+    ), sketch AS (
+      SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM b GROUP BY event_type, bucket
+    ), cum AS (
+      SELECT event_type, bucket,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM sketch
+    ), qs AS (
+      SELECT unnest([50, 95, 99]) AS q
+    ), est AS (
+      SELECT event_type, q, CAST(MIN(bucket) AS BIGINT) AS est_bucket
+      FROM cum JOIN qs ON cum >= (q * n + 99) // 100
+      GROUP BY event_type, q
+    ), ranked AS (
+      SELECT event_type, cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY cents, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    ), exact AS (
+      SELECT r.event_type, qs.q, r.cents AS exact_cents, r.n
+      FROM ranked r JOIN qs ON r.rn = (qs.q * r.n + 99) // 100
+    )
+    SELECT e.event_type, CAST(e.q AS BIGINT) AS q, CAST(e.n AS BIGINT) AS n,
+           e.exact_cents, s.est_bucket,
+           ({_QSK_BUCKET_SQL.format(c="e.exact_cents")}) = s.est_bucket
+             AS contains_ok
+    FROM exact e JOIN est s USING (event_type, q)
+"""
+
+
+@query("agg_quantile_sketch", oracle=_QSK_SQL)
+def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch — the missing member of the sketch kit
+    (HLL distinct / MG heavy hitters / CMS frequency / Bloom
+    membership / THIS for quantiles).  DDSketch-style (Masson et al.,
+    VLDB 2019, public): values map to quarter-bit log buckets
+    (floor(4·log2(cents)), integer-exact via bin-length + fourth-power
+    comparison — no float log), the sketch is the per-(group, bucket)
+    count table (sums ⇒ mergeable, order-independent, O(#buckets) ≈ 80
+    state per group), and quantile q reads the first bucket whose
+    cumulative count reaches rank ⌈q·n⌉.
+
+    Certified like agg_hll_merge: the EXACT quantile (positional order
+    statistic, rank ⌈q·n⌉ with the unique event_id tiebreak) rides
+    along, and ``contains_ok`` asserts the THEOREM that the sketch's
+    chosen bucket contains the exact quantile — which pins the
+    relative error to the bucket width, ×2^(1/4) ≈ 1.19 (DDSketch's
+    α-guarantee with α = 2^(1/4)−1). Hash-matching the boolean proves
+    both engines implement the identical bucket arithmetic.
+
+    Plan shape: the sketch is ONE partial→final aggregate on
+    (event_type, bucket) — partial aggregation IS the distributed
+    sketch merge, exactly how 1000 executors would each fold their
+    partition's histogram; the quantile spec fans out MAP-SIDE
+    (explode of a 3-literal array — no theta join in the Spark plan).
+    The exact-rank pass (one window exchange) exists only for
+    certification; a production 100-TB run ships the sketch alone.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    whole = F.expr("length(bin(cents)) - 1")
+    y = F.expr("shiftleft(CAST(1 AS BIGINT), length(bin(cents)) - 1)")
+    c_dec = F.col("cents").cast("decimal(19,0)")
+    x4 = c_dec * c_dec * c_dec * c_dec
+    y_dec = y.cast("decimal(19,0)")
+    y4 = y_dec * y_dec * y_dec * y_dec
+    frac = (
+        F.when(x4 >= 8 * y4, 3)
+        .when(x4 >= 4 * y4, 2)
+        .when(x4 >= 2 * y4, 1)
+        .otherwise(0)
+    )
+    bucket = (
+        F.when(F.col("cents") <= 0, F.lit(-1))
+        .otherwise(4 * whole + frac)
+        .cast("long")
+    )
+    sketch = (
+        ev.select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = sketch.select(
+        "event_type",
+        "bucket",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    # quantile spec fans out map-side — explode of a literal array, so
+    # the plan stays equi-only (no theta/nested-loop join)
+    qspec = F.explode(F.array(F.lit(50), F.lit(95), F.lit(99))).alias("q")
+    est = (
+        cum.select("event_type", "bucket", "cum", "n", qspec)
+        .filter(F.col("cum") >= F.expr("(q * n + 99) div 100"))
+        .groupBy("event_type", "q")
+        .agg(F.min("bucket").cast("long").alias("est_bucket"))
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    exact = (
+        ranked.select("event_type", "cents", "rn", "n", qspec)
+        .filter(F.col("rn") == F.expr("(q * n + 99) div 100"))
+        .select(
+            "event_type",
+            "q",
+            F.col("cents").alias("exact_cents"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+    ex_whole = F.expr("length(bin(exact_cents)) - 1")
+    ex_y = F.expr("shiftleft(CAST(1 AS BIGINT), length(bin(exact_cents)) - 1)")
+    ex_dec = F.col("exact_cents").cast("decimal(19,0)")
+    ex4 = ex_dec * ex_dec * ex_dec * ex_dec
+    ey_dec = ex_y.cast("decimal(19,0)")
+    ey4 = ey_dec * ey_dec * ey_dec * ey_dec
+    ex_frac = (
+        F.when(ex4 >= 8 * ey4, 3)
+        .when(ex4 >= 4 * ey4, 2)
+        .when(ex4 >= 2 * ey4, 1)
+        .otherwise(0)
+    )
+    ex_bucket = (
+        F.when(F.col("exact_cents") <= 0, F.lit(-1))
+        .otherwise(4 * ex_whole + ex_frac)
+        .cast("long")
+    )
+    return (
+        exact.join(est, ["event_type", "q"])
+        .select(
+            "event_type",
+            F.col("q").cast("long").alias("q"),
+            "n",
+            "exact_cents",
+            "est_bucket",
+            (ex_bucket == F.col("est_bucket")).alias("contains_ok"),
+        )
     )

@@ -609,3 +609,129 @@ def stream_ohlc_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     with stream_state_partitions(spark):
         run_to_memory_sink(bars, "stream_ohlc_native_sink", output_mode="complete")
     return spark.table("stream_ohlc_native_sink")
+
+
+_SSLJ_SQL = """
+    WITH views AS (
+      SELECT user_id AS v_user, ts AS v_ts, event_id AS v_id
+      FROM events WHERE event_type = 'view'
+    ), clicks AS (
+      SELECT user_id AS c_user, ts AS c_ts FROM events
+      WHERE event_type = 'click'
+    ), cut AS (
+      SELECT least((SELECT max(v_ts) FROM views),
+                   (SELECT max(c_ts) FROM clicks))
+             - INTERVAL 2 HOUR - INTERVAL 10 MINUTE AS wm_cut
+    ), joined AS (
+      SELECT v.v_user, v.v_ts, c.c_ts
+      FROM views v LEFT JOIN clicks c
+        ON c.c_user = v.v_user
+       AND c.c_ts > v.v_ts
+       AND c.c_ts <= v.v_ts + INTERVAL 10 MINUTE
+    )
+    SELECT v_user AS user_id,
+           CAST(COUNT(c_ts) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(SUM(CASE WHEN c_ts IS NOT NULL
+                 THEN epoch_us(c_ts) - epoch_us(v_ts) END), 0) AS BIGINT)
+             AS sum_gap_us,
+           CAST(SUM(CASE WHEN c_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_orphans
+    FROM joined, cut
+    WHERE c_ts IS NOT NULL OR v_ts <= wm_cut
+    GROUP BY v_user
+"""
+
+
+@query("stream_stream_left_join", oracle=_SSLJ_SQL)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the state-EVICTION
+    half of the streaming join surface that stream_stream_join
+    (inner) doesn't exercise: a view with no click within 10 minutes
+    must be emitted null-padded, and Spark can only do that when the
+    watermark proves no future click can match, i.e. outer results
+    are produced by state eviction itself.
+
+    End-of-stream honesty: near the stream's end the watermark never
+    advances far enough to evict the last views, so Spark withholds
+    their null-padded rows — the result would depend on trigger
+    timing. The query therefore applies an EXPLICIT data-derived
+    cutoff: orphan views count only when v_ts ≤ min(max v_ts, max
+    c_ts) − 2h − 10min, strictly below every emission threshold any
+    trigger schedule can produce (1h watermark + 10min bound + 1h
+    margin), so the kept set is a pure function of the DATA and the
+    batch oracle replays it row for row. Matched pairs pass through
+    unfiltered (inner results never depend on eviction).
+
+    Scale shape: both state stores key on user_id; the watermark plus
+    the 10-minute bound range-prune view state (same eviction math as
+    the inner join). The 1-row cutoff broadcast is the allowlisted
+    scalar pattern.
+    """
+    from ..streaming import (
+        open_event_stream,
+        run_to_memory_sink,
+        stream_state_partitions,
+    )
+
+    views = (
+        open_event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    clicks = (
+        open_event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    pairs = views.join(
+        clicks,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "left_outer",
+    )
+    with stream_state_partitions(spark):
+        run_to_memory_sink(
+            pairs, "stream_stream_left_join_sink", output_mode="append"
+        )
+    emitted = spark.table("stream_stream_left_join_sink")
+    ev = load_table(spark, sf_dir, "events")
+    cut = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .groupBy()
+        .agg(
+            (
+                F.least(
+                    F.max(F.when(F.col("event_type") == "view", F.col("ts"))),
+                    F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                )
+                - F.expr("INTERVAL 2 HOURS")
+                - F.expr("INTERVAL 10 MINUTES")
+            ).alias("wm_cut")
+        )
+    )
+    kept = emitted.crossJoin(F.broadcast(cut)).filter(
+        F.col("c_ts").isNotNull() | (F.col("v_ts") <= F.col("wm_cut"))
+    )
+    return kept.groupBy(F.col("v_user").alias("user_id")).agg(
+        F.count("c_ts").cast("long").alias("n_pairs"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("c_ts").isNotNull(),
+                    F.unix_micros("c_ts") - F.unix_micros("v_ts"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("sum_gap_us"),
+        F.sum(F.when(F.col("c_ts").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_orphans"),
+    )

@@ -131,6 +131,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "stream_heavy_hitters",  # 1-row corpus-total certification broadcast
         "sample_priority",  # 1-row tau threshold broadcast (DLT estimator)
         "pipeline_feature_scale",  # 1-row exact-stats broadcast (scaler constants)
+        "stream_stream_left_join",  # 1-row emission-cutoff broadcast (wm_cut)
     }
     for name, qd in REGISTRY.items():
         f = plan_facts(qd.fn(spark, sf_dir))
