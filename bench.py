@@ -68,6 +68,14 @@ _WARM_BUDGETS_SF01 = {
     # three same-code runs on 2026-08-15).
     "join_bloom_prefiltered": 7.0,
     "agg_countmin_freq": 3.0,
+    # round 10: er_mutual_best's record-level formulation measured
+    # >10 min at sf0.1 before the name-domain reduction (1.9 s warm) —
+    # the pin guarantees any future edit that re-materializes record
+    # pairs is caught the same round; the other two are the round's
+    # heaviest new queries (5.5-5.7 s warm), pinned above wobble.
+    "er_mutual_best": 5.0,
+    "graph_jaccard_neighbors": 9.0,
+    "scan_gzip_roundtrip": 9.0,
 }
 
 

@@ -46,6 +46,11 @@ class PlanFacts:
     def count(self, node_prefix: str) -> int:
         return sum(1 for n in self.nodes if n.startswith(node_prefix))
 
+    def count_exact(self, node: str) -> int:
+        """Exact node-name count — use when a prefix would over-match
+        (e.g. count("Window") also counts WindowGroupLimit)."""
+        return sum(1 for n in self.nodes if n == node)
+
     @property
     def shuffles(self) -> int:
         # "Exchange" = shuffle exchange; broadcast exchanges are named

@@ -1124,6 +1124,10 @@ def agg_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engine).  Bucket width 2^(1/4) ⇒ any value in the chosen bucket is
 # within ×1.19 of the true quantile — the DDSketch relative-error
 # guarantee, here with α = 2^(1/4) − 1.
+# Domain: cents < 2^31, so fourth powers fit DECIMAL(38,0)/HUGEINT
+# (values are money cents; $21M per event is far above any fixture or
+# production event value — wider domains would switch to eighth-root
+# pre-reduction, not bigger decimals).
 _QSK_BUCKET_SQL = """
     CASE WHEN {c} <= 0 THEN -1 ELSE
       (4 * (length(bin({c})) - 1)

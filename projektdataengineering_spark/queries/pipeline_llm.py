@@ -265,8 +265,8 @@ def pipeline_boilerplate_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     recipe: hash each paragraph, drop paragraphs whose hash recurs
     across too many documents — headers, footers, cookie banners).  The
     word-soup fixture has no newlines, so the "paragraph" is a
-    non-overlapping {_BOILER_W}-word block; a block seen in more than
-    {_BOILER_MIN_DOCS} distinct documents (>5% of the corpus) is
+    non-overlapping 2-word block; a block seen in more than
+    25 distinct documents (>5% of the corpus) is
     boilerplate.  Emits per doc: block count, removed count, and the
     md5 of the text REBUILT from surviving blocks in order — the oracle
     certifies the cleaned text itself, not just counts.

@@ -311,12 +311,17 @@ def pipeline_time_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     stitching, as documented for gapfill.
     """
     ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
-    hourly = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("hr")
-    ).agg(
-        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
-        .cast("long")
-        .alias("cents")
+    # the hourly frame feeds BOTH the spine aggregate and the grid join;
+    # a lazy localCheckpoint cuts the plan at the (tiny) hourly grain so
+    # the 2nd consumer reuses it instead of re-scanning the event table
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .localCheckpoint(eager=False)
     )
     spine = hourly.groupBy("event_type").agg(
         F.explode(
@@ -329,9 +334,23 @@ def pipeline_time_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         (F.unix_timestamp("hr") / F.lit(3600)).cast("long").alias("hix"),
     )
-    w = Window.partitionBy("event_type").orderBy("hix")
-    w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
-    w_next = w.rowsBetween(1, Window.unboundedFollowing)
+    # both bracket carries run as RUNNING frames (unboundedPreceding →
+    # -1): Spark computes those incrementally in O(n) per partition,
+    # while a (1 → unboundedFollowing) frame RE-SCANS the remainder of
+    # the partition per row — O(n²) in hours-per-series (measured 6 s
+    # vs 0.3 s on a 7.4k-hour series at sf1). The "next observed"
+    # carry is therefore the same running `last` over the REVERSED
+    # sort, not a `first` over a following frame.
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("hix")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("hix").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     obs_c = F.when(F.col("cents").isNotNull(), F.col("cents"))
     obs_h = F.when(F.col("cents").isNotNull(), F.col("hix"))
     br = gridded.select(
@@ -341,8 +360,8 @@ def pipeline_time_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hix",
         F.last(obs_c, ignorenulls=True).over(w_prev).alias("v_prev"),
         F.last(obs_h, ignorenulls=True).over(w_prev).alias("h_prev"),
-        F.first(obs_c, ignorenulls=True).over(w_next).alias("v_next"),
-        F.first(obs_h, ignorenulls=True).over(w_next).alias("h_next"),
+        F.last(obs_c, ignorenulls=True).over(w_next).alias("v_next"),
+        F.last(obs_h, ignorenulls=True).over(w_next).alias("h_next"),
     )
     lerp = F.floor(
         (

@@ -566,3 +566,71 @@ def test_video_certification_margin(spark, sf_dir):
             assert r["codec"] == "MJPG"
             assert r["feat_mean_exact"] is None
             assert r["feat_argmax_exact"] is None
+
+
+def test_perceptual_hashes_match_pure_python_reference(spark, sf_dir):
+    """image_perceptual_hashes (the mapInPandas operator behind
+    multimodal_image_phash) must equal an independent pure-Python
+    recompute of dHash/aHash from the SOURCE bytes — same raster
+    construction as attach_png_payload, no codec involved — proving
+    the decode+hash path end-to-end."""
+    from projektdataengineering_spark.operators.multimodal import (
+        attach_png_payload,
+        image_perceptual_hashes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(25)
+    rows = {
+        r["doc_id"]: r
+        for r in image_perceptual_hashes(attach_png_payload(docs)).collect()
+    }
+    for src in docs.select("doc_id", "text").collect():
+        raw = (src["text"] or "").encode("utf-8") or b"\x00"
+        h = (len(raw) + 31) // 32
+        pix = lambda row, col: (
+            raw[row * 32 + col] if row * 32 + col < len(raw) else 0
+        )
+        dbits = 0
+        for r in range(8):
+            row = ((2 * r + 1) * h) // 16
+            for c in range(8):
+                a = pix(row, ((2 * c + 1) * 32) // 18)
+                b = pix(row, ((2 * (c + 1) + 1) * 32) // 18)
+                if a > b:
+                    dbits |= 1 << (63 - (r * 8 + c))
+        total = sum(pix(rr, cc) for rr in range(h) for cc in range(32))
+        abits = 0
+        for r in range(8):
+            row = ((2 * r + 1) * h) // 16
+            for c in range(8):
+                if pix(row, ((2 * c + 1) * 32) // 16) * (h * 32) > total:
+                    abits |= 1 << (63 - (r * 8 + c))
+        got = rows[src["doc_id"]]
+        assert got["n_rows"] == h
+        assert got["dhash"] == f"{dbits:016x}"
+        assert got["ahash"] == f"{abits:016x}"
+
+
+def test_phash_identical_docs_collide_different_docs_mostly_dont(spark):
+    """Exact-duplicate texts must produce Hamming-0 hashes; unrelated
+    texts should not collide at the <=3 near-dup radius (sanity that
+    the hash carries signal, not a formal property)."""
+    from projektdataengineering_spark.operators.multimodal import (
+        attach_png_payload,
+        image_perceptual_hashes,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 4),
+        (2, "the quick brown fox jumps over the lazy dog " * 4),
+        (3, "entirely different content about spark shuffles " * 4),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in image_perceptual_hashes(attach_png_payload(df)).collect()}
+    assert out[1]["dhash"] == out[2]["dhash"]
+    assert out[1]["ahash"] == out[2]["ahash"]
+    ham = sum(
+        bin(int(a, 16) ^ int(b, 16)).count("1")
+        for a, b in [(out[1]["dhash"], out[3]["dhash"])]
+    )
+    assert ham > 3

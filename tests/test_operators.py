@@ -1563,3 +1563,95 @@ def test_bfs_hops_matches_python_reference(spark, sf_dir):
             want[m] = hop
         frontier = nxt
     assert got == want
+
+
+def test_quantile_sketch_bucket_matches_float_log2(spark):
+    """The quarter-bit bucket expression used by agg_quantile_sketch
+    (bin-length whole bits + exact fourth-power fractional comparison)
+    must equal floor(4*log2(v)) — checked against Python's float log2,
+    which is safe as a reference because non-power-of-two integers
+    never land exactly on a quarter-bit boundary and exact powers of
+    two are exact in IEEE log2."""
+    import math
+
+    # domain: cents < 2^31 (fourth powers must fit DECIMAL(38,0)/HUGEINT;
+    # the query documents the same bound)
+    vals = (
+        list(range(1, 2050))
+        + [2**k for k in range(1, 31)]
+        + [2**k - 1 for k in range(2, 32)]
+        + [2**k + 1 for k in range(2, 31)]
+        + [56021, 10**6, 10**9]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "cents long")
+    import pyspark.sql.functions as F
+
+    whole = F.expr("length(bin(cents)) - 1")
+    y = F.expr("shiftleft(CAST(1 AS BIGINT), length(bin(cents)) - 1)")
+    c_dec = F.col("cents").cast("decimal(19,0)")
+    x4 = c_dec * c_dec * c_dec * c_dec
+    y_dec = y.cast("decimal(19,0)")
+    y4 = y_dec * y_dec * y_dec * y_dec
+    frac = (
+        F.when(x4 >= 8 * y4, 3)
+        .when(x4 >= 4 * y4, 2)
+        .when(x4 >= 2 * y4, 1)
+        .otherwise(0)
+    )
+    got = {
+        r["cents"]: r["bucket"]
+        for r in df.select(
+            "cents", (4 * whole + frac).cast("long").alias("bucket")
+        ).collect()
+    }
+    for v in vals:
+        assert got[v] == math.floor(4 * math.log2(v)), v
+
+
+def test_boilerplate_removal_is_idempotent(spark):
+    """pipeline_boilerplate_blocks' core invariant: applying the
+    block-frequency filter to an already-cleaned corpus removes
+    nothing further when the clean pass used the same threshold —
+    i.e. removal is a projection (f∘f = f) under a corpus where every
+    over-threshold block is gone. Checked on a synthetic corpus with a
+    planted boilerplate block, block width 2, threshold 2 docs."""
+    import pyspark.sql.functions as F
+
+    W, T = 2, 2
+    # 5 docs share the planted "cookie banner ok" prefix (as 2-word
+    # blocks: "cookie banner", then doc-specific tails)
+    rows = [(i, f"cookie banner unique{i} tail{i} extra{i} pad{i}") for i in range(5)]
+    rows += [(10, "totally unrelated words here once only")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def clean(df):
+        words = df.select("doc_id", F.split("text", " ").alias("ws"))
+        nb = F.ceil(F.size("ws") / F.lit(float(W))).cast("int")
+        blocks = words.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), nb),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("ws"), (i - 1) * W + 1, W)),
+                )
+            ).alias("pos", "block"),
+        )
+        dfreq = blocks.groupBy("block").agg(F.countDistinct("doc_id").alias("df"))
+        kept = (
+            blocks.join(dfreq, "block")
+            .filter(F.col("df") <= T)
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list(F.struct("pos", "block"))).alias("k"))
+            .select(
+                "doc_id",
+                F.concat_ws(" ", F.transform("k", lambda s: s["block"])).alias("text"),
+            )
+        )
+        return kept
+
+    once = {r["doc_id"]: r["text"] for r in clean(docs).collect()}
+    assert all("cookie banner" not in t for t in once.values())
+    assert once[10] == "totally unrelated words here once only"
+    twice_df = spark.createDataFrame(list(once.items()), "doc_id long, text string")
+    twice = {r["doc_id"]: r["text"] for r in clean(twice_df).collect()}
+    assert twice == once

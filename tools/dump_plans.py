@@ -244,6 +244,28 @@ HEADLINERS: list[tuple[str, str]] = [
         "per level; the purchase-graph edge list (ids only, one distinct "
         "over orders⋈lineitem) is checkpointed once and reused.",
     ),
+    (
+        "agg_quantile_sketch",
+        "Round-10 mergeable quantile sketch: ONE partial→final "
+        "HashAggregate on (event_type, bucket) is the distributed sketch "
+        "merge; the quantile spec fans out map-side via Generate (a "
+        "3-literal explode) — no theta join anywhere; the exact-rank "
+        "window pass exists only for the certification leg.",
+    ),
+    (
+        "graph_jaccard_neighbors",
+        "Round-10 co-purchase link prediction: the pair self-join hashes "
+        "both sides on the customer key (co-located), hub customers are "
+        "degree-capped BEFORE the join, and the result is TakeOrdered — "
+        "pair work is bounded by cap×|edges|, never corpus².",
+    ),
+    (
+        "multimodal_image_phash",
+        "Round-10 image near-dup: one ArrowEvalPython/mapInPandas pass "
+        "decodes PNGs and emits 64-bit hashes; downstream is pure JVM — "
+        "four chunk equi self-joins (banded LSH), Hamming on candidates "
+        "only, one aggregate join-back. The image bytes never shuffle.",
+    ),
 ]
 
 

@@ -124,6 +124,14 @@ HEAVY_QUERIES = [
     ("pipeline_gdpr_erasure", "layout (round 9b, executed erasure, content-addressed)"),
     ("pipeline_file_skipping", "layout (round 9b, zone-map pruning proof)"),
     ("stream_attribution", "streaming (round 9b, stateful attribution twin)"),
+    ("agg_quantile_sketch", "sketches (round 10, mergeable DDSketch-style quantiles)"),
+    ("multimodal_image_phash", "multimodal (round 10, PNG decode + banded phash dedup)"),
+    ("pipeline_boilerplate_blocks", "corpus (round 10, block-DF boilerplate removal)"),
+    ("graph_jaccard_neighbors", "graph (round 10, degree-capped co-purchase pairs)"),
+    ("er_mutual_best", "joins (round 10, two-pass-blocked mutual-best ER)"),
+    ("pipeline_time_interpolate", "timeseries (round 10, integer linear interpolation)"),
+    ("pipeline_feature_hash", "mlprep (round 10, hashing-trick vectorizer)"),
+    ("stream_stream_left_join", "streaming (round 10, outer join state eviction)"),
 ]
 
 
