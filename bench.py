@@ -74,8 +74,13 @@ _WARM_BUDGETS_SF01 = {
     # pairs is caught the same round; the other two are the round's
     # heaviest new queries (5.5-5.7 s warm), pinned above wobble.
     "er_mutual_best": 5.0,
-    "graph_jaccard_neighbors": 9.0,
-    "scan_gzip_roundtrip": 9.0,
+    # post-tuning warm levels (jaccard 3.8 s, gzip 2.5 s, phash 2.2 s):
+    # the pins catch the recompute/parallelism regressions each one had
+    # before its fix (branch re-execution of the Python hash pipeline,
+    # 3-file gzip write, record-level ER pairs)
+    "graph_jaccard_neighbors": 7.0,
+    "scan_gzip_roundtrip": 6.0,
+    "multimodal_image_phash": 6.0,
 }
 
 

@@ -480,9 +480,15 @@ def scan_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back here consumes the multi-file layout the writer produced.
     """
     path = _scratch_dir("gzip_lineitem", sf_dir)
-    li = load_table(spark, sf_dir, "lineitem").withColumn(
-        "l_shipdate", F.col("l_shipdate").cast("timestamp_ntz")
-    )
+    # spread BEFORE the write: the fixture arrives as ~3 input splits,
+    # and with a non-splittable codec the written file count IS the
+    # read-back parallelism — exactly the many-medium-files mitigation
+    # the docstring prescribes (write 7.6 s → ~2 s at 32 cores)
+    from ..catalog import spread_small_input
+
+    li = spread_small_input(
+        load_table(spark, sf_dir, "lineitem")
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp_ntz"))
     (
         li.write.mode("overwrite")
         .option("compression", "gzip")

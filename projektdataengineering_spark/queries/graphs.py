@@ -382,7 +382,11 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok = edges.groupBy("c").agg(F.count(F.lit(1)).alias("dc")).filter(
         F.col("dc") <= _JACCARD_DEGREE_CAP
     ).select("c")
-    e = edges.join(ok, "c")
+    # e feeds three plan branches (both self-join sides + the degree
+    # table); a lazy checkpoint computes the distinct-edge list once —
+    # at scale this is the materialized edge table every graph query
+    # in this module starts from
+    e = edges.join(ok, "c").localCheckpoint(eager=False)
     deg = e.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("d"))
     e1 = e.alias("e1")
     e2 = e.alias("e2")
