@@ -133,11 +133,36 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "pipeline_feature_scale",  # 1-row exact-stats broadcast (scaler constants)
         "stream_stream_left_join",  # 1-row emission-cutoff broadcast (wm_cut)
     }
+    # Python-stage budget: a plan re-executing its Arrow/pandas stage
+    # once per downstream branch is the silent 3-10x regression class
+    # (round 10 caught multimodal_image_phash running its decode+hash
+    # pipeline 9x before a checkpoint materialized it). Queries whose
+    # DESIGN carries several distinct Python kernels are allowlisted
+    # with their audited stage count.
+    python_stage_budget = {
+        "sim_cosine_ann_lsh": 4,  # LSH probe + exact baseline + recall legs
+        "sim_cosine_pq": 4,  # PQ encode + ADC + re-rank + exact baseline
+        "multimodal_video_frames": 4,  # AVI decode + frame stride + PNG feats
+        "sim_cosine_ivf": 3,  # IVF probe + exact baseline + recall legs
+        "sim_cosine_ivf_reuse": 3,  # same legs on the persisted index
+        "er_mutual_best": 3,  # JW verdict re-read across union branches (name-domain sized)
+    }
     for name, qd in REGISTRY.items():
         f = plan_facts(qd.fn(spark, sf_dir))
         assert f.count("CartesianProduct") == 0, (name, f.nodes)
         if name not in allowed_bnlj:
             assert f.count("BroadcastNestedLoopJoin") == 0, (name, f.nodes)
+        n_python = sum(
+            1
+            for n in f.nodes
+            if "Python" in n or "ArrowEval" in n or "MapInPandas" in n
+            or "FlatMapGroupsInPandas" in n
+        )
+        assert n_python <= python_stage_budget.get(name, 2), (
+            name,
+            n_python,
+            f.nodes,
+        )
 
 
 def test_bucketed_join_has_zero_exchanges(spark, sf_dir, tmp_path):
