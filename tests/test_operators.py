@@ -1655,3 +1655,51 @@ def test_boilerplate_removal_is_idempotent(spark):
     twice_df = spark.createDataFrame(list(once.items()), "doc_id long, text string")
     twice = {r["doc_id"]: r["text"] for r in clean(twice_df).collect()}
     assert twice == once
+
+
+def test_feature_hash_and_kfold_match_pure_python_md5(spark, sf_dir):
+    """The hex-alphabet-position trick used by pipeline_feature_hash /
+    pipeline_kfold_assign must agree with a direct Python md5
+    recompute — an implementation-independent check of the
+    engine-portable 'md5 mod k without hex parsing' discipline."""
+    import hashlib
+
+    from projektdataengineering_spark.queries import load_registry
+
+    reg = load_registry()
+    # kfold: every customer's fold == int(md5(key)[:2], 16) % 5
+    from projektdataengineering_spark.catalog import load_table
+    import pyspark.sql.functions as F
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey").limit(50)
+    alphabet = "0123456789abcdef"
+    pos1 = F.expr(f"locate(substr(md5(cast(c_custkey as string)), 1, 1), '{alphabet}') - 1")
+    pos2 = F.expr(f"locate(substr(md5(cast(c_custkey as string)), 2, 1), '{alphabet}') - 1")
+    got = {
+        r["c_custkey"]: r["fold"]
+        for r in cust.select(
+            "c_custkey", ((pos1 * 16 + pos2) % 5).cast("long").alias("fold")
+        ).collect()
+    }
+    for k, fold in got.items():
+        want = int(hashlib.md5(str(k).encode()).hexdigest()[:2], 16) % 5
+        assert fold == want, (k, fold, want)
+
+    # feature_hash: bucket/sign of a word == python md5 nibbles
+    words = ["table", "spark", "query", "a", "émoji"]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    hx = F.md5(F.col("word"))
+    p1 = F.expr(f"locate(substr(md5(word), 1, 1), '{alphabet}') - 1")
+    p2 = F.expr(f"locate(substr(md5(word), 2, 1), '{alphabet}') - 1")
+    out = {
+        r["word"]: (r["bucket"], r["sign"])
+        for r in df.select(
+            "word",
+            ((p1 * 16 + p2) % 64).cast("long").alias("bucket"),
+            F.when(F.substring(hx, 3, 1) < "8", 1).otherwise(-1).alias("sign"),
+        ).collect()
+    }
+    for w in words:
+        d = hashlib.md5(w.encode("utf-8")).hexdigest()
+        assert out[w][0] == int(d[:2], 16) % 64, w
+        assert out[w][1] == (1 if d[2] < "8" else -1), w

@@ -635,17 +635,17 @@ def test_er_mutual_best_runs_on_name_domain(facts_of):
     assert f.count("BroadcastNestedLoopJoin") == 0, f.nodes
 
 
-def test_image_phash_single_python_stage_then_jvm(facts_of):
-    """multimodal_image_phash: exactly ONE Python boundary may appear
-    per scan branch (the decode+hash mapInPandas); banding, Hamming,
-    and the aggregate join-back must be pure JVM. The hash frame is
-    reused across 4 chunk joins + the final join-back, so Python
-    stages are bounded by plan reuse, and image bytes never shuffle."""
+def test_image_phash_python_runs_once_behind_checkpoint(facts_of):
+    """multimodal_image_phash: the decode+hash Python pipeline is
+    materialized ONCE by the lazy checkpoint, so the final plan must
+    contain ZERO Python nodes — every one of the 9 branches (4 chunk
+    joins × 2 sides + join-back) reads the checkpointed hash table
+    (Scan ExistingRDD); banding, Hamming, and the join-back are pure
+    JVM, and image bytes never shuffle."""
     f = facts_of("multimodal_image_phash")
     n_python = sum(
         1 for n in f.nodes if "Python" in n or "ArrowEval" in n or "MapInPandas" in n
     )
-    # one logical python stage; Spark may re-execute it per branch but
-    # each occurrence must be the SAME mapInPandas (no second UDF type)
-    assert n_python >= 1, f.nodes
+    assert n_python == 0, f.nodes
+    assert f.count("Scan ExistingRDD") >= 2, f.nodes  # checkpoint reuse
     assert f.cartesian_like == 0, f.nodes
