@@ -81,6 +81,15 @@ _WARM_BUDGETS_SF01 = {
     "graph_jaccard_neighbors": 7.0,
     "scan_gzip_roundtrip": 6.0,
     "multimodal_image_phash": 6.0,
+    # round 11: graph_pagerank regressed 3.2→5.5 s warm (25.7 s outlier
+    # pass) on UNCHANGED code — orphaned localCheckpoint blocks from
+    # ~200 earlier queries were taxing the late-suite iterative plans
+    # (clearCache never frees checkpointed RDDs; the sweep below now
+    # does). Pinned with the two same-code drifters from the r10 bench
+    # (hive 0.6→1.5 s, char_diversity 3.3→3.9 s), sized above wobble.
+    "graph_pagerank": 5.0,
+    "text_char_diversity": 6.0,
+    "scan_hive_partitioned": 3.0,
 }
 
 
@@ -166,6 +175,26 @@ def main() -> int:
             # gc cost.)
             gc.collect()
             spark.catalog.clearCache()
+            # clearCache drops only CATALOG-cached relations; RDD blocks
+            # from localCheckpoint (the lineage-cut discipline of every
+            # iterative operator — pagerank/CC/BFS create ~15 per run)
+            # stay in the block manager until the driver GCs the
+            # DataFrame refs AND the async ContextCleaner gets around to
+            # them. Across 217 queries × 2 passes those orphans add up
+            # to real storage-memory pressure: r10 measured
+            # graph_pagerank at 5.45 s warm with a 25.7 s outlier pass
+            # late in the suite vs 3.2 s in a clean session, on
+            # unchanged code. No query holds persisted state across
+            # calls (verified: zero module-level .persist/.cache), so
+            # everything still pinned here is an orphan — drop it
+            # synchronously instead of waiting on weak-ref cleanup.
+            try:
+                for jrdd in list(
+                    spark.sparkContext._jsc.getPersistentRDDs().values()
+                ):
+                    jrdd.unpersist(False)
+            except Exception:
+                pass  # hygiene must never fail the bench
             if qi % 8 == 0:
                 spark._jvm.System.gc()
             t0 = time.perf_counter()

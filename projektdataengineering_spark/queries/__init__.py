@@ -302,45 +302,67 @@ _R08_WINDOW = frozenset((
     "sim_cosine_ivf", "split_train_test", "stream_cdc_stateful",
     "stream_dedup_stateful", "stream_heavy_hitters", "text_char_diversity",
 ))
+# Round-10's recorded window (CORRECTNESS_r10.json keys — on disk,
+# 50 hash-pass, zero rows-only, zero errors: the project's first
+# perfect window. Round 9's driver artifact never landed — like round
+# 2's — so the round-9 additions and the round-9 _RECHECK population
+# all drew their rows here).
+_R10_WINDOW = frozenset((
+    "agg_bloom_membership", "agg_countmin_freq", "agg_quantile_sketch",
+    "dedup_cluster_cc", "dedup_substring_spans", "er_mutual_best",
+    "filter_pareto_frontier", "graph_bfs_hops",
+    "graph_jaccard_neighbors", "graph_pagerank", "graph_triangle_count",
+    "join_bloom_prefiltered", "join_lateral_topn",
+    "multimodal_image_phash", "multimodal_video_frames",
+    "pipeline_ab_lift", "pipeline_attribution", "pipeline_bm25_topk",
+    "pipeline_boilerplate_blocks", "pipeline_cohort_matrix",
+    "pipeline_compaction_apply", "pipeline_dataset_datasheet",
+    "pipeline_event_transitions", "pipeline_feature_hash",
+    "pipeline_feature_scale", "pipeline_file_skipping",
+    "pipeline_gdpr_erasure", "pipeline_hybrid_retrieval",
+    "pipeline_kfold_assign", "pipeline_mad_outliers",
+    "pipeline_perplexity_filter", "pipeline_resample_ohlc",
+    "pipeline_substring_cut", "pipeline_target_encode",
+    "pipeline_time_interpolate", "pipeline_vocab_growth",
+    "pipeline_zorder_apply", "sample_priority", "scan_binary_files",
+    "scan_gzip_roundtrip", "sim_cosine_exact_pairs", "sim_cosine_ivf",
+    "sim_cosine_ivf_reuse", "sim_cosine_pq", "sim_minhash_lsh",
+    "sql_recursive_reachability", "stream_attribution",
+    "stream_ohlc_native", "stream_stream_left_join",
+    "udtf_python_native",
+))
 _DRIVER_VERIFIED = (
     _R01_WINDOW | _R03_WINDOW | _R04_WINDOW | _R05_WINDOW | _R06_WINDOW
-    | _R07_WINDOW | _R08_WINDOW
+    | _R07_WINDOW | _R08_WINDOW | _R10_WINDOW
 )
 
 # Verified in an earlier round, but the implementation, oracle, or an
 # upstream seam changed afterwards — their old driver row no longer
 # certifies the current code, so they re-enter the window right after
-# the never-verified block.  Round-9 population:
-# * sim_minhash_lsh / dedup_cluster_cc / graph_pagerank /
-#   graph_triangle_count — the portable MinHash kernel was reworked
-#   (one md5 per gram + affine integer lanes, undoing the r8 16-md5
-#   perf regression); all four share the lane CTE, so both engines'
-#   pair sets changed together after their last rows;
-# * multimodal_video_frames — GRADUATED from rows-only to the
-#   decoded-domain + bounded-error oracle after its r8 row;
-# * sample_priority — tau is now a 1-row aggregate (tiny-table ADVICE
-#   fix) after its r8 row;
-# * sim_cosine_ivf — the coarse quantizer is now a persisted index
-#   (bit-identical centroids by trainer determinism, but the load path
-#   differs) after its r8 row;
-# * sim_cosine_exact_pairs — the BLAS prefilter moved into an
-#   applyInPandas block kernel (same final pair set and values; the
-#   candidate-generation seam differs) after its r5 row;
-# * agg_countmin_freq / agg_bloom_membership — the CMS/Bloom hash
-#   family moved from one-md5-per-lane to one-md5-per-item affine
-#   lanes (the MinHash r9 lesson applied to the sketch trio; oracles
-#   updated in lockstep) after their r8 rows.
+# the never-verified block.  Round-11 population (every round-9 recheck
+# drew a green r10 row and dropped out):
+# * pipeline_time_interpolate — the lerp moved from F.floor(long/long
+#   double division) to the BIGINT `div` operator (exact for numerators
+#   past 2^53; round-10 ADVICE medium) after its r10 row;
+# * graph_jaccard_neighbors — jaccard_ppm likewise moved to `div`
+#   (round-10 ADVICE low) after its r10 row;
+# * er_mutual_best — the word-swap corruption now NULL-propagates on
+#   single-word names exactly like the oracle's `w[2] || ' ' || w[1]`
+#   (round-10 ADVICE low) after its r10 row;
+# * dedup_substring_spans / pipeline_substring_cut — the fingerprint
+#   stream is thinned before the corpus-wide count (round-11 slope
+#   work, oracle updated in lockstep) after their r10 rows.
 _RECHECK: tuple[str, ...] = (
-    "sim_minhash_lsh", "dedup_cluster_cc", "graph_pagerank",
-    "graph_triangle_count", "multimodal_video_frames", "sample_priority",
-    "sim_cosine_ivf", "sim_cosine_exact_pairs", "agg_countmin_freq",
-    "agg_bloom_membership",
+    "pipeline_time_interpolate", "graph_jaccard_neighbors",
+    "er_mutual_best", "dedup_substring_spans", "pipeline_substring_cut",
 )
 
 
 def _latest_row_round(name: str) -> int:
     """Most recent round whose on-disk driver artifact holds this
     query's correctness row (0 = never verified)."""
+    if name in _R10_WINDOW:
+        return 10
     if name in _R08_WINDOW:
         return 8
     if name in _R07_WINDOW:

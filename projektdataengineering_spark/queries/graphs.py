@@ -407,9 +407,10 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p1",
             "p2",
             F.col("i").alias("n_common"),
-            F.floor(
-                F.col("i") * 1000000 / (F.col("d1") + F.col("d2") - F.col("i"))
-            )
+            # `div` = BIGINT division truncating toward zero, the exact
+            # operator DuckDB's `//` implements — no long→double
+            # round-trip, so exactness never rests on a magnitude bound
+            F.expr("i * CAST(1000000 AS BIGINT) div (d1 + d2 - i)")
             .cast("long")
             .alias("jaccard_ppm"),
         )

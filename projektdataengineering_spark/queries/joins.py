@@ -933,7 +933,15 @@ def er_mutual_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.split(F.col("p_name"), " ")
     dirty = p.select(
         F.col("p_partkey").alias("dpk"),
-        F.when(nib < "4", F.concat_ws(" ", w[1], w[0]))
+        # the swap branch yields NULL (not the bare word) when p_name
+        # has fewer than two words: DuckDB's `w[2] || ' ' || w[1]`
+        # NULL-propagates there, while concat_ws would silently skip
+        # the missing word — the two dirty-table derivations must be
+        # the SAME function, not merely agree on multi-word fixtures
+        F.when(
+            nib < "4",
+            F.when(F.size(w) >= 2, F.concat_ws(" ", w[1], w[0])),
+        )
         .when(
             nib < "8",
             F.expr("substr(p_name, 1, length(p_name) - 1)"),

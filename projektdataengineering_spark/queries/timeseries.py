@@ -363,12 +363,15 @@ def pipeline_time_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last(obs_c, ignorenulls=True).over(w_next).alias("v_next"),
         F.last(obs_h, ignorenulls=True).over(w_next).alias("h_next"),
     )
-    lerp = F.floor(
-        (
-            F.col("v_prev") * 1000 * (F.col("h_next") - F.col("hix"))
-            + F.col("v_next") * 1000 * (F.col("hix") - F.col("h_prev"))
-        )
-        / (F.col("h_next") - F.col("h_prev"))
+    # exact BIGINT lerp: Spark's `div` is integer division truncating
+    # toward zero — the same operator semantics as DuckDB's `//`
+    # (verified: -7//2 = -3 in DuckDB) — so the quotient is exact for
+    # ALL BIGINT-range numerators.  The previous float path
+    # (F.floor(a / b)) promoted the numerator long→double, silently
+    # dropping bits once hourly-cents × 1000 × gap-width exceeded 2^53.
+    lerp = F.expr(
+        "(v_prev * 1000 * (h_next - hix) + v_next * 1000 * (hix - h_prev))"
+        " div (h_next - h_prev)"
     ).cast("long")
     return br.select(
         "event_type",
