@@ -349,9 +349,11 @@ _DRIVER_VERIFIED = (
 # * er_mutual_best — the word-swap corruption now NULL-propagates on
 #   single-word names exactly like the oracle's `w[2] || ' ' || w[1]`
 #   (round-10 ADVICE low) after its r10 row;
-# * dedup_substring_spans / pipeline_substring_cut — the fingerprint
-#   stream is thinned before the corpus-wide count (round-11 slope
-#   work, oracle updated in lockstep) after their r10 rows.
+# * dedup_substring_spans / pipeline_substring_cut — an explicit
+#   doc_id repartition now precedes tokenization so the fingerprint
+#   fan-out stage runs cluster-wide instead of at the doc table's
+#   input-split count (round-11 slope fix; values unchanged — the
+#   plan changed) after their r10 rows.
 _RECHECK: tuple[str, ...] = (
     "pipeline_time_interpolate", "graph_jaccard_neighbors",
     "er_mutual_best", "dedup_substring_spans", "pipeline_substring_cut",

@@ -329,8 +329,26 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     The suffix-array formulation of Lee et al. finds arbitrary-length
     repeats; the fixed-width shingle formulation here is its bucketed
     streaming-friendly approximation (repeats ≥ W tokens are found
-    exactly; shorter ones are below the dedup threshold by design)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exactly; shorter ones are below the dedup threshold by design).
+
+    Parallelism note (the round-11 slope fix): the documents table is
+    physically tiny relative to the window stream it fans out into
+    (~47 windows/doc), so its input-split count — 2 splits at sf1 —
+    would cap the md5 fan-out stage at 2 tasks while 30 cores idle
+    (measured: 5.1 s of the query's 8.3 s at sf1 sat in that 2-task
+    stage). One explicit doc_id repartition to the cluster's
+    parallelism ahead of tokenization shuffles only the raw text
+    (megabytes) and buys full-width execution of the windows stage;
+    sf1 probe went 10.3 s → ~4 s, slope 0.98 → ~0.55. At 100 TB the
+    doc table arrives in thousands of files and the repartition is a
+    no-op cost-wise — the point is that the plan's width is set by the
+    engine, not by however many files the upstream writer happened to
+    emit."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     toked = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
         F.size("t") >= _SUBSTR_W
     )
@@ -429,8 +447,15 @@ def pipeline_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists back to the token arrays — cut lists are span-count-sized,
     never token-sized, and the rebuild is map-side array filtering.
     Only (digest, ids, positions) ever shuffles; cleaned TEXT exists
-    only inside the map stage that hashes it."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    only inside the map stage that hashes it. The up-front doc_id
+    repartition decouples the md5/rebuild stages' width from the doc
+    table's input-split count (see dedup_substring_spans — the
+    round-11 slope fix; both hot branches read the same exchange)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     toked = docs.select("doc_id", F.split("text", " ").alias("t"))
     eligible = toked.filter(F.size("t") >= _SUBSTR_W)
     wins = eligible.select(

@@ -1703,3 +1703,75 @@ def test_feature_hash_and_kfold_match_pure_python_md5(spark, sf_dir):
         d = hashlib.md5(w.encode("utf-8")).hexdigest()
         assert out[w][0] == int(d[:2], 16) % 64, w
         assert out[w][1] == (1 if d[2] < "8" else -1), w
+
+
+def test_merge_apply_cow_copy_and_idempotence(spark, tmp_path):
+    """pipeline_merge_apply on a planted changelog: every merge action
+    lands in its own bucket so the copy-on-write contract is physically
+    checkable — the untouched bucket's files carry over BYTE-IDENTICAL
+    (same names, same bytes; rewritten=False), the deleted key's bucket
+    vanishes from the merged table, tombstone churn on an absent key
+    touches nothing, and a re-invocation reuses the frozen manifest."""
+    import datetime
+    import filecmp
+    import os
+
+    from projektdataengineering_spark.queries.layout import (
+        _MERGE_BUCKETS,
+        _merge_workdir,
+        pipeline_merge_apply,
+    )
+
+    assert _MERGE_BUCKETS == 8
+    T = datetime.datetime
+    pre, post = T(2024, 1, 10, 12, 0, 0), T(2024, 1, 15, 6, 0, 0)
+    rows = [
+        # user 1 / bucket 1: base only -> unchanged (bucket COPIED)
+        (101, pre, 1, "view", 10.0, None),
+        # user 2 / bucket 2: base + upsert -> update
+        (102, pre, 2, "click", 20.0, None),
+        (202, post, 2, "view", 5.0, None),
+        # user 3 / bucket 3: base + tombstone -> delete (bucket emptied)
+        (103, pre, 3, "view", 30.0, None),
+        (203, post, 3, "error", None, None),
+        # user 12 / bucket 4: changelog only, non-tombstone -> insert
+        (204, post, 12, "purchase", 7.5, None),
+        # user 13 / bucket 5: changelog only, tombstone -> noop
+        (205, post, 13, "error", None, None),
+    ]
+    d = str(tmp_path / "sfx")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+
+    got = {
+        (r.bucket, r.action): (r.n_keys, r.sum_events, r.sum_cents, r.rewritten)
+        for r in pipeline_merge_apply(spark, d).collect()
+    }
+    assert got == {
+        (1, "unchanged"): (1, 1, 1000, False),
+        (2, "update"): (1, 2, 2500, True),
+        (3, "delete"): (1, 1, 3000, True),
+        (4, "insert"): (1, 1, 750, True),
+    }, got
+
+    base = _merge_workdir(d)
+    base_b1 = os.path.join(base, "base", "bucket=1")
+    merged_b1 = os.path.join(base, "merged", "bucket=1")
+    same = filecmp.cmpfiles(
+        base_b1, merged_b1, os.listdir(base_b1), shallow=False
+    )
+    assert same[1] == [] and same[2] == [] and same[0], same
+    assert not os.path.isdir(os.path.join(base, "merged", "bucket=3"))
+    assert not os.path.isdir(os.path.join(base, "merged", "bucket=5"))
+    assert not os.path.isdir(os.path.join(base, "base", "bucket=5"))
+
+    mtime = os.path.getmtime(os.path.join(base, "manifest"))
+    again = {
+        (r.bucket, r.action): (r.n_keys, r.sum_events, r.sum_cents, r.rewritten)
+        for r in pipeline_merge_apply(spark, d).collect()
+    }
+    assert again == got
+    assert os.path.getmtime(os.path.join(base, "manifest")) == mtime
