@@ -90,6 +90,10 @@ _WARM_BUDGETS_SF01 = {
     "graph_pagerank": 5.0,
     "text_char_diversity": 6.0,
     "scan_hive_partitioned": 3.0,
+    # round 11: the heaviest new query — two bloom builds + both-side
+    # probes + SMJ measured 4.2-4.3 s warm at sf0.1 (m=2^17); the pin
+    # catches a regression to per-lane hashing or a broadcast fallback
+    "join_semireduced": 9.0,
 }
 
 

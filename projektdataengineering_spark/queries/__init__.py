@@ -354,9 +354,14 @@ _DRIVER_VERIFIED = (
 #   fan-out stage runs cluster-wide instead of at the doc table's
 #   input-split count (round-11 slope fix; values unchanged — the
 #   plan changed) after their r10 rows.
+# * join_bloom_prefiltered — its inline probe builder was factored
+#   into operators/sketches.bloom_probe_condition (shared with the new
+#   join_semireduced; same plan literals, but the implementation seam
+#   moved) after its r10 row.
 _RECHECK: tuple[str, ...] = (
     "pipeline_time_interpolate", "graph_jaccard_neighbors",
     "er_mutual_best", "dedup_substring_spans", "pipeline_substring_cut",
+    "join_bloom_prefiltered",
 )
 
 

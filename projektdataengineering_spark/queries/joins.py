@@ -739,19 +739,15 @@ def join_bloom_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes) and pins its correctness contract in the driver gate.
     Plan shape: one tiny build-side aggregate (the word table), then a
     map-side probe filter + one broadcast hash join on the survivors."""
-    from ..operators.sketches import bloom_filter_words
+    from ..operators.sketches import bloom_dense_words, bloom_probe_condition
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
     hot = orders.filter(F.col("o_totalprice") > _BLOOM_JOIN_THRESH)
-    words = {
-        r["w"]: r["bits"]
-        for r in bloom_filter_words(
-            hot, "o_orderkey", m_bits=_BLOOM_JOIN_M, k_hashes=_BLOOM_JOIN_K
-        ).collect()
-    }
-    dense = [int(words.get(w, 0)) for w in range(_BLOOM_JOIN_M // 63 + 1)]
+    dense = bloom_dense_words(
+        hot, "o_orderkey", m_bits=_BLOOM_JOIN_M, k_hashes=_BLOOM_JOIN_K
+    )
     bw = F.array(*[F.lit(v) for v in dense])
 
     li = (
@@ -759,30 +755,11 @@ def join_bloom_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_extendedprice")
         .withColumn("bw", bw)
     )
-    # ONE md5 per probe row (the affine-lane rule — hashing per LANE
-    # was the round-8 MinHash 3.8x regression, and here the per-lane
-    # md5 probe cost more than the plain join it was supposed to
-    # beat). The single-element transform() binds the digest — and
-    # then its two 32-bit halves — to lambda variables, because
-    # Catalyst's project-collapse would otherwise inline the md5 into
-    # every one of the 6 position references (measured 3.6 s → 2.0 s
-    # at sf0.1 for the probe alone); lanes stay plain BIGINT
-    # arithmetic on the bound halves.
-    tests = " AND ".join(
-        f"((shiftright(element_at(bw, CAST((((s.x + {j} * s.y) % 4294967296)"
-        f" % {_BLOOM_JOIN_M}) div 63 AS INT) + 1), "
-        f"CAST((((s.x + {j} * s.y) % 4294967296) % {_BLOOM_JOIN_M}) % 63"
-        f" AS INT)) & 1) = 1)"
-        for j in range(_BLOOM_JOIN_K)
+    # probe condition (one md5 per row, digest bound via transform —
+    # the rationale lives with the shared builder in operators/sketches)
+    cond = bloom_probe_condition(
+        "CAST(l_orderkey AS STRING)", "bw", _BLOOM_JOIN_M, _BLOOM_JOIN_K
     )
-    cond = f"""
-    element_at(transform(
-      array(md5(concat(CAST(l_orderkey AS STRING), '#bloom'))), h ->
-        element_at(transform(array(named_struct(
-            'x', CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT),
-            'y', CAST(conv(substring(h, 9, 8), 16, 10) AS BIGINT))),
-          s -> ({tests})), 1)), 1)
-    """
     pruned = li.filter(F.expr(cond)).drop("bw")
     return (
         pruned.join(F.broadcast(hot), pruned.l_orderkey == hot.o_orderkey)
@@ -989,4 +966,120 @@ def er_mutual_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dname",
         "cname",
         "jw_sim",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Both-sides semi-join reduction (round 11): Bloom runtime filters prune
+# BOTH inputs of a SHUFFLE join before either exchange
+# ---------------------------------------------------------------------------
+
+_SEMIRED_M = 1 << 17
+_SEMIRED_K = 3
+
+_SEMIRED_SQL = """
+    SELECT CAST(date_trunc('month', o.o_orderdate) AS VARCHAR) AS month_start,
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT' AND l.l_returnflag = 'R'
+    GROUP BY 1
+"""
+
+
+@query("join_semireduced", oracle=_SEMIRED_SQL)
+def join_semireduced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHUFFLE join with BOTH sides semi-join-reduced before their
+    exchanges — the completion of the runtime-filter story
+    join_bloom_prefiltered starts: there the selective side broadcasts
+    and only the probe side is pruned; here NEITHER side is broadcast-
+    able (urgent orders ⋈ returned lineitems, both fact-sized at
+    100 TB), so each side builds a Bloom over ITS join keys and the
+    OTHER side drops non-members map-side, before the shuffle ships a
+    byte. Lineitem rows whose order isn't urgent (~80%) and orders
+    with no returned item (~35%) never reach their exchange.
+
+    Result identity is a theorem, certified per round: bit_or only
+    adds bits, so neither filter can drop a true match (zero false
+    negatives); false positives merely ride the shuffle and die in the
+    join — the oracle runs the PLAIN filtered join and the hash match
+    proves it. The exchange-level reduction itself is pinned by
+    tests/test_operators.py (pruned input counts strictly below the
+    unpruned filtered inputs) and tests/test_plans.py (both md5 probe
+    filters sit below the shuffle join; no broadcast join planned).
+
+    Scale notes: this is two bounded build passes (each Bloom is a
+    ≤ m/63-word aggregate, collected once and planted as plan
+    literals — the HWM scalar pattern) plus one shuffle of the
+    survivors; Spark's own InjectRuntimeFilter does this only when
+    one side can host a bloom subquery and stats clear its thresholds
+    — expressing it explicitly keeps the reduction under the
+    correctness gate and available against sinks the optimizer can't
+    reason about. The join is hinted SHUFFLE_MERGE so the plan stays
+    the honest big-big shape the operator exists for."""
+    from ..operators.sketches import bloom_dense_words, bloom_probe_condition
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").drop(
+        "o_orderpriority"
+    )
+    returned = li.filter(F.col("l_returnflag") == "R").drop("l_returnflag")
+
+    o_words = bloom_dense_words(
+        urgent, "o_orderkey", m_bits=_SEMIRED_M, k_hashes=_SEMIRED_K
+    )
+    l_words = bloom_dense_words(
+        returned.select("l_orderkey").distinct(),
+        "l_orderkey",
+        m_bits=_SEMIRED_M,
+        k_hashes=_SEMIRED_K,
+    )
+
+    li_pruned = (
+        returned.withColumn("bw", F.array(*[F.lit(v) for v in o_words]))
+        .filter(
+            F.expr(
+                bloom_probe_condition(
+                    "CAST(l_orderkey AS STRING)", "bw", _SEMIRED_M, _SEMIRED_K
+                )
+            )
+        )
+        .drop("bw")
+    )
+    o_pruned = (
+        urgent.withColumn("bw", F.array(*[F.lit(v) for v in l_words]))
+        .filter(
+            F.expr(
+                bloom_probe_condition(
+                    "CAST(o_orderkey AS STRING)", "bw", _SEMIRED_M, _SEMIRED_K
+                )
+            )
+        )
+        .drop("bw")
+    )
+    return (
+        o_pruned.hint("shuffle_merge")
+        .join(li_pruned, o_pruned.o_orderkey == li_pruned.l_orderkey)
+        .groupBy(
+            # DuckDB's date_trunc('month', ts) yields DATE; go through
+            # DATE on this side too so the strings align
+            F.date_trunc("month", "o_orderdate")
+            .cast("date")
+            .cast("string")
+            .alias("month_start")
+        )
+        .agg(
+            F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
     )

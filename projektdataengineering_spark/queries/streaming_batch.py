@@ -735,3 +735,215 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_orphans"),
     )
+
+
+_SSFJ_SQL = """
+    WITH views AS (
+      SELECT user_id AS v_user, ts AS v_ts FROM events
+      WHERE event_type = 'view'
+    ), clicks AS (
+      SELECT user_id AS c_user, ts AS c_ts FROM events
+      WHERE event_type = 'click'
+    ), cut AS (
+      SELECT least((SELECT max(v_ts) FROM views),
+                   (SELECT max(c_ts) FROM clicks))
+             - INTERVAL 2 HOUR - INTERVAL 10 MINUTE AS wm_cut
+    ), joined AS (
+      SELECT v.v_user, v.v_ts, c.c_user, c.c_ts
+      FROM views v FULL JOIN clicks c
+        ON c.c_user = v.v_user
+       AND c.c_ts > v.v_ts
+       AND c.c_ts <= v.v_ts + INTERVAL 10 MINUTE
+    )
+    SELECT COALESCE(v_user, c_user) AS user_id,
+           CAST(SUM(CASE WHEN v_ts IS NOT NULL AND c_ts IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(SUM(CASE WHEN v_ts IS NOT NULL AND c_ts IS NOT NULL
+                 THEN epoch_us(c_ts) - epoch_us(v_ts) END), 0) AS BIGINT)
+             AS sum_gap_us,
+           CAST(SUM(CASE WHEN c_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_view_orphans,
+           CAST(SUM(CASE WHEN v_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_click_orphans
+    FROM joined, cut
+    WHERE (v_ts IS NOT NULL AND c_ts IS NOT NULL)
+       OR (c_ts IS NULL AND v_ts <= wm_cut)
+       OR (v_ts IS NULL AND c_ts <= wm_cut)
+    GROUP BY COALESCE(v_user, c_user)
+"""
+
+
+@query("stream_stream_full_outer", oracle=_SSFJ_SQL)
+def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream interval join — eviction on BOTH state
+    stores at once, the last join mode the streaming surface was
+    missing (inner: stream_stream_join; left: stream_stream_left_join):
+    a view with no click within its 10-minute horizon AND a click with
+    no preceding view both surface null-padded, and each can only be
+    emitted when the OTHER side's watermark proves no future match —
+    outer rows on both sides are produced by state eviction itself.
+
+    End-of-stream honesty, doubled: near the stream's end neither
+    side's last rows can be proven unmatched under any trigger
+    schedule, so BOTH orphan families pass the same data-derived
+    cutoff used by the left join — min(max v_ts, max c_ts) − 2h −
+    10min, strictly below every emission threshold either state store
+    can produce (1h watermark + 10min bound + 1h margin). The kept set
+    is a pure function of the data; the batch oracle replays the full
+    outer join row for row. Matched pairs pass unfiltered.
+
+    Scale shape: identical to the left join — both stores key on
+    user_id, the watermark + interval bound range-prunes both; the
+    only addition is the click-side eviction emitting its own
+    residuals, which costs nothing beyond what the store already
+    tracked."""
+    from ..streaming import (
+        open_event_stream,
+        run_to_memory_sink,
+        stream_state_partitions,
+    )
+
+    views = (
+        open_event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+    )
+    clicks = (
+        open_event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    pairs = views.join(
+        clicks,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "full_outer",
+    )
+    with stream_state_partitions(spark):
+        run_to_memory_sink(
+            pairs, "stream_stream_full_outer_sink", output_mode="append"
+        )
+    emitted = spark.table("stream_stream_full_outer_sink")
+    ev = load_table(spark, sf_dir, "events")
+    cut = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .groupBy()
+        .agg(
+            (
+                F.least(
+                    F.max(F.when(F.col("event_type") == "view", F.col("ts"))),
+                    F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                )
+                - F.expr("INTERVAL 2 HOURS")
+                - F.expr("INTERVAL 10 MINUTES")
+            ).alias("wm_cut")
+        )
+    )
+    matched = F.col("v_ts").isNotNull() & F.col("c_ts").isNotNull()
+    kept = emitted.crossJoin(F.broadcast(cut)).filter(
+        matched
+        | (F.col("c_ts").isNull() & (F.col("v_ts") <= F.col("wm_cut")))
+        | (F.col("v_ts").isNull() & (F.col("c_ts") <= F.col("wm_cut")))
+    )
+    return kept.groupBy(
+        F.coalesce(F.col("v_user"), F.col("c_user")).alias("user_id")
+    ).agg(
+        F.sum(F.when(matched, 1).otherwise(0)).cast("long").alias("n_pairs"),
+        F.coalesce(
+            F.sum(
+                F.when(matched, F.unix_micros("c_ts") - F.unix_micros("v_ts"))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("sum_gap_us"),
+        F.sum(F.when(F.col("c_ts").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_view_orphans"),
+        F.sum(F.when(F.col("v_ts").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_click_orphans"),
+    )
+
+
+_SDWW_SQL = """
+    WITH k AS (
+      SELECT user_id, event_type, date_trunc('hour', ts) AS h,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type, CAST(CAST(h AS DATE) AS VARCHAR) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(c) AS BIGINT) AS n_events,
+           CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_dupes_dropped
+    FROM k GROUP BY 1, 2
+"""
+
+
+@query("stream_dedup_within_watermark", oracle=_SDWW_SQL)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup via ``dropDuplicatesWithinWatermark`` — the
+    BOUNDED-STATE twin of stream_dedup_stateful: state for a key is
+    held only until the watermark passes its event time plus the
+    delay, so the store's footprint tracks the dedup horizon instead
+    of the full key history — the form production pipelines actually
+    deploy against at-least-once sources, where duplicates cluster
+    within a bounded lag of the original.
+
+    Dedup key: (user_id, event_type, event-time hour) — re-fires of
+    the same logical event land in the same key; all occurrences of a
+    key sit within its one-hour bucket. Determinism contract: which
+    PHYSICAL duplicate survives is schedule-dependent (first arrival
+    wins), so the query emits only the KEY, and the delay is chosen
+    ≥ the fixture's whole span so no eviction-resurrection can split a
+    key under any micro-batch partitioning — the emitted key set is
+    exactly the distinct key set, a pure function of the data (the
+    production delay is the dedup horizon; semantics per key are
+    identical). The eviction/resurrection behavior itself is pinned by
+    tests/test_streaming.py with an explicit two-batch replay.
+
+    The audit joins the emitted keys back to the batch table: per
+    (event_type, day), keys kept vs raw events vs duplicates dropped —
+    the dedup yield report. Scale shape: one keyed exchange into the
+    dedup state store; the audit is two partial-aggregated scans."""
+    from ..streaming import (
+        open_event_stream,
+        run_to_memory_sink,
+        stream_state_partitions,
+    )
+
+    keyed = (
+        open_event_stream(spark, sf_dir)
+        .select(
+            "user_id",
+            "event_type",
+            F.date_trunc("hour", "ts").alias("h"),
+            "ts",
+        )
+        .withWatermark("ts", "40 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "h"])
+        .select("user_id", "event_type", "h")
+    )
+    with stream_state_partitions(spark):
+        run_to_memory_sink(
+            keyed, "stream_dedup_within_watermark_sink", output_mode="append"
+        )
+    kept = spark.table("stream_dedup_within_watermark_sink")
+    per_group_keys = kept.groupBy(
+        "event_type", F.col("h").cast("date").cast("string").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    ev = load_table(spark, sf_dir, "events")
+    per_group_events = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", "ts").cast("date").cast("string").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    return per_group_keys.join(per_group_events, ["event_type", "day"]).select(
+        "event_type",
+        "day",
+        "n_keys",
+        "n_events",
+        (F.col("n_events") - F.col("n_keys")).cast("long").alias("n_dupes_dropped"),
+    )

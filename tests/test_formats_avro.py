@@ -1,0 +1,58 @@
+"""Avro round-trip — availability-gated like the JDBC live tests.
+
+Avro is the one mainstream wire format the formats family can't
+register as a driver-gated query in THIS sandbox: Spark ships Avro as
+an EXTERNAL module (spark-avro_2.13), and the pip pyspark distribution
+here carries only the core avro jars (avro/avro-ipc/avro-mapred), so
+`format("avro")` raises AnalysisException ("Avro is built-in but
+external data source module since Spark 2.4"). The boundary is
+documented in SURVEY.md §2.3; on a deployment with the module jar this
+test runs the full write→read→aggregate parity check, so the coverage
+is real wherever the capability is."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from projektdataengineering_spark.catalog import load_table
+
+
+def _avro_available(spark) -> bool:
+    try:
+        spark.range(1).write.mode("overwrite").format("avro").save(
+            "/tmp/pde_avro_probe"
+        )
+        return True
+    except Exception as exc:  # AnalysisException: module jar absent
+        return "avro" not in str(exc).lower() and False
+
+
+def test_avro_roundtrip_or_documented_absence(spark, sf_dir, tmp_path):
+    if not _avro_available(spark):
+        pytest.skip(
+            "spark-avro module jar not deployed in this sandbox "
+            "(pip pyspark ships no spark-avro_2.13) — boundary "
+            "documented in SURVEY.md §2.3"
+        )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+    p = str(tmp_path / "li_avro")
+    li.write.format("avro").save(p)
+    back = spark.read.format("avro").load(p)
+
+    def agg(df):
+        return sorted(
+            map(
+                tuple,
+                df.groupBy("l_returnflag")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("s"),
+                )
+                .collect(),
+            )
+        )
+
+    assert agg(back) == agg(li)

@@ -1775,3 +1775,81 @@ def test_merge_apply_cow_copy_and_idempotence(spark, tmp_path):
     }
     assert again == got
     assert os.path.getmtime(os.path.join(base, "manifest")) == mtime
+
+
+def test_semireduced_prunes_both_exchange_inputs(spark, sf_dir):
+    """join_semireduced: each side's Bloom (built from the OTHER side's
+    filtered keys) must strictly shrink what reaches that side's
+    exchange, and the pruned join must return exactly the plain join's
+    aggregate (zero false negatives — bit_or only adds bits)."""
+    from pyspark.sql import functions as F
+
+    from projektdataengineering_spark.catalog import load_table
+    from projektdataengineering_spark.operators.sketches import (
+        bloom_dense_words,
+        bloom_probe_condition,
+    )
+    from projektdataengineering_spark.queries.joins import (
+        _SEMIRED_K,
+        _SEMIRED_M,
+        join_semireduced,
+    )
+
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    o_words = bloom_dense_words(urgent, "o_orderkey", _SEMIRED_M, _SEMIRED_K)
+    l_words = bloom_dense_words(
+        returned.distinct(), "l_orderkey", _SEMIRED_M, _SEMIRED_K
+    )
+
+    def pruned_count(df, key, words):
+        return (
+            df.withColumn("bw", F.array(*[F.lit(v) for v in words]))
+            .filter(
+                F.expr(
+                    bloom_probe_condition(
+                        f"CAST({key} AS STRING)", "bw", _SEMIRED_M, _SEMIRED_K
+                    )
+                )
+            )
+            .count()
+        )
+
+    li_in, li_kept = returned.count(), pruned_count(returned, "l_orderkey", o_words)
+    o_in, o_kept = urgent.count(), pruned_count(urgent, "o_orderkey", l_words)
+    assert li_kept < li_in, (li_kept, li_in)
+    assert o_kept < o_in, (o_kept, o_in)
+
+    # zero false negatives: the reduced join aggregates to exactly the
+    # plain join's totals
+    got = {r["month_start"]: (r["n_orders"], r["n_items"], r["revenue"])
+           for r in join_semireduced(spark, sf_dir).collect()}
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    plain = {
+        r["month_start"]: (r["n_orders"], r["n_items"], r["revenue"])
+        for r in o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").cast("string")
+            .alias("month_start")
+        )
+        .agg(
+            F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .collect()
+    }
+    assert got == plain

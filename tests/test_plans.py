@@ -649,3 +649,18 @@ def test_image_phash_python_runs_once_behind_checkpoint(facts_of):
     assert n_python == 0, f.nodes
     assert f.count("Scan ExistingRDD") >= 2, f.nodes  # checkpoint reuse
     assert f.cartesian_like == 0, f.nodes
+
+
+def test_semireduced_probes_below_a_shuffle_join(facts_of, spark, sf_dir):
+    """join_semireduced: BOTH md5 probe filters run map-side below the
+    join (the whole point — survivors only reach the exchanges), the
+    join is a shuffle join (sort-merge via hint, never broadcast), and
+    nothing cartesian appears."""
+    f = facts_of("join_semireduced")
+    assert f.cartesian_like == 0, f.nodes
+    assert f.broadcast_joins == 0, f.nodes
+    assert f.sort_merge_joins + f.count("ShuffledHashJoin") >= 1, f.nodes
+    from projektdataengineering_spark.plans import explain_string
+
+    s = explain_string(REGISTRY["join_semireduced"].fn(spark, sf_dir), "formatted")
+    assert s.count("#bloom") >= 2, "both probe conditions must be planned"

@@ -606,3 +606,67 @@ def test_attribution_stream_carries_touch_state_across_batches(spark, tmp_path):
     assert rows[20]["cents"] == 100
     # NULL purchase values surface as NULL cents (Arrow null, not NaN)
     assert rows[22]["cents"] is None
+
+def test_drop_duplicates_within_watermark_evicts_and_resurrects(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a duplicate arriving within the
+    delay of the first occurrence is dropped (within AND across
+    micro-batches); once the watermark passes the key's event time +
+    delay its state evicts, and a LATER re-occurrence re-emits as new.
+    This pins the exact schedule-dependence the registered
+    stream_dedup_within_watermark query neutralizes by choosing its
+    delay ≥ the fixture span — here the resurrection is forced on
+    purpose with a 1-hour delay and a 10-hour gap."""
+    import os
+    import time
+
+    import pandas as pd
+
+    src = tmp_path / "ddww_src"
+    src.mkdir()
+    batches = [
+        # b1: k first at 00:00, in-batch duplicate at 00:10 -> dropped
+        (["k", "k"], ["2024-01-01 00:00:00", "2024-01-01 00:10:00"]),
+        # b2: cross-batch duplicate still within the delay -> dropped;
+        # watermark after this batch: 00:20 - 1h (still < k's expiry)
+        (["k"], ["2024-01-01 00:20:00"]),
+        # b3: far-future key advances the watermark to 09:00, past k's
+        # expiry (00:20 + 1h)
+        (["z"], ["2024-01-01 10:00:00"]),
+        # b4: spacer — eviction fires lazily, in the first batch that
+        # RUNS with the advanced watermark; k must not arrive in the
+        # same batch its state dies in, or the old state still wins
+        (["y"], ["2024-01-01 10:05:00"]),
+        # b5: k returns after eviction -> re-emitted as a fresh row
+        (["k"], ["2024-01-01 10:30:00"]),
+    ]
+    now = time.time()
+    for i, (keys, tss) in enumerate(batches):
+        f = src / f"batch{i + 1}.parquet"
+        pd.DataFrame({"key": keys, "ts": pd.to_datetime(tss)}).to_parquet(
+            f, coerce_timestamps="us"
+        )
+        os.utime(f, (now - 80 + 20 * i, now - 80 + 20 * i))
+
+    stream = (
+        spark.readStream.schema("key string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["key"])
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ddww_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = spark.table("ddww_out").collect()
+    k_ts = sorted(str(r["ts"]) for r in rows if r["key"] == "k")
+    # exactly two emissions of k: the original first, and the
+    # post-eviction resurrection — the 00:10 and 00:20 duplicates died
+    assert k_ts == ["2024-01-01 00:00:00", "2024-01-01 10:30:00"], rows
+    assert sum(1 for r in rows if r["key"] == "z") == 1
