@@ -244,6 +244,17 @@ def pagerank(
     deg = edges.groupBy(F.col(src).alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
+    # Degree-annotated edge list, computed ONCE: src degree is
+    # loop-invariant, so joining it per round both re-ran the degree
+    # aggregate and paid a second join in every iteration (measured:
+    # ~0.5 s of graph_pagerank's 4 s at sf0.1 across 8 rounds). The
+    # lazy checkpoint materializes it on the first round and each
+    # later round reads the cached rows.
+    edges_deg = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("to"))
+        .join(deg, "node")
+        .localCheckpoint(eager=False)
+    )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     contrib = F.col("rank") / F.col("deg")
     if exact_sums:
@@ -253,9 +264,7 @@ def pagerank(
         )
     for _ in range(n_iter):
         contribs = (
-            edges.select(F.col(src).alias("node"), F.col(dst).alias("to"))
-            .join(ranks, "node")
-            .join(deg, "node")
+            edges_deg.join(ranks, "node")
             .select(F.col("to").alias("node"), contrib.alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("s"))

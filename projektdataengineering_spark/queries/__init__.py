@@ -357,11 +357,15 @@ _DRIVER_VERIFIED = (
 # * join_bloom_prefiltered — its inline probe builder was factored
 #   into operators/sketches.bloom_probe_condition (shared with the new
 #   join_semireduced; same plan literals, but the implementation seam
-#   moved) after its r10 row.
+#   moved) after its r10 row;
+# * graph_pagerank — the power loop now joins a once-checkpointed
+#   degree-annotated edge list instead of re-joining deg per round
+#   (4.1 → 3.2 s warm; identical arithmetic, the join seam moved)
+#   after its r10 row.
 _RECHECK: tuple[str, ...] = (
     "pipeline_time_interpolate", "graph_jaccard_neighbors",
     "er_mutual_best", "dedup_substring_spans", "pipeline_substring_cut",
-    "join_bloom_prefiltered",
+    "join_bloom_prefiltered", "graph_pagerank",
 )
 
 

@@ -792,3 +792,109 @@ def pipeline_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").over(w_cum).cast("long").alias("cum_tokens"),
         F.sum("n_new").over(w_cum).cast("long").alias("cum_vocab"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram LM (round 11) — the classic n-gram smoother,
+# exact-integer rational arithmetic so the scores replay bit-for-bit
+# ---------------------------------------------------------------------------
+
+_KN_MIN_C1 = 50  # well-observed histories only (output stability)
+_KN_TOPK = 100
+
+_KN_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), bg AS (
+      SELECT u.b.w1 AS w1, u.b.w2 AS w2
+      FROM toks, UNNEST(
+        [struct_pack(w1 := t[i], w2 := t[i + 1])
+         for i in range(1, len(t))]) AS u(b)
+    ), pc AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2
+    ), hist AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS n1p_fwd
+      FROM pc GROUP BY w1
+    ), bwd AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_bwd FROM pc GROUP BY w2
+    ), tt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS bigram_types FROM pc
+    )
+    SELECT pc.w1, pc.w2, pc.c12, hist.c1, hist.n1p_fwd, bwd.n1p_bwd,
+           CAST((CAST(GREATEST(4 * pc.c12 - 3, 0) AS HUGEINT) * bigram_types
+                 + CAST(3 AS HUGEINT) * hist.n1p_fwd * bwd.n1p_bwd)
+                * CAST(1000000000 AS HUGEINT)
+                // (CAST(4 AS HUGEINT) * hist.c1 * bigram_types)
+                AS BIGINT) AS kn_ppb
+    FROM pc JOIN hist USING (w1) JOIN bwd USING (w2), tt
+    WHERE hist.c1 >= {_KN_MIN_C1}
+    ORDER BY kn_ppb DESC, w1, w2 LIMIT {_KN_TOPK}
+"""
+
+
+@query("pipeline_bigram_kn", oracle=_KN_SQL)
+def pipeline_bigram_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities — THE classic
+    n-gram smoother (Kneser & Ney 1995; Chen & Goodman 1998), the step
+    past pipeline_bigram_lm's raw MLE that every n-gram quality/
+    perplexity filter wants: P(w2|w1) = max(c12 − D, 0)/c1 +
+    D·N1+(w1·)/c1 · N1+(·w2)/|bigram types|, with the continuation
+    probability giving unseen-but-versatile successors their mass.
+
+    Exactness: D = 3/4, so the whole expression is one rational with
+    denominator 4·c1·T — the score ships as the exact integer
+    floor(P·10⁹) computed with 128-bit integer arithmetic (Spark
+    DECIMAL(38,0) `div` ≡ DuckDB HUGEINT `//`, verified equal on
+    >2⁶⁴ numerators), so the hash certifies every smoothed
+    probability bit-for-bit with zero float involvement.
+
+    Scale shape: bigrams are built MAP-SIDE (indexed array transform —
+    no positional self-join), then three count aggregates over the
+    pair-TYPE table (≪ token count), one broadcast-able 1-row type
+    count, and a distributed TakeOrdered {_KN_TOPK}. Only (token,
+    token, counts) ever shuffles."""
+    t = _toked(spark, sf_dir)
+    bg = (
+        t.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 1, size(toks) - 1),"
+                    " (x, i) -> struct(x AS w1, element_at(toks, i + 2) AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    pc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    hist = pc.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1p_fwd"),
+    )
+    bwd = pc.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n1p_bwd")
+    )
+    tt = pc.agg(F.count(F.lit(1)).cast("long").alias("bigram_types"))
+    scored = (
+        pc.join(hist, "w1")
+        .join(bwd, "w2")
+        .crossJoin(F.broadcast(tt))
+        .filter(F.col("c1") >= _KN_MIN_C1)
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "n1p_fwd",
+            "n1p_bwd",
+            F.expr(
+                "(CAST(GREATEST(4 * c12 - 3, 0) AS DECIMAL(38,0))"
+                " * bigram_types"
+                " + CAST(3 AS DECIMAL(38,0)) * n1p_fwd * n1p_bwd)"
+                " * CAST(1000000000 AS DECIMAL(38,0))"
+                " div (CAST(4 AS DECIMAL(38,0)) * c1 * bigram_types)"
+            ).cast("long").alias("kn_ppb"),
+        )
+    )
+    return scored.orderBy(F.col("kn_ppb").desc(), "w1", "w2").limit(_KN_TOPK)

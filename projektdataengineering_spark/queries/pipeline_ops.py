@@ -1842,3 +1842,215 @@ def pipeline_dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(dup_docs * 1000000) div n_docs").cast("long").alias("dup_ppm"),
         F.expr("n_tokens div n_docs").cast("long").alias("mean_tokens"),
     )
+
+
+def _neardup_apply_workdir(sf_dir: str) -> str:
+    import os
+
+    from ..sources import source_fingerprint
+
+    fp = source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+        "neardup_apply",
+        fp,
+    )
+
+
+@query(
+    "pipeline_neardup_apply",
+    oracle=f"""
+    WITH clusters AS ({_PORTABLE_CLUSTERS_SQL}),
+    assign AS (
+      SELECT d.doc_id, d.lang, d.source,
+             len(string_split(d.text, ' ')) AS n_tokens,
+             COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS keep
+      FROM documents d LEFT JOIN clusters c USING (doc_id)
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS docs_before,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS docs_after,
+           CAST(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_removed,
+           CAST(COALESCE(SUM(CASE WHEN keep THEN doc_id END), 0) AS BIGINT)
+             AS kept_id_sum,
+           CAST(COALESCE(SUM(CASE WHEN keep THEN n_tokens END), 0) AS BIGINT)
+             AS kept_token_sum
+    FROM assign GROUP BY lang, source
+    """,
+)
+def pipeline_neardup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED near-duplicate dedup — the step every stage of the
+    MinHash family builds toward, actually performed: the portable
+    near-dup clusters (pipeline_canonical_docs' assignment) pick one
+    canonical survivor per cluster, the surviving corpus is PHYSICALLY
+    WRITTEN as a real parquet table (staged write + atomic rename,
+    content-addressed by the documents fingerprint — the
+    gdpr/compaction/merge executed-layout discipline), and the audit
+    is measured FROM THE WRITTEN TABLE: per (lang, source), surviving
+    doc counts, the exact sum of surviving doc_ids, and the surviving
+    token mass are all re-read from disk, with before/removed counts
+    from the source. The oracle replays LSH → recursive-CTE transitive
+    closure → canonical pick → the same rollup from the raw documents
+    view, so the hash certifies the physical cut end-to-end: exactly
+    the non-canonical members of each near-dup cluster are gone, every
+    bystander byte survived (token mass), and nothing was dropped or
+    double-kept (id sum). Re-invocations reuse the frozen artifact.
+
+    Scale shape: clusters are near-dup-mass-sized; the keep-filter is
+    one id-only broadcast-able left join over the corpus scan; the
+    rewrite is one partitioned pass and the audit two partial-
+    aggregated scans. At 100 TB this is the dedup sweep's commit step
+    — the same shape, with the cluster table persisted and the write
+    partitioned by (lang, source)."""
+    import os
+
+    from ..operators.graph import connected_components
+    from .layout import _atomic_dir_write
+
+    base = _neardup_apply_workdir(sf_dir)
+    kept_path = os.path.join(base, "kept")
+    manifest_path = os.path.join(base, "manifest")
+    cols = [
+        "lang", "source", "docs_before", "docs_after", "docs_removed",
+        "kept_id_sum", "kept_token_sum",
+    ]
+    if os.path.isdir(manifest_path):
+        return spark.read.parquet(manifest_path).select(*cols)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    cc = connected_components(_portable_pairs(spark, sf_dir), "doc_a", "doc_b")
+    if not os.path.isdir(kept_path):
+        keep = (
+            docs.join(
+                F.broadcast(
+                    cc.select(F.col("node").alias("doc_id"), F.col("comp").alias("cid"))
+                ),
+                "doc_id",
+                "left",
+            )
+            .filter(F.coalesce(F.col("cid"), F.col("doc_id")) == F.col("doc_id"))
+            .select("doc_id", "text", "lang", "source")
+        )
+        _atomic_dir_write(lambda p: keep.write.parquet(p), kept_path)
+
+    before = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("docs_before")
+    )
+    after = (
+        spark.read.parquet(kept_path)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs_after"),
+            F.sum("doc_id").cast("long").alias("kept_id_sum"),
+            F.sum(F.size(F.split("text", " "))).cast("long").alias("kept_token_sum"),
+        )
+    )
+    result = before.join(after, ["lang", "source"], "left").select(
+        "lang",
+        "source",
+        "docs_before",
+        F.coalesce("docs_after", F.lit(0)).cast("long").alias("docs_after"),
+        (F.col("docs_before") - F.coalesce("docs_after", F.lit(0)))
+        .cast("long")
+        .alias("docs_removed"),
+        F.coalesce("kept_id_sum", F.lit(0)).cast("long").alias("kept_id_sum"),
+        F.coalesce("kept_token_sum", F.lit(0)).cast("long").alias("kept_token_sum"),
+    )
+    _atomic_dir_write(lambda p: result.coalesce(1).write.parquet(p), manifest_path)
+    return spark.read.parquet(manifest_path).select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# pipeline_dp_counts (round 11) — discrete-Laplace (two-sided geometric)
+# noisy counts: the differential-privacy release mechanism, with the
+# noise sampled by exact integer arithmetic so both engines replay it
+# ---------------------------------------------------------------------------
+
+
+def _lz24_sql(v: str) -> str:
+    """CASE ladder: number of leading zero BITS of a 24-bit value —
+    the exact-integer geometric sampler (P(k) = 2^-(k+1) for a uniform
+    24-bit input), with no float log2 whose boundary rounding the two
+    engines could disagree on."""
+    branches = " ".join(
+        f"WHEN ({v}) >= {1 << (23 - k)} THEN {k}" for k in range(24)
+    )
+    return f"CASE {branches} ELSE 24 END"
+
+
+def _hex24_duck(col: str, start: int) -> str:
+    """DuckDB: value of 6 hex chars (24 bits) by alphabet position."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substring({col}, {start + i}, 1)) - 1)"
+        f" * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+
+
+_DP_SQL = f"""
+    WITH g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_true,
+             md5(event_type || '#dp') AS h
+      FROM events GROUP BY event_type
+    ), u AS (
+      SELECT event_type, n_true,
+             ({_hex24_duck('h', 1)}) AS v1,
+             ({_hex24_duck('h', 7)}) AS v2
+      FROM g
+    ), noise AS (
+      SELECT event_type, n_true,
+             CAST(({_lz24_sql('v1')}) - ({_lz24_sql('v2')}) AS BIGINT) AS noise
+      FROM u
+    )
+    SELECT event_type, n_true, noise,
+           CAST(n_true + noise AS BIGINT) AS n_noisy,
+           CAST(693147 AS BIGINT) AS epsilon_ppm
+    FROM noise
+"""
+
+
+@query("pipeline_dp_counts", oracle=_DP_SQL)
+def pipeline_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release — the mechanism layer the
+    governance family (pipeline_kanon_generalize, pipeline_gdpr_erasure)
+    was missing: each per-event-type count is released with DISCRETE
+    LAPLACE noise, sampled as the difference of two Geometric(1/2)
+    draws (Y₁ − Y₂ with P(Y=k) = 2^-(k+1) is exactly the two-sided
+    geometric / discrete Laplace with α = 1/2, i.e. ε = ln 2 per unit
+    sensitivity — Ghosh, Roughgarden & Sundararajan's universally
+    utility-maximizing mechanism for counts).
+
+    Exact-integer sampling: each geometric draw is the leading-zero-bit
+    count of a 24-bit uniform (a CASE ladder — no float log2), the two
+    uniforms are the halves of one md5; every step replays bit-for-bit
+    in DuckDB. The md5-seeded randomness makes the mechanism
+    DETERMINISTIC per release key — which is what makes it certifiable
+    here, and is itself a real pattern (seeded-noise reproducible DP
+    releases); a production deployment swaps the seed for a secure
+    RNG and the certification surface (n_true, noise) obviously stays
+    internal — this query's output is the audit view, not the public
+    release.
+
+    Scale shape: one partial→final count aggregate; the noise is O(1)
+    arithmetic on the 5 released rows."""
+    ev = load_table(spark, sf_dir, "events").select("event_type")
+    g = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    h = F.md5(F.concat(F.col("event_type"), F.lit("#dp")))
+    u = g.select(
+        "event_type",
+        "n_true",
+        F.conv(F.substring(h, 1, 6), 16, 10).cast("long").alias("v1"),
+        F.conv(F.substring(h, 7, 6), 16, 10).cast("long").alias("v2"),
+    )
+    noise = F.expr(f"CAST(({_lz24_sql('v1')}) - ({_lz24_sql('v2')}) AS BIGINT)")
+    return u.select(
+        "event_type",
+        "n_true",
+        noise.alias("noise"),
+        (F.col("n_true") + noise).cast("long").alias("n_noisy"),
+        F.lit(693147).cast("long").alias("epsilon_ppm"),
+    )

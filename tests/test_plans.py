@@ -132,6 +132,9 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "sample_priority",  # 1-row tau threshold broadcast (DLT estimator)
         "pipeline_feature_scale",  # 1-row exact-stats broadcast (scaler constants)
         "stream_stream_left_join",  # 1-row emission-cutoff broadcast (wm_cut)
+        "stream_stream_full_outer",  # same 1-row cutoff broadcast, both orphan families
+        "agg_sketch_overlap",  # 1-row θ* + 1-row exact-twin certification broadcasts
+        "pipeline_bigram_kn",  # 1-row bigram-type-count broadcast (KN denominator)
     }
     # Python-stage budget: a plan re-executing its Arrow/pandas stage
     # once per downstream branch is the silent 3-10x regression class

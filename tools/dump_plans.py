@@ -266,6 +266,29 @@ HEADLINERS: list[tuple[str, str]] = [
         "four chunk equi self-joins (banded LSH), Hamming on candidates "
         "only, one aggregate join-back. The image bytes never shuffle.",
     ),
+    (
+        "join_semireduced",
+        "Round-11 both-sides semi-join reduction: each side's md5 Bloom "
+        "probe (plan-literal word arrays) filters the OTHER side inside "
+        "its scan stage, so both exchanges ship survivors only; the join "
+        "itself is the hinted SortMergeJoin — the honest big-big shape, "
+        "no broadcast anywhere.",
+    ),
+    (
+        "agg_sketch_overlap",
+        "Round-11 theta/KMV set algebra: two-level exact min-k (shard-"
+        "local k-smallest, then global k-smallest of ≤64k survivors — "
+        "no single-reducer segment sort), a ≤2k-row sketch full-join, "
+        "1-row θ* and exact-twin broadcasts; everything after the "
+        "sketches is O(k).",
+    ),
+    (
+        "pipeline_bigram_kn",
+        "Round-11 Kneser-Ney: bigrams built MAP-SIDE by an indexed array "
+        "lambda (no positional self-join), three aggregates on the pair-"
+        "TYPE table, a 1-row type-count broadcast, and TakeOrdered — "
+        "token text shuffles once, as (w1, w2) pairs.",
+    ),
 ]
 
 

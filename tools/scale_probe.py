@@ -132,6 +132,14 @@ HEAVY_QUERIES = [
     ("pipeline_time_interpolate", "timeseries (round 10, integer linear interpolation)"),
     ("pipeline_feature_hash", "mlprep (round 10, hashing-trick vectorizer)"),
     ("stream_stream_left_join", "streaming (round 10, outer join state eviction)"),
+    ("pipeline_merge_apply", "layout (round 11, executed COW merge, content-addressed)"),
+    ("stream_stream_full_outer", "streaming (round 11, both-store eviction)"),
+    ("stream_dedup_within_watermark", "streaming (round 11, bounded-state dedup)"),
+    ("agg_sketch_overlap", "sketches (round 11, theta/KMV set algebra)"),
+    ("join_semireduced", "joins (round 11, both-sides bloom semi-join reduction)"),
+    ("pipeline_neardup_apply", "dedup (round 11, executed near-dup cut, content-addressed)"),
+    ("pipeline_bigram_kn", "corpus_ops (round 11, Kneser-Ney 128-bit rationals)"),
+    ("pipeline_dp_counts", "governance (round 11, discrete-Laplace DP release)"),
 ]
 
 
