@@ -197,6 +197,15 @@ def main() -> int:
                     spark.sparkContext._jsc.getPersistentRDDs().values()
                 ):
                     jrdd.unpersist(False)
+                # streaming queries leave their memory-sink tables
+                # registered (driver-held rows); drop them so two
+                # passes over 30+ streaming queries don't pile up
+                # driver memory and stretch the periodic System.gc
+                for tbl in spark.catalog.listTables():
+                    if tbl.tableType == "TEMPORARY" and tbl.name.endswith(
+                        ("_sink", "_out")
+                    ):
+                        spark.catalog.dropTempView(tbl.name)
             except Exception:
                 pass  # hygiene must never fail the bench
             if qi % 8 == 0:

@@ -362,10 +362,15 @@ _DRIVER_VERIFIED = (
 #   degree-annotated edge list instead of re-joining deg per round
 #   (4.1 → 3.2 s warm; identical arithmetic, the join seam moved)
 #   after its r10 row.
+# * pipeline_bpe_pair_counts / pipeline_boilerplate_blocks — the same
+#   input-split repartition fix applied to the two remaining slope
+#   drifters (sf1 5.2→0.9 s and 9.6→1.5 s; values unchanged) after
+#   their r8/r10 rows.
 _RECHECK: tuple[str, ...] = (
     "pipeline_time_interpolate", "graph_jaccard_neighbors",
     "er_mutual_best", "dedup_substring_spans", "pipeline_substring_cut",
     "join_bloom_prefiltered", "graph_pagerank",
+    "pipeline_bpe_pair_counts", "pipeline_boilerplate_blocks",
 )
 
 

@@ -170,7 +170,15 @@ def pipeline_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality, tiny) → TakeOrdered for the global top-k (no single
     -partition sort). Iterating BPE = re-running this over re-segmented
     tokens with the previous round's merges applied."""
-    docs = load_table(spark, sf_dir, "documents").select("text")
+    # the doc table's input-split count would otherwise cap the pair
+    # fan-out stage (2 splits at sf1 — the dedup_substring_spans
+    # round-11 lesson); one round-robin repartition of the raw text
+    # buys cluster-wide width for the explode+count below
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     w = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
         F.length("w") >= 2
     )

@@ -282,7 +282,14 @@ def pipeline_boilerplate_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     relative to the corpus (distinct blocks ≪ block instances), and
     only (block, pos, doc_id) triples ever shuffle — never full texts.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # doc_id repartition ahead of the block fan-out: the doc table's
+    # input-split count (2 at sf1) would otherwise cap the explode and
+    # rebuild stages — the dedup_substring_spans round-11 lesson
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     words = docs.select(
         "doc_id", F.split(F.col("text"), " ").alias("ws")
     )
@@ -324,3 +331,123 @@ def pipeline_boilerplate_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clean_md5"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_filter_cascade (round 11) — the corpus-cleaning YIELD TABLE:
+# stagewise attrition through the standard filter chain, the
+# Dolma/RefinedWeb-style report every corpus release publishes
+# ---------------------------------------------------------------------------
+
+_CASCADE_MIN_TOKENS = 20
+_CASCADE_KEEP_LANG = "en"
+_CASCADE_MIN_DIVERSITY = 350  # distinct-token ratio, permille
+_CASCADE_PREFIX_W = 8
+
+_CASCADE_SQL = f"""
+    WITH d0 AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ),
+    s1 AS (SELECT * FROM d0 WHERE len(t) >= {_CASCADE_MIN_TOKENS}),
+    s2 AS (SELECT * FROM s1 WHERE lang = '{_CASCADE_KEEP_LANG}'),
+    s3 AS (
+      SELECT * FROM s2
+      WHERE len(list_distinct(t)) * 1000 // len(t) >= {_CASCADE_MIN_DIVERSITY}
+    ),
+    s4 AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY md5(array_to_string(t[1:{_CASCADE_PREFIX_W}], ' '))
+                 ORDER BY doc_id) AS rn
+        FROM s3
+      ) WHERE rn = 1
+    ),
+    c AS (
+      SELECT (SELECT COUNT(*) FROM d0) AS c0,
+             (SELECT COUNT(*) FROM s1) AS c1,
+             (SELECT COUNT(*) FROM s2) AS c2,
+             (SELECT COUNT(*) FROM s3) AS c3,
+             (SELECT COUNT(*) FROM s4) AS c4
+    )
+    SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+           CAST(docs_in AS BIGINT) AS docs_in,
+           CAST(docs_out AS BIGINT) AS docs_out,
+           CAST(docs_in - docs_out AS BIGINT) AS dropped,
+           CAST(CASE WHEN docs_in = 0 THEN 0
+                     ELSE (docs_in - docs_out) * 1000000 // docs_in END
+                AS BIGINT) AS drop_ppm
+    FROM (
+      SELECT 1 AS stage_idx, 'length' AS stage, c0 AS docs_in, c1 AS docs_out FROM c
+      UNION ALL SELECT 2, 'lang', c1, c2 FROM c
+      UNION ALL SELECT 3, 'diversity', c2, c3 FROM c
+      UNION ALL SELECT 4, 'prefix_dedup', c3, c4 FROM c
+    ) stages
+"""
+
+
+@query("pipeline_filter_cascade", oracle=_CASCADE_SQL)
+def pipeline_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-cleaning yield table — the stagewise attrition report
+    (docs in/out/dropped/ppm per filter) that every public corpus
+    release ships (Dolma, RefinedWeb, FineWeb all publish exactly this
+    funnel): length gate (≥{_CASCADE_MIN_TOKENS} tokens) → language
+    gate ({_CASCADE_KEEP_LANG!r}) → lexical-diversity gate
+    (distinct-token ratio ≥ {_CASCADE_MIN_DIVERSITY}‰, integer
+    arithmetic) → first-{_CASCADE_PREFIX_W}-token prefix dedup (the
+    pipeline_prefix_dedup rule, corpus-first doc_id survives). The
+    report certifies the PIPELINE's bookkeeping: each stage's input is
+    the previous stage's output, so a hash match pins the entire
+    cascade's composition, not just each predicate in isolation.
+
+    Scale shape: the three predicate gates are map-side (one scan
+    feeds a cascade of counts via one aggregate each — Spark reuses
+    the scan across the chained counts); the dedup stage is one
+    digest-only exchange; the five 1-row counts assemble driver-free
+    via cross-join of broadcast aggregates. At 100 TB this is the
+    nightly data-quality dashboard query: cost is one corpus scan plus
+    the prefix-digest shuffle of the cleaned remainder."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    d0 = docs.select("doc_id", "lang", F.split("text", " ").alias("t"))
+    s1 = d0.filter(F.size("t") >= _CASCADE_MIN_TOKENS)
+    s2 = s1.filter(F.col("lang") == _CASCADE_KEEP_LANG)
+    s3 = s2.filter(
+        F.expr("size(array_distinct(t)) * 1000 div size(t)")
+        >= _CASCADE_MIN_DIVERSITY
+    )
+    w = Window.partitionBy(
+        F.md5(F.concat_ws(" ", F.slice("t", 1, _CASCADE_PREFIX_W)))
+    ).orderBy("doc_id")
+    s4 = s3.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+
+    def cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias(name))
+
+    c = (
+        cnt(d0, "c0")
+        .crossJoin(F.broadcast(cnt(s1, "c1")))
+        .crossJoin(F.broadcast(cnt(s2, "c2")))
+        .crossJoin(F.broadcast(cnt(s3, "c3")))
+        .crossJoin(F.broadcast(cnt(s4, "c4")))
+    )
+    stages = [
+        (1, "length", "c0", "c1"),
+        (2, "lang", "c1", "c2"),
+        (3, "diversity", "c2", "c3"),
+        (4, "prefix_dedup", "c3", "c4"),
+    ]
+    out = None
+    for idx, name, cin, cout in stages:
+        r = c.select(
+            F.lit(idx).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.col(cin).alias("docs_in"),
+            F.col(cout).alias("docs_out"),
+            (F.col(cin) - F.col(cout)).cast("long").alias("dropped"),
+            F.expr(
+                f"CAST(CASE WHEN {cin} = 0 THEN 0"
+                f" ELSE ({cin} - {cout}) * 1000000 div {cin} END AS BIGINT)"
+            ).alias("drop_ppm"),
+        )
+        out = r if out is None else out.unionAll(r)
+    return out

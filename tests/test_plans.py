@@ -135,6 +135,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "stream_stream_full_outer",  # same 1-row cutoff broadcast, both orphan families
         "agg_sketch_overlap",  # 1-row θ* + 1-row exact-twin certification broadcasts
         "pipeline_bigram_kn",  # 1-row bigram-type-count broadcast (KN denominator)
+        "pipeline_filter_cascade",  # five 1-row stage-count broadcasts (yield table)
     }
     # Python-stage budget: a plan re-executing its Arrow/pandas stage
     # once per downstream branch is the silent 3-10x regression class

@@ -140,6 +140,7 @@ HEAVY_QUERIES = [
     ("pipeline_neardup_apply", "dedup (round 11, executed near-dup cut, content-addressed)"),
     ("pipeline_bigram_kn", "corpus_ops (round 11, Kneser-Ney 128-bit rationals)"),
     ("pipeline_dp_counts", "governance (round 11, discrete-Laplace DP release)"),
+    ("pipeline_filter_cascade", "corpus (round 11, cleaning-funnel yield table)"),
 ]
 
 
