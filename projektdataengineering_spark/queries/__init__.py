@@ -365,12 +365,21 @@ _DRIVER_VERIFIED = (
 # * pipeline_bpe_pair_counts / pipeline_boilerplate_blocks — the same
 #   input-split repartition fix applied to the two remaining slope
 #   drifters (sf1 5.2→0.9 s and 9.6→1.5 s; values unchanged) after
-#   their r8/r10 rows.
+#   their r8/r10 rows;
+# * pipeline_doc_signature / pipeline_minhash_pairs_portable /
+#   pipeline_dedup_clusters_portable / pipeline_canonical_docs /
+#   pipeline_corpus_build — the shared _portable_signature kernel got
+#   the same repartition (the whole family's plans changed together:
+#   doc_signature sf1 8.3→1.3 s, clusters 9.3→3.0 s, canonical
+#   9.4→2.6 s; values unchanged) after their r7/r8 rows.
 _RECHECK: tuple[str, ...] = (
     "pipeline_time_interpolate", "graph_jaccard_neighbors",
     "er_mutual_best", "dedup_substring_spans", "pipeline_substring_cut",
     "join_bloom_prefiltered", "graph_pagerank",
     "pipeline_bpe_pair_counts", "pipeline_boilerplate_blocks",
+    "pipeline_doc_signature", "pipeline_minhash_pairs_portable",
+    "pipeline_dedup_clusters_portable", "pipeline_canonical_docs",
+    "pipeline_corpus_build",
 )
 
 

@@ -584,7 +584,17 @@ def _portable_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     (queries/similarity) this sketch is fully oracle-checkable. The
     lane min runs inside the per-row array (no explode, no shuffle);
     only (doc_id, 4×32-hex) ever leaves the scan."""
-    docs = load_table(spark, sf_dir, "documents")
+    # doc_id repartition ahead of the gram/md5 fan-out: this kernel
+    # feeds the whole portable-MinHash family (signature → pairs → CC →
+    # canonical → corpus build → pagerank), and its 4×|grams| md5 work
+    # would otherwise run at the doc table's input-split width — 2
+    # tasks at sf1, the top remaining SCALING.md slope (0.91) after the
+    # round-11 substring/bpe/boilerplate fixes. One shuffle of the raw
+    # text buys cluster-wide width for every downstream consumer.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     # size(toks) >= 2 ⟺ size(gs) > 0, but a predicate on gs would be
     # pushed down with the whole gram pipeline re-inlined into it and
     # computed twice (see similarity.sim_ngram_jaccard's comment).
