@@ -380,6 +380,9 @@ _RECHECK: tuple[str, ...] = (
     "pipeline_doc_signature", "pipeline_minhash_pairs_portable",
     "pipeline_dedup_clusters_portable", "pipeline_canonical_docs",
     "pipeline_corpus_build",
+    # bigram instances now built map-side by the indexed array lambda
+    # (sf1 7.3→1.8 s; values unchanged) after its r10 row
+    "pipeline_perplexity_filter",
 )
 
 

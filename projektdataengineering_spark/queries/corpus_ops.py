@@ -654,18 +654,33 @@ def pipeline_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate. At 100 TB the LM is trained once per corpus version and
     persisted (the _ivf_centroids pattern); scoring is one map-side
     join pass."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
-    enc = toked.select(
-        "doc_id", F.posexplode("toks").alias("pos0", "token")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
-    e1 = enc.select("doc_id", F.col("pos").alias("p1"), F.col("token").alias("w1"))
-    e2 = enc.select(
-        F.col("doc_id").alias("d2"), F.col("pos").alias("p2"), F.col("token").alias("w2")
+    # doc_id repartition ahead of the token fan-out (the round-11
+    # input-split lesson): the explode + positional self-join would
+    # otherwise run at the doc table's split width (2 tasks at sf1),
+    # and both self-join sides read the one exchange co-partitioned
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
-    inst = e1.join(
-        e2, (F.col("doc_id") == F.col("d2")) & (F.col("p2") == F.col("p1") + 1)
-    ).select("doc_id", "w1", "w2")
+    toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    # bigram instances built MAP-SIDE by the indexed array lambda (the
+    # pipeline_bigram_kn shape) — the earlier positional self-join
+    # shipped every (doc, pos, token) row through an extra exchange to
+    # reassemble adjacency the array already had
+    inst = (
+        toked.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 1, size(toks) - 1),"
+                    " (x, i) -> struct(x AS w1, element_at(toks, i + 2) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
     pc = inst.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_n"))
     wc = pc.groupBy("w1").agg(F.sum("pair_n").cast("bigint").alias("w1_n"))
 
