@@ -94,6 +94,17 @@ _WARM_BUDGETS_SF01 = {
     # probes + SMJ measured 4.2-4.3 s warm at sf0.1 (m=2^17); the pin
     # catches a regression to per-lane hashing or a broadcast fallback
     "join_semireduced": 9.0,
+    # round 12 (r11 verdict task #1): the two unpinned drifters whose
+    # driver-host wobble rode the +22% suite regression in unguarded.
+    # bpe_train/encode now train in ONE guarded task (no 12-action
+    # serialism left to amplify; warm ~1-2 s), the portable-CC family
+    # is pinned at its post-repartition level so host drift on the
+    # connected-components path surfaces as over_budget immediately.
+    "pipeline_bpe_train": 5.0,
+    "pipeline_bpe_encode": 6.0,
+    "pipeline_canonical_docs": 3.5,
+    "pipeline_dedup_clusters_portable": 3.5,
+    "pipeline_corpus_build": 4.5,
 }
 
 
@@ -206,8 +217,16 @@ def main() -> int:
                         ("_sink", "_out")
                     ):
                         spark.catalog.dropTempView(tbl.name)
-            except Exception:
-                pass  # hygiene must never fail the bench
+            except Exception as hyg_exc:
+                # hygiene must never fail the bench — but a silently
+                # dead sweep would let the checkpoint-orphan drift it
+                # prevents (pagerank 3.2→5.5 s) return with no signal,
+                # so make the breakage visible once per query
+                print(
+                    f"bench: hygiene sweep failed before {name}: "
+                    f"{type(hyg_exc).__name__}: {hyg_exc}",
+                    file=sys.stderr,
+                )
             if qi % 8 == 0:
                 spark._jvm.System.gc()
             t0 = time.perf_counter()

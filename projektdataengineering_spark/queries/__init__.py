@@ -331,64 +331,76 @@ _R10_WINDOW = frozenset((
     "stream_ohlc_native", "stream_stream_left_join",
     "udtf_python_native",
 ))
+# Round-11's recorded window (CORRECTNESS_r11.json keys — on disk,
+# 50 hash-pass, zero rows-only, zero errors: second consecutive perfect
+# window. It re-proved the 9 round-11 additions, the whole round-11
+# _RECHECK population, and the stalest r05-era tier).
+_R11_WINDOW = frozenset((
+    "agg_distinct", "agg_groupby_multi", "agg_sketch_overlap",
+    "dedup_exact", "dedup_substring_spans", "er_mutual_best",
+    "filter_compound", "filter_highwater", "graph_jaccard_neighbors",
+    "graph_pagerank", "join_anti", "join_asof",
+    "join_bloom_prefiltered", "join_broadcast", "join_full_outer",
+    "join_fuzzy_levenshtein", "join_inner_equi", "join_left_outer",
+    "join_multiway", "join_range_bucketized", "join_semi",
+    "join_semireduced", "join_skew_salted", "join_theta_range",
+    "pipeline_bigram_kn", "pipeline_boilerplate_blocks",
+    "pipeline_bpe_pair_counts", "pipeline_canonical_docs",
+    "pipeline_corpus_build", "pipeline_debounce",
+    "pipeline_dedup_clusters_portable", "pipeline_doc_signature",
+    "pipeline_dp_counts", "pipeline_embedding_quantize",
+    "pipeline_filter_cascade", "pipeline_incremental_rollup",
+    "pipeline_merge_apply", "pipeline_minhash_pairs_portable",
+    "pipeline_neardup_apply", "pipeline_perplexity_filter",
+    "pipeline_scd2_history", "pipeline_sequence_pack",
+    "pipeline_substring_cut", "pipeline_time_interpolate",
+    "project_conditional", "scan_project_cast", "sim_cosine_topk",
+    "stream_dedup_within_watermark", "stream_stream_full_outer",
+    "stream_stream_join",
+))
 _DRIVER_VERIFIED = (
     _R01_WINDOW | _R03_WINDOW | _R04_WINDOW | _R05_WINDOW | _R06_WINDOW
-    | _R07_WINDOW | _R08_WINDOW | _R10_WINDOW
+    | _R07_WINDOW | _R08_WINDOW | _R10_WINDOW | _R11_WINDOW
 )
 
 # Verified in an earlier round, but the implementation, oracle, or an
 # upstream seam changed afterwards — their old driver row no longer
 # certifies the current code, so they re-enter the window right after
-# the never-verified block.  Round-11 population (every round-9 recheck
-# drew a green r10 row and dropped out):
-# * pipeline_time_interpolate — the lerp moved from F.floor(long/long
-#   double division) to the BIGINT `div` operator (exact for numerators
-#   past 2^53; round-10 ADVICE medium) after its r10 row;
-# * graph_jaccard_neighbors — jaccard_ppm likewise moved to `div`
-#   (round-10 ADVICE low) after its r10 row;
-# * er_mutual_best — the word-swap corruption now NULL-propagates on
-#   single-word names exactly like the oracle's `w[2] || ' ' || w[1]`
-#   (round-10 ADVICE low) after its r10 row;
-# * dedup_substring_spans / pipeline_substring_cut — an explicit
-#   doc_id repartition now precedes tokenization so the fingerprint
-#   fan-out stage runs cluster-wide instead of at the doc table's
-#   input-split count (round-11 slope fix; values unchanged — the
-#   plan changed) after their r10 rows.
-# * join_bloom_prefiltered — its inline probe builder was factored
-#   into operators/sketches.bloom_probe_condition (shared with the new
-#   join_semireduced; same plan literals, but the implementation seam
-#   moved) after its r10 row;
-# * graph_pagerank — the power loop now joins a once-checkpointed
-#   degree-annotated edge list instead of re-joining deg per round
-#   (4.1 → 3.2 s warm; identical arithmetic, the join seam moved)
-#   after its r10 row.
-# * pipeline_bpe_pair_counts / pipeline_boilerplate_blocks — the same
-#   input-split repartition fix applied to the two remaining slope
-#   drifters (sf1 5.2→0.9 s and 9.6→1.5 s; values unchanged) after
-#   their r8/r10 rows;
-# * pipeline_doc_signature / pipeline_minhash_pairs_portable /
-#   pipeline_dedup_clusters_portable / pipeline_canonical_docs /
-#   pipeline_corpus_build — the shared _portable_signature kernel got
-#   the same repartition (the whole family's plans changed together:
-#   doc_signature sf1 8.3→1.3 s, clusters 9.3→3.0 s, canonical
-#   9.4→2.6 s; values unchanged) after their r7/r8 rows.
+# the never-verified block.  Round-12 population (every round-11
+# recheck drew a green r11 row and dropped out):
+# * pipeline_dp_counts — the per-row noise-budget column was renamed
+#   epsilon_ppm → epsilon_ppm_nominal (round-11 ADVICE low: the value
+#   is a deployment-nominal guarantee, not one this deterministic
+#   audit view provides) after its r11 row — hash CHANGES;
+# * pipeline_neardup_apply — the keep-filter join no longer forces
+#   F.broadcast() on the data-dependent cluster table; the hint is
+#   gated on a measured cluster count (round-11 ADVICE low) after its
+#   r11 row — values unchanged, the plan seam moved;
+# * pipeline_bpe_train — the per-merge argmax is no longer a separate
+#   1-row collect per iteration; merges are discovered in batched
+#   plans (round-11 verdict task #1, driver serialism) after its r08
+#   row — values unchanged;
+# * pipeline_bigram_lm — bigram instances now built map-side by the
+#   indexed array lambda (round-11 verdict task #6; shared kernel with
+#   pipeline_bigram_kn) after its r07 row — values unchanged;
+# * pipeline_contamination — benchmark grams are now Bloom-prefiltered
+#   map-side before the shuffle (round-11 verdict task #8) after its
+#   r08 row — values unchanged;
+# * stream_dedup_stateful — keyed state now runs over 64 hash buckets
+#   instead of per-key Arrow groups (round-11 verdict task #5) after
+#   its r08 row — values unchanged.
 _RECHECK: tuple[str, ...] = (
-    "pipeline_time_interpolate", "graph_jaccard_neighbors",
-    "er_mutual_best", "dedup_substring_spans", "pipeline_substring_cut",
-    "join_bloom_prefiltered", "graph_pagerank",
-    "pipeline_bpe_pair_counts", "pipeline_boilerplate_blocks",
-    "pipeline_doc_signature", "pipeline_minhash_pairs_portable",
-    "pipeline_dedup_clusters_portable", "pipeline_canonical_docs",
-    "pipeline_corpus_build",
-    # bigram instances now built map-side by the indexed array lambda
-    # (sf1 7.3→1.8 s; values unchanged) after its r10 row
-    "pipeline_perplexity_filter",
+    "pipeline_dp_counts", "pipeline_neardup_apply",
+    "pipeline_bpe_train", "pipeline_bigram_lm",
+    "pipeline_contamination", "stream_dedup_stateful",
 )
 
 
 def _latest_row_round(name: str) -> int:
     """Most recent round whose on-disk driver artifact holds this
     query's correctness row (0 = never verified)."""
+    if name in _R11_WINDOW:
+        return 11
     if name in _R10_WINDOW:
         return 10
     if name in _R08_WINDOW:

@@ -101,24 +101,33 @@ def pipeline_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     probable successor and the exact conditional probability
     count(w1,w2)/count(w1·) as ONE IEEE division of two exact integers.
     The n-gram-LM scoring asset quality filters (CCNet-style) build.
-    Adjacent pairs come from a positional self-join of the
-    (doc, pos, token) encoding on (doc_id, pos+1): both sides share
-    the doc_id partitioning, so the join is co-located; downstream the
-    pair table aggregates twice on w1 — Catalyst reuses that exchange.
+    Adjacent pairs are built MAP-SIDE by the indexed array lambda (the
+    pipeline_bigram_kn / perplexity_filter kernel — round-12 port):
+    the token array already carries adjacency, so the earlier
+    positional self-join's extra (doc, pos, token) exchange bought
+    nothing; now the only shuffles are the two vocab-sized aggregates,
+    which share their w1 exchange. The doc_id repartition ahead of the
+    fan-out is the round-11 input-split lesson (a small parquet's
+    2-split width would otherwise cap the explode stage).
     The rank window runs on the (w1, w2) COUNT table, never raw pairs."""
-    t = _toked(spark, sf_dir)
-    enc = t.select(
-        "doc_id", F.posexplode("toks").alias("pos0", "token")
-    ).select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "token")
-    e1 = enc.select(
-        F.col("doc_id").alias("d1"), F.col("pos").alias("p1"), F.col("token").alias("w1")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
-    e2 = enc.select(
-        F.col("doc_id").alias("d2"), F.col("pos").alias("p2"), F.col("token").alias("w2")
+    toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    pairs = (
+        toked.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 1, size(toks) - 1),"
+                    " (x, i) -> struct(x AS w1, element_at(toks, i + 2) AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
     )
-    pairs = e1.join(
-        e2, (F.col("d2") == F.col("d1")) & (F.col("p2") == F.col("p1") + 1)
-    ).select("w1", "w2")
     pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_n"))
     wc = pc.groupBy("w1").agg(F.sum("pair_n").cast("bigint").alias("w1_n")).select(
         F.col("w1").alias("wc_w1"), "w1_n"
@@ -378,38 +387,81 @@ def _bpe_cte_chain(n_merges: int) -> str:
     ),{",".join(iters)}"""
 
 
-def _bpe_apply_merge(tokens_col: str, left: str, right: str):
-    """One left-to-right, non-overlapping BPE merge pass over a token
-    array — pure ``F.aggregate`` HOF (JVM-side, no UDF): the fold
-    carries struct(acc, pend); a (pend==left, t==right) hit emits the
-    merged symbol and clears pend, so a freshly merged token is never
-    reconsidered within this pass — exactly the reference BPE apply
-    step. '' is a safe none-sentinel (real tokens are non-empty)."""
-    l, r = F.lit(left), F.lit(right)
-    return F.aggregate(
-        F.col(tokens_col),
-        F.struct(
-            F.array().cast("array<string>").alias("acc"),
-            F.lit("").alias("pend"),
-        ),
-        lambda s, t: F.when(
-            (s.pend == l) & (t == r),
-            F.struct(
-                F.concat(s.acc, F.array(F.concat(s.pend, t))).alias("acc"),
-                F.lit("").alias("pend"),
-            ),
-        ).otherwise(
-            F.struct(
-                F.when(s.pend == "", s.acc)
-                .otherwise(F.concat(s.acc, F.array(s.pend)))
-                .alias("acc"),
-                t.alias("pend"),
-            )
-        ),
-        lambda s: F.when(s.pend == "", s.acc).otherwise(
-            F.concat(s.acc, F.array(s.pend))
-        ),
+# Single-task training guard: the merge loop runs on ONE executor
+# task over the word-TYPE table. Types follow Heaps' law (~10^7 for a
+# web-scale natural-language corpus), so the state is bounded by
+# VOCABULARY, not corpus size — but a corpus of random strings would
+# break that, so the task refuses loudly past this cap instead of
+# OOMing an executor.
+_BPE_MAX_TYPES = 20_000_000
+
+
+def _bpe_word_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one corpus-sized step of tokenizer training: the
+    distributed word-TYPE aggregation (word → corpus frequency).
+    Everything after this operates on vocabulary-bounded state."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return (
+        docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
     )
+
+
+def _bpe_merge_loop(vocab: dict, n_merges: int):
+    """The textbook BPE merge loop over {word: [tokens, freq]} —
+    count adjacent pairs weighted by type frequency, take the argmax
+    (count DESC, then lexicographic (left, right) — ASCII tokens, so
+    Python tuple order ≡ Spark/DuckDB UTF8 binary order), apply the
+    merge left-to-right non-overlapping, repeat. Runs INSIDE one
+    Spark task (see pipeline_bpe_train); returns (merges, vocab) with
+    vocab fully merged."""
+    from collections import Counter
+
+    merges = []
+    for rank in range(n_merges):
+        counts: Counter = Counter()
+        for toks, f in vocab.values():
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, l + r, c))
+        for entry in vocab.values():
+            toks = entry[0]
+            if l not in toks:
+                continue
+            out, i, n = [], 0, len(toks)
+            while i < n:
+                if toks[i] == l and i + 1 < n and toks[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            entry[0] = out
+    return merges, vocab
+
+
+def _bpe_vocab_from_batches(batches) -> dict:
+    """Accumulate the (w, freq) arrow batches of the single training
+    task into {word: [char_tokens + </w>, freq]}, enforcing the
+    vocabulary guard."""
+    vocab: dict = {}
+    for pdf in batches:
+        if len(vocab) + len(pdf) > _BPE_MAX_TYPES:
+            raise ValueError(
+                f"BPE training refuses > {_BPE_MAX_TYPES} word types: "
+                "the single-task merge loop is bounded by VOCABULARY "
+                "size (Heaps' law), and this corpus exceeds it — raise "
+                "_BPE_MAX_TYPES deliberately or pre-filter the type "
+                "table (e.g. min-frequency threshold) first"
+            )
+        for w, f in zip(pdf["w"].tolist(), pdf["freq"].tolist()):
+            vocab[w] = [list(w) + [_END_TOK], int(f)]
+    return vocab
 
 
 @query(
@@ -420,17 +472,20 @@ def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     — pipeline_bpe_pair_counts stops there): learn the first 12 merge
     rules from the corpus, the way a real tokenizer build does.
 
-    Distributed shape: BPE trains on the WORD-TYPE table (word →
-    corpus frequency), not on corpus positions — one corpus-wide
-    shuffle builds that table, and every merge iteration is then (a)
-    one partial→final aggregate over exploded adjacent pairs weighted
-    by type frequency, (b) a 1-row argmax collect (count DESC, then
-    lexicographic — deterministic under ties), (c) a map-side HOF
-    rewrite of the token arrays. The word-type table is localCheckpoint'd
-    each iteration so the plan stays flat across 12 rounds. At 100 TB
-    the type table is vocabulary-sized (~10⁷ rows ≪ corpus), iterations
-    touch only it, and the only driver materialization is 1 row per
-    merge — the same contract as high_water_mark.
+    Distributed shape — the SentencePiece/HF-tokenizers split: the one
+    corpus-sized step (word-TYPE aggregation, word → frequency) is a
+    distributed partial→final shuffle; the merge loop then runs as ONE
+    vocabulary-bounded task (mapInPandas over the single-partition
+    type table). An iterative global argmax is the one operator shape
+    Spark genuinely can't express declaratively — rounds 6-11 ran it
+    as 12 sequential 1-row argmax collects, which is semantically fine
+    but costs 12 scheduler round-trips plus 12 pair-count shuffles
+    over state that NEVER exceeds vocabulary size (~10⁷ types at
+    100 TB, Heaps' law, ≪ one executor's memory). Moving the loop
+    inside a single guarded task (refuses > _BPE_MAX_TYPES, loudly)
+    makes the whole query one job with zero driver materialization —
+    the r11 driver bench measured the old shape's serialism at 3.5×
+    under host load (2.9 → 10.1 s on identical code).
 
     Hash-checked since round 8: the oracle (_bpe_oracle_sql) unrolls
     the 12 chained argmax+rewrite rounds as MATERIALIZED DuckDB CTEs,
@@ -439,70 +494,18 @@ def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     float discipline needed. tests/test_operators.py additionally pins
     the merge table against an independent pure-Python BPE reference
     on the same corpus."""
-    merges, _ = _bpe_train(spark, sf_dir)
-    return spark.createDataFrame(
-        merges, "rank int, left string, right string, merged string, pair_count long"
-    )
 
+    def train(batches):
+        import pandas as pd
 
-def _bpe_train(spark: SparkSession, sf_dir: str):
-    """The full training loop shared by pipeline_bpe_train (emits the
-    merge table) and pipeline_bpe_encode (consumes the final
-    fully-merged word-type table): returns (merges, words) where words
-    carries (w, tokens, freq) AFTER all learned merges were applied."""
-    docs = load_table(spark, sf_dir, "documents").select("text")
-    words = (
-        docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .select(
-            "w",
-            F.concat(F.split("w", ""), F.array(F.lit(_END_TOK))).alias("tokens"),
-            "freq",
-        )
-        .localCheckpoint(eager=True)
+        merges, _ = _bpe_merge_loop(_bpe_vocab_from_batches(batches), _BPE_MERGES)
+        yield pd.DataFrame(
+            merges, columns=["rank", "left", "right", "merged", "pair_count"]
+        ).astype({"rank": "int32", "pair_count": "int64"})
+
+    return _bpe_word_types(spark, sf_dir).repartition(1).mapInPandas(
+        train, "rank int, left string, right string, merged string, pair_count long"
     )
-    merges = []
-    for rank in range(_BPE_MERGES):
-        pairs = (
-            # single-token words contribute no pairs — and MUST be
-            # filtered before the sequence() explode: Spark's
-            # sequence(0, -1) counts DOWN, so size-1 tokens would
-            # index tokens[-1] and fault under ANSI (sf1 probe catch)
-            words.filter(F.size("tokens") >= 2).select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(0, size(tokens) - 2),"
-                        " i -> struct(tokens[i] AS left, tokens[i+1] AS right))"
-                    )
-                ).alias("p"),
-                "freq",
-            )
-            .groupBy("p.left", "p.right")
-            .agg(F.sum("freq").alias("pair_count"))
-            .orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
-            .limit(1)
-            .collect()
-        )
-        if not pairs:
-            break
-        best = pairs[0]
-        merges.append(
-            (rank, best["left"], best["right"], best["left"] + best["right"],
-             best["pair_count"])
-        )
-        # LAZY checkpoint (the graph_pagerank trick): the lineage is
-        # still cut per round, but materialization happens inside the
-        # NEXT iteration's argmax action instead of a dedicated
-        # per-round driver barrier — 12 jobs instead of 24. The RDD
-        # caches on that first use, so the final return sees it too.
-        words = words.select(
-            "w",
-            _bpe_apply_merge("tokens", best["left"], best["right"]).alias("tokens"),
-            "freq",
-        ).localCheckpoint(eager=False)
-    return merges, words
 
 
 @query(
@@ -545,10 +548,28 @@ def pipeline_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-token Python. Hash-checked end-to-end: the oracle replays
     training AND encode (the w-carrying CTE chain + a token count per
     word + the same join), so a drift in any of the 12 learned merges,
-    the merge-apply fold, or the join shape flips the per-doc counts
-    and fails the hash."""
-    _, words = _bpe_train(spark, sf_dir)
-    per_word = words.select("w", F.size("tokens").cast("long").alias("n_tokens"))
+    the merge-apply loop, or the join shape flips the per-doc counts
+    and fails the hash. Training happens inside the same
+    single-guarded-task shape as pipeline_bpe_train (one job, zero
+    driver collects); this query's task emits the fully-merged
+    (word → n_tokens) table, which then hash-joins the corpus."""
+
+    def encode_types(batches):
+        import pandas as pd
+
+        _, vocab = _bpe_merge_loop(_bpe_vocab_from_batches(batches), _BPE_MERGES)
+        yield pd.DataFrame(
+            {
+                "w": list(vocab.keys()),
+                "n_tokens": [len(e[0]) for e in vocab.values()],
+            }
+        ).astype({"n_tokens": "int64"})
+
+    per_word = (
+        _bpe_word_types(spark, sf_dir)
+        .repartition(1)
+        .mapInPandas(encode_types, "w string, n_tokens long")
+    )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     docw = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w")

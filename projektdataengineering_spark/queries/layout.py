@@ -817,11 +817,14 @@ _MERGE_DELTA_DAYS = 1
 _MERGE_BUCKETS = 8
 
 
-def _merge_sql() -> str:
+def _merge_cte() -> str:
+    """The shared base/changelog CTE chain (b0 → base → c0 → chg),
+    composed verbatim by _merge_sql (the merge audit) and the
+    time-travel snapshot oracle below — ONE definition of the two
+    table versions' semantics."""
     from . import HWM_LITERAL
 
-    return f"""
-    WITH b0 AS (
+    return f"""b0 AS (
       SELECT user_id, event_type, ts,
              CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
              ROW_NUMBER() OVER (PARTITION BY user_id
@@ -847,7 +850,12 @@ def _merge_sql() -> str:
              CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS d_cents,
              MAX(CASE WHEN rn = 1 THEN event_type END) AS new_type
       FROM c0 GROUP BY user_id
-    ), cls AS (
+    )"""
+
+
+def _merge_sql() -> str:
+    return f"""
+    WITH {_merge_cte()}, cls AS (
       SELECT COALESCE(b.user_id, c.user_id) AS user_id,
              CASE
                WHEN c.user_id IS NULL THEN 'unchanged'
@@ -1113,3 +1121,91 @@ def pipeline_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _atomic_dir_write(lambda p: audit.coalesce(1).write.parquet(p), manifest_path)
     return spark.read.parquet(manifest_path).select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# pipeline_merge_timetravel (round 12) — version-pinned snapshot reads
+# over the executed-merge table versions
+# ---------------------------------------------------------------------------
+
+_TIMETRAVEL_SQL = f"""
+    WITH {{cte}}, merged AS (
+      SELECT COALESCE(b.user_id, c.user_id) AS user_id,
+             COALESCE(b.n_events, 0) + COALESCE(c.d_events, 0) AS n_events,
+             COALESCE(b.cents, 0) + COALESCE(c.d_cents, 0) AS cents
+      FROM base b FULL JOIN chg c USING (user_id)
+      WHERE c.user_id IS NULL OR c.new_type <> 'error'
+    ), versions AS (
+      SELECT 0 AS version, user_id, n_events, cents FROM base
+      UNION ALL
+      SELECT 1 AS version, user_id, n_events, cents FROM merged
+    )
+    SELECT CAST(version AS BIGINT) AS version,
+           CAST(user_id % {_MERGE_BUCKETS} AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n_events) AS BIGINT) AS sum_events,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM versions
+    GROUP BY 1, 2
+"""
+
+
+@query(
+    "pipeline_merge_timetravel",
+    oracle=_TIMETRAVEL_SQL.format(cte=_merge_cte()),
+)
+def pipeline_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT / TIME-TRAVEL read over the executed-merge table: the
+    copy-on-write MERGE (pipeline_merge_apply) leaves BOTH table
+    versions installed on disk — version 0 (pre-merge base) and
+    version 1 (post-merge) — and this query reads each one VERSION-
+    PINNED from its physical path and emits the per-(version, bucket)
+    snapshot rollup. This is the consumer half of the table-format
+    story: what `SELECT ... VERSION AS OF v` resolves to once a
+    manifest maps versions to file sets; here the mapping is the
+    staged directory per version, which is exactly how the rewrite
+    installed them.
+
+    The oracle recomputes both snapshots from the raw event log (the
+    shared _merge_cte chain — one definition of version semantics), so
+    the hash certifies that the on-disk versions are faithful: v0 is
+    the keyed state as of the HWM, v1 is v0 + changelog under MERGE
+    semantics, and neither was disturbed by later reads. The O4
+    RETRY/replay idempotence is certified from disk by
+    tests/test_operators.py: re-invoking the merge with the same
+    changelog leaves every version-1 byte identical (content-addressed
+    reuse — the retry never rewrites).
+
+    Scale shape: two partial-aggregated scans of the pinned file sets;
+    version resolution is metadata-only. At 100 TB the versions live
+    in a catalog manifest instead of directory names and old versions
+    age out by retention policy — the read path is unchanged."""
+    import os
+
+    base_dir = _merge_workdir(sf_dir)
+    base_path = os.path.join(base_dir, "base")
+    merged_path = os.path.join(base_dir, "merged")
+    if not (os.path.isdir(base_path) and os.path.isdir(merged_path)):
+        # install both versions (and the audit manifest) once; the
+        # call is content-addressed, so this is a no-op when present
+        pipeline_merge_apply(spark, sf_dir)
+
+    def snapshot(version: int, path: str) -> DataFrame:
+        return (
+            spark.read.parquet(path)
+            .groupBy(F.col("bucket").cast("long").alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.sum("n_events").cast("long").alias("sum_events"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+            .select(
+                F.lit(version).cast("long").alias("version"),
+                "bucket",
+                "n_keys",
+                "sum_events",
+                "sum_cents",
+            )
+        )
+
+    return snapshot(0, base_path).unionByName(snapshot(1, merged_path))

@@ -479,12 +479,35 @@ def pipeline_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination check: treat source 'src0' as the
     held-out benchmark and flag any other document sharing ≥5 distinct
     bigrams with it — the n-gram overlap test run before training data
-    ships. The benchmark gram set is orders smaller than the corpus, so
-    the join broadcasts it; per-doc counting is a partial→final
+    ships. The benchmark gram set is orders smaller than the corpus,
+    so the join broadcasts it; per-doc counting is a partial→final
     aggregate on doc_id. Grams stay strings for oracle parity; at
     100 TB they'd be xxhash64 longs (identical counts up to 2⁻⁶⁴
-    collisions)."""
-    g = _doc_grams(spark, sf_dir)
+    collisions).
+
+    Round-12 slope fix: the gram fan-out now runs behind a doc_id
+    repartition (the round-11 input-split lesson — the documents
+    parquet's 2-split width was capping the array_distinct/explode
+    stage at sf1, which is what the 0.84 SCALING slope actually
+    measured). A Bloom-prefiltered variant (the join_semireduced
+    word-bitmap discipline) was measured and REJECTED here: this join
+    is already broadcast + map-side, so the bitmap saves no exchange,
+    and its per-raw-gram md5 probe costs more than the broadcast hash
+    probe it replaces (measured sf0.1 0.8→2.7 s, sf1 3.6→14.3 s) —
+    runtime filters pay off only when they prune rows BEFORE a
+    shuffle, which pipeline_gram_df-style shuffling shapes have and
+    this one deliberately doesn't."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    toked = docs.select("doc_id", "source", F.split("text", " ").alias("toks"))
+    g = toked.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(token_ngrams("toks", 2))).alias("gram"),
+    )
     bench = g.filter(F.col("source") == "src0").select("gram").distinct()
     return (
         g.filter(F.col("source") != "src0")
@@ -577,24 +600,13 @@ def pipeline_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PORTABLE_LANES = 4
 
 
-def _portable_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc 4-lane md5 MinHash signature over distinct bigrams.
-    Lane i = lexicographic MIN of md5(gram || '#i') — md5 hex strings
-    compare identically in both engines, so unlike the xxhash64 family
-    (queries/similarity) this sketch is fully oracle-checkable. The
-    lane min runs inside the per-row array (no explode, no shuffle);
-    only (doc_id, 4×32-hex) ever leaves the scan."""
-    # doc_id repartition ahead of the gram/md5 fan-out: this kernel
-    # feeds the whole portable-MinHash family (signature → pairs → CC →
-    # canonical → corpus build → pagerank), and its 4×|grams| md5 work
-    # would otherwise run at the doc table's input-split width — 2
-    # tasks at sf1, the top remaining SCALING.md slope (0.91) after the
-    # round-11 substring/bpe/boilerplate fixes. One shuffle of the raw
-    # text buys cluster-wide width for every downstream consumer.
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    )
+def _signature_of(docs: DataFrame) -> DataFrame:
+    """The portable-MinHash signature kernel over an arbitrary
+    (doc_id, text) frame — shared by the whole-corpus
+    `_portable_signature` below and the corpus/batch split of
+    `dedup_incremental_neardup` (queries/dedup.py), which signs the
+    two sides SEPARATELY so the corpus side can come from the
+    persisted index instead of recomputation."""
     # size(toks) >= 2 ⟺ size(gs) > 0, but a predicate on gs would be
     # pushed down with the whole gram pipeline re-inlined into it and
     # computed twice (see similarity.sim_ngram_jaccard's comment).
@@ -614,6 +626,27 @@ def _portable_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"m{i}")
 
     return g.select("doc_id", *[lane(i) for i in range(_PORTABLE_LANES)])
+
+
+def _portable_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 4-lane md5 MinHash signature over distinct bigrams.
+    Lane i = lexicographic MIN of md5(gram || '#i') — md5 hex strings
+    compare identically in both engines, so unlike the xxhash64 family
+    (queries/similarity) this sketch is fully oracle-checkable. The
+    lane min runs inside the per-row array (no explode, no shuffle);
+    only (doc_id, 4×32-hex) ever leaves the scan."""
+    # doc_id repartition ahead of the gram/md5 fan-out: this kernel
+    # feeds the whole portable-MinHash family (signature → pairs → CC →
+    # canonical → corpus build → pagerank), and its 4×|grams| md5 work
+    # would otherwise run at the doc table's input-split width — 2
+    # tasks at sf1, the top remaining SCALING.md slope (0.91) after the
+    # round-11 substring/bpe/boilerplate fixes. One shuffle of the raw
+    # text buys cluster-wide width for every downstream consumer.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    return _signature_of(docs)
 
 
 _SIG_SQL = f"""
@@ -1934,11 +1967,13 @@ def pipeline_neardup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cc = connected_components(_portable_pairs(spark, sf_dir), "doc_a", "doc_b")
     if not os.path.isdir(kept_path):
+        # no forced broadcast: cluster mass is data-dependent (the
+        # near-dup fraction of the corpus), so the id-only cluster
+        # table is left to AQE — tiny here, persisted + shuffle-joined
+        # at 100 TB — rather than pinned to driver/executor memory
         keep = (
             docs.join(
-                F.broadcast(
-                    cc.select(F.col("node").alias("doc_id"), F.col("comp").alias("cid"))
-                ),
+                cc.select(F.col("node").alias("doc_id"), F.col("comp").alias("cid")),
                 "doc_id",
                 "left",
             )
@@ -2018,7 +2053,7 @@ _DP_SQL = f"""
     )
     SELECT event_type, n_true, noise,
            CAST(n_true + noise AS BIGINT) AS n_noisy,
-           CAST(693147 AS BIGINT) AS epsilon_ppm
+           CAST(693147 AS BIGINT) AS epsilon_ppm_nominal
     FROM noise
 """
 
@@ -2043,7 +2078,10 @@ def pipeline_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     releases); a production deployment swaps the seed for a secure
     RNG and the certification surface (n_true, noise) obviously stays
     internal — this query's output is the audit view, not the public
-    release.
+    release. The budget column is named epsilon_ppm_NOMINAL for that
+    reason: ln 2 per unit sensitivity is what the mechanism guarantees
+    under a secure-RNG deployment, not what this deterministic,
+    n_true-bearing audit table itself provides.
 
     Scale shape: one partial→final count aggregate; the noise is O(1)
     arithmetic on the 5 released rows."""
@@ -2062,5 +2100,190 @@ def pipeline_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_true",
         noise.alias("noise"),
         (F.col("n_true") + noise).cast("long").alias("n_noisy"),
-        F.lit(693147).cast("long").alias("epsilon_ppm"),
+        F.lit(693147).cast("long").alias("epsilon_ppm_nominal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_incremental_neardup (round 12) — near-dup dedup of a NEW batch
+# against a PERSISTED signature index: the production shape of the
+# whole dedup family (registered family="dedup"; lives here because it
+# composes the portable-MinHash kernel + _SIG_SQL above)
+# ---------------------------------------------------------------------------
+
+# Deterministic corpus/batch split: first hex char of md5(doc_id#incr)
+# in '0123' → ~25% of documents play the NEW-ARRIVALS batch; the rest
+# are the already-indexed corpus. Hex-alphabet POSITION (locate/strpos)
+# keeps the split engine-portable — never parse hex to int.
+_INCR_BATCH_POS = 4
+
+_INCR_SPLIT_SPARK = (
+    "locate(substring(md5(concat(cast(doc_id as string), '#incr')), 1, 1),"
+    f" '0123456789abcdef') <= {_INCR_BATCH_POS}"
+)
+_INCR_SPLIT_DUCK = (
+    "strpos('0123456789abcdef',"
+    " substring(md5(CAST(doc_id AS VARCHAR) || '#incr'), 1, 1))"
+    f" <= {_INCR_BATCH_POS}"
+)
+
+_NEARDUP_INDEX_BUILDS = 0  # tests assert index reuse skips the build
+
+
+def _neardup_index_path(sf_dir: str) -> str:
+    """Persisted corpus-signature index location, keyed by the
+    documents source fingerprint + every parameter that shapes the
+    signatures (the _ivf_centroids keying discipline: a regenerated
+    fixture or retuned sketch can never silently reuse a stale
+    index)."""
+    import os
+
+    from ..sources import source_fingerprint
+
+    fp = source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+        "neardup_index",
+        f"sig_{fp}_l{_PORTABLE_LANES}_b{_INCR_BATCH_POS}",
+    )
+
+
+def _corpus_signature_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-or-build the CORPUS side's signature/band table: built once
+    per corpus version (write-temp + atomic rename, the ensure_bucketed
+    recipe), then every later batch reads (doc_id, m0..m3) straight
+    from parquet — the corpus text is never re-tokenized, re-hashed or
+    even re-scanned. At 100 TB this is the difference between an
+    O(batch) nightly dedup and an O(corpus) one."""
+    global _NEARDUP_INDEX_BUILDS
+    import os
+
+    from .layout import _atomic_dir_write
+
+    path = _neardup_index_path(sf_dir)
+    if not os.path.isdir(path):
+        corpus = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .filter(~F.expr(_INCR_SPLIT_SPARK))
+            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        )
+        sig = _signature_of(corpus)
+        _atomic_dir_write(lambda p: sig.write.parquet(p), path)
+        _NEARDUP_INDEX_BUILDS += 1
+    return spark.read.parquet(path)
+
+
+_INCR_NEARDUP_SQL = f"""
+    WITH sig AS ({_SIG_SQL}),
+    split AS (
+      SELECT doc_id, {_INCR_SPLIT_DUCK} AS is_batch FROM documents
+    ),
+    bsig AS (
+      SELECT sig.* FROM sig JOIN split USING (doc_id) WHERE split.is_batch
+    ),
+    csig AS (
+      SELECT sig.* FROM sig JOIN split USING (doc_id) WHERE NOT split.is_batch
+    ),
+    cm AS (
+      SELECT b.doc_id, MIN(c.doc_id) AS dup_of_corpus
+      FROM bsig b JOIN csig c
+        ON b.m0 = c.m0 AND b.m1 = c.m1 AND b.m2 = c.m2 AND b.m3 = c.m3
+      GROUP BY b.doc_id
+    ),
+    bm AS (
+      SELECT m0, m1, m2, m3, MIN(doc_id) AS first_in_batch
+      FROM bsig GROUP BY m0, m1, m2, m3
+    )
+    SELECT sp.doc_id,
+           cm.dup_of_corpus,
+           CASE WHEN cm.dup_of_corpus IS NULL
+                     AND bm.first_in_batch < sp.doc_id
+                THEN bm.first_in_batch END AS dup_of_batch,
+           (cm.dup_of_corpus IS NULL
+            AND (bm.first_in_batch IS NULL OR bm.first_in_batch = sp.doc_id))
+             AS keep
+    FROM split sp
+    LEFT JOIN bsig b ON b.doc_id = sp.doc_id
+    LEFT JOIN cm ON cm.doc_id = sp.doc_id
+    LEFT JOIN bm ON bm.m0 = b.m0 AND bm.m1 = b.m1
+                AND bm.m2 = b.m2 AND bm.m3 = b.m3
+    WHERE sp.is_batch
+"""
+
+
+@query("dedup_incremental_neardup", family="dedup", oracle=_INCR_NEARDUP_SQL)
+def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup — the round-11 verdict's #1 missing
+    production piece: every real corpus build dedups a NEW batch of
+    arrivals against the EXISTING corpus without re-signing it. The
+    corpus's portable-MinHash signature/band table is persisted once
+    per corpus version (fingerprint-keyed parquet, atomic-rename
+    install — the sim_cosine_ivf_reuse pattern applied to dedup); each
+    incoming batch signs only ITSELF (O(batch) work) and probes the
+    index with a 4-lane signature equijoin. Grounding: this is the
+    reference's R11 checksum-dedup + O4 idempotent-replay semantics
+    (ingestion.py:58-75, weather_task.py:86-89) lifted from exact
+    checksums to near-dup signatures.
+
+    Verdict per batch doc: dup_of_corpus = smallest corpus doc sharing
+    the full signature (drop — content already in the corpus);
+    dup_of_batch = smallest EARLIER batch doc sharing it when no
+    corpus match exists (first-wins inside the batch, the O4
+    discipline); keep = neither. Documents too short to sign (< 2
+    tokens) keep by construction. The DuckDB oracle replays BOTH the
+    index build and the probe from the raw documents table, so the
+    hash certifies the persisted index bit-for-bit against
+    recomputation; tests/test_operators.py proves the reuse (second
+    call builds nothing) via the _NEARDUP_INDEX_BUILDS counter.
+
+    Scale shape: index probe is an equijoin on 4×32-hex keys — ids
+    and signatures shuffle, never text; batch-side signing is the
+    map-side kernel; the keep verdict is two batch-sized aggregates.
+    At 100 TB the index append (installing the kept batch docs'
+    signatures as the next corpus version) is one id-keyed parquet
+    write — the same O(batch) bound."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_batch = F.expr(_INCR_SPLIT_SPARK)
+    batch_docs = docs.filter(is_batch)
+    csig = _corpus_signature_index(spark, sf_dir).select(
+        F.col("doc_id").alias("c_id"),
+        *[F.col(f"m{i}") for i in range(_PORTABLE_LANES)],
+    )
+    # lazy localCheckpoint: bsig feeds THREE plan branches (corpus
+    # match, batch-first aggregate, final assembly join) — without the
+    # cut, the batch signing kernel re-executes once per branch
+    # (measured 16 s → ~3 s at sf1)
+    bsig = _signature_of(
+        batch_docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    ).localCheckpoint(eager=False)
+    lanes = [f"m{i}" for i in range(_PORTABLE_LANES)]
+    cm = (
+        bsig.join(csig, lanes)
+        .groupBy("doc_id")
+        .agg(F.min("c_id").alias("dup_of_corpus"))
+    )
+    bm = bsig.groupBy(*lanes).agg(F.min("doc_id").alias("first_in_batch"))
+    return (
+        batch_docs.select("doc_id")
+        .join(bsig, "doc_id", "left")
+        .join(cm, "doc_id", "left")
+        .join(bm, lanes, "left")
+        .select(
+            "doc_id",
+            F.col("dup_of_corpus").cast("long").alias("dup_of_corpus"),
+            F.when(
+                F.col("dup_of_corpus").isNull()
+                & (F.col("first_in_batch") < F.col("doc_id")),
+                F.col("first_in_batch"),
+            ).cast("long").alias("dup_of_batch"),
+            (
+                F.col("dup_of_corpus").isNull()
+                & (
+                    F.col("first_in_batch").isNull()
+                    | (F.col("first_in_batch") == F.col("doc_id"))
+                )
+            ).alias("keep"),
+        )
     )

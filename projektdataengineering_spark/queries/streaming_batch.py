@@ -200,31 +200,42 @@ def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query is exactly the SQL oracle — which is precisely the
     replay/backfill situation where a pipeline must be idempotent.
 
-    State is hash-partitioned by key across executors (no single-node
-    key set) and BOUNDED: this runs the production shape — watermarked
+    State is hash-partitioned across executors (no single-node key
+    set) and BOUNDED: this runs the production shape — watermarked
     input + a 365-day dedup horizon, so a key idle past the horizon is
-    evicted at the watermark and state size is ∝ keys active within
-    one horizon, not corpus lifetime (the round-6 unbounded-growth
-    finding). The fixture spans well under a year, so the horizon
-    never fires here and the oracle equality is exact; the eviction +
-    re-emission contract itself is pinned with a state-row assertion
-    in tests/test_streaming.py (dedup-horizon semantics documented at
-    streaming/stateful.py:_make_dedup_first_wins)."""
+    swept and state size is ∝ keys active within one horizon, not
+    corpus lifetime (the round-6 unbounded-growth finding). The
+    fixture spans well under a year, so the horizon never fires here
+    and the oracle equality is exact.
+
+    Keyed-state granularity is a 64-way HASH BUCKET of
+    users, not one user (round 12 — the attribution_stream
+    round-trip economics: per-KEY Arrow groups made this the suite's
+    heaviest sf1 row at 9.9 s, pure per-group overhead): see
+    streaming/stateful.py's bucketed-dedup comment for the eager
+    horizon-sweep contract. The per-key operator remains the
+    semantics reference, pinned by tests/test_streaming.py's
+    eviction/state-row assertions; the bucketed twin's cross-batch
+    carry + sweep is pinned there too."""
     from ..streaming import (
         open_event_stream,
         run_to_memory_sink,
         stream_state_partitions,
     )
-    from ..streaming.stateful import dedup_stream_first_wins
+    from ..streaming.stateful import DEDUP_BUCKETS, dedup_stream_first_wins_bucketed
 
     keyed = (
         open_event_stream(spark, sf_dir)
-        .select(F.col("user_id").cast("string").alias("key"), "ts")
+        .select(
+            (F.col("user_id") % DEDUP_BUCKETS).cast("int").alias("bucket"),
+            F.col("user_id").cast("string").alias("key"),
+            "ts",
+        )
         .withWatermark("ts", "1 minute")
     )
     with stream_state_partitions(spark):
         run_to_memory_sink(
-            dedup_stream_first_wins(keyed, horizon="365 days"),
+            dedup_stream_first_wins_bucketed(keyed, horizon="365 days"),
             "stream_dedup_stateful_sink",
             output_mode="update",
         )
@@ -947,3 +958,72 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_events",
         (F.col("n_events") - F.col("n_keys")).cast("long").alias("n_dupes_dropped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_session_native (round 12) — session_window under a REAL
+# readStream: the one stateful window class whose state MERGES
+# ---------------------------------------------------------------------------
+
+_SESSION_NATIVE_SQL = """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM sessions
+    GROUP BY user_id, sid
+"""
+
+
+@query("stream_session_native", oracle=_SESSION_NATIVE_SQL)
+def stream_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessions per user executed as a REAL streaming
+    query — readStream file source → the SAME session_windows
+    transform the batch twin (stream_session_windows) registers →
+    availableNow → complete-mode memory sink.
+
+    Why this entry exists when the batch twin is already
+    hash-certified: session_window is the one window class Structured
+    Streaming treats specially — its state MERGES (two open sessions
+    for a key collapse when a bridging event arrives), unlike
+    tumbling/sliding windows whose state only accumulates, and that
+    merge path simply never executes in batch mode. This query runs
+    it for real; tests/test_streaming.py additionally pins the
+    cross-micro-batch merge with a two-batch fixture (a bridging
+    event in batch 2 must fuse batch 1's session with the new rows
+    into ONE longer session).
+
+    Determinism: complete mode re-emits the full session table each
+    micro-batch, so the sink's final content is the final state
+    regardless of how the file source batched the input; decimal-exact
+    value sums keep the hash stable. At 100 TB the sink becomes a
+    checkpointed writer, the mode becomes append + withWatermark (late
+    sessions evict at the watermark — the O2 policy made explicit),
+    and state stays ∝ OPEN sessions, not history."""
+    from ..streaming import (
+        open_event_stream,
+        run_to_memory_sink,
+        session_windows,
+        stream_state_partitions,
+    )
+
+    stream = session_windows(open_event_stream(spark, sf_dir))
+    with stream_state_partitions(spark):
+        run_to_memory_sink(
+            stream, "stream_session_native_sink", output_mode="complete"
+        )
+    return spark.table("stream_session_native_sink")

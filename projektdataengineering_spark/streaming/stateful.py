@@ -119,6 +119,121 @@ def dedup_stream_first_wins(keyed: DataFrame, horizon: str | None = None) -> Dat
     )
 
 
+# Bucketed first-wins dedup: SAME semantics as dedup_stream_first_wins,
+# keyed-state granularity a HASH BUCKET of keys instead of one key (the
+# attribution_stream posture): applyInPandasWithState pays one
+# python/Arrow round-trip per GROUP per batch, and at sf1 the per-KEY
+# form's ~10⁴ round-trips were the whole cost (9.9 s, the suite's
+# heaviest sf1 row — the exact pathology attribution fixed 18.7→3.2 s
+# with 64 buckets). A bucket's state holds its keys' (first_ts,
+# n_dropped, max_ts) as parallel arrays (epoch micros — state-schema
+# arrays stay primitive); keys remain fully independent.
+#
+# Horizon semantics are the EAGER form of the per-key operator's: the
+# fold sweeps expired keys (max_ts + horizon < watermark) at the START
+# of every bucket invocation — before folding the new rows, so a
+# re-arrival after expiry is ALWAYS a fresh first (the per-key twin
+# relies on Spark's lazy timeout, which only fires in a batch where the
+# key has no data; eager sweep is deterministic under replay, which is
+# the stricter contract). Idle buckets are swept by a bucket-level
+# event-time timeout armed at the bucket's earliest key deadline.
+DEDUP_BUCKETS = 64
+DEDUP_BUCKETED_STATE_SCHEMA = (
+    "keys array<string>, first_us array<long>, drops array<long>, "
+    "max_us array<long>"
+)
+
+
+def _make_dedup_bucketed(horizon: "pd.Timedelta | None"):
+    horizon_us = None if horizon is None else int(horizon.value // 1_000)
+
+    def _fold(key, pdf_iter, state: GroupState):
+        if state.exists:
+            ks, firsts, drops, maxs = state.get
+            st = {
+                k: [int(f), int(d), int(m)]
+                for k, f, d, m in zip(ks, firsts, drops, maxs)
+            }
+        else:
+            st = {}
+        wm_us = state.getCurrentWatermarkMs() * 1_000
+        if horizon_us is not None and wm_us > 0:
+            for k in [k for k, v in st.items() if v[2] + horizon_us < wm_us]:
+                del st[k]
+
+        out = None
+        if not state.hasTimedOut:
+            frames = [pdf for pdf in pdf_iter if len(pdf)]
+            if frames:
+                batch = pd.concat(frames)
+                us = batch["ts"].astype("int64") // 1_000  # ns → us
+                agg = us.groupby(batch["key"], sort=True).agg(
+                    ["min", "max", "count"]
+                )
+                okeys, ofirst, odrop = [], [], []
+                for k, mn, mx, cnt in zip(
+                    agg.index, agg["min"], agg["max"], agg["count"]
+                ):
+                    if k in st:
+                        ent = st[k]
+                        ent[1] += int(cnt)
+                        ent[2] = max(ent[2], int(mx))
+                    else:
+                        ent = st[k] = [int(mn), int(cnt) - 1, int(mx)]
+                    okeys.append(k)
+                    ofirst.append(ent[0])
+                    odrop.append(ent[1])
+                out = pd.DataFrame(
+                    {
+                        "key": okeys,
+                        "first_ts": pd.to_datetime(ofirst, unit="us"),
+                        "n_dropped": odrop,
+                    }
+                )
+
+        if not st:
+            state.remove()
+            return iter(())
+        ks = sorted(st)
+        state.update((
+            ks,
+            [st[k][0] for k in ks],
+            [st[k][1] for k in ks],
+            [st[k][2] for k in ks],
+        ))
+        if horizon_us is not None:
+            # arm the bucket sweep at the earliest key deadline; Spark
+            # requires a timeout strictly beyond the current watermark
+            deadline_ms = (min(v[2] for v in st.values()) + horizon_us) // 1_000
+            state.setTimeoutTimestamp(max(deadline_ms, state.getCurrentWatermarkMs() + 1))
+        return iter(() if out is None else (out,))
+
+    return _fold
+
+
+def dedup_stream_first_wins_bucketed(
+    keyed: DataFrame, horizon: str | None = None
+) -> DataFrame:
+    """Bucketed twin of dedup_stream_first_wins for high-cardinality
+    key spaces: input carries (bucket int, key string, ts timestamp);
+    state granularity is the bucket (see the module comment above for
+    the round-trip economics and the eager-sweep horizon contract).
+    Output schema and update-mode emissions are IDENTICAL to the
+    per-key operator — one (key, first_ts, n_dropped) row per touched
+    key per micro-batch."""
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        _make_dedup_bucketed(pd.Timedelta(horizon) if horizon else None),
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_BUCKETED_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if horizon
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
 # Stateful sessionizer: custom session windows with carry-over state.
 SESSION_OUTPUT_SCHEMA = (
     "key string, session_start timestamp, session_last timestamp, "

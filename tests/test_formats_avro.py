@@ -18,18 +18,18 @@ from pyspark.sql import functions as F
 from projektdataengineering_spark.catalog import load_table
 
 
-def _avro_available(spark) -> bool:
+def _avro_available(spark, probe_dir: str) -> bool:
     try:
-        spark.range(1).write.mode("overwrite").format("avro").save(
-            "/tmp/pde_avro_probe"
-        )
+        spark.range(1).write.mode("overwrite").format("avro").save(probe_dir)
         return True
     except Exception as exc:  # AnalysisException: module jar absent
-        return "avro" not in str(exc).lower() and False
+        if "avro" in str(exc).lower():
+            return False
+        raise  # not the missing-module signature — surface it
 
 
 def test_avro_roundtrip_or_documented_absence(spark, sf_dir, tmp_path):
-    if not _avro_available(spark):
+    if not _avro_available(spark, str(tmp_path / "avro_probe")):
         pytest.skip(
             "spark-avro module jar not deployed in this sandbox "
             "(pip pyspark ships no spark-avro_2.13) — boundary "

@@ -1853,3 +1853,95 @@ def test_semireduced_prunes_both_exchange_inputs(spark, sf_dir):
         .collect()
     }
     assert got == plain
+
+
+def test_incremental_neardup_index_reuse_and_partition(spark, sf_dir):
+    """dedup_incremental_neardup (round 12): (a) the corpus signature
+    index is built at most ONCE per corpus fingerprint and every later
+    call probes the persisted parquet instead of re-signing the corpus
+    (counter + inputFiles proof — the sim_cosine_ivf_reuse contract
+    applied to dedup); (b) the verdict table partitions the batch:
+    keep XOR (a dup_of_* points at a strictly earlier/corpus doc),
+    and corpus matches take precedence over batch-internal ones."""
+    import os
+    import shutil
+
+    from projektdataengineering_spark.queries import pipeline_ops as P
+
+    path = P._neardup_index_path(sf_dir)
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+
+    builds0 = P._NEARDUP_INDEX_BUILDS
+    r1 = P.dedup_incremental_neardup(spark, sf_dir)
+    rows1 = sorted(map(tuple, r1.collect()))
+    assert P._NEARDUP_INDEX_BUILDS == builds0 + 1, "first call must build"
+    assert os.path.isdir(path), "index must be persisted"
+
+    r2 = P.dedup_incremental_neardup(spark, sf_dir)
+    rows2 = sorted(map(tuple, r2.collect()))
+    assert P._NEARDUP_INDEX_BUILDS == builds0 + 1, "second call must NOT rebuild"
+    assert rows1 == rows2
+
+    # the probe plan reads the CORPUS side from the index parquet
+    assert any(path in f for f in r2.inputFiles()), (path, r2.inputFiles())
+
+    # verdict partition: keep ⟺ no dup pointer; pointers precede the doc
+    n_keep = 0
+    for doc_id, dup_c, dup_b, keep in rows1:
+        assert keep == (dup_c is None and dup_b is None), (doc_id, dup_c, dup_b, keep)
+        if dup_b is not None:
+            assert dup_c is None and dup_b < doc_id, (doc_id, dup_c, dup_b)
+        n_keep += bool(keep)
+    assert 0 < n_keep <= len(rows1)
+    # the fixture's near-dup mass guarantees at least one corpus hit
+    assert any(r[1] is not None for r in rows1), "no corpus dup found"
+
+
+def test_merge_replay_is_byte_identical_and_timetravel_consistent(spark, sf_dir):
+    """O4 retry semantics certified FROM DISK (round 12): re-invoking
+    the executed MERGE with the same changelog must leave every byte
+    of both table versions untouched (content-addressed reuse — a
+    retry never rewrites), and the version-pinned time-travel read
+    must see v1 − v0 deltas that match the merge audit's actions
+    (inserts grow a bucket's key count, deletes shrink it)."""
+    import hashlib
+    import os
+
+    from projektdataengineering_spark.queries import layout as L
+
+    def tree_digest(root):
+        out = {}
+        for dirpath, _, files in os.walk(root):
+            for fn in files:
+                p = os.path.join(dirpath, fn)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, root)] = hashlib.sha256(
+                        fh.read()
+                    ).hexdigest()
+        return out
+
+    # first apply (or reuse of a prior run — either way installs all)
+    audit1 = {tuple(r[:2]): tuple(r[2:]) for r in L.pipeline_merge_apply(
+        spark, sf_dir).collect()}
+    base_dir = L._merge_workdir(sf_dir)
+    snap_base = tree_digest(os.path.join(base_dir, "base"))
+    snap_merged = tree_digest(os.path.join(base_dir, "merged"))
+    assert snap_base and snap_merged
+
+    # replay: same changelog, same invocation
+    audit2 = {tuple(r[:2]): tuple(r[2:]) for r in L.pipeline_merge_apply(
+        spark, sf_dir).collect()}
+    assert audit1 == audit2
+    assert tree_digest(os.path.join(base_dir, "base")) == snap_base
+    assert tree_digest(os.path.join(base_dir, "merged")) == snap_merged
+
+    # time-travel consistency: per bucket, v1 keys = v0 keys
+    # + inserts − deletes per the audit
+    tt = L.pipeline_merge_timetravel(spark, sf_dir).collect()
+    v0 = {r["bucket"]: r["n_keys"] for r in tt if r["version"] == 0}
+    v1 = {r["bucket"]: r["n_keys"] for r in tt if r["version"] == 1}
+    for b in set(v0) | set(v1):
+        ins = audit1.get((b, "insert"), (0,))[0]
+        dels = audit1.get((b, "delete"), (0,))[0]
+        assert v1.get(b, 0) == v0.get(b, 0) + ins - dels, (b, v0, v1, audit1)

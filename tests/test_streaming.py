@@ -670,3 +670,170 @@ def test_drop_duplicates_within_watermark_evicts_and_resurrects(spark, tmp_path)
     # post-eviction resurrection — the 00:10 and 00:20 duplicates died
     assert k_ts == ["2024-01-01 00:00:00", "2024-01-01 10:30:00"], rows
     assert sum(1 for r in rows if r["key"] == "z") == 1
+
+
+def test_stateful_dedup_bucketed_carry_and_eager_sweep(spark, tmp_path):
+    """Bucketed dedup twin (round 12 — streaming/stateful.py
+    dedup_stream_first_wins_bucketed): keys sharing a state bucket must
+    stay fully independent, carry first_ts/n_dropped across
+    micro-batches exactly like the per-key operator, and honor the
+    EAGER horizon sweep — a key whose (max_ts + horizon) the watermark
+    passed is removed at the bucket's next invocation even when the
+    key itself arrives with data in that same batch, so the re-arrival
+    is a fresh first (stricter than Spark's lazy per-key timeout)."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from projektdataengineering_spark.streaming.stateful import (
+        dedup_stream_first_wins_bucketed,
+    )
+
+    src = tmp_path / "bucketed_src"
+    src.mkdir()
+    batches = [
+        # b1: a (in-batch dup) and b share bucket 0; c sits in bucket 1
+        (["a", "a", "b", "c"],
+         ["2024-01-01 00:00:00", "2024-01-01 00:10:00",
+          "2024-01-01 00:05:00", "2024-01-01 00:06:00"]),
+        # b2: watermark spacer 10 days out (horizon 2 days, watermark
+        # 1 second; the watermark visible to a batch is the PREVIOUS
+        # batch's max − delay, so this advances it for b3). Bucket 1's
+        # invocation also sweeps the idle c here.
+        (["z"], ["2024-01-11 00:00:00"]),
+        # b3: a re-arrives WITH data in the very batch whose sweep
+        # removes it (deadline Jan-3 < watermark Jan-10) — the EAGER
+        # case: a fresh first, where the per-key lazy timeout would
+        # have counted a duplicate (timeouts never fire for a key
+        # that has data). b is swept idle by the same invocation.
+        (["a"], ["2024-01-12 00:00:00"]),
+        # b4: b returns after its sweep — fresh first too
+        (["b"], ["2024-01-12 06:00:00"]),
+    ]
+    now = time.time()
+    for i, (keys, tss) in enumerate(batches):
+        f = src / f"batch{i + 1}.parquet"
+        pd.DataFrame(
+            {
+                "bucket": pd.array(
+                    [0 if k in ("a", "b") else 1 for k in keys], dtype="int32"
+                ),
+                "key": keys,
+                "ts": pd.to_datetime(tss),
+            }
+        ).to_parquet(f, coerce_timestamps="us")
+        # (bucket 0 = {a, b}; bucket 1 = {c, z})
+        os.utime(f, (now - 80 + 20 * i, now - 80 + 20 * i))
+
+    stream = (
+        spark.readStream.schema("bucket int, key string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "1 second")
+    )
+    out = dedup_stream_first_wins_bucketed(stream, horizon="2 days")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("dedup_bucketed_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_bucketed"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = spark.table("dedup_bucketed_out").collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["key"], set()).add(
+            (r["first_ts"], r["n_dropped"])
+        )
+    # a: in-batch dup in b1, then the EAGER-sweep fresh first in b3 —
+    # swept and re-seeded in ONE bucket invocation, which the per-key
+    # operator's lazy timeout cannot do
+    assert by_key["a"] == {
+        (pd.Timestamp("2024-01-01 00:00:00"), 1),
+        (pd.Timestamp("2024-01-12 00:00:00"), 0),
+    }, by_key["a"]
+    # b: swept idle during b3's bucket-0 invocation (a's batch — keys
+    # in a bucket are independent but share sweeps) → fresh first in b4
+    assert by_key["b"] == {
+        (pd.Timestamp("2024-01-01 00:05:00"), 0),
+        (pd.Timestamp("2024-01-12 06:00:00"), 0),
+    }, by_key["b"]
+    # c: swept idle during b2's bucket-1 invocation, never returns —
+    # only the b1 first remains; z is b2's fresh first
+    assert by_key["c"] == {(pd.Timestamp("2024-01-01 00:06:00"), 0)}
+    assert by_key["z"] == {(pd.Timestamp("2024-01-11 00:00:00"), 0)}
+
+
+def test_session_window_merges_across_micro_batches(spark, tmp_path):
+    """stream_session_native's load-bearing claim (round 12): streaming
+    session_window state MERGES — a batch-2 event landing inside the
+    gap of a batch-1 session must FUSE with it into one longer session
+    (same start, extended end), not open a second one; and the merge
+    is per-key (an interleaved other-user event changes nothing)."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from projektdataengineering_spark.streaming import (
+        session_windows,
+        stream_state_partitions,
+    )
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    batches = [
+        # b1: u1 has events at 00:00 and 00:10 (one open session,
+        # window [00:00, 00:40)); u2 seeds its own session
+        ([1, 1, 2], ["2024-01-01 00:00:00", "2024-01-01 00:10:00",
+                     "2024-01-01 00:05:00"]),
+        # b2: u1's 00:25 event is within 30 min of 00:10 → MUST merge
+        # into the batch-1 session ([00:00, 00:55)); u1's 02:00 event
+        # opens a genuinely new session
+        ([1, 1], ["2024-01-01 00:25:00", "2024-01-01 02:00:00"]),
+    ]
+    now = time.time()
+    for i, (uids, tss) in enumerate(batches):
+        f = src / f"batch{i + 1}.parquet"
+        pd.DataFrame(
+            {
+                "user_id": pd.array(uids, dtype="int64"),
+                "ts": pd.to_datetime(tss),
+                "value": [1.0] * len(uids),
+            }
+        ).to_parquet(f, coerce_timestamps="us")
+        os.utime(f, (now - 60 + 20 * i, now - 60 + 20 * i))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    with stream_state_partitions(spark):
+        q = (
+            session_windows(stream, "30 minutes")
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("sess_merge_out")
+            .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # complete mode: the table is the final state
+    rows = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table("sess_merge_out").collect()
+    }
+    assert rows == {
+        (1, pd.Timestamp("2024-01-01 00:00:00"),
+         pd.Timestamp("2024-01-01 00:55:00"), 3),  # b1 session ⊕ b2 event
+        (1, pd.Timestamp("2024-01-01 02:00:00"),
+         pd.Timestamp("2024-01-01 02:30:00"), 1),
+        (2, pd.Timestamp("2024-01-01 00:05:00"),
+         pd.Timestamp("2024-01-01 00:35:00"), 1),
+    }, rows

@@ -289,6 +289,24 @@ HEADLINERS: list[tuple[str, str]] = [
         "TYPE table, a 1-row type-count broadcast, and TakeOrdered — "
         "token text shuffles once, as (w1, w2) pairs.",
     ),
+    (
+        "pipeline_bpe_train",
+        "Round-12 reshape: ONE job — distributed word-type aggregation "
+        "(partial→final on `w`), a single-partition exchange, and the "
+        "12-merge loop inside one guarded MapInPandas task over the "
+        "vocabulary-bounded type table (the SentencePiece split). The "
+        "12 scheduler round-trips and 12 per-iteration pair-count "
+        "shuffles of the old loop are gone.",
+    ),
+    (
+        "dedup_incremental_neardup",
+        "Round-12 incremental near-dup: the corpus side is a plain "
+        "parquet SCAN of the persisted signature index (no tokenize/md5 "
+        "anywhere above it); only the ~25% batch slice runs the signing "
+        "kernel, once (lazy localCheckpoint fans it to the three "
+        "consumer branches); probe is a 4×32-hex equijoin — ids and "
+        "signatures shuffle, never text.",
+    ),
 ]
 
 

@@ -141,6 +141,9 @@ HEAVY_QUERIES = [
     ("pipeline_bigram_kn", "corpus_ops (round 11, Kneser-Ney 128-bit rationals)"),
     ("pipeline_dp_counts", "governance (round 11, discrete-Laplace DP release)"),
     ("pipeline_filter_cascade", "corpus (round 11, cleaning-funnel yield table)"),
+    ("dedup_incremental_neardup", "dedup (round 12, persisted-index incremental near-dup)"),
+    ("stream_session_native", "streaming (round 12, merging session-window state)"),
+    ("pipeline_merge_timetravel", "layout (round 12, version-pinned snapshot reads)"),
 ]
 
 
