@@ -376,23 +376,35 @@ _DRIVER_VERIFIED = (
 #   F.broadcast() on the data-dependent cluster table; the hint is
 #   gated on a measured cluster count (round-11 ADVICE low) after its
 #   r11 row — values unchanged, the plan seam moved;
-# * pipeline_bpe_train — the per-merge argmax is no longer a separate
-#   1-row collect per iteration; merges are discovered in batched
-#   plans (round-11 verdict task #1, driver serialism) after its r08
-#   row — values unchanged;
+# * pipeline_bpe_train / pipeline_bpe_encode — the merge loop moved
+#   from 12 sequential 1-row argmax collects into ONE guarded
+#   mapInPandas task over the vocabulary-bounded type table (round-11
+#   verdict task #1, driver serialism; encode shares the kernel and
+#   emits the fully-merged type table from its own single task) after
+#   their r08 rows — values unchanged;
+# * pipeline_merge_apply — its oracle's base/changelog CTE chain was
+#   extracted into _merge_cte (shared with the new
+#   pipeline_merge_timetravel); composed SQL is semantically
+#   identical (whitespace seam only, hash re-verified locally), row
+#   re-drawn out of caution after its r11 row;
 # * pipeline_bigram_lm — bigram instances now built map-side by the
 #   indexed array lambda (round-11 verdict task #6; shared kernel with
 #   pipeline_bigram_kn) after its r07 row — values unchanged;
-# * pipeline_contamination — benchmark grams are now Bloom-prefiltered
-#   map-side before the shuffle (round-11 verdict task #8) after its
-#   r08 row — values unchanged;
+# * pipeline_contamination — the gram fan-out now runs behind a
+#   doc_id repartition (the real 0.84-slope culprit was input-split
+#   width; a Bloom prefilter was measured and rejected — see the
+#   docstring) after its r08 row — values unchanged;
+# * pipeline_feature_hash — the same repartition fix (worst r12 sf1
+#   slope, 0.78 — split-width artifact) after its r10 row — values
+#   unchanged;
 # * stream_dedup_stateful — keyed state now runs over 64 hash buckets
 #   instead of per-key Arrow groups (round-11 verdict task #5) after
 #   its r08 row — values unchanged.
 _RECHECK: tuple[str, ...] = (
     "pipeline_dp_counts", "pipeline_neardup_apply",
-    "pipeline_bpe_train", "pipeline_bigram_lm",
+    "pipeline_bpe_train", "pipeline_bpe_encode", "pipeline_bigram_lm",
     "pipeline_contamination", "stream_dedup_stateful",
+    "pipeline_merge_apply", "pipeline_feature_hash",
 )
 
 

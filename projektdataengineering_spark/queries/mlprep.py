@@ -570,9 +570,17 @@ def pipeline_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: map-side explode + two partial→final aggregates
     ((doc, bucket) then doc) — no join, no vocabulary broadcast; at
     100 TB the (doc, bucket) key is bounded by nnz ≤ 64 per doc, so the
-    second exchange carries at most 64 rows per document.
+    second exchange carries at most 64 rows per document. The doc_id
+    repartition ahead of the explode is the round-11 input-split
+    lesson (the fixture parquet's 2-split width was capping the
+    per-word md5 stage — the table's worst r12 slope, 0.78, was that
+    artifact, not the algorithm).
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     words = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
     ).filter(F.col("word") != "")

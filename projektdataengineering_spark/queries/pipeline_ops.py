@@ -2175,8 +2175,10 @@ def _corpus_signature_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-_INCR_NEARDUP_SQL = f"""
-    WITH sig AS ({_SIG_SQL}),
+# The shared index-build/probe CTE chain (sig → split → bsig/csig →
+# cm/bm), composed verbatim by the probe oracle below and the
+# index-append oracle — ONE definition of the incremental semantics.
+_INCR_CTES = f"""sig AS ({_SIG_SQL}),
     split AS (
       SELECT doc_id, {_INCR_SPLIT_DUCK} AS is_batch FROM documents
     ),
@@ -2195,7 +2197,10 @@ _INCR_NEARDUP_SQL = f"""
     bm AS (
       SELECT m0, m1, m2, m3, MIN(doc_id) AS first_in_batch
       FROM bsig GROUP BY m0, m1, m2, m3
-    )
+    )"""
+
+_INCR_NEARDUP_SQL = f"""
+    WITH {_INCR_CTES}
     SELECT sp.doc_id,
            cm.dup_of_corpus,
            CASE WHEN cm.dup_of_corpus IS NULL
@@ -2211,6 +2216,32 @@ _INCR_NEARDUP_SQL = f"""
                 AND bm.m2 = b.m2 AND bm.m3 = b.m3
     WHERE sp.is_batch
 """
+
+
+def _incr_probe_frames(spark: SparkSession, sf_dir: str):
+    """The probe side shared by dedup_incremental_neardup (verdict
+    table) and dedup_neardup_index_append (v2 install): (batch_docs,
+    bsig, cm, bm, lanes) — bsig lazily localCheckpointed because it
+    feeds THREE plan branches (corpus match, batch-first aggregate,
+    final assembly join); without the cut the batch signing kernel
+    re-executes once per branch (measured 16 s → ~1.6 s at sf1)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch_docs = docs.filter(F.expr(_INCR_SPLIT_SPARK))
+    csig = _corpus_signature_index(spark, sf_dir).select(
+        F.col("doc_id").alias("c_id"),
+        *[F.col(f"m{i}") for i in range(_PORTABLE_LANES)],
+    )
+    bsig = _signature_of(
+        batch_docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    ).localCheckpoint(eager=False)
+    lanes = [f"m{i}" for i in range(_PORTABLE_LANES)]
+    cm = (
+        bsig.join(csig, lanes)
+        .groupBy("doc_id")
+        .agg(F.min("c_id").alias("dup_of_corpus"))
+    )
+    bm = bsig.groupBy(*lanes).agg(F.min("doc_id").alias("first_in_batch"))
+    return batch_docs, bsig, cm, bm, lanes
 
 
 @query("dedup_incremental_neardup", family="dedup", oracle=_INCR_NEARDUP_SQL)
@@ -2241,30 +2272,11 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: index probe is an equijoin on 4×32-hex keys — ids
     and signatures shuffle, never text; batch-side signing is the
     map-side kernel; the keep verdict is two batch-sized aggregates.
-    At 100 TB the index append (installing the kept batch docs'
-    signatures as the next corpus version) is one id-keyed parquet
-    write — the same O(batch) bound."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    is_batch = F.expr(_INCR_SPLIT_SPARK)
-    batch_docs = docs.filter(is_batch)
-    csig = _corpus_signature_index(spark, sf_dir).select(
-        F.col("doc_id").alias("c_id"),
-        *[F.col(f"m{i}") for i in range(_PORTABLE_LANES)],
-    )
-    # lazy localCheckpoint: bsig feeds THREE plan branches (corpus
-    # match, batch-first aggregate, final assembly join) — without the
-    # cut, the batch signing kernel re-executes once per branch
-    # (measured 16 s → ~3 s at sf1)
-    bsig = _signature_of(
-        batch_docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    ).localCheckpoint(eager=False)
-    lanes = [f"m{i}" for i in range(_PORTABLE_LANES)]
-    cm = (
-        bsig.join(csig, lanes)
-        .groupBy("doc_id")
-        .agg(F.min("c_id").alias("dup_of_corpus"))
-    )
-    bm = bsig.groupBy(*lanes).agg(F.min("doc_id").alias("first_in_batch"))
+    The index APPEND — installing the kept batch docs' signatures as
+    the next corpus version — is the registered
+    dedup_neardup_index_append query below, the same O(batch)
+    bound."""
+    batch_docs, bsig, cm, bm, lanes = _incr_probe_frames(spark, sf_dir)
     return (
         batch_docs.select("doc_id")
         .join(bsig, "doc_id", "left")
@@ -2287,3 +2299,90 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+_INCR_APPEND_SQL = f"""
+    WITH {_INCR_CTES},
+    keepers AS (
+      SELECT b.doc_id, b.m0, b.m1, b.m2, b.m3
+      FROM bsig b
+      LEFT JOIN cm ON cm.doc_id = b.doc_id
+      LEFT JOIN bm ON bm.m0 = b.m0 AND bm.m1 = b.m1
+                  AND bm.m2 = b.m2 AND bm.m3 = b.m3
+      WHERE cm.dup_of_corpus IS NULL AND bm.first_in_batch = b.doc_id
+    ),
+    versions AS (
+      SELECT 1 AS version, doc_id, m0, m1, m2, m3 FROM csig
+      UNION ALL
+      SELECT 2 AS version, doc_id, m0, m1, m2, m3 FROM csig
+      UNION ALL
+      SELECT 2 AS version, doc_id, m0, m1, m2, m3 FROM keepers
+    )
+    SELECT CAST(version AS BIGINT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_entries,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(COUNT(DISTINCT (m0, m1, m2, m3)) AS BIGINT) AS n_signatures
+    FROM versions
+    GROUP BY 1
+"""
+
+
+@query("dedup_neardup_index_append", family="dedup", oracle=_INCR_APPEND_SQL)
+def dedup_neardup_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMMIT half of incremental near-dup dedup: after the batch
+    verdict (dedup_incremental_neardup), the KEPT batch documents'
+    signatures are physically installed as the NEXT index version —
+    v2 = v1 ∪ signatures of kept batch docs — via the same staged
+    write + atomic rename, content-addressed by the corpus
+    fingerprint, so the nightly loop (sign batch → probe v_n → cut →
+    append → v_n+1) closes without EVER re-signing the corpus. Only
+    KEPT docs enter the index (a dropped dup's signature is already
+    present via its canonical, and indexing it would bloat v2 with
+    redundant rows); unsigned docs (< 2 tokens) keep but index
+    nothing — they have no probe surface.
+
+    The audit is measured FROM BOTH ON-DISK versions (entry count,
+    id sum, distinct-signature count per version — the
+    merge_timetravel discipline), and the oracle recomputes v1 AND v2
+    from the raw documents table through the same shared CTE chain as
+    the probe oracle, so the hash certifies the physical append:
+    exactly the kept signatures were added, nothing was dropped or
+    duplicated, and v1 was not disturbed.
+
+    Scale shape: the append is one O(batch)-sized parquet write; the
+    audit is two partial-aggregated index scans. At 100 TB versions
+    live in a catalog manifest and the append is a metadata commit of
+    batch-sized files — same bound."""
+    import os
+
+    from .layout import _atomic_dir_write
+
+    v1_path = _neardup_index_path(sf_dir)
+    v2_path = f"{v1_path}_v2"
+    if not os.path.isdir(v2_path):
+        v1 = _corpus_signature_index(spark, sf_dir)
+        _, bsig, cm, bm, lanes = _incr_probe_frames(spark, sf_dir)
+        keepers = (
+            bsig.join(cm, "doc_id", "left")
+            .join(bm, lanes, "left")
+            .filter(
+                F.col("dup_of_corpus").isNull()
+                & (F.col("first_in_batch") == F.col("doc_id"))
+            )
+            .select("doc_id", *lanes)
+        )
+        v2 = v1.select("doc_id", *lanes).unionByName(keepers)
+        _atomic_dir_write(lambda p: v2.write.parquet(p), v2_path)
+
+    def audit(version: int, path: str) -> DataFrame:
+        idx = spark.read.parquet(path)
+        return idx.agg(
+            F.lit(version).cast("long").alias("version"),
+            F.count(F.lit(1)).cast("long").alias("n_entries"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.count_distinct(*[F.col(f"m{i}") for i in range(_PORTABLE_LANES)])
+            .cast("long")
+            .alias("n_signatures"),
+        ).select("version", "n_entries", "id_sum", "n_signatures")
+
+    return audit(1, v1_path).unionByName(audit(2, v2_path))

@@ -207,3 +207,64 @@ def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "missing").cast("string").alias("missing_from_map"),
         F.size(m).cast("long").alias("map_size"),
     )
+
+
+@query(
+    "scalar_variant",
+    oracle="""
+    SELECT
+      event_id,
+      event_type AS vtype,
+      CASE WHEN value IS NOT NULL
+           THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END AS vcents,
+      user_id AS second_id,
+      CAST(NULL AS BIGINT) AS missing_leg,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k,
+      TRUE AS malformed_is_null
+    FROM events
+    """,
+)
+def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type surface — the engine's semi-structured
+    story past string-path extraction (scalar_json): build a nested
+    JSON document from typed columns, `parse_json` it into a VARIANT,
+    and read it back with typed-path extraction (`variant_get` with
+    object, nested-object, and array-index paths), absent-path → NULL
+    (`try_variant_get`), and `try_parse_json` → NULL on malformed
+    input. Integer/string legs only (the money double rides as cents
+    INSIDE the document), so the oracle — which recomputes each leg's
+    SEMANTIC value straight from the raw columns, no JSON engine
+    involved — certifies the whole construct→parse→extract round trip
+    bit-for-bit, including to_json's null-field dropping (a NULL
+    value must surface as an ABSENT $.m.c, not a JSON null).
+
+    Scale note: VARIANT is the columnar-shredding path for
+    semi-structured data at rest (binary-encoded, no per-access
+    re-parse the way repeated get_json_object calls re-parse the
+    string); everything here is map-side whole-stage-codegen'd."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "props"
+    )
+    doc = F.to_json(
+        F.struct(
+            F.col("event_type").alias("t"),
+            F.struct(
+                F.floor(F.col("value") * 100 + F.lit(0.5))
+                .cast("long")
+                .alias("c")
+            ).alias("m"),
+            F.array(F.col("event_id"), F.col("user_id")).alias("ids"),
+        )
+    )
+    v = F.parse_json(doc)
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.t", "string").alias("vtype"),
+        F.variant_get(v, "$.m.c", "long").alias("vcents"),
+        F.variant_get(v, "$.ids[1]", "long").alias("second_id"),
+        F.try_variant_get(v, "$.nothing.here", "long").alias("missing_leg"),
+        F.variant_get(F.parse_json("props"), "$.k", "long").alias("props_k"),
+        F.try_parse_json(F.concat(F.lit("{"), F.col("props")))
+        .isNull()
+        .alias("malformed_is_null"),
+    )

@@ -666,3 +666,65 @@ def attribution_stream(keyed: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4's arbitrary-state API): the
+# successor to applyInPandasWithState — typed, NAMED state variables on
+# a StatefulProcessor lifecycle (init/handleInputRows/close), backed by
+# the RocksDB state store. Covered here so the engine exercises BOTH
+# stateful APIs: the processor below is the running per-user totals
+# fold (the simplest correct exemplar of the lifecycle), registered as
+# the stream_transform_with_state query.
+# ---------------------------------------------------------------------------
+
+TWS_OUTPUT_SCHEMA = "user_id long, n_events long, cents long"
+
+
+def make_running_totals_processor():
+    """Factory returning a StatefulProcessor that keeps one ValueState
+    ('totals' = running row count + money cents) per user and emits the
+    updated totals each micro-batch. Import-deferred so the module
+    stays loadable on deployments whose pyspark predates the API."""
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class RunningTotalsProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n BIGINT, cents BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = (
+                self._totals.get() if self._totals.exists() else (0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                vals = pdf["value"].dropna()
+                # floor(v*100 + 0.5) on the raw double — the engine's
+                # cents convention (matches the SQL oracle bit-for-bit)
+                cents += int(
+                    sum(int(math.floor(float(x) * 100 + 0.5)) for x in vals)
+                )
+            self._totals.update((int(n), int(cents)))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningTotalsProcessor()
+
+
+def running_totals_stream(keyed: DataFrame) -> DataFrame:
+    """Apply the transformWithState running-totals processor to a
+    streaming DataFrame with columns (user_id long, ts timestamp,
+    value double). Requires the RocksDB state store provider (see
+    streaming.rocksdb_state_store). Output mode: update."""
+    return keyed.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=make_running_totals_processor(),
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

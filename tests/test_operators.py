@@ -1945,3 +1945,53 @@ def test_merge_replay_is_byte_identical_and_timetravel_consistent(spark, sf_dir)
         ins = audit1.get((b, "insert"), (0,))[0]
         dels = audit1.get((b, "delete"), (0,))[0]
         assert v1.get(b, 0) == v0.get(b, 0) + ins - dels, (b, v0, v1, audit1)
+
+
+def test_neardup_index_append_is_exact_and_idempotent(spark, sf_dir):
+    """dedup_neardup_index_append: the installed v2 must equal
+    v1 ∪ (signatures of exactly the keep=true SIGNED batch docs) —
+    verified row-for-row against the verdict query — and re-invoking
+    the append must leave every v2 byte unchanged (content-addressed
+    replay, the merge_apply discipline)."""
+    import hashlib
+    import os
+
+    from projektdataengineering_spark.queries import pipeline_ops as P
+
+    audit1 = {r["version"]: tuple(r[1:]) for r in
+              P.dedup_neardup_index_append(spark, sf_dir).collect()}
+    v1_path = P._neardup_index_path(sf_dir)
+    v2_path = f"{v1_path}_v2"
+
+    v1_rows = {tuple(r) for r in spark.read.parquet(v1_path).collect()}
+    v2_rows = {tuple(r) for r in spark.read.parquet(v2_path).collect()}
+    verdict = P.dedup_incremental_neardup(spark, sf_dir)
+    kept_ids = {r["doc_id"] for r in verdict.filter("keep").collect()}
+
+    added = v2_rows - v1_rows
+    assert v1_rows <= v2_rows, "append must not disturb v1 entries"
+    assert {r[0] for r in added} <= kept_ids, "only kept docs may enter v2"
+    # every kept SIGNED doc is present; kept unsigned docs add nothing
+    batch_signed = {
+        r[0] for r in spark.read.parquet(v2_path).collect()
+    } - {r[0] for r in v1_rows}
+    n_kept_signed = len(added)
+    assert audit1[2][0] - audit1[1][0] == n_kept_signed
+    assert batch_signed <= kept_ids
+
+    def tree_digest(root):
+        out = {}
+        for dirpath, _, files in os.walk(root):
+            for fn in files:
+                p = os.path.join(dirpath, fn)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, root)] = hashlib.sha256(
+                        fh.read()
+                    ).hexdigest()
+        return out
+
+    snap = tree_digest(v2_path)
+    audit2 = {r["version"]: tuple(r[1:]) for r in
+              P.dedup_neardup_index_append(spark, sf_dir).collect()}
+    assert audit1 == audit2
+    assert tree_digest(v2_path) == snap

@@ -837,3 +837,67 @@ def test_session_window_merges_across_micro_batches(spark, tmp_path):
         (2, pd.Timestamp("2024-01-01 00:05:00"),
          pd.Timestamp("2024-01-01 00:35:00"), 1),
     }, rows
+
+
+def test_transform_with_state_running_totals_or_documented_absence(
+    spark, sf_dir, tmp_path
+):
+    """transformWithState (Spark 4's arbitrary-state API,
+    streaming/stateful.py running_totals_stream) — availability-gated
+    like the Avro/JDBC boundaries: its Python runner initializes a
+    protobuf-based state channel, and this sandbox ships no usable
+    google.protobuf, so the query cannot execute here
+    (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE). On a deployment
+    with protobuf this runs the full check: RocksDB-backed ValueState
+    running totals under availableNow must equal the batch aggregate.
+    The boundary is documented in SURVEY.md §2.3."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip(
+            "google.protobuf not importable — transformWithState's "
+            "Python runner cannot initialize in this sandbox; boundary "
+            "documented in SURVEY.md §2.3 (the spark-avro discipline)"
+        )
+
+    import math
+
+    from pyspark.sql import functions as F
+
+    from projektdataengineering_spark.streaming import (
+        open_event_stream,
+        rocksdb_state_store,
+        run_to_memory_sink,
+        stream_state_partitions,
+    )
+    from projektdataengineering_spark.streaming.stateful import (
+        running_totals_stream,
+    )
+
+    keyed = open_event_stream(spark, sf_dir).select("user_id", "ts", "value")
+    with stream_state_partitions(spark), rocksdb_state_store(spark):
+        run_to_memory_sink(
+            running_totals_stream(keyed), "tws_totals_out", output_mode="update"
+        )
+    got = {
+        r["user_id"]: (r["n_events"], r["cents"])
+        for r in spark.table("tws_totals_out")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("cents", "n_events").alias("cents"),
+        )
+        .collect()
+    }
+    from projektdataengineering_spark.catalog import load_table
+
+    exp = {}
+    for r in load_table(spark, sf_dir, "events").select("user_id", "value").collect():
+        n, c = exp.get(r["user_id"], (0, 0))
+        exp[r["user_id"]] = (
+            n + 1,
+            c + (0 if r["value"] is None else int(math.floor(r["value"] * 100 + 0.5))),
+        )
+    assert got == exp

@@ -142,6 +142,7 @@ HEAVY_QUERIES = [
     ("pipeline_dp_counts", "governance (round 11, discrete-Laplace DP release)"),
     ("pipeline_filter_cascade", "corpus (round 11, cleaning-funnel yield table)"),
     ("dedup_incremental_neardup", "dedup (round 12, persisted-index incremental near-dup)"),
+    ("dedup_neardup_index_append", "dedup (round 12, executed index-version append)"),
     ("stream_session_native", "streaming (round 12, merging session-window state)"),
     ("pipeline_merge_timetravel", "layout (round 12, version-pinned snapshot reads)"),
 ]
