@@ -397,6 +397,10 @@ _DRIVER_VERIFIED = (
 # * pipeline_feature_hash — the same repartition fix (worst r12 sf1
 #   slope, 0.78 — split-width artifact) after its r10 row — values
 #   unchanged;
+# * pipeline_ewma_smooth — the recurrence now folds inside 64 user
+#   hash buckets instead of one Arrow group per user (identical
+#   per-user evaluation order; sf0.1 3.9→1.0 s, sf1 5.8→1.0 s) after
+#   its r07 row — values unchanged;
 # * stream_dedup_stateful — keyed state now runs over 64 hash buckets
 #   instead of per-key Arrow groups (round-11 verdict task #5) after
 #   its r08 row — values unchanged.
@@ -405,6 +409,7 @@ _RECHECK: tuple[str, ...] = (
     "pipeline_bpe_train", "pipeline_bpe_encode", "pipeline_bigram_lm",
     "pipeline_contamination", "stream_dedup_stateful",
     "pipeline_merge_apply", "pipeline_feature_hash",
+    "pipeline_ewma_smooth",
 )
 
 

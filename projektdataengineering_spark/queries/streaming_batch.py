@@ -1022,7 +1022,12 @@ def stream_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     stream = session_windows(open_event_stream(spark, sf_dir))
-    with stream_state_partitions(spark):
+    # 8 state partitions, not the family default 4: session state is
+    # (users × sessions)-sized — an order beyond the other stateful
+    # queries' per-key rows — and the store-count trade flips earlier
+    # (measured warm: sf0.1 1.8→1.3 s, sf1 5.5→3.9 s at 4→8; the
+    # per-deployment sizing rule lives on stream_state_partitions)
+    with stream_state_partitions(spark, 8):
         run_to_memory_sink(
             stream, "stream_session_native_sink", output_mode="complete"
         )

@@ -40,38 +40,54 @@ def pipeline_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     a recurrence no window frame can express (each state depends on
     the previous OUTPUT, not a fixed frame of inputs).
 
-    Execution: ``groupBy(user_id).applyInPandas`` — one Arrow batch
-    per user group, the recurrence runs as a tight pandas loop, and
-    only (user, n, last_state) leaves Python. The oracle replays the
-    identical left fold with DuckDB's ``list_reduce`` over the
-    identically-ordered list, so the hash certifies the whole
+    Execution: ``groupBy(bucket).applyInPandas`` over a 64-way hash
+    bucket of users (round 12 — the attribution/stream-dedup
+    round-trip economics applied to the BATCH side: per-USER Arrow
+    groups made the per-group overhead, not the arithmetic, the whole
+    cost); inside a bucket the rows sort (user, ts, event_id) and one
+    pass folds every user's recurrence with EXACTLY the same
+    s = α·x + (1−α)·s evaluation order as before — users stay fully
+    independent. Only (user, n, last_state) leaves Python. The oracle
+    replays the identical left fold with DuckDB's ``list_reduce`` over
+    the identically-ordered list, so the hash certifies the whole
     recurrence step-for-step (same doubles, same order), not just its
     shape. At 100 TB this is the per-key-sequential/cross-key-parallel
-    pattern: state lives inside one group's batch, groups spread over
-    executors, shuffle width is the events table once — and the
+    pattern: state lives inside one bucket's batch, buckets spread
+    over executors, shuffle width is the events table once — and the
     streaming twin is applyInPandasWithState (streaming/stateful.py),
     which carries the same state across micro-batches instead."""
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    ).withColumn("bucket", (F.col("user_id") % 64).cast("int"))
 
-    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+    def smooth_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         # NULL values would fold NaN into every later state; drop them
-        # to match the streaming fold and the oracle's WHERE clause.
-        pdf = pdf.dropna(subset=["value"]).sort_values(["ts", "event_id"])
-        if len(pdf) == 0:  # all-NULL key: oracle's WHERE drops it too
-            return pd.DataFrame({"user_id": [], "n_events": [], "last_ewma": []})
-        s = None
-        for x in pdf["value"]:
+        # to match the streaming fold and the oracle's WHERE clause
+        # (an all-NULL user vanishes, exactly like the oracle's WHERE).
+        pdf = pdf.dropna(subset=["value"]).sort_values(
+            ["user_id", "ts", "event_id"]
+        )
+        out_u, out_n, out_s = [], [], []
+        cur_u, s, n = None, None, 0
+        for uu, x in zip(pdf["user_id"].to_numpy(), pdf["value"].to_numpy()):
+            if uu != cur_u:
+                if cur_u is not None:
+                    out_u.append(cur_u)
+                    out_n.append(n)
+                    out_s.append(s)
+                cur_u, s, n = uu, None, 0
             s = x if s is None else _ALPHA * x + (1 - _ALPHA) * s
+            n += 1
+        if cur_u is not None:
+            out_u.append(cur_u)
+            out_n.append(n)
+            out_s.append(s)
         return pd.DataFrame(
-            {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "n_events": [len(pdf)],
-                "last_ewma": [s],
-            }
+            {"user_id": out_u, "n_events": out_n, "last_ewma": out_s}
         )
 
-    return ev.groupBy("user_id").applyInPandas(
-        smooth, "user_id long, n_events long, last_ewma double"
+    return ev.groupBy("bucket").applyInPandas(
+        smooth_bucket, "user_id long, n_events long, last_ewma double"
     )
 
 
