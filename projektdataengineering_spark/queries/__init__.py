@@ -401,6 +401,19 @@ _DRIVER_VERIFIED = (
 #   hash buckets instead of one Arrow group per user (identical
 #   per-user evaluation order; sf0.1 3.9→1.0 s, sf1 5.8→1.0 s) after
 #   its r07 row — values unchanged;
+# * pipeline_doc_signature / pipeline_minhash_pairs_portable /
+#   pipeline_dedup_clusters_portable / pipeline_canonical_docs /
+#   pipeline_corpus_build — the shared signature kernel's seam moved
+#   (_portable_signature split into the docs-parameterized
+#   _signature_of so dedup_incremental_neardup can sign corpus/batch
+#   separately; plan and values unchanged, hashes re-verified
+#   locally) after their r11 rows — the join_bloom_prefiltered
+#   extraction precedent;
+# * pipeline_gram_df — _doc_grams (shared with contamination) gained
+#   the doc_id repartition after its r08 row — values unchanged;
+# * pipeline_bigram_kn / pipeline_prefix_dedup — the shared _toked
+#   helper gained the same repartition (bigram_kn sf1 3.4→2.0 s,
+#   slope 0.67→0.04) after their r11/r07 rows — values unchanged;
 # * stream_dedup_stateful — keyed state now runs over 64 hash buckets
 #   instead of per-key Arrow groups (round-11 verdict task #5) after
 #   its r08 row — values unchanged.
@@ -410,6 +423,10 @@ _RECHECK: tuple[str, ...] = (
     "pipeline_contamination", "stream_dedup_stateful",
     "pipeline_merge_apply", "pipeline_feature_hash",
     "pipeline_ewma_smooth",
+    "pipeline_doc_signature", "pipeline_minhash_pairs_portable",
+    "pipeline_dedup_clusters_portable", "pipeline_canonical_docs",
+    "pipeline_corpus_build", "pipeline_gram_df",
+    "pipeline_bigram_kn", "pipeline_prefix_dedup",
 )
 
 

@@ -24,7 +24,16 @@ from . import query
 
 
 def _toked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    """(doc_id, toks) with the round-11 input-split repartition: both
+    consumers (pipeline_prefix_dedup's hash fan-out, pipeline_bigram_kn's
+    map-side bigram transform) otherwise run at the documents parquet's
+    2-split width at sf1 (bigram_kn measured 3.4 s / slope 0.67 before
+    the fix — the table's second-worst r12 slope)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     return docs.select("doc_id", F.split("text", " ").alias("toks"))
 
 

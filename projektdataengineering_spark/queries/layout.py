@@ -1003,7 +1003,18 @@ def pipeline_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest_path = os.path.join(base_dir, "manifest")
     cols = ["bucket", "action", "n_keys", "sum_events", "sum_cents", "rewritten"]
 
-    if os.path.isdir(manifest_path):
+    # the frozen manifest answers THIS query alone, but the two table
+    # versions are a published artifact too (pipeline_merge_timetravel
+    # reads them version-pinned) — so a partially cleaned workdir
+    # (manifest surviving, base/merged gone) must fall through and
+    # self-heal the versions instead of returning early over their
+    # absence; every install below is individually guarded, so the
+    # fall-through only rebuilds what is missing
+    if (
+        os.path.isdir(manifest_path)
+        and os.path.isdir(base_path)
+        and os.path.isdir(merged_path)
+    ):
         return spark.read.parquet(manifest_path).select(*cols)
 
     base, chg = _merge_state_frames(spark, sf_dir)

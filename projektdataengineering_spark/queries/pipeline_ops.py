@@ -453,8 +453,17 @@ _GRAMS_SQL = """
 
 
 def _doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, source, gram) with distinct string bigrams per doc."""
-    docs = load_table(spark, sf_dir, "documents")
+    """(doc_id, source, gram) with distinct string bigrams per doc.
+    The doc_id repartition ahead of the gram fan-out is the round-11
+    input-split lesson, applied round 12 to BOTH consumers
+    (pipeline_contamination, pipeline_gram_df): the documents
+    parquet's 2-split width was capping the array_distinct/explode
+    stage at sf1 — the whole 0.84 SCALING slope measured for
+    contamination was that artifact, not the algorithm."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     toked = docs.select("doc_id", "source", F.split("text", " ").alias("toks"))
     return toked.select(
         "doc_id",
@@ -485,29 +494,17 @@ def pipeline_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB they'd be xxhash64 longs (identical counts up to 2⁻⁶⁴
     collisions).
 
-    Round-12 slope fix: the gram fan-out now runs behind a doc_id
-    repartition (the round-11 input-split lesson — the documents
-    parquet's 2-split width was capping the array_distinct/explode
-    stage at sf1, which is what the 0.84 SCALING slope actually
-    measured). A Bloom-prefiltered variant (the join_semireduced
-    word-bitmap discipline) was measured and REJECTED here: this join
-    is already broadcast + map-side, so the bitmap saves no exchange,
-    and its per-raw-gram md5 probe costs more than the broadcast hash
-    probe it replaces (measured sf0.1 0.8→2.7 s, sf1 3.6→14.3 s) —
-    runtime filters pay off only when they prune rows BEFORE a
-    shuffle, which pipeline_gram_df-style shuffling shapes have and
-    this one deliberately doesn't."""
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "source", "text")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    )
-    toked = docs.select("doc_id", "source", F.split("text", " ").alias("toks"))
-    g = toked.select(
-        "doc_id",
-        "source",
-        F.explode(F.array_distinct(token_ngrams("toks", 2))).alias("gram"),
-    )
+    Round-12 slope fix: the shared _doc_grams kernel now repartitions
+    on doc_id ahead of the gram fan-out (the round-11 input-split
+    lesson — see its docstring; sf1 3.6→1.1 s here). A
+    Bloom-prefiltered variant (the join_semireduced word-bitmap
+    discipline) was measured and REJECTED here: this join is already
+    broadcast + map-side, so the bitmap saves no exchange, and its
+    per-raw-gram md5 probe costs more than the broadcast hash probe
+    it replaces (measured sf0.1 0.8→2.7 s, sf1 3.6→14.3 s) — runtime
+    filters pay off only when they prune rows BEFORE a shuffle, which
+    this shape deliberately doesn't have."""
+    g = _doc_grams(spark, sf_dir)
     bench = g.filter(F.col("source") == "src0").select("gram").distinct()
     return (
         g.filter(F.col("source") != "src0")
@@ -2359,8 +2356,11 @@ def dedup_neardup_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v1_path = _neardup_index_path(sf_dir)
     v2_path = f"{v1_path}_v2"
+    # read-or-build v1 UNCONDITIONALLY (no-op read when present): a
+    # partially cleaned scratch dir (v1 gone, v2 surviving) must
+    # self-heal instead of failing the audit's v1 scan
+    v1 = _corpus_signature_index(spark, sf_dir)
     if not os.path.isdir(v2_path):
-        v1 = _corpus_signature_index(spark, sf_dir)
         _, bsig, cm, bm, lanes = _incr_probe_frames(spark, sf_dir)
         keepers = (
             bsig.join(cm, "doc_id", "left")

@@ -156,10 +156,15 @@ def _make_dedup_bucketed(horizon: "pd.Timedelta | None"):
             }
         else:
             st = {}
-        wm_us = state.getCurrentWatermarkMs() * 1_000
-        if horizon_us is not None and wm_us > 0:
-            for k in [k for k, v in st.items() if v[2] + horizon_us < wm_us]:
-                del st[k]
+        # watermark read only under a horizon: NoTimeout mode supports
+        # non-watermarked streams, where getCurrentWatermarkMs raises
+        if horizon_us is not None:
+            wm_us = state.getCurrentWatermarkMs() * 1_000
+            if wm_us > 0:
+                for k in [
+                    k for k, v in st.items() if v[2] + horizon_us < wm_us
+                ]:
+                    del st[k]
 
         out = None
         if not state.hasTimedOut:
@@ -674,8 +679,11 @@ def attribution_stream(keyed: DataFrame) -> DataFrame:
 # a StatefulProcessor lifecycle (init/handleInputRows/close), backed by
 # the RocksDB state store. Covered here so the engine exercises BOTH
 # stateful APIs: the processor below is the running per-user totals
-# fold (the simplest correct exemplar of the lifecycle), registered as
-# the stream_transform_with_state query.
+# fold (the simplest correct exemplar of the lifecycle). NOT a
+# registered query: the TWS Python runner needs google.protobuf,
+# which this sandbox lacks — the documented boundary (SURVEY.md §2.3);
+# tests/test_streaming.py carries the full totals-vs-batch parity
+# check and self-skips when protobuf is absent.
 # ---------------------------------------------------------------------------
 
 TWS_OUTPUT_SCHEMA = "user_id long, n_events long, cents long"

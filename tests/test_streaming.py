@@ -901,3 +901,48 @@ def test_transform_with_state_running_totals_or_documented_absence(
             c + (0 if r["value"] is None else int(math.floor(r["value"] * 100 + 0.5))),
         )
     assert got == exp
+
+
+def test_stateful_dedup_bucketed_no_horizon_no_watermark(spark, tmp_path):
+    """Round-12 review regression: horizon=None (NoTimeout) on a
+    NON-watermarked stream must work — the fold may only read the
+    watermark when a horizon is configured (getCurrentWatermarkMs
+    raises without withWatermark)."""
+    import pandas as pd
+
+    from projektdataengineering_spark.streaming.stateful import (
+        dedup_stream_first_wins_bucketed,
+    )
+
+    src = tmp_path / "nohorizon_src"
+    src.mkdir()
+    pd.DataFrame(
+        {
+            "bucket": pd.array([0, 0, 1], dtype="int32"),
+            "key": ["a", "a", "b"],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:10:00",
+                 "2024-01-01 00:05:00"]
+            ),
+        }
+    ).to_parquet(src / "b1.parquet", coerce_timestamps="us")
+
+    stream = spark.readStream.schema("bucket int, key string, ts timestamp").parquet(
+        str(src)
+    )
+    q = (
+        dedup_stream_first_wins_bucketed(stream)  # no horizon, no watermark
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("dedup_nohorizon_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_nh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {(r["key"], r["first_ts"], r["n_dropped"])
+            for r in spark.table("dedup_nohorizon_out").collect()}
+    assert rows == {
+        ("a", pd.Timestamp("2024-01-01 00:00:00"), 1),
+        ("b", pd.Timestamp("2024-01-01 00:05:00"), 0),
+    }, rows
