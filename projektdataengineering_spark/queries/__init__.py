@@ -414,6 +414,11 @@ _DRIVER_VERIFIED = (
 # * pipeline_bigram_kn / pipeline_prefix_dedup — the shared _toked
 #   helper gained the same repartition (bigram_kn sf1 3.4→2.0 s,
 #   slope 0.67→0.04) after their r11/r07 rows — values unchanged;
+# * pipeline_perplexity_filter — its qbits + bigram-instance kernels
+#   were extracted into _bigram_model_qbits/_bigram_instances (shared
+#   with the new pipeline_dsir_select; bigram_lm/bigram_kn also moved
+#   onto the instance kernel — both already above) after its r11 row
+#   — values unchanged;
 # * stream_dedup_stateful — keyed state now runs over 64 hash buckets
 #   instead of per-key Arrow groups (round-11 verdict task #5) after
 #   its r08 row — values unchanged.
@@ -427,6 +432,7 @@ _RECHECK: tuple[str, ...] = (
     "pipeline_dedup_clusters_portable", "pipeline_canonical_docs",
     "pipeline_corpus_build", "pipeline_gram_df",
     "pipeline_bigram_kn", "pipeline_prefix_dedup",
+    "pipeline_perplexity_filter",
 )
 
 

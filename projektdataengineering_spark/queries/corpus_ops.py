@@ -124,19 +124,7 @@ def pipeline_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
-    toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
-    pairs = (
-        toked.filter(F.size("toks") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(slice(toks, 1, size(toks) - 1),"
-                    " (x, i) -> struct(x AS w1, element_at(toks, i + 2) AS w2))"
-                )
-            ).alias("b")
-        )
-        .select("b.w1", "b.w2")
-    )
+    pairs = _bigram_instances(docs, with_doc_id=False)
     pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_n"))
     wc = pc.groupBy("w1").agg(F.sum("pair_n").cast("bigint").alias("w1_n")).select(
         F.col("w1").alias("wc_w1"), "w1_n"
@@ -596,6 +584,63 @@ def pipeline_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PPL_KEEP_QBITS = 24  # keep docs with mean surprisal <= 6.0 bits/bigram
 
+
+def _bigram_model_qbits(inst: DataFrame) -> DataFrame:
+    """(w1, w2, qbits) bigram LM table from a bigram-INSTANCE frame:
+    qbits = floor(4·log2(w1_n / pair_n)), the exact quarter-bit
+    surprisal computed with pure integer arithmetic (whole bits from
+    bin() length, the quarter-bit remainder from exact fourth-power
+    comparisons in DECIMAL(38,0) — see the _QBITS_SQL comment below
+    for the derivation). Shared by pipeline_perplexity_filter (one
+    corpus model) and pipeline_dsir_select (target + pool models)."""
+    pc = inst.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_n"))
+    wc = pc.groupBy("w1").agg(F.sum("pair_n").cast("bigint").alias("w1_n"))
+
+    a = F.col("w1_n")
+    whole = (F.length(F.bin(F.expr("w1_n div pair_n"))) - 1).cast("int")
+    # F.shiftleft only takes a literal bit count; the SQL form accepts
+    # a column expression
+    y = F.expr("shiftleft(pair_n, length(bin(w1_n div pair_n)) - 1)")
+    x4 = (
+        a.cast("decimal(19,0)") * a.cast("decimal(19,0)")
+        * a.cast("decimal(19,0)") * a.cast("decimal(19,0)")
+    )
+    y4 = (
+        y.cast("decimal(19,0)") * y.cast("decimal(19,0)")
+        * y.cast("decimal(19,0)") * y.cast("decimal(19,0)")
+    )
+    frac = (
+        F.when(x4 >= 8 * y4, 3)
+        .when(x4 >= 4 * y4, 2)
+        .when(x4 >= 2 * y4, 1)
+        .otherwise(0)
+    )
+    return pc.join(wc, "w1").select(
+        "w1", "w2", (4 * whole + frac).cast("bigint").alias("qbits")
+    )
+
+
+def _bigram_instances(docs: DataFrame, with_doc_id: bool = True) -> DataFrame:
+    """Map-side bigram INSTANCES from a (doc_id, text) frame via the
+    indexed array lambda (no positional self-join) — the shared
+    fan-out of the LM family. Caller repartitions upstream when the
+    source is a narrow-split file."""
+    toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    cols = (["doc_id"] if with_doc_id else []) + ["b.w1", "b.w2"]
+    return (
+        toked.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 1, size(toks) - 1),"
+                    " (x, i) -> struct(x AS w1, element_at(toks, i + 2) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select(*cols)
+    )
+
 # floor(4*log2(a/b)) for integers a >= b >= 1, no float log anywhere:
 # whole bits w = length(bin(a DIV b)) - 1, then y = b << w normalizes
 # a/y into [1, 2) and the quarter-bit remainder k solves
@@ -693,49 +738,12 @@ def pipeline_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
-    toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
     # bigram instances built MAP-SIDE by the indexed array lambda (the
-    # pipeline_bigram_kn shape) — the earlier positional self-join
-    # shipped every (doc, pos, token) row through an extra exchange to
-    # reassemble adjacency the array already had
-    inst = (
-        toked.filter(F.size("toks") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(slice(toks, 1, size(toks) - 1),"
-                    " (x, i) -> struct(x AS w1, element_at(toks, i + 2) AS w2))"
-                )
-            ).alias("b"),
-        )
-        .select("doc_id", "b.w1", "b.w2")
-    )
-    pc = inst.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_n"))
-    wc = pc.groupBy("w1").agg(F.sum("pair_n").cast("bigint").alias("w1_n"))
-
-    a = F.col("w1_n")
-    whole = (F.length(F.bin(F.expr("w1_n div pair_n"))) - 1).cast("int")
-    # F.shiftleft only takes a literal bit count; the SQL form accepts
-    # a column expression
-    y = F.expr("shiftleft(pair_n, length(bin(w1_n div pair_n)) - 1)")
-    x4 = (
-        a.cast("decimal(19,0)") * a.cast("decimal(19,0)")
-        * a.cast("decimal(19,0)") * a.cast("decimal(19,0)")
-    )
-    y4 = (
-        y.cast("decimal(19,0)") * y.cast("decimal(19,0)")
-        * y.cast("decimal(19,0)") * y.cast("decimal(19,0)")
-    )
-    frac = (
-        F.when(x4 >= 8 * y4, 3)
-        .when(x4 >= 4 * y4, 2)
-        .when(x4 >= 2 * y4, 1)
-        .otherwise(0)
-    )
-    qb = pc.join(wc, "w1").select(
-        "w1", "w2", (4 * whole + frac).cast("bigint").alias("qbits")
-    )
+    # shared _bigram_instances kernel) — the earlier positional
+    # self-join shipped every (doc, pos, token) row through an extra
+    # exchange to reassemble adjacency the array already had
+    inst = _bigram_instances(docs)
+    qb = _bigram_model_qbits(inst)
     scored = (
         inst.join(F.broadcast(qb), ["w1", "w2"])
         .groupBy("doc_id")
@@ -907,19 +915,12 @@ def pipeline_bigram_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-TYPE table (≪ token count), one broadcast-able 1-row type
     count, and a distributed TakeOrdered {_KN_TOPK}. Only (token,
     token, counts) ever shuffles."""
-    t = _toked(spark, sf_dir)
-    bg = (
-        t.filter(F.size("toks") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(slice(toks, 1, size(toks) - 1),"
-                    " (x, i) -> struct(x AS w1, element_at(toks, i + 2) AS w2))"
-                )
-            ).alias("b")
-        )
-        .select("b.w1", "b.w2")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
+    bg = _bigram_instances(docs, with_doc_id=False)
     pc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
     hist = pc.groupBy("w1").agg(
         F.sum("c12").cast("long").alias("c1"),
@@ -951,3 +952,139 @@ def pipeline_bigram_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("kn_ppb").desc(), "w1", "w2").limit(_KN_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# pipeline_dsir_select (round 12): DSIR-style importance selection in
+# exact quarter-bit integer log-space
+# ---------------------------------------------------------------------------
+
+_DSIR_TOPK = 100
+# surprisal charged to a bigram ABSENT from the target model:
+# 96 qbits = 24 bits ≈ P = 2⁻²⁴ — one notch below anything the target
+# model can assign (parent counts here are ≪ 2²⁴), so unseen-in-target
+# always reads as less target-like than any seen bigram
+_DSIR_UNSEEN_QBITS = 96
+
+_DSIR_SQL = f"""
+    WITH pool_inst AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents WHERE source <> 'src0'),
+           UNNEST(range(1, len(toks))) AS p(i)
+    ), tgt_inst AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2
+      FROM (SELECT string_split(text, ' ') AS toks
+            FROM documents WHERE source = 'src0'),
+           UNNEST(range(1, len(toks))) AS p(i)
+    ), spc AS (
+      SELECT w1, w2, COUNT(*) AS pair_n FROM pool_inst GROUP BY w1, w2
+    ), swc AS (
+      SELECT w1, CAST(SUM(pair_n) AS BIGINT) AS w1_n FROM spc GROUP BY w1
+    ), sqb AS (
+      SELECT pc.w1, pc.w2,
+             {_QBITS_SQL.format(a="wc.w1_n", b="pc.pair_n")} AS qbits
+      FROM spc pc JOIN swc wc ON wc.w1 = pc.w1
+    ), tpc AS (
+      SELECT w1, w2, COUNT(*) AS pair_n FROM tgt_inst GROUP BY w1, w2
+    ), twc AS (
+      SELECT w1, CAST(SUM(pair_n) AS BIGINT) AS w1_n FROM tpc GROUP BY w1
+    ), tqb AS (
+      SELECT pc.w1, pc.w2,
+             {_QBITS_SQL.format(a="wc.w1_n", b="pc.pair_n")} AS qbits
+      FROM tpc pc JOIN twc wc ON wc.w1 = pc.w1
+    ), scored AS (
+      SELECT i.doc_id, COUNT(*) AS n_bigrams,
+             CAST(SUM(s.qbits - COALESCE(t.qbits, {_DSIR_UNSEEN_QBITS}))
+                  AS BIGINT) AS logw_qbits
+      FROM pool_inst i
+      JOIN sqb s ON i.w1 = s.w1 AND i.w2 = s.w2
+      LEFT JOIN tqb t ON i.w1 = t.w1 AND i.w2 = t.w2
+      GROUP BY i.doc_id
+    ), ranked AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             CAST(COALESCE(s.logw_qbits, 0) AS BIGINT) AS logw_qbits,
+             ROW_NUMBER() OVER (ORDER BY COALESCE(s.logw_qbits, 0) DESC,
+                                d.doc_id) AS rn
+      FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+      LEFT JOIN scored s ON d.doc_id = s.doc_id
+    )
+    SELECT doc_id, n_bigrams, logw_qbits, rn <= {_DSIR_TOPK} AS selected
+    FROM ranked
+"""
+
+
+@query("pipeline_dsir_select", family="corpus_ops", oracle=_DSIR_SQL)
+def pipeline_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, Data Selection via
+    Importance Resampling — the public method behind domain-targeted
+    pretraining mixes): score every candidate document by the
+    log importance weight log[p_target(x)/p_source(x)] under two
+    bigram LMs — the held-out domain corpus ('src0', the
+    pipeline_contamination convention) as target, the candidate pool
+    itself as source — and select the top-{K}. log w = Σ over the
+    doc's bigram instances of (source surprisal − target surprisal),
+    computed ENTIRELY in exact quarter-bit integers (the
+    pipeline_perplexity_filter kernel, shared via
+    _bigram_model_qbits), with unseen-in-target charged a flat
+    96-qbit (2⁻²⁴) surprisal — so the hash certifies every score and
+    the exact selection frontier bit-for-bit; DSIR's Gumbel-noise
+    resampling step is deliberately replaced by deterministic top-K
+    (seeded noise adds nothing certifiable at fixture scale and the
+    ranking is the substance).
+
+    Scale shape: two map-side bigram fan-outs (instances lazily
+    checkpointed — they feed both the model build and the scoring
+    join), two vocab²-bounded qbits tables broadcast back, one
+    doc-keyed aggregate, and a TakeOrdered top-K for the selection
+    frontier (no global sort materializes; at 100 TB the frontier
+    becomes a quantile threshold on logw, same integer domain)."""
+    dp = spark.sparkContext.defaultParallelism
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .repartition(dp, "doc_id")
+    )
+    pool_inst = _bigram_instances(
+        docs.filter(F.col("source") != "src0")
+    ).localCheckpoint(eager=False)
+    tgt_inst = _bigram_instances(
+        docs.filter(F.col("source") == "src0"), with_doc_id=False
+    )
+    sqb = _bigram_model_qbits(pool_inst)
+    tqb = _bigram_model_qbits(tgt_inst).withColumnRenamed("qbits", "t_qbits")
+    scored = (
+        pool_inst.join(F.broadcast(sqb), ["w1", "w2"])
+        .join(F.broadcast(tqb), ["w1", "w2"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(
+                F.col("qbits")
+                - F.coalesce(F.col("t_qbits"), F.lit(_DSIR_UNSEEN_QBITS))
+            ).cast("long").alias("logw_qbits"),
+        )
+    )
+    full = (
+        docs.filter(F.col("source") != "src0")
+        .select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("logw_qbits", F.lit(0)).cast("long").alias("logw_qbits"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    topk = (
+        full.orderBy(F.desc("logw_qbits"), F.asc("doc_id"))
+        .limit(_DSIR_TOPK)
+        .select("doc_id", F.lit(True).alias("sel"))
+    )
+    return full.join(topk, "doc_id", "left").select(
+        "doc_id",
+        "n_bigrams",
+        "logw_qbits",
+        F.coalesce("sel", F.lit(False)).alias("selected"),
+    )

@@ -143,6 +143,7 @@ HEAVY_QUERIES = [
     ("pipeline_filter_cascade", "corpus (round 11, cleaning-funnel yield table)"),
     ("dedup_incremental_neardup", "dedup (round 12, persisted-index incremental near-dup)"),
     ("dedup_neardup_index_append", "dedup (round 12, executed index-version append)"),
+    ("pipeline_dsir_select", "corpus_ops (round 12, integer-exact DSIR importance selection)"),
     ("stream_session_native", "streaming (round 12, merging session-window state)"),
     ("pipeline_merge_timetravel", "layout (round 12, version-pinned snapshot reads)"),
 ]
