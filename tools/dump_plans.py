@@ -307,6 +307,15 @@ HEADLINERS: list[tuple[str, str]] = [
         "consumer branches); probe is a 4×32-hex equijoin — ids and "
         "signatures shuffle, never text.",
     ),
+    (
+        "pipeline_dsir_select",
+        "Round-12 DSIR selection: two map-side bigram fan-outs (pool "
+        "instances lazily checkpointed — they feed the model build AND "
+        "the scoring join), vocab²-bounded qbits tables broadcast back, "
+        "one doc-keyed aggregate, and TakeOrderedAndProject for the "
+        "top-100 frontier — no global sort, no Python stage, every "
+        "score an exact integer.",
+    ),
 ]
 
 
