@@ -419,6 +419,11 @@ _DRIVER_VERIFIED = (
 #   with the new pipeline_dsir_select; bigram_lm/bigram_kn also moved
 #   onto the instance kernel — both already above) after its r11 row
 #   — values unchanged;
+# * pipeline_bm25_topk / pipeline_hybrid_retrieval — the shared
+#   _bm25_scored kernel gained the doc_id repartition (the retrieval
+#   family's 0.62-0.66 slopes were the split-width artifact; bm25
+#   sf1 3.7→2.8 s, hybrid 5.6→2.9 s) after their r10 rows — values
+#   unchanged;
 # * stream_dedup_stateful — keyed state now runs over 64 hash buckets
 #   instead of per-key Arrow groups (round-11 verdict task #5) after
 #   its r08 row — values unchanged.
@@ -433,6 +438,7 @@ _RECHECK: tuple[str, ...] = (
     "pipeline_corpus_build", "pipeline_gram_df",
     "pipeline_bigram_kn", "pipeline_prefix_dedup",
     "pipeline_perplexity_filter",
+    "pipeline_bm25_topk", "pipeline_hybrid_retrieval",
 )
 
 

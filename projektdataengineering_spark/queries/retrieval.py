@@ -84,8 +84,15 @@ _BM25_SQL = f"""
 def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, score_ppm) — the Spark twin of the _BM25_CTE `scored`
     relation; see pipeline_bm25_topk for the construction notes."""
+    # doc_id repartition ahead of the token fan-out (the round-11
+    # input-split lesson, applied round 12): the tf explode + per-doc
+    # scoring otherwise run at the documents parquet's 2-split width
+    # at sf1 — the retrieval family's 0.62-0.66 SCALING slopes were
+    # that artifact (bm25 sf1 3.7→~1 s)
     base = (
         load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", F.split("text", " ").alias("t"))
         .withColumn("dl", F.size("t"))
     )
