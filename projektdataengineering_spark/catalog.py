@@ -166,3 +166,21 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def load_documents_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text) repartitioned to full cluster width — THE shared
+    entry point for every heavy text fan-out (tokenize / n-gram /
+    hash-signature explodes). One definition of the round-11
+    input-split lesson: the fixture documents parquet reads as ~2
+    splits at sf1, and a fan-out stage planned at that width caps the
+    whole family (measured repeatedly: substring dedup 10.3→2.3 s,
+    the MinHash kernel 8-9→1.3-3 s, bigram_kn 3.4→2.0 s, BM25
+    3.7→2.8 s). Consumers that must stay ZERO-shuffle by contract
+    (text_char_diversity, text_quality_score) deliberately do not use
+    it."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )

@@ -19,22 +19,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_documents_wide, load_table
 from . import query
 
 
 def _toked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, toks) with the round-11 input-split repartition: both
-    consumers (pipeline_prefix_dedup's hash fan-out, pipeline_bigram_kn's
-    map-side bigram transform) otherwise run at the documents parquet's
-    2-split width at sf1 (bigram_kn measured 3.4 s / slope 0.67 before
-    the fix — the table's second-worst r12 slope)."""
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    """(doc_id, toks) over the width-corrected documents frame
+    (catalog.load_documents_wide); sole consumer is
+    pipeline_prefix_dedup's hash fan-out — the bigram family reads
+    instances via _bigram_instances instead."""
+    return load_documents_wide(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("toks")
     )
-    return docs.select("doc_id", F.split("text", " ").alias("toks"))
 
 
 # ---------------------------------------------------------------------------
@@ -119,11 +115,7 @@ def pipeline_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out is the round-11 input-split lesson (a small parquet's
     2-split width would otherwise cap the explode stage).
     The rank window runs on the (w1, w2) COUNT table, never raw pairs."""
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    )
+    docs = load_documents_wide(spark, sf_dir)
     pairs = _bigram_instances(docs, with_doc_id=False)
     pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_n"))
     wc = pc.groupBy("w1").agg(F.sum("pair_n").cast("bigint").alias("w1_n")).select(
@@ -625,12 +617,12 @@ def _bigram_instances(docs: DataFrame, with_doc_id: bool = True) -> DataFrame:
     indexed array lambda (no positional self-join) — the shared
     fan-out of the LM family. Caller repartitions upstream when the
     source is a narrow-split file."""
-    toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
-    cols = (["doc_id"] if with_doc_id else []) + ["b.w1", "b.w2"]
+    keep = ["doc_id"] if with_doc_id else []
+    toked = docs.select(*keep, F.split("text", " ").alias("toks"))
     return (
         toked.filter(F.size("toks") >= 2)
         .select(
-            "doc_id",
+            *keep,
             F.explode(
                 F.expr(
                     "transform(slice(toks, 1, size(toks) - 1),"
@@ -638,7 +630,7 @@ def _bigram_instances(docs: DataFrame, with_doc_id: bool = True) -> DataFrame:
                 )
             ).alias("b"),
         )
-        .select(*cols)
+        .select(*keep, "b.w1", "b.w2")
     )
 
 # floor(4*log2(a/b)) for integers a >= b >= 1, no float log anywhere:
@@ -733,11 +725,7 @@ def pipeline_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # input-split lesson): the explode + positional self-join would
     # otherwise run at the doc table's split width (2 tasks at sf1),
     # and both self-join sides read the one exchange co-partitioned
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    )
+    docs = load_documents_wide(spark, sf_dir)
     # bigram instances built MAP-SIDE by the indexed array lambda (the
     # shared _bigram_instances kernel) — the earlier positional
     # self-join shipped every (doc, pos, token) row through an extra
@@ -915,11 +903,7 @@ def pipeline_bigram_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-TYPE table (≪ token count), one broadcast-able 1-row type
     count, and a distributed TakeOrdered {_KN_TOPK}. Only (token,
     token, counts) ever shuffles."""
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    )
+    docs = load_documents_wide(spark, sf_dir)
     bg = _bigram_instances(docs, with_doc_id=False)
     pc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
     hist = pc.groupBy("w1").agg(
@@ -1015,7 +999,7 @@ _DSIR_SQL = f"""
 """
 
 
-@query("pipeline_dsir_select", family="corpus_ops", oracle=_DSIR_SQL)
+@query("pipeline_dsir_select", oracle=_DSIR_SQL)
 def pipeline_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style data selection (Xie et al. 2023, Data Selection via
     Importance Resampling — the public method behind domain-targeted
@@ -1040,11 +1024,10 @@ def pipeline_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-keyed aggregate, and a TakeOrdered top-K for the selection
     frontier (no global sort materializes; at 100 TB the frontier
     becomes a quantile threshold on logw, same integer domain)."""
-    dp = spark.sparkContext.defaultParallelism
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "source", "text")
-        .repartition(dp, "doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     pool_inst = _bigram_instances(
         docs.filter(F.col("source") != "src0")

@@ -88,11 +88,11 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     # input-split lesson, applied round 12): the tf explode + per-doc
     # scoring otherwise run at the documents parquet's 2-split width
     # at sf1 — the retrieval family's 0.62-0.66 SCALING slopes were
-    # that artifact (bm25 sf1 3.7→~1 s)
+    # that artifact (measured: bm25 sf1 3.7→2.8 s, hybrid 5.6→2.9 s)
+    from ..catalog import load_documents_wide
+
     base = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        load_documents_wide(spark, sf_dir)
         .select("doc_id", F.split("text", " ").alias("t"))
         .withColumn("dl", F.size("t"))
     )
