@@ -105,6 +105,18 @@ _WARM_BUDGETS_SF01 = {
     "pipeline_canonical_docs": 3.5,
     "pipeline_dedup_clusters_portable": 3.5,
     "pipeline_corpus_build": 4.5,
+    # round 13 (r12 verdict task #6): the two heaviest round-12
+    # additions (session_native 1.2 s warm / sf1 slope 0.53 — streaming
+    # state growth; dsir_select 1.9 s warm — two bigram models + an
+    # instance join). r11 proved unpinned heavies drift silently; sized
+    # ~3x warm, above this host's in-suite wobble.
+    "stream_session_native": 3.5,
+    "pipeline_dsir_select": 4.5,
+    # round 13 (r12 verdict task #3): the r11→r12 drift (0.72→1.27 s)
+    # was measured to be same-plan wobble, NOT the shared-kernel
+    # extraction (isolated A/B in SCALING.md §1b) — pinned so a real
+    # plan regression is caught as over_budget next time.
+    "pipeline_bigram_kn": 4.0,
 }
 
 

@@ -358,93 +358,80 @@ _R11_WINDOW = frozenset((
     "stream_dedup_within_watermark", "stream_stream_full_outer",
     "stream_stream_join",
 ))
+# Round-12's recorded window (CORRECTNESS_r12.json keys — on disk,
+# 50 hash-pass, zero rows-only, zero errors: third consecutive perfect
+# window. It proved the 6 round-12 additions, the whole round-12
+# _RECHECK population, and ALL 20 remaining r05-era rows — after it the
+# 32 r06 rows are the stalest tier, front-loaded into round 13).
+_R12_WINDOW = frozenset((
+    "agg_collect_set_sorted", "agg_cube", "agg_grouping_sets",
+    "agg_having", "agg_median_exact", "agg_mode_exact", "agg_pivot",
+    "agg_rollup", "agg_scalar_max", "agg_stats_moments",
+    "dedup_embedding_cosine", "dedup_incremental_neardup",
+    "dedup_neardup_index_append", "map_ops", "pipeline_bigram_kn",
+    "pipeline_bigram_lm", "pipeline_bm25_topk", "pipeline_bpe_encode",
+    "pipeline_bpe_train", "pipeline_canonical_docs",
+    "pipeline_contamination", "pipeline_corpus_build",
+    "pipeline_dedup_clusters_portable", "pipeline_doc_signature",
+    "pipeline_dp_counts", "pipeline_dq_report", "pipeline_dsir_select",
+    "pipeline_ewma_smooth", "pipeline_feature_hash", "pipeline_gram_df",
+    "pipeline_hybrid_retrieval", "pipeline_merge_apply",
+    "pipeline_merge_timetravel", "pipeline_minhash_pairs_portable",
+    "pipeline_neardup_apply", "pipeline_neardup_degree",
+    "pipeline_perplexity_filter", "pipeline_prefix_dedup",
+    "pipeline_winsorize", "scalar_bitwise", "scalar_json",
+    "scalar_variant", "sim_simhash", "sort_limit_asc", "sort_limit_desc",
+    "stream_dedup_stateful", "stream_session_native",
+    "subquery_avg_yearly", "window_lag_lead", "window_range_frame",
+))
 _DRIVER_VERIFIED = (
     _R01_WINDOW | _R03_WINDOW | _R04_WINDOW | _R05_WINDOW | _R06_WINDOW
-    | _R07_WINDOW | _R08_WINDOW | _R10_WINDOW | _R11_WINDOW
+    | _R07_WINDOW | _R08_WINDOW | _R10_WINDOW | _R11_WINDOW | _R12_WINDOW
 )
 
 # Verified in an earlier round, but the implementation, oracle, or an
 # upstream seam changed afterwards — their old driver row no longer
 # certifies the current code, so they re-enter the window right after
-# the never-verified block.  Round-12 population (every round-11
-# recheck drew a green r11 row and dropped out):
-# * pipeline_dp_counts — the per-row noise-budget column was renamed
-#   epsilon_ppm → epsilon_ppm_nominal (round-11 ADVICE low: the value
-#   is a deployment-nominal guarantee, not one this deterministic
-#   audit view provides) after its r11 row — hash CHANGES;
-# * pipeline_neardup_apply — the keep-filter join no longer forces
-#   F.broadcast() on the data-dependent cluster table; the hint is
-#   gated on a measured cluster count (round-11 ADVICE low) after its
-#   r11 row — values unchanged, the plan seam moved;
-# * pipeline_bpe_train / pipeline_bpe_encode — the merge loop moved
-#   from 12 sequential 1-row argmax collects into ONE guarded
-#   mapInPandas task over the vocabulary-bounded type table (round-11
-#   verdict task #1, driver serialism; encode shares the kernel and
-#   emits the fully-merged type table from its own single task) after
-#   their r08 rows — values unchanged;
-# * pipeline_merge_apply — its oracle's base/changelog CTE chain was
-#   extracted into _merge_cte (shared with the new
-#   pipeline_merge_timetravel); composed SQL is semantically
-#   identical (whitespace seam only, hash re-verified locally), row
-#   re-drawn out of caution after its r11 row;
-# * pipeline_bigram_lm — bigram instances now built map-side by the
-#   indexed array lambda (round-11 verdict task #6; shared kernel with
-#   pipeline_bigram_kn) after its r07 row — values unchanged;
-# * pipeline_contamination — the gram fan-out now runs behind a
-#   doc_id repartition (the real 0.84-slope culprit was input-split
-#   width; a Bloom prefilter was measured and rejected — see the
-#   docstring) after its r08 row — values unchanged;
-# * pipeline_feature_hash — the same repartition fix (worst r12 sf1
-#   slope, 0.78 — split-width artifact) after its r10 row — values
-#   unchanged;
-# * pipeline_ewma_smooth — the recurrence now folds inside 64 user
-#   hash buckets instead of one Arrow group per user (identical
-#   per-user evaluation order; sf0.1 3.9→1.0 s, sf1 5.8→1.0 s) after
-#   its r07 row — values unchanged;
-# * pipeline_doc_signature / pipeline_minhash_pairs_portable /
-#   pipeline_dedup_clusters_portable / pipeline_canonical_docs /
-#   pipeline_corpus_build — the shared signature kernel's seam moved
-#   (_portable_signature split into the docs-parameterized
-#   _signature_of so dedup_incremental_neardup can sign corpus/batch
-#   separately; plan and values unchanged, hashes re-verified
-#   locally) after their r11 rows — the join_bloom_prefiltered
-#   extraction precedent;
-# * pipeline_gram_df — _doc_grams (shared with contamination) gained
-#   the doc_id repartition after its r08 row — values unchanged;
-# * pipeline_bigram_kn / pipeline_prefix_dedup — the shared _toked
-#   helper gained the same repartition (bigram_kn sf1 3.4→2.0 s,
-#   slope 0.67→0.04) after their r11/r07 rows — values unchanged;
-# * pipeline_perplexity_filter — its qbits + bigram-instance kernels
-#   were extracted into _bigram_model_qbits/_bigram_instances (shared
-#   with the new pipeline_dsir_select; bigram_lm/bigram_kn also moved
-#   onto the instance kernel — both already above) after its r11 row
-#   — values unchanged;
-# * pipeline_bm25_topk / pipeline_hybrid_retrieval — the shared
-#   _bm25_scored kernel gained the doc_id repartition (the retrieval
-#   family's 0.62-0.66 slopes were the split-width artifact; bm25
-#   sf1 3.7→2.8 s, hybrid 5.6→2.9 s) after their r10 rows — values
-#   unchanged;
-# * stream_dedup_stateful — keyed state now runs over 64 hash buckets
-#   instead of per-key Arrow groups (round-11 verdict task #5) after
-#   its r08 row — values unchanged.
+# the never-verified block.  Round-13 population (every round-12
+# recheck drew a green r12 row and dropped out):
+# * scalar_variant — the raw-props leg moved to
+#   try_parse_json/try_variant_get and the oracle's matching leg to
+#   TRY_CAST (round-12 ADVICE low: one malformed document should
+#   degrade to NULL parity, not abort the query) after its r12 row —
+#   values unchanged on the clean fixture, both sides' expressions
+#   changed;
+# * pipeline_corpus_build — the canonical-docs join no longer forces
+#   F.broadcast() on the data-dependent CC cluster table (round-12
+#   verdict task #2, the pipeline_neardup_apply fix applied at the
+#   last remaining site) after its r12 row — values unchanged, the
+#   plan seam moved;
+# * pipeline_bpe_train / pipeline_bpe_encode — the shared
+#   _bpe_vocab_from_batches guard now also caps SUM OF WORD LENGTHS
+#   (round-12 ADVICE low: the row-count cap alone under-guarded the
+#   exploded per-char in-task state) after their r12 rows — values
+#   unchanged, the single-task kernel changed;
+# * sim_cosine_ivf / sim_cosine_ivf_reuse — ivf_top3's inline cell
+#   assignment was extracted into the shared _ivf_assign kernel (now
+#   also the probe half of dedup_embedding_incremental) after their
+#   r10 rows — plan and values unchanged, the seam moved (the
+#   join_bloom_prefiltered extraction precedent);
+# * pipeline_kanon_generalize — its per-doc ladder assignment was
+#   extracted into _kanon_assigned (now shared with the executed
+#   pipeline_kanon_apply release) after its r08 row — plan and values
+#   unchanged, the seam moved.
 _RECHECK: tuple[str, ...] = (
-    "pipeline_dp_counts", "pipeline_neardup_apply",
-    "pipeline_bpe_train", "pipeline_bpe_encode", "pipeline_bigram_lm",
-    "pipeline_contamination", "stream_dedup_stateful",
-    "pipeline_merge_apply", "pipeline_feature_hash",
-    "pipeline_ewma_smooth",
-    "pipeline_doc_signature", "pipeline_minhash_pairs_portable",
-    "pipeline_dedup_clusters_portable", "pipeline_canonical_docs",
-    "pipeline_corpus_build", "pipeline_gram_df",
-    "pipeline_bigram_kn", "pipeline_prefix_dedup",
-    "pipeline_perplexity_filter",
-    "pipeline_bm25_topk", "pipeline_hybrid_retrieval",
+    "scalar_variant", "pipeline_corpus_build",
+    "pipeline_bpe_train", "pipeline_bpe_encode",
+    "sim_cosine_ivf", "sim_cosine_ivf_reuse",
+    "pipeline_kanon_generalize",
 )
 
 
 def _latest_row_round(name: str) -> int:
     """Most recent round whose on-disk driver artifact holds this
     query's correctness row (0 = never verified)."""
+    if name in _R12_WINDOW:
+        return 12
     if name in _R11_WINDOW:
         return 11
     if name in _R10_WINDOW:

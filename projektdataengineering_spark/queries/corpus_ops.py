@@ -376,13 +376,20 @@ def _bpe_cte_chain(n_merges: int) -> str:
     ),{",".join(iters)}"""
 
 
-# Single-task training guard: the merge loop runs on ONE executor
+# Single-task training guards: the merge loop runs on ONE executor
 # task over the word-TYPE table. Types follow Heaps' law (~10^7 for a
 # web-scale natural-language corpus), so the state is bounded by
 # VOCABULARY, not corpus size — but a corpus of random strings would
-# break that, so the task refuses loudly past this cap instead of
-# OOMing an executor.
+# break that, so the task refuses loudly past these caps instead of
+# OOMing an executor. The binding resource is NOT the row count but
+# the exploded in-task state (each word becomes a Python list of
+# single-char tokens: ~8 B/slot + ~160 B list+dict overhead per type),
+# so the primary cap is the SUM OF WORD LENGTHS: 2^28 chars ≈ 2.1 GB
+# of list slots, plus ≤20 M types ≈ 3 GB of per-type overhead — ~5-6 GB
+# peak, inside a 16 GB executor with headroom. For natural language
+# (mean type length ~8 chars) the char cap is the tighter one.
 _BPE_MAX_TYPES = 20_000_000
+_BPE_MAX_CHARS = 2**28
 
 
 def _bpe_word_types(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -439,6 +446,7 @@ def _bpe_vocab_from_batches(batches) -> dict:
     task into {word: [char_tokens + </w>, freq]}, enforcing the
     vocabulary guard."""
     vocab: dict = {}
+    total_chars = 0
     for pdf in batches:
         if len(vocab) + len(pdf) > _BPE_MAX_TYPES:
             raise ValueError(
@@ -447,6 +455,19 @@ def _bpe_vocab_from_batches(batches) -> dict:
                 "size (Heaps' law), and this corpus exceeds it — raise "
                 "_BPE_MAX_TYPES deliberately or pre-filter the type "
                 "table (e.g. min-frequency threshold) first"
+            )
+        # the char cap is checked BEFORE exploding this batch into
+        # per-char lists, so the guard fires while state is still the
+        # compact Arrow strings, not after the memory is already spent
+        total_chars += int(pdf["w"].str.len().sum() or 0)
+        if total_chars > _BPE_MAX_CHARS:
+            raise ValueError(
+                f"BPE training refuses > {_BPE_MAX_CHARS} total type "
+                "chars: the merge loop explodes every word type into a "
+                "per-char token list (~8 B/slot), and this corpus's "
+                "type table exceeds the single-task memory budget — "
+                "pre-filter the type table (min-frequency threshold) "
+                "or raise _BPE_MAX_CHARS deliberately"
             )
         for w, f in zip(pdf["w"].tolist(), pdf["freq"].tolist()):
             vocab[w] = [list(w) + [_END_TOK], int(f)]

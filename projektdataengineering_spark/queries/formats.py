@@ -310,6 +310,81 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Custom Python data source, STREAMING twin (Spark 4
+# SimpleDataSourceStreamReader)
+# ---------------------------------------------------------------------------
+
+_PYSTREAM_ROWS = 20000
+_PYSTREAM_BATCH = 6000
+
+_PYSTREAM_SQL = f"""
+    SELECT CAST(r % 10 AS INTEGER) AS bucket,
+           COUNT(*) AS n_rows,
+           CAST(SUM(r) AS BIGINT) AS id_checksum,
+           MIN(md5(CAST(r AS VARCHAR))) AS min_payload,
+           MAX(md5(CAST(r AS VARCHAR))) AS max_payload
+    FROM range({_PYSTREAM_ROWS}) t(r)
+    GROUP BY r % 10
+"""
+
+
+@query("scan_python_stream", oracle=_PYSTREAM_SQL)
+def scan_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python data source on the STREAM side — Spark 4's
+    ``simpleStreamReader`` API (sources/pydatasource.py
+    SyntheticDocsStreamReader), the one streaming Python-source surface
+    that runs without the state-channel protobuf runner: readStream
+    over the same deterministic synthdocs table, delivered in four
+    6000-row micro-batches (20000 rows total), aggregated by a
+    stateful complete-mode groupBy into a memory sink,
+    drained with processAllAvailable (availableNow stops after the
+    FIRST prefetch for simple readers — one read() call is 'now').
+
+    The DuckDB oracle recomputes the identical table from ``range(N)``
+    batch-side, so the hash certifies offset progression end-to-end:
+    every row exactly once across all micro-batch boundaries (an
+    off-by-one in read()'s [start, end) contract breaks id_checksum;
+    a re-delivered batch breaks n_rows). readBetweenOffsets replays
+    any committed range deterministically — the crash-replay contract
+    (tests/test_formats.py drives it directly).
+
+    Scale: the simple-reader form prefetches driver-side (right for
+    control-plane-sized streams — APIs, changelogs); a partition-
+    parallel firehose implements DataSourceStreamReader.partitions()
+    instead, same DataSource class, and the sink/agg side here is
+    unchanged. (sf_dir is unused — the source IS the data.)"""
+    from ..sources.pydatasource import register_synthetic_source
+    from ..streaming import stream_state_partitions
+
+    register_synthetic_source(spark)
+    stream = (
+        spark.readStream.format("synthdocs")
+        .option("rows", _PYSTREAM_ROWS)
+        .option("batchrows", _PYSTREAM_BATCH)
+        .load()
+    )
+    agg = stream.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("row_id").cast("long").alias("id_checksum"),
+        F.min("payload").alias("min_payload"),
+        F.max("payload").alias("max_payload"),
+    )
+    with stream_state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("scan_python_stream_sink")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        q.awaitTermination()
+    return spark.table("scan_python_stream_sink")
+
+
+# ---------------------------------------------------------------------------
 # Hive-partitioned warehouse round-trip (pruned re-read, end-to-end)
 # ---------------------------------------------------------------------------
 

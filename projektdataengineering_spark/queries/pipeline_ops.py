@@ -1346,8 +1346,12 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = cc.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
     )
+    # no forced broadcast: cluster mass is data-dependent (the near-dup
+    # fraction of the corpus), so the id-only cluster table is left to
+    # AQE — tiny here, shuffle-joined at 100 TB — rather than pinned to
+    # driver/executor memory (same fix as pipeline_neardup_apply)
     canon = (
-        docs.join(F.broadcast(clusters), "doc_id", "left")
+        docs.join(clusters, "doc_id", "left")
         .filter(
             F.coalesce("cluster_id", "doc_id") == F.col("doc_id")
         )
@@ -1697,6 +1701,51 @@ def pipeline_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KANON_K = 5
 
 
+def _kanon_assigned(docs: DataFrame) -> DataFrame:
+    """Per-document k-anonymity ladder assignment — the shared kernel
+    of pipeline_kanon_generalize (census view) and pipeline_kanon_apply
+    (executed release): each doc gets the FINEST length-band
+    generalization (100-char → 1000-char → banded-out '*') whose
+    (lang, source, band) equivalence class reaches k=_KANON_K, else
+    level 3 'suppressed'. All three ladder-level class sizes are
+    window counts whose partition keys CONTAIN (lang, source) — one
+    hashpartitioning exchange, three in-place sorts."""
+    d = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        (F.expr("n_chars div 100") * 100).alias("b100"),
+        (F.expr("n_chars div 1000") * 1000).alias("b1000"),
+    )
+    c2 = F.count(F.lit(1)).over(Window.partitionBy("lang", "source"))
+    c1 = F.count(F.lit(1)).over(Window.partitionBy("lang", "source", "b1000"))
+    c0 = F.count(F.lit(1)).over(Window.partitionBy("lang", "source", "b100"))
+    sized = d.select(
+        "doc_id", "lang", "source", "b100", "b1000",
+        c2.alias("c2"), c1.alias("c1"), c0.alias("c0"),
+    )
+    k = _KANON_K
+    level = (
+        F.when(F.col("c0") >= k, 0)
+        .when(F.col("c1") >= k, 1)
+        .when(F.col("c2") >= k, 2)
+        .otherwise(3)
+    )
+    band_label = (
+        F.when(F.col("c0") >= k, F.concat(F.lit("c"), F.col("b100").cast("string")))
+        .when(F.col("c1") >= k, F.concat(F.lit("c"), F.col("b1000").cast("string")))
+        .when(F.col("c2") >= k, F.lit("*"))
+        .otherwise(F.lit("suppressed"))
+    )
+    return sized.select(
+        "doc_id",
+        "lang",
+        "source",
+        level.cast("bigint").alias("level"),
+        band_label.alias("band_label"),
+    )
+
+
 @query(
     "pipeline_kanon_generalize",
     oracle=f"""
@@ -1753,44 +1802,221 @@ def pipeline_kanon_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars"
     )
-    d = docs.select(
-        "doc_id",
-        "lang",
-        "source",
-        (F.expr("n_chars div 100") * 100).alias("b100"),
-        (F.expr("n_chars div 1000") * 1000).alias("b1000"),
-    )
-    c2 = F.count(F.lit(1)).over(Window.partitionBy("lang", "source"))
-    c1 = F.count(F.lit(1)).over(Window.partitionBy("lang", "source", "b1000"))
-    c0 = F.count(F.lit(1)).over(Window.partitionBy("lang", "source", "b100"))
-    sized = d.select(
-        "lang", "source", "b100", "b1000",
-        c2.alias("c2"), c1.alias("c1"), c0.alias("c0"),
-    )
-    k = _KANON_K
-    level = (
-        F.when(F.col("c0") >= k, 0)
-        .when(F.col("c1") >= k, 1)
-        .when(F.col("c2") >= k, 2)
-        .otherwise(3)
-    )
-    band_label = (
-        F.when(F.col("c0") >= k, F.concat(F.lit("c"), F.col("b100").cast("string")))
-        .when(F.col("c1") >= k, F.concat(F.lit("c"), F.col("b1000").cast("string")))
-        .when(F.col("c2") >= k, F.lit("*"))
-        .otherwise(F.lit("suppressed"))
-    )
     return (
-        sized.select(
-            level.cast("bigint").alias("level"),
-            "lang",
-            "source",
-            band_label.alias("band_label"),
-        )
+        _kanon_assigned(docs)
         .groupBy("level", "lang", "source", "band_label")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("level", "lang", "source", "band_label")
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_kanon_apply (round 13) — EXECUTED k-anonymity release,
+# certified from disk (the gdpr_erasure discipline applied to the
+# generalization ladder)
+# ---------------------------------------------------------------------------
+
+_KANON_CTES = f"""d AS (
+      SELECT doc_id, lang, source,
+             (n_chars // 100) * 100 AS b100,
+             (n_chars // 1000) * 1000 AS b1000
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, lang, source, b100, b1000,
+             COUNT(*) OVER (PARTITION BY lang, source, b100) AS c0,
+             COUNT(*) OVER (PARTITION BY lang, source, b1000) AS c1,
+             COUNT(*) OVER (PARTITION BY lang, source) AS c2
+      FROM d
+    ),
+    assigned AS (
+      SELECT lang, source,
+             CASE WHEN c0 >= {_KANON_K} THEN 0
+                  WHEN c1 >= {_KANON_K} THEN 1
+                  WHEN c2 >= {_KANON_K} THEN 2
+                  ELSE 3 END AS level,
+             CASE WHEN c0 >= {_KANON_K} THEN 'c' || b100
+                  WHEN c1 >= {_KANON_K} THEN 'c' || b1000
+                  WHEN c2 >= {_KANON_K} THEN '*'
+                  ELSE 'suppressed' END AS band_label
+      FROM sized
+    )"""
+
+_KANON_APPLY_SQL = f"""
+    WITH {_KANON_CTES},
+    pubbed AS (
+      SELECT lang, source, level, band_label,
+             COUNT(*) OVER (PARTITION BY lang, source, level, band_label)
+               AS pub_c
+      FROM assigned
+    ),
+    final AS (
+      SELECT lang, source,
+             CASE WHEN level < 3 AND pub_c >= {_KANON_K}
+                  THEN level ELSE 3 END AS level,
+             CASE WHEN level < 3 AND pub_c >= {_KANON_K}
+                  THEN band_label ELSE 'suppressed' END AS band_label
+      FROM pubbed
+    ),
+    per_class AS (
+      SELECT lang, source, level, band_label, COUNT(*) AS c
+      FROM final WHERE level < 3
+      GROUP BY 1, 2, 3, 4
+    ),
+    pc AS (
+      SELECT lang, source,
+             CAST(SUM(c) AS BIGINT) AS n_released,
+             CAST(COUNT(*) AS BIGINT) AS n_classes,
+             CAST(MIN(c) AS BIGINT) AS min_class_size
+      FROM per_class GROUP BY 1, 2
+    ),
+    src AS (
+      SELECT lang, source,
+             CAST(COUNT(*) FILTER (WHERE level = 3) AS BIGINT) AS n_suppressed
+      FROM final GROUP BY 1, 2
+    )
+    SELECT src.lang, src.source,
+           COALESCE(pc.n_released, 0) AS n_released,
+           src.n_suppressed,
+           COALESCE(pc.n_classes, 0) AS n_classes,
+           pc.min_class_size,
+           (pc.min_class_size IS NULL OR pc.min_class_size >= {_KANON_K})
+             AS k_ok
+    FROM src LEFT JOIN pc USING (lang, source)
+"""
+
+
+def _kanon_workdir(sf_dir: str) -> str:
+    import os
+
+    from ..sources import source_fingerprint
+
+    fp = source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+        "kanon",
+        # _rs = residual-suppression release layout: the tag carries
+        # every semantics knob that shapes the released bytes, so a
+        # layout change can never silently reuse a stale release
+        f"{fp}_k{_KANON_K}_rs",
+    )
+
+
+@query("pipeline_kanon_apply", oracle=_KANON_APPLY_SQL)
+def pipeline_kanon_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED k-anonymity release — the round-12 verdict's #8,
+    completing the governance family's executed half alongside
+    pipeline_gdpr_erasure: the generalized quasi-identifier table
+    (doc_id, lang, source, level, band_label — the _kanon_assigned
+    ladder shared with pipeline_kanon_generalize's census view) is
+    physically WRITTEN with every suppressed row withheld (staged
+    write + atomic rename, content-addressed by the documents
+    fingerprint + k), and the release manifest is then measured with
+    the gdpr discipline: the released/class counts come FROM THE
+    RELEASED TABLE ON DISK, the suppressed count from the source.
+
+    The write applies the RESIDUAL-SUPPRESSION pass the census view
+    doesn't need: the ladder guarantees each doc's chosen band's
+    LADDER class reaches k, but docs escalated OUT of a fine band
+    leave behind published classes smaller than their ladder count
+    (e.g. 3 docs published at 'c1000' because their 100-char band was
+    thin, while the other 6 docs of that kilochar band went out at
+    level 0) — so rows whose PUBLISHED (lang, source, level,
+    band_label) class stays under k are suppressed too (generalize-
+    then-suppress, the standard global-recoding + record-suppression
+    combination). One extra window count; published classes keep
+    their full membership, so a single pass suffices.
+
+    Manifest per (lang, source): n_released + n_suppressed partition
+    the cell's documents exactly; n_classes/min_class_size audit the
+    published equivalence classes ((lang, source, level, band_label)
+    — the census grain); k_ok certifies min class size ≥ k for every
+    published class (vacuously true for a fully-suppressed cell). The
+    DuckDB oracle recomputes the whole ladder and the release census
+    from the raw documents table, so a hash match certifies the
+    physical table: exactly the sub-k rows were withheld, no released
+    class isolates fewer than k documents, and no bystander row was
+    lost.
+
+    Scale shape: assignment is the generalize query's one
+    (lang, source)-contained exchange; the release is one partitioned
+    write; the audit is two partial-aggregated scans (disk + source).
+    At 100 TB the release table partitions by (lang, source) so a
+    class audit prunes to its own cell."""
+    import os
+
+    from .layout import _atomic_dir_write
+
+    base = _kanon_workdir(sf_dir)
+    released_path = os.path.join(base, "released")
+    manifest_path = os.path.join(base, "manifest")
+    cols = [
+        "lang", "source", "n_released", "n_suppressed", "n_classes",
+        "min_class_size", "k_ok",
+    ]
+    if os.path.isdir(manifest_path):
+        return spark.read.parquet(manifest_path).select(*cols)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    k = _KANON_K
+    pub_c = F.count(F.lit(1)).over(
+        Window.partitionBy("lang", "source", "level", "band_label")
+    )
+    final = (
+        _kanon_assigned(docs)
+        .withColumn("pub_c", pub_c)
+        .withColumn(
+            "level",
+            F.when(
+                (F.col("level") < 3) & (F.col("pub_c") >= k), F.col("level")
+            ).otherwise(F.lit(3).cast("bigint")),
+        )
+        .withColumn(
+            "band_label",
+            F.when(F.col("level") < 3, F.col("band_label")).otherwise(
+                F.lit("suppressed")
+            ),
+        )
+        .drop("pub_c")
+    )
+    if not os.path.isdir(released_path):
+        rel = final.filter(F.col("level") < 3)
+        _atomic_dir_write(lambda p: rel.write.parquet(p), released_path)
+
+    per_class = (
+        spark.read.parquet(released_path)
+        .groupBy("lang", "source", "level", "band_label")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pc = per_class.groupBy("lang", "source").agg(
+        F.sum("c").cast("long").alias("n_released"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("c").cast("long").alias("min_class_size"),
+    )
+    src = final.groupBy("lang", "source").agg(
+        F.sum(F.when(F.col("level") == 3, 1).otherwise(0))
+        .cast("long")
+        .alias("n_suppressed")
+    )
+    result = src.join(pc, ["lang", "source"], "left").select(
+        "lang",
+        "source",
+        F.coalesce("n_released", F.lit(0)).cast("long").alias("n_released"),
+        "n_suppressed",
+        F.coalesce("n_classes", F.lit(0)).cast("long").alias("n_classes"),
+        "min_class_size",
+        (
+            F.col("min_class_size").isNull()
+            | (F.col("min_class_size") >= _KANON_K)
+        ).alias("k_ok"),
+    )
+    _atomic_dir_write(
+        lambda p: result.coalesce(1).write.parquet(p), manifest_path
+    )
+    return spark.read.parquet(manifest_path).select(*cols)
 
 
 # ---------------------------------------------------------------------------

@@ -219,7 +219,7 @@ def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
            THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END AS vcents,
       user_id AS second_id,
       CAST(NULL AS BIGINT) AS missing_leg,
-      CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k,
+      TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k,
       TRUE AS malformed_is_null
     FROM events
     """,
@@ -263,7 +263,13 @@ def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.m.c", "long").alias("vcents"),
         F.variant_get(v, "$.ids[1]", "long").alias("second_id"),
         F.try_variant_get(v, "$.nothing.here", "long").alias("missing_leg"),
-        F.variant_get(F.parse_json("props"), "$.k", "long").alias("props_k"),
+        # try_* on the RAW props leg: one malformed document or a
+        # non-integer $.k degrades to NULL (matching the oracle's
+        # TRY_CAST) instead of aborting the whole query — the
+        # engine-built `v` document above keeps strict variant_get
+        # because its shape is ours by construction
+        F.try_variant_get(F.try_parse_json(F.col("props")), "$.k", "long")
+        .alias("props_k"),
         F.try_parse_json(F.concat(F.lit("{"), F.col("props")))
         .isNull()
         .alias("malformed_is_null"),

@@ -682,6 +682,38 @@ def _ivf_centroids(
     return cents
 
 
+def _ivf_assign(df: DataFrame, cents_bc, nprobe: int = _IVF_NPROBE) -> DataFrame:
+    """Map-side IVF cell assignment — the probe half of the index:
+    one broadcast-centroid BLAS argmax per Arrow batch stamps each
+    (vec_id, vec) row with its rank-1 ``cell`` (where the vector LIVES
+    as a member) and its top-``nprobe`` ``probes`` (where a query for
+    it LOOKS). Shared by ivf_top3 and dedup_embedding_incremental —
+    one definition of the assignment geometry, so the persisted member
+    index and the batch probes can never disagree on the quantizer."""
+
+    def assign(batches):
+        c = cents_bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+            unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            dots = unit @ c.T
+            order = np.argsort(-dots, kind="stable", axis=1)[:, :nprobe]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "vec": list(pdf["vec"]),
+                    "cell": order[:, 0].astype("int32"),
+                    "probes": list(order.astype("int32")),
+                }
+            )
+
+    return df.mapInPandas(
+        assign, "vec_id long, vec array<double>, cell int, probes array<int>"
+    )
+
+
 def ivf_top3(
     spark: SparkSession, sf_dir: str, force_disk_reload: bool = False
 ) -> DataFrame:
@@ -710,28 +742,7 @@ def ivf_top3(
     e = _embeddings_normed(spark, sf_dir).select("vec_id", "vec").localCheckpoint()
     cents = _ivf_centroids(spark, sf_dir, e, force_disk_reload=force_disk_reload)
     bc = spark.sparkContext.broadcast(cents)
-
-    def assign(batches):
-        c = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
-            unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-            dots = unit @ c.T
-            order = np.argsort(-dots, kind="stable", axis=1)[:, :_IVF_NPROBE]
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "vec": list(pdf["vec"]),
-                    "cell": order[:, 0].astype("int32"),
-                    "probes": list(order.astype("int32")),
-                }
-            )
-
-    a = e.mapInPandas(
-        assign, "vec_id long, vec array<double>, cell int, probes array<int>"
-    ).localCheckpoint()
+    a = _ivf_assign(e, bc).localCheckpoint()
     members = a.select("cell", F.lit(0).alias("role"), "vec_id", "vec")
     probes = a.select(
         F.explode("probes").alias("cell"), F.lit(1).alias("role"), "vec_id", "vec"
@@ -1990,3 +2001,390 @@ def sim_cosine_exact_pairs(
     if count_only:
         res = res.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     return res
+
+
+# ---------------------------------------------------------------------------
+# dedup_embedding_incremental (round 13) — incremental near-dup dedup of
+# a NEW batch of vectors against the PERSISTED IVF index: the
+# dedup_incremental_neardup loop (pipeline_ops.py) applied to the
+# embedding modality, closing the incremental story across BOTH dedup
+# modalities (text signatures + vectors).
+# ---------------------------------------------------------------------------
+
+# Deterministic corpus/batch split, the dedup_incremental_neardup rule
+# applied to vec_id: first hex char of md5(vec_id#incr) in '0123' →
+# ~25% of vectors play the NEW-ARRIVALS batch. The batch additionally
+# carries the planted ±6% near-dup twins of every _TWIN_EVERY-th BASE
+# vector (dedup.py's construction, verbatim): a twin of a CORPUS
+# vector must come back dup_of_corpus, a twin of a BATCH vector
+# dup_of_batch (first-wins), and the random rest keep.
+_EINC_BATCH_POS = 4
+_EINC_SPLIT_SPARK = (
+    "locate(substring(md5(concat(cast(vec_id as string), '#incr')), 1, 1),"
+    f" '0123456789abcdef') <= {_EINC_BATCH_POS}"
+)
+_EINC_SPLIT_DUCK = (
+    "strpos('0123456789abcdef',"
+    " substring(md5(CAST(vec_id AS VARCHAR) || '#incr'), 1, 1))"
+    f" <= {_EINC_BATCH_POS}"
+)
+
+_EMBED_INDEX_BUILDS = 0  # tests assert index reuse skips the build
+
+
+def _embed_index_path(sf_dir: str) -> str:
+    """Persisted corpus cell-index location — the _ivf_index_path /
+    _neardup_index_path keying discipline: embeddings-source content
+    fingerprint + every parameter that shapes the stored cells (the
+    quantizer's hyperparameters and the corpus/batch split), so a
+    regenerated fixture or retuned index can never silently reuse a
+    stale member table."""
+    import os
+
+    from ..sources import source_fingerprint
+
+    fp = source_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    tag = f"{fp}_k{_IVF_K}_i{_IVF_ITERS}_d{_IVF_DIM}_b{_EINC_BATCH_POS}"
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+        "embed_ivf_index",
+        f"cells_{tag}",
+    )
+
+
+def _corpus_cell_index(spark: SparkSession, sf_dir: str, cents_bc) -> DataFrame:
+    """Read-or-build the CORPUS side of the embedding dedup index: the
+    IVF inverted lists as parquet rows (vec_id, vec, cell) — faiss's
+    layout expressed relationally. Built once per corpus version
+    (write-temp + atomic rename); every later batch reads members
+    straight from parquet and the corpus is never re-assigned, so the
+    nightly loop is O(batch) like its MinHash twin."""
+    global _EMBED_INDEX_BUILDS
+    import os
+
+    from .layout import _atomic_dir_write
+
+    path = _embed_index_path(sf_dir)
+    if not os.path.isdir(path):
+        corpus = (
+            _embeddings_normed(spark, sf_dir)
+            .select("vec_id", "vec")
+            .filter(~F.expr(_EINC_SPLIT_SPARK))
+        )
+        members = _ivf_assign(corpus, cents_bc).select("vec_id", "vec", "cell")
+        _atomic_dir_write(lambda p: members.write.parquet(p), path)
+        _EMBED_INDEX_BUILDS += 1
+    return spark.read.parquet(path)
+
+
+def _einc_oracle() -> str:
+    from .dedup import (
+        EMBEDDING_DUP_THRESHOLD,
+        _TWIN_AMPLITUDE,
+        _TWIN_EVERY,
+        _TWIN_OFFSET,
+    )
+
+    comp = """
+      SELECT vec_id, generate_subscripts(emb, 1) AS i,
+             CAST(unnest(emb) AS DOUBLE) AS x,
+             sqrt(list_sum([CAST(v AS DOUBLE) * v for v in emb])) AS nrm
+      FROM {src}
+    """
+    return f"""
+    WITH base AS (SELECT vec_id, embedding AS emb FROM embeddings),
+    twins AS (
+      SELECT vec_id + {_TWIN_OFFSET} AS vec_id,
+             list_transform(range(1, len(emb) + 1),
+                i -> emb[i] * (1.0 + {_TWIN_AMPLITUDE} * (((i - 1) % 7) - 3) / 3.0)) AS emb
+      FROM base WHERE vec_id % {_TWIN_EVERY} = 0
+    ),
+    corpus AS (SELECT vec_id, emb FROM base WHERE NOT ({_EINC_SPLIT_DUCK})),
+    batch AS (
+      SELECT vec_id, emb FROM base WHERE {_EINC_SPLIT_DUCK}
+      UNION ALL SELECT vec_id, emb FROM twins
+    ),
+    comp_c AS ({comp.format(src="corpus")}),
+    comp_b AS ({comp.format(src="batch")}),
+    cm AS (
+      SELECT id_b AS vec_id, MIN(id_c) AS dup_of_corpus FROM (
+        SELECT b.vec_id AS id_b, c.vec_id AS id_c,
+               SUM(b.x * c.x) / (ANY_VALUE(b.nrm) * ANY_VALUE(c.nrm)) AS cos_sim
+        FROM comp_b b JOIN comp_c c ON b.i = c.i
+        GROUP BY 1, 2)
+      WHERE cos_sim >= {EMBEDDING_DUP_THRESHOLD} GROUP BY 1
+    ),
+    bm AS (
+      SELECT id_q AS vec_id, MIN(id_n) AS batch_min FROM (
+        SELECT a.vec_id AS id_n, q.vec_id AS id_q,
+               SUM(a.x * q.x) / (ANY_VALUE(a.nrm) * ANY_VALUE(q.nrm)) AS cos_sim
+        FROM comp_b a JOIN comp_b q ON a.i = q.i AND a.vec_id < q.vec_id
+        GROUP BY 1, 2)
+      WHERE cos_sim >= {EMBEDDING_DUP_THRESHOLD} GROUP BY 1
+    )
+    SELECT bt.vec_id,
+           cm.dup_of_corpus,
+           CASE WHEN cm.dup_of_corpus IS NULL THEN bm.batch_min END
+             AS dup_of_batch,
+           (cm.dup_of_corpus IS NULL AND bm.batch_min IS NULL) AS keep
+    FROM batch bt
+    LEFT JOIN cm USING (vec_id)
+    LEFT JOIN bm USING (vec_id)
+    """
+
+
+@query("dedup_embedding_incremental", family="dedup", oracle=_einc_oracle())
+def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EMBEDDING near-dup dedup against the persisted IVF
+    index — the round-12 verdict's #5: dedup_incremental_neardup's
+    nightly loop (sign batch → probe persisted index → keep/dup
+    verdict) applied to the vector modality. The coarse quantizer is
+    THE existing persisted artifact (_ivf_centroids — trained at most
+    once per corpus version, fingerprint-keyed .npy shared with
+    sim_cosine_ivf); the corpus members live as a second persisted
+    artifact, the IVF inverted lists as parquet (vec_id, vec, cell),
+    built once and NEVER re-assigned per batch (_corpus_cell_index).
+    Grounding: reference R11 checksum-dedup + O4 idempotent replay
+    (ingestion.py:58-75) lifted from exact checksums to vector
+    similarity, the same lift the MinHash twin makes for text.
+
+    Per batch vector (the md5-split fresh quarter + the planted ±6%
+    twins of every 20th base vector): dup_of_corpus = smallest corpus
+    vec_id with cosine ≥ 0.95 (content already indexed — drop);
+    dup_of_batch = smallest EARLIER batch vec_id ≥ 0.95 when no corpus
+    match (first-wins inside the batch, the O4 discipline); keep =
+    neither. Candidates come from the index geometry — each batch
+    vector probes its _IVF_NPROBE nearest cells and meets only those
+    cells' members (corpus members from the persisted lists, batch
+    members rank-1-assigned on the fly) in a per-cell BLAS threshold
+    scan; ids only ever leave the kernel.
+
+    The DuckDB oracle replays the verdict with EXACT all-pairs cosine
+    (no index), so the driver hash-match proves the probed candidate
+    set reached recall 1.0 on every ≥ 0.95 pair at the checked SF —
+    the dedup_embedding_cosine certification applied to the IVF path
+    (twin margins cos ≈ 0.998 vs random ≤ ~0.6 keep the boolean off
+    any knife edge). Index build-skip on second invocation is pinned
+    by tests/test_operators.py via _EMBED_INDEX_BUILDS.
+
+    Scale shape: O(corpus) work happens once per corpus version (the
+    quantizer training and one member-assignment pass, both persisted);
+    per batch, only batch vectors are assigned (map-side broadcast
+    argmax), and the quadratic work is confined to probed-cell × batch
+    blocks — vectors shuffle once per role, never per pair. At 100 TB
+    the member lists are the partition layout (cell-partitioned
+    parquet), so a batch probe prunes to nprobe/K of the corpus by
+    partition pruning alone."""
+    batch, cm, bm = _einc_probe_frames(spark, sf_dir)
+    return (
+        batch.select("vec_id")
+        .join(cm, "vec_id", "left")
+        .join(bm, "vec_id", "left")
+        .select(
+            "vec_id",
+            "dup_of_corpus",
+            F.when(F.col("dup_of_corpus").isNull(), F.col("batch_min"))
+            .cast("long")
+            .alias("dup_of_batch"),
+            (
+                F.col("dup_of_corpus").isNull() & F.col("batch_min").isNull()
+            ).alias("keep"),
+        )
+    )
+
+
+def _einc_probe_frames(spark: SparkSession, sf_dir: str):
+    """The probe side shared by dedup_embedding_incremental (verdict
+    table) and dedup_embedding_index_append (v2 install): (batch, cm,
+    bm) — batch is the assigned new-arrivals frame (fresh md5-split
+    vectors + planted twins, lazily localCheckpointed: it feeds the
+    batch-member leg, the probe leg, and the verdict spine), cm/bm the
+    min-id corpus/batch match tables from the per-cell BLAS threshold
+    scan."""
+    from .dedup import (
+        EMBEDDING_DUP_THRESHOLD,
+        _TWIN_AMPLITUDE,
+        _TWIN_EVERY,
+        _TWIN_OFFSET,
+    )
+
+    e = _embeddings_normed(spark, sf_dir).select("vec_id", "vec")
+    cents = _ivf_centroids(
+        spark, sf_dir, e.localCheckpoint(eager=False)
+    )
+    bc = spark.sparkContext.broadcast(cents)
+
+    members_c = _corpus_cell_index(spark, sf_dir, bc)
+    fresh = e.filter(F.expr(_EINC_SPLIT_SPARK))
+    twins = e.filter(F.col("vec_id") % _TWIN_EVERY == 0).select(
+        (F.col("vec_id") + _TWIN_OFFSET).alias("vec_id"),
+        F.transform(
+            "vec",
+            lambda x, i: x
+            * (1.0 + _TWIN_AMPLITUDE * ((i % 7).cast("double") - 3.0) / 3.0),
+        ).alias("vec"),
+    )
+    batch = _ivf_assign(fresh.unionByName(twins), bc).localCheckpoint(
+        eager=False
+    )  # three consumers: batch members, probes, verdict spine
+
+    members = members_c.select(
+        "cell", F.lit(0).alias("role"), F.lit(0).alias("src"), "vec_id", "vec"
+    ).unionByName(
+        batch.select(
+            "cell", F.lit(0).alias("role"), F.lit(1).alias("src"), "vec_id", "vec"
+        )
+    )
+    probes = batch.select(
+        F.explode("probes").alias("cell"),
+        F.lit(1).alias("role"),
+        F.lit(-1).alias("src"),
+        "vec_id",
+        "vec",
+    )
+    tau = EMBEDDING_DUP_THRESHOLD
+
+    def cell_matches(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = pdf[pdf["role"] == 0]
+        q = pdf[pdf["role"] == 1]
+        empty = pd.DataFrame({"id_q": [], "id_n": [], "src": []}).astype(
+            {"id_q": "int64", "id_n": "int64", "src": "int32"}
+        )
+        if len(m) == 0 or len(q) == 0:
+            return empty
+        mm = np.stack([np.asarray(v, dtype=np.float64) for v in m["vec"]])
+        qm = np.stack([np.asarray(v, dtype=np.float64) for v in q["vec"]])
+        mu = mm / np.linalg.norm(mm, axis=1, keepdims=True)
+        qu = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        ids_m = m["vec_id"].to_numpy()
+        ids_q = q["vec_id"].to_numpy()
+        src_m = m["src"].to_numpy()
+        cos = qu @ mu.T
+        hit_q, hit_m = np.nonzero(
+            (cos >= tau) & (ids_q[:, None] != ids_m[None, :])
+        )
+        if len(hit_q) == 0:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_q": ids_q[hit_q],
+                "id_n": ids_m[hit_m],
+                "src": src_m[hit_m].astype("int32"),
+            }
+        )
+
+    # a member lives in exactly one cell and a probe's cells are
+    # distinct, so a (q, n) pair is scored at most once — no distinct
+    pairs = members.unionByName(probes).groupBy("cell").applyInPandas(
+        cell_matches, "id_q long, id_n long, src int"
+    )
+    cm = (
+        pairs.filter(F.col("src") == 0)
+        .groupBy(F.col("id_q").alias("vec_id"))
+        .agg(F.min("id_n").cast("long").alias("dup_of_corpus"))
+    )
+    bm = (
+        pairs.filter((F.col("src") == 1) & (F.col("id_n") < F.col("id_q")))
+        .groupBy(F.col("id_q").alias("vec_id"))
+        .agg(F.min("id_n").cast("long").alias("batch_min"))
+    )
+    return batch, cm, bm
+
+
+def _einc_append_oracle() -> str:
+    """Versioned-index audit oracle: v1 = the corpus members, v2 = v1 ∪
+    the keep-verdict batch vectors, both recomputed from raw embeddings
+    through the same CTE chain as the probe oracle (EXACT all-pairs
+    cosine — one definition of the incremental semantics)."""
+    base = _einc_oracle()
+    with_part, select_part = base.split("SELECT bt.vec_id", 1)
+    del select_part
+    return f"""{with_part}
+    , keepers AS (
+      SELECT bt.vec_id FROM batch bt
+      LEFT JOIN cm USING (vec_id)
+      LEFT JOIN bm USING (vec_id)
+      WHERE cm.dup_of_corpus IS NULL AND bm.batch_min IS NULL
+    ),
+    versions AS (
+      SELECT 1 AS version, vec_id FROM corpus
+      UNION ALL SELECT 2 AS version, vec_id FROM corpus
+      UNION ALL SELECT 2 AS version, vec_id FROM keepers
+    )
+    SELECT CAST(version AS BIGINT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_entries,
+           CAST(SUM(vec_id) AS BIGINT) AS id_sum,
+           CAST(MIN(vec_id) AS BIGINT) AS min_id,
+           CAST(MAX(vec_id) AS BIGINT) AS max_id
+    FROM versions GROUP BY 1
+    """
+
+
+@query(
+    "dedup_embedding_index_append", family="dedup", oracle=_einc_append_oracle()
+)
+def dedup_embedding_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMMIT half of incremental embedding dedup — the
+    dedup_neardup_index_append discipline on the vector modality:
+    after the batch verdict (dedup_embedding_incremental), the KEPT
+    batch vectors are physically installed, with their rank-1 cells,
+    as index version v2 = v1 ∪ keepers (staged write + atomic rename,
+    content-addressed by the embeddings fingerprint), closing the
+    nightly loop (assign batch → probe v_n → cut → append → v_n+1)
+    without EVER re-assigning the corpus. Only kept vectors enter —
+    a dup's near-identical geometry is already represented by its
+    canonical, so indexing it would bloat the cell lists with
+    redundant members; by the twin construction every planted twin is
+    a dup, so v2 − v1 is exactly the kept fresh vectors.
+
+    The audit is measured FROM BOTH ON-DISK versions (entries, id
+    sum, id range per version — the merge_timetravel discipline), and
+    the oracle recomputes v1 AND v2 from the raw embeddings through
+    the probe oracle's own CTE chain (exact all-pairs cosine), so the
+    hash certifies the physical append: exactly the keep-verdict
+    vectors were added, nothing dropped or duplicated, v1 undisturbed.
+    tests/test_operators.py pins v2 − v1 ≡ kept rows with the cells
+    the shared _ivf_assign geometry dictates, plus byte-identical
+    replay.
+
+    Scale shape: the append is one O(batch) parquet write; the audit
+    two partial-aggregated index scans. At 100 TB versions live in a
+    catalog manifest and the append is a metadata commit of
+    batch-sized, cell-partitioned files — same bound."""
+    import os
+
+    from .layout import _atomic_dir_write
+
+    v1_path = _embed_index_path(sf_dir)
+    v2_path = f"{v1_path}_v2"
+    e = _embeddings_normed(spark, sf_dir).select("vec_id", "vec")
+    cents = _ivf_centroids(spark, sf_dir, e.localCheckpoint(eager=False))
+    bc = spark.sparkContext.broadcast(cents)
+    # read-or-build v1 UNCONDITIONALLY (no-op read when present): a
+    # partially cleaned scratch dir must self-heal, not fail the audit
+    v1 = _corpus_cell_index(spark, sf_dir, bc)
+    if not os.path.isdir(v2_path):
+        batch, cm, bm = _einc_probe_frames(spark, sf_dir)
+        keepers = (
+            batch.join(cm, "vec_id", "left")
+            .join(bm, "vec_id", "left")
+            .filter(
+                F.col("dup_of_corpus").isNull() & F.col("batch_min").isNull()
+            )
+            .select("vec_id", "vec", "cell")
+        )
+        v2 = v1.select("vec_id", "vec", "cell").unionByName(keepers)
+        _atomic_dir_write(lambda p: v2.write.parquet(p), v2_path)
+
+    def audit(version: int, path: str) -> DataFrame:
+        idx = spark.read.parquet(path)
+        return idx.agg(
+            F.lit(version).cast("long").alias("version"),
+            F.count(F.lit(1)).cast("long").alias("n_entries"),
+            F.sum("vec_id").cast("long").alias("id_sum"),
+            F.min("vec_id").cast("long").alias("min_id"),
+            F.max("vec_id").cast("long").alias("max_id"),
+        )
+
+    return audit(1, v1_path).unionByName(audit(2, v2_path))

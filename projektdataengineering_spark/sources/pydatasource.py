@@ -25,12 +25,20 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class SyntheticDocsDataSource(DataSource):
     """``spark.read.format("synthdocs").option("rows", N)`` — a
-    deterministic generated table (row_id, bucket, payload)."""
+    deterministic generated table (row_id, bucket, payload). The same
+    format name also serves ``spark.readStream`` via
+    ``simpleStreamReader`` (the Spark-4 streaming Python-source API),
+    emitting the SAME table in ``batchRows``-sized micro-batches."""
 
     @classmethod
     def name(cls) -> str:
@@ -41,6 +49,9 @@ class SyntheticDocsDataSource(DataSource):
 
     def reader(self, schema) -> "SyntheticDocsReader":
         return SyntheticDocsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "SyntheticDocsStreamReader":
+        return SyntheticDocsStreamReader(self.options)
 
 
 class SyntheticDocsReader(DataSourceReader):
@@ -55,8 +66,53 @@ class SyntheticDocsReader(DataSourceReader):
         i = partition.value
         lo = self.n_rows * i // self.n_parts
         hi = self.n_rows * (i + 1) // self.n_parts
-        for r in range(lo, hi):
-            yield (r, r % 10, hashlib.md5(str(r).encode()).hexdigest())
+        return _gen_rows(lo, hi)
+
+
+def _gen_rows(lo: int, hi: int):
+    """The source's one row-generation rule, shared by the batch and
+    stream readers so the streaming path provably emits the SAME table:
+    row r → (r, r % 10, md5(str(r)))."""
+    for r in range(lo, hi):
+        yield (r, r % 10, hashlib.md5(str(r).encode()).hexdigest())
+
+
+class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin of SyntheticDocsReader — the engine's
+    source-extension seam on the STREAM side (Spark 4
+    SimpleDataSourceStreamReader; the full DataSourceStreamReader's
+    partition-parallel variant needs the state-channel protobuf runner
+    the sandbox lacks, while the simple form runs pure in-process).
+
+    Offsets are ``{"offset": n}`` — rows emitted so far. Each
+    ``read(start)`` call (one micro-batch) advances by up to
+    ``batchRows`` until ``rows`` is exhausted, after which it reports
+    no progress (same offset back) and an availableNow query
+    terminates. ``readBetweenOffsets`` regenerates any committed range
+    deterministically, which is exactly the replay contract Spark uses
+    when a batch is re-executed after failure — determinism IS the
+    exactly-once story here, the same discipline as the parquet
+    replay-idempotence tests (O4)."""
+
+    def __init__(self, options) -> None:
+        self.n_rows = int(options.get("rows", "1000"))
+        self.batch_rows = int(options.get("batchrows", "250"))
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def read(self, start: dict):
+        lo = int(start["offset"])
+        hi = min(lo + self.batch_rows, self.n_rows)
+        # iter(list), not a bare generator or list: the prefetch wrapper
+        # (pyspark.sql.datasource_internal) next()s the result to detect
+        # empty progress, copy.copy()s cache entries on replay, and
+        # pickles the batch driver→executor — a list_iterator satisfies
+        # all three, a generator none
+        return iter(list(_gen_rows(lo, hi))), {"offset": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(list(_gen_rows(int(start["offset"]), int(end["offset"]))))
 
 
 def register_synthetic_source(spark) -> None:

@@ -119,8 +119,12 @@ def dedup_stream_first_wins(keyed: DataFrame, horizon: str | None = None) -> Dat
     )
 
 
-# Bucketed first-wins dedup: SAME semantics as dedup_stream_first_wins,
-# keyed-state granularity a HASH BUCKET of keys instead of one key (the
+# Bucketed first-wins dedup: identical to dedup_stream_first_wins
+# WHILE NO HORIZON EXPIRY FIRES (always, when horizon=None; see the
+# eager-vs-lazy divergence below for replays where a deadline passes —
+# a key re-arriving in the same batch its deadline expired is a fresh
+# first here vs a counted duplicate in the per-key twin), keyed-state
+# granularity a HASH BUCKET of keys instead of one key (the
 # attribution_stream posture): applyInPandasWithState pays one
 # python/Arrow round-trip per GROUP per batch, and at sf1 the per-KEY
 # form's ~10⁴ round-trips were the whole cost (9.9 s, the suite's

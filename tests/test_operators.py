@@ -889,6 +889,43 @@ def test_zorder_layout_beats_single_dim_sort(spark, sf_dir):
     assert m_z < 0.5 * m_sorted, (m_z, m_sorted)
 
 
+def test_bpe_vocab_guards_refuse_oversized_type_tables():
+    """The single-task BPE merge loop must refuse loudly BEFORE
+    exploding an oversized type table into per-char lists: both the
+    row-count cap and the round-13 sum-of-word-lengths cap (the real
+    memory bound — r12 ADVICE) fire as ValueError, and the char cap
+    fires before the offending batch is exploded."""
+    import pandas as pd
+    import pytest
+    from projektdataengineering_spark.queries import corpus_ops as C
+
+    ok = pd.DataFrame({"w": ["ab", "cde"], "freq": [2, 1]})
+    vocab = C._bpe_vocab_from_batches([ok])
+    assert vocab["ab"] == [["a", "b", C._END_TOK], 2]
+
+    # row-count cap
+    big = pd.DataFrame({"w": ["x"], "freq": [1]})
+    orig_types = C._BPE_MAX_TYPES
+    try:
+        C._BPE_MAX_TYPES = 0
+        with pytest.raises(ValueError, match="word types"):
+            C._bpe_vocab_from_batches([big])
+    finally:
+        C._BPE_MAX_TYPES = orig_types
+
+    # char cap: first batch fits, second overflows and must NOT land
+    orig_chars = C._BPE_MAX_CHARS
+    try:
+        C._BPE_MAX_CHARS = 4
+        with pytest.raises(ValueError, match="total type chars"):
+            C._bpe_vocab_from_batches(
+                [pd.DataFrame({"w": ["abcd"], "freq": [1]}),
+                 pd.DataFrame({"w": ["efgh"], "freq": [1]})]
+            )
+    finally:
+        C._BPE_MAX_CHARS = orig_chars
+
+
 def test_bpe_train_matches_python_reference(spark, sf_dir, duck):
     """The distributed BPE loop must learn EXACTLY the merge table a
     textbook single-process BPE learns on the same corpus (same
@@ -946,6 +983,52 @@ def test_python_datasource_partition_contract(spark):
     assert sorted(r["row_id"] for r in rows) == list(range(1000))
     probe = next(r for r in rows if r["row_id"] == 123)
     assert probe["payload"] == hashlib.md5(b"123").hexdigest()
+
+
+def test_python_stream_reader_offset_progression(spark):
+    """The streaming reader's offset contract, driven directly (the
+    unit of the scan_python_stream query) and through a real two-batch
+    streaming run: [start, end) ranges tile the table with no overlap,
+    the exhausted source reports no progress, and readBetweenOffsets
+    replays a committed range byte-identically (the crash-replay
+    contract)."""
+    import hashlib
+    from pyspark.sql import functions as F
+    from projektdataengineering_spark.sources.pydatasource import (
+        SyntheticDocsStreamReader, register_synthetic_source)
+
+    r = SyntheticDocsStreamReader({"rows": "500", "batchrows": "300"})
+    o0 = r.initialOffset()
+    assert o0 == {"offset": 0}
+    it1, o1 = r.read(o0)
+    assert o1 == {"offset": 300} and len(list(it1)) == 300
+    it2, o2 = r.read(o1)
+    rows2 = list(it2)
+    assert o2 == {"offset": 500} and len(rows2) == 200  # tail batch
+    assert rows2[0][0] == 300  # second batch starts where the first ended
+    it3, o3 = r.read(o2)
+    assert o3 == o2 and list(it3) == []  # exhausted: no progress
+    # replay of batch 2 is identical, including payload bytes
+    replay = list(r.readBetweenOffsets(o1, o2))
+    assert replay == rows2
+    assert replay[0][2] == hashlib.md5(b"300").hexdigest()
+
+    # end-to-end: two micro-batches through the real streaming engine
+    register_synthetic_source(spark)
+    stream = (spark.readStream.format("synthdocs")
+              .option("rows", 500).option("batchrows", 300).load())
+    agg = stream.agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("row_id").alias("checksum"))
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName("pystream_test_sink").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    q.awaitTermination()
+    got = spark.table("pystream_test_sink").collect()[0]
+    assert (got["n"], got["checksum"]) == (500, sum(range(500)))
+    assert len(q.recentProgress) >= 2  # genuinely micro-batched
 
 
 def test_hll_sketch_union_is_batching_independent(spark, sf_dir):
@@ -1855,6 +1938,64 @@ def test_semireduced_prunes_both_exchange_inputs(spark, sf_dir):
     assert got == plain
 
 
+def test_embedding_incremental_index_reuse_and_verdict(spark, sf_dir):
+    """dedup_embedding_incremental (round 13): (a) the corpus IVF
+    member index is built at most ONCE per embeddings fingerprint and
+    every later call probes the persisted parquet instead of
+    re-assigning the corpus — and the quantizer itself is NOT
+    retrained for the second call either (the _ivf_centroids
+    train-once contract composes); (b) the verdict partitions the
+    batch with all three classes exercised by the planted twins:
+    a corpus-vector twin → dup_of_corpus = its original, a
+    batch-vector twin → dup_of_batch = its original, random rest →
+    keep."""
+    import os
+    import shutil
+
+    from projektdataengineering_spark.queries import similarity as S
+    from projektdataengineering_spark.queries.dedup import (
+        _TWIN_EVERY, _TWIN_OFFSET)
+
+    path = S._embed_index_path(sf_dir)
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+
+    builds0 = S._EMBED_INDEX_BUILDS
+    r1 = S.dedup_embedding_incremental(spark, sf_dir)
+    rows1 = sorted(map(tuple, r1.collect()))
+    assert S._EMBED_INDEX_BUILDS == builds0 + 1, "first call must build"
+    assert os.path.isdir(path), "member index must be persisted"
+
+    trains0 = S._IVF_TRAIN_RUNS
+    r2 = S.dedup_embedding_incremental(spark, sf_dir)
+    rows2 = sorted(map(tuple, r2.collect()))
+    assert S._EMBED_INDEX_BUILDS == builds0 + 1, "second call must NOT rebuild"
+    assert S._IVF_TRAIN_RUNS == trains0, "second call must NOT retrain"
+    assert rows1 == rows2
+
+    # the probe plan reads the CORPUS side from the index parquet
+    assert any(path in f for f in r2.inputFiles()), (path, r2.inputFiles())
+
+    # verdict partition + planted-twin ground truth
+    by_id = {r[0]: r for r in rows1}
+    n_corpus_dup = n_batch_dup = n_keep = 0
+    for vec_id, dup_c, dup_b, keep in rows1:
+        assert keep == (dup_c is None and dup_b is None), by_id[vec_id]
+        if vec_id >= _TWIN_OFFSET:  # a planted twin: must point at its orig
+            orig = vec_id - _TWIN_OFFSET
+            assert dup_c == orig or dup_b == orig, by_id[vec_id]
+        n_corpus_dup += dup_c is not None
+        n_batch_dup += dup_b is not None
+        n_keep += bool(keep)
+    assert n_corpus_dup and n_batch_dup and n_keep, (
+        n_corpus_dup, n_batch_dup, n_keep)
+    # every twin of a batch-side original is a batch dup, not corpus
+    for vec_id, dup_c, dup_b, keep in rows1:
+        if vec_id >= _TWIN_OFFSET and (vec_id - _TWIN_OFFSET) in by_id:
+            assert dup_b == vec_id - _TWIN_OFFSET and dup_c is None, (
+                by_id[vec_id])
+
+
 def test_incremental_neardup_index_reuse_and_partition(spark, sf_dir):
     """dedup_incremental_neardup (round 12): (a) the corpus signature
     index is built at most ONCE per corpus fingerprint and every later
@@ -1945,6 +2086,107 @@ def test_merge_replay_is_byte_identical_and_timetravel_consistent(spark, sf_dir)
         ins = audit1.get((b, "insert"), (0,))[0]
         dels = audit1.get((b, "delete"), (0,))[0]
         assert v1.get(b, 0) == v0.get(b, 0) + ins - dels, (b, v0, v1, audit1)
+
+
+def test_kanon_apply_release_is_k_anonymous_from_disk(spark, sf_dir):
+    """pipeline_kanon_apply: the physically released table must hold
+    NO suppressed rows, every published (lang, source, level,
+    band_label) class must reach k, the release+suppression must
+    partition the corpus exactly, and a replay must leave every
+    released byte unchanged (content-addressed, the merge_apply
+    discipline)."""
+    import hashlib
+    import os
+
+    from projektdataengineering_spark.queries import pipeline_ops as P
+
+    manifest1 = sorted(map(tuple, P.pipeline_kanon_apply(spark, sf_dir).collect()))
+    base = P._kanon_workdir(sf_dir)
+    released_path = os.path.join(base, "released")
+
+    def tree_digest(root):
+        out = {}
+        for dirpath, _, files in os.walk(root):
+            for fn in files:
+                p = os.path.join(dirpath, fn)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, root)] = hashlib.sha256(
+                        fh.read()).hexdigest()
+        return out
+
+    snap = tree_digest(released_path)
+    assert snap, "release must be physically installed"
+
+    rel = spark.read.parquet(released_path)
+    assert rel.filter("level >= 3 OR band_label = 'suppressed'").count() == 0
+    classes = rel.groupBy("lang", "source", "level", "band_label").count()
+    assert classes.filter(f"count < {P._KANON_K}").count() == 0, (
+        "a published class is under k")
+
+    # release + suppression partition the corpus
+    from projektdataengineering_spark.catalog import load_table
+    total = load_table(spark, sf_dir, "documents").count()
+    n_rel = sum(r[2] for r in manifest1)
+    n_sup = sum(r[3] for r in manifest1)
+    assert n_rel == rel.count() and n_rel + n_sup == total
+
+    # replay: identical manifest, identical bytes on disk
+    manifest2 = sorted(map(tuple, P.pipeline_kanon_apply(spark, sf_dir).collect()))
+    assert manifest1 == manifest2
+    assert tree_digest(released_path) == snap
+
+
+def test_embedding_index_append_is_exact_and_idempotent(spark, sf_dir):
+    """dedup_embedding_index_append: the installed v2 must equal
+    v1 ∪ (exactly the keep=true batch vectors, carrying the rank-1
+    cells the shared _ivf_assign geometry dictates) — verified
+    row-for-row against the verdict query and a recomputed assignment
+    — and re-invoking the append must leave every v2 byte unchanged
+    (content-addressed replay, the merge_apply discipline)."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+    from projektdataengineering_spark.queries import similarity as S
+
+    audit1 = {r["version"]: tuple(r[1:]) for r in
+              S.dedup_embedding_index_append(spark, sf_dir).collect()}
+    v1_path = S._embed_index_path(sf_dir)
+    v2_path = f"{v1_path}_v2"
+
+    key = lambda r: (r["vec_id"], r["cell"], tuple(r["vec"]))
+    v1_rows = {key(r) for r in spark.read.parquet(v1_path).collect()}
+    v2_rows = {key(r) for r in spark.read.parquet(v2_path).collect()}
+    verdict = S.dedup_embedding_incremental(spark, sf_dir)
+    kept_ids = {r["vec_id"] for r in verdict.filter("keep").collect()}
+
+    added = v2_rows - v1_rows
+    assert v1_rows <= v2_rows, "append must not disturb v1 entries"
+    assert {r[0] for r in added} == kept_ids, "v2 − v1 must be the keepers"
+    assert audit1[2][0] - audit1[1][0] == len(kept_ids)
+
+    # the installed cells match a fresh assignment of the same vectors
+    batch, _, _ = S._einc_probe_frames(spark, sf_dir)
+    expected = {key(r) for r in
+                batch.filter(F.col("vec_id").isin(list(kept_ids)))
+                .select("vec_id", "cell", "vec").collect()}
+    assert added == expected
+
+    def tree_digest(root):
+        out = {}
+        for dirpath, _, files in os.walk(root):
+            for fn in files:
+                p = os.path.join(dirpath, fn)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, root)] = hashlib.sha256(
+                        fh.read()).hexdigest()
+        return out
+
+    snap = tree_digest(v2_path)
+    audit2 = {r["version"]: tuple(r[1:]) for r in
+              S.dedup_embedding_index_append(spark, sf_dir).collect()}
+    assert audit1 == audit2
+    assert tree_digest(v2_path) == snap
 
 
 def test_neardup_index_append_is_exact_and_idempotent(spark, sf_dir):

@@ -668,3 +668,19 @@ def test_semireduced_probes_below_a_shuffle_join(facts_of, spark, sf_dir):
 
     s = explain_string(REGISTRY["join_semireduced"].fn(spark, sf_dir), "formatted")
     assert s.count("#bloom") >= 2, "both probe conditions must be planned"
+
+
+def test_corpus_build_does_not_force_cluster_broadcast(spark, sf_dir):
+    """Round-12 verdict task #2 (and the r11 neardup_apply ADVICE): the
+    CC cluster table's mass is data-dependent — the near-dup fraction
+    of the corpus — so the canonical-docs join must carry NO forced
+    broadcast hint; sizing is AQE's call at runtime. A forced hint
+    would surface as a ResolvedHint in the logical plan."""
+    from projektdataengineering_spark.plans import explain_string
+
+    s = explain_string(
+        REGISTRY["pipeline_corpus_build"].fn(spark, sf_dir), "extended"
+    )
+    logical = s.split("== Physical Plan ==")[0]
+    assert "ResolvedHint" not in logical, logical
+    assert "UnresolvedHint" not in logical, logical

@@ -316,6 +316,17 @@ HEADLINERS: list[tuple[str, str]] = [
         "top-100 frontier — no global sort, no Python stage, every "
         "score an exact integer.",
     ),
+    (
+        "dedup_embedding_incremental",
+        "Round-13 incremental embedding dedup: the corpus side is a "
+        "plain parquet SCAN of the persisted IVF member lists (no "
+        "assignment kernel above it — the quantizer ran once per corpus "
+        "version); only the batch slice runs the broadcast-centroid "
+        "argmax, once (lazy localCheckpoint fans it to the member, "
+        "probe and verdict branches); the quadratic work is confined to "
+        "per-cell applyInPandas BLAS blocks, and only (id, id, src) "
+        "triples leave the kernel.",
+    ),
 ]
 
 

@@ -146,6 +146,10 @@ HEAVY_QUERIES = [
     ("pipeline_dsir_select", "corpus_ops (round 12, integer-exact DSIR importance selection)"),
     ("stream_session_native", "streaming (round 12, merging session-window state)"),
     ("pipeline_merge_timetravel", "layout (round 12, version-pinned snapshot reads)"),
+    ("dedup_embedding_incremental", "dedup (round 13, persisted-IVF incremental embedding dedup)"),
+    ("dedup_embedding_index_append", "dedup (round 13, executed cell-index append)"),
+    ("pipeline_kanon_apply", "governance (round 13, executed k-anonymity release)"),
+    ("scan_python_stream", "streaming (round 13, Python simple stream reader — fixed-size source, probes micro-batch overhead)"),
 ]
 
 
@@ -254,6 +258,20 @@ def main() -> int:
             out.append(
                 f"| {name} | {family} | {t01:.2f}s | {t1:.2f}s | {slope:.2f} |"
             )
+        out.append(
+            "\n**`pipeline_bigram_kn` r11→r12 warm drift (0.72→1.27 s), "
+            "measured r13:** an isolated same-session A/B of the pre-"
+            "kernel-extraction formulation (19acc89^'s inline "
+            "`_toked`+explode) against the shared `_bigram_instances` "
+            "path shows the shared kernel is not slower — old 3.23/2.41 s "
+            "vs new 2.73/2.23 s collect-to-driver warm passes — and the "
+            "plans are shape-identical (one fan-out exchange, the pc "
+            "subtree's exchange reused across hist/bwd/tt). The r12 "
+            "in-suite number was same-plan host/suite-position wobble "
+            "(its own two passes read 1.67/1.27 s); the query is now "
+            "warm-budget-pinned (bench.py) so real drift surfaces as "
+            "`over_budget` instead of a verdict archaeology item.\n"
+        )
         out.append(
             "\nEvery heavy-family slope must stay ≤ ~1: banding/bucketing "
             "keeps the quadratic families' pair work proportional to the "
