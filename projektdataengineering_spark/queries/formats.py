@@ -332,8 +332,8 @@ _PYSTREAM_SQL = f"""
 def scan_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The custom Python data source on the STREAM side — Spark 4's
     ``simpleStreamReader`` API (sources/pydatasource.py
-    SyntheticDocsStreamReader), the one streaming Python-source surface
-    that runs without the state-channel protobuf runner: readStream
+    SyntheticDocsStreamReader, the driver-prefetch form;
+    scan_python_stream_parallel is the firehose twin): readStream
     over the same deterministic synthdocs table, delivered in four
     6000-row micro-batches (20000 rows total), aggregated by a
     stateful complete-mode groupBy into a memory sink,
@@ -382,6 +382,57 @@ def scan_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
         q.awaitTermination()
     return spark.table("scan_python_stream_sink")
+
+
+@query("scan_python_stream_parallel", oracle=_PYSTREAM_SQL)
+def scan_python_stream_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PARTITION-PARALLEL streaming Python source — the firehose
+    twin of scan_python_stream: the full DataSourceStreamReader API
+    (sources/pydatasource.py SyntheticDocsFeedDataSource), where the
+    driver only plans offsets ([start, end) split into 4
+    RangeInputPartitions per micro-batch) and every row is generated
+    ON THE EXECUTORS by read(partition) — the driver never touches
+    data, which is what separates a control-plane source (simple
+    reader, driver prefetch) from one that can carry a 100-TB/day
+    feed. Same table, same four micro-batches, same stateful
+    complete-mode aggregate, same oracle — so the hash additionally
+    certifies that the partition split covers every planned range
+    exactly once across all batches AND all tasks.
+
+    Replay contract: a crash-replayed batch is re-planned from the
+    offset log and read(partition) regenerates its slice
+    deterministically — idempotence by determinism, the O4
+    discipline. (sf_dir is unused — the source IS the data.)"""
+    from ..sources.pydatasource import register_synthetic_source
+    from ..streaming import stream_state_partitions
+
+    register_synthetic_source(spark)
+    stream = (
+        spark.readStream.format("synthdocsfeed")
+        .option("rows", _PYSTREAM_ROWS)
+        .option("batchrows", _PYSTREAM_BATCH)
+        .option("partitions", 4)
+        .load()
+    )
+    agg = stream.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("row_id").cast("long").alias("id_checksum"),
+        F.min("payload").alias("min_payload"),
+        F.max("payload").alias("max_payload"),
+    )
+    with stream_state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("scan_python_stream_parallel_sink")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        q.awaitTermination()
+    return spark.table("scan_python_stream_parallel_sink")
 
 
 # ---------------------------------------------------------------------------

@@ -2176,11 +2176,10 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the member lists are the partition layout (cell-partitioned
     parquet), so a batch probe prunes to nprobe/K of the corpus by
     partition pruning alone."""
-    batch, cm, bm = _einc_probe_frames(spark, sf_dir)
+    batch, matches = _einc_probe_frames(spark, sf_dir)
     return (
         batch.select("vec_id")
-        .join(cm, "vec_id", "left")
-        .join(bm, "vec_id", "left")
+        .join(matches, "vec_id", "left")
         .select(
             "vec_id",
             "dup_of_corpus",
@@ -2196,12 +2195,16 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _einc_probe_frames(spark: SparkSession, sf_dir: str):
     """The probe side shared by dedup_embedding_incremental (verdict
-    table) and dedup_embedding_index_append (v2 install): (batch, cm,
-    bm) — batch is the assigned new-arrivals frame (fresh md5-split
-    vectors + planted twins, lazily localCheckpointed: it feeds the
-    batch-member leg, the probe leg, and the verdict spine), cm/bm the
-    min-id corpus/batch match tables from the per-cell BLAS threshold
-    scan."""
+    table) and dedup_embedding_index_append (v2 install): (batch,
+    matches) — batch is the assigned new-arrivals frame (fresh
+    md5-split vectors + planted twins, lazily localCheckpointed: it
+    feeds the batch-member leg, the probe leg, and the verdict spine);
+    matches carries BOTH min-id verdicts (dup_of_corpus, batch_min) as
+    conditional mins of ONE aggregate over the pair stream, so the
+    per-cell BLAS kernel and its exchange execute exactly once (the
+    first cut computed corpus and batch matches as separate aggregates
+    — the plan dump showed the whole Union→shuffle→kernel subtree
+    duplicated per branch)."""
     from .dedup import (
         EMBEDDING_DUP_THRESHOLD,
         _TWIN_AMPLITUDE,
@@ -2279,17 +2282,20 @@ def _einc_probe_frames(spark: SparkSession, sf_dir: str):
     pairs = members.unionByName(probes).groupBy("cell").applyInPandas(
         cell_matches, "id_q long, id_n long, src int"
     )
-    cm = (
-        pairs.filter(F.col("src") == 0)
-        .groupBy(F.col("id_q").alias("vec_id"))
-        .agg(F.min("id_n").cast("long").alias("dup_of_corpus"))
+    matches = pairs.groupBy(F.col("id_q").alias("vec_id")).agg(
+        F.min(F.when(F.col("src") == 0, F.col("id_n")))
+        .cast("long")
+        .alias("dup_of_corpus"),
+        F.min(
+            F.when(
+                (F.col("src") == 1) & (F.col("id_n") < F.col("id_q")),
+                F.col("id_n"),
+            )
+        )
+        .cast("long")
+        .alias("batch_min"),
     )
-    bm = (
-        pairs.filter((F.col("src") == 1) & (F.col("id_n") < F.col("id_q")))
-        .groupBy(F.col("id_q").alias("vec_id"))
-        .agg(F.min("id_n").cast("long").alias("batch_min"))
-    )
-    return batch, cm, bm
+    return batch, matches
 
 
 def _einc_append_oracle() -> str:
@@ -2365,10 +2371,9 @@ def dedup_embedding_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partially cleaned scratch dir must self-heal, not fail the audit
     v1 = _corpus_cell_index(spark, sf_dir, bc)
     if not os.path.isdir(v2_path):
-        batch, cm, bm = _einc_probe_frames(spark, sf_dir)
+        batch, matches = _einc_probe_frames(spark, sf_dir)
         keepers = (
-            batch.join(cm, "vec_id", "left")
-            .join(bm, "vec_id", "left")
+            batch.join(matches, "vec_id", "left")
             .filter(
                 F.col("dup_of_corpus").isNull() & F.col("batch_min").isNull()
             )

@@ -28,6 +28,7 @@ import hashlib
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
     SimpleDataSourceStreamReader,
 )
@@ -80,9 +81,9 @@ def _gen_rows(lo: int, hi: int):
 class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
     """Streaming twin of SyntheticDocsReader — the engine's
     source-extension seam on the STREAM side (Spark 4
-    SimpleDataSourceStreamReader; the full DataSourceStreamReader's
-    partition-parallel variant needs the state-channel protobuf runner
-    the sandbox lacks, while the simple form runs pure in-process).
+    SimpleDataSourceStreamReader: driver-side prefetch, right for
+    control-plane-sized streams; SyntheticDocsFeedStreamReader below
+    is the partition-parallel form for firehose volumes).
 
     Offsets are ``{"offset": n}`` — rows emitted so far. Each
     ``read(start)`` call (one micro-batch) advances by up to
@@ -115,7 +116,84 @@ class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
         return iter(list(_gen_rows(int(start["offset"]), int(end["offset"]))))
 
 
+class RangeInputPartition(InputPartition):
+    """One executor task's [lo, hi) row slice of a micro-batch."""
+
+    def __init__(self, lo: int, hi: int) -> None:
+        self.lo = lo
+        self.hi = hi
+
+
+class SyntheticDocsFeedDataSource(DataSource):
+    """``spark.readStream.format("synthdocsfeed")`` — the
+    PARTITION-PARALLEL streaming twin of synthdocs: the same
+    deterministic table, but rows are generated EXECUTOR-side, one
+    task per partition per micro-batch, via the full
+    DataSourceStreamReader API (offset planning on the driver, data
+    on the workers — the firehose shape, vs the simple reader's
+    driver-side prefetch). A separate format name because Spark
+    prefers ``streamReader`` over ``simpleStreamReader`` on the same
+    class, and scan_python_stream must keep exercising the simple
+    path."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthdocsfeed"
+
+    def schema(self) -> str:
+        return "row_id bigint, bucket int, payload string"
+
+    def streamReader(self, schema) -> "SyntheticDocsFeedStreamReader":
+        return SyntheticDocsFeedStreamReader(self.options)
+
+
+class SyntheticDocsFeedStreamReader(DataSourceStreamReader):
+    """Full streaming-reader lifecycle: ``latestOffset`` advances the
+    high-water mark by up to ``batchrows`` per micro-batch until
+    ``rows`` is exhausted (no progress → no batch); ``partitions``
+    splits the planned [start, end) range into ``partitions`` tasks;
+    ``read`` runs ON THE EXECUTORS and regenerates its slice
+    deterministically — which is also the replay contract: a batch
+    re-planned from the offset log after a crash re-reads the exact
+    same rows (the O4 idempotence discipline). Nothing row-shaped
+    ever passes through the driver."""
+
+    def __init__(self, options) -> None:
+        self.n_rows = int(options.get("rows", "1000"))
+        self.batch_rows = int(options.get("batchrows", "250"))
+        self.n_parts = int(options.get("partitions", "4"))
+        # per-instance HWM is right for this bounded generated feed (a
+        # fresh query drains it from 0); a production source derives
+        # latestOffset from the EXTERNAL system so a checkpoint restart
+        # resumes mid-stream instead of re-advertising old offsets
+        self._hwm = 0
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def latestOffset(self) -> dict:
+        self._hwm = min(self._hwm + self.batch_rows, self.n_rows)
+        return {"offset": self._hwm}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["offset"]), int(end["offset"])
+        n = max(1, self.n_parts)
+        bounds = [lo + (hi - lo) * i // n for i in range(n + 1)]
+        return [
+            RangeInputPartition(a, b)
+            for a, b in zip(bounds, bounds[1:])
+            if b > a
+        ]
+
+    def read(self, partition: RangeInputPartition):
+        return _gen_rows(partition.lo, partition.hi)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 def register_synthetic_source(spark) -> None:
     """Idempotent registration (re-registering the same name is fine —
     latest wins, matching Spark's own semantics)."""
     spark.dataSource.register(SyntheticDocsDataSource)
+    spark.dataSource.register(SyntheticDocsFeedDataSource)

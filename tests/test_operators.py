@@ -1031,6 +1031,54 @@ def test_python_stream_reader_offset_progression(spark):
     assert len(q.recentProgress) >= 2  # genuinely micro-batched
 
 
+def test_python_stream_parallel_partition_contract(spark):
+    """The partition-parallel streaming reader (the firehose twin):
+    latestOffset advances the HWM batch by batch and stops at the row
+    cap; partitions() tiles each planned [start, end) range exactly
+    (no gap, no overlap, no empty task); read(partition) regenerates
+    its slice deterministically; and the end-to-end run delivers every
+    row exactly once across batches AND tasks."""
+    import hashlib
+    from pyspark.sql import functions as F
+    from projektdataengineering_spark.sources.pydatasource import (
+        SyntheticDocsFeedStreamReader, register_synthetic_source)
+
+    r = SyntheticDocsFeedStreamReader(
+        {"rows": "500", "batchrows": "300", "partitions": "4"})
+    assert r.initialOffset() == {"offset": 0}
+    o1 = r.latestOffset()
+    assert o1 == {"offset": 300}
+    parts = r.partitions({"offset": 0}, o1)
+    bounds = [(p.lo, p.hi) for p in parts]
+    assert bounds == [(0, 75), (75, 150), (150, 225), (225, 300)]
+    rows = [row for p in parts for row in r.read(p)]
+    assert [x[0] for x in rows] == list(range(300))
+    assert rows[123][2] == hashlib.md5(b"123").hexdigest()
+    o2 = r.latestOffset()
+    assert o2 == {"offset": 500}  # clamped at the row cap
+    assert r.latestOffset() == o2  # exhausted: no further progress
+    tail = r.partitions(o1, o2)
+    assert [(p.lo, p.hi) for p in tail] == [
+        (300, 350), (350, 400), (400, 450), (450, 500)]
+
+    register_synthetic_source(spark)
+    stream = (spark.readStream.format("synthdocsfeed")
+              .option("rows", 500).option("batchrows", 300)
+              .option("partitions", 4).load())
+    agg = stream.agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("row_id").alias("checksum"))
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName("pystream_par_test_sink").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    q.awaitTermination()
+    got = spark.table("pystream_par_test_sink").collect()[0]
+    assert (got["n"], got["checksum"]) == (500, sum(range(500)))
+    assert len(q.recentProgress) >= 2  # genuinely micro-batched
+
+
 def test_hll_sketch_union_is_batching_independent(spark, sf_dir):
     """The HLL partial state must union to the SAME estimate no matter
     how the data was batched (the mergeable-state contract), and land
@@ -2166,7 +2214,7 @@ def test_embedding_index_append_is_exact_and_idempotent(spark, sf_dir):
     assert audit1[2][0] - audit1[1][0] == len(kept_ids)
 
     # the installed cells match a fresh assignment of the same vectors
-    batch, _, _ = S._einc_probe_frames(spark, sf_dir)
+    batch, _ = S._einc_probe_frames(spark, sf_dir)
     expected = {key(r) for r in
                 batch.filter(F.col("vec_id").isin(list(kept_ids)))
                 .select("vec_id", "cell", "vec").collect()}

@@ -324,8 +324,10 @@ HEADLINERS: list[tuple[str, str]] = [
         "version); only the batch slice runs the broadcast-centroid "
         "argmax, once (lazy localCheckpoint fans it to the member, "
         "probe and verdict branches); the quadratic work is confined to "
-        "per-cell applyInPandas BLAS blocks, and only (id, id, src) "
-        "triples leave the kernel.",
+        "per-cell applyInPandas BLAS blocks executed exactly ONCE — both "
+        "verdicts (corpus match, earlier-batch match) are conditional "
+        "mins of a single aggregate over the pair stream — and only "
+        "(id, id, src) triples leave the kernel.",
     ),
 ]
 
