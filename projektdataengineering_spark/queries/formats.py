@@ -436,6 +436,133 @@ def scan_python_stream_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Custom Python data SINK (Spark 4 DataSource writer API) — batch and
+# streaming twins, certified from the committed on-disk ledger
+# ---------------------------------------------------------------------------
+
+_LEDGER_SCHEMA = "row_id bigint, bucket int, payload string"
+
+
+def _ledger_workdir(kind: str) -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+        "ledgersink",
+        f"{kind}_r{_PYSTREAM_ROWS}_b{_PYSTREAM_BATCH}",
+    )
+
+
+@query("sink_python_datasource", oracle=_PYSTREAM_SQL)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A CUSTOM PYTHON DATA SINK written like a built-in — the write
+    half of the Spark-4 DataSource seam (sources/pysink.py; the scan
+    half is scan_python_datasource): the deterministic synthdocs table
+    flows through ``df.write.format("ledgersink")``, where each task
+    streams its partition into a task-unique JSONL part file
+    EXECUTOR-side and the driver's commit() atomically installs the
+    manifest that makes exactly those parts visible — the two-phase
+    visibility protocol every real table format builds on.
+
+    The audit re-reads ONLY the committed state (manifest-listed
+    files, explicit schema) and aggregates it; the DuckDB oracle
+    recomputes the same table from ``range(N)``, so a hash match
+    certifies the protocol end-to-end: every input row exactly once
+    among visible files, no uncommitted part leaking in, no committed
+    row lost. Orphan-part invisibility and abort GC are pinned by
+    tests/test_formats_sink.py.
+
+    Scale shape: writes are partition-parallel and never touch the
+    driver; commit is O(tasks) metadata. (sf_dir is unused — the
+    source IS the data.)"""
+    import os
+
+    from ..sources.pydatasource import register_synthetic_source
+    from ..sources.pysink import read_ledger, register_ledger_sink
+
+    register_synthetic_source(spark)
+    register_ledger_sink(spark)
+    path = _ledger_workdir("batch")
+    if not os.path.exists(os.path.join(path, "manifest.json")):
+        df = (
+            spark.read.format("synthdocs")
+            .option("rows", _PYSTREAM_ROWS)
+            .option("partitions", 8)
+            .load()
+        )
+        df.write.format("ledgersink").option("path", path).mode("append").save()
+    back = read_ledger(spark, path, _LEDGER_SCHEMA)
+    return back.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("row_id").cast("long").alias("id_checksum"),
+        F.min("payload").alias("min_payload"),
+        F.max("payload").alias("max_payload"),
+    )
+
+
+@query("sink_python_stream", oracle=_PYSTREAM_SQL)
+def sink_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python STREAMING sink fed by the custom Python STREAMING
+    source — the full extension loop in one query: the partition-
+    parallel synthdocsfeed reader (rows generated executor-side, four
+    micro-batches) streams into ``writeStream.format("ledgersink")``,
+    whose DataSourceStreamWriter commits one atomic manifest PER EPOCH
+    (manifest-<batchId>.json); a crash-replayed epoch rewrites its own
+    manifest and orphans the superseded parts — per-epoch exactly-once
+    from the sink side, the write_stream_idempotent discipline
+    expressed through the DataSource API instead of around it.
+
+    The audit unions every epoch manifest's files from disk and
+    aggregates; the oracle recomputes from ``range(N)`` — the hash
+    certifies that the four epochs tile the feed exactly (a dropped
+    epoch, a double-committed epoch, or a row crossing epoch
+    boundaries twice all break id_checksum). Epoch-manifest count and
+    replay idempotence are pinned by tests/test_formats_sink.py.
+    (sf_dir is unused — the source IS the data.)"""
+    import glob
+    import os
+
+    from ..sources.pydatasource import register_synthetic_source
+    from ..sources.pysink import read_ledger, register_ledger_sink
+    from ..streaming import stream_state_partitions
+
+    register_synthetic_source(spark)
+    register_ledger_sink(spark)
+    path = _ledger_workdir("stream")
+    if not glob.glob(os.path.join(path, "manifest-*.json")):
+        stream = (
+            spark.readStream.format("synthdocsfeed")
+            .option("rows", _PYSTREAM_ROWS)
+            .option("batchrows", _PYSTREAM_BATCH)
+            .option("partitions", 4)
+            .load()
+        )
+        with stream_state_partitions(spark):
+            q = (
+                stream.writeStream.format("ledgersink")
+                .option("path", path)
+                .option(
+                    "checkpointLocation", os.path.join(path, ".checkpoint")
+                )
+                .outputMode("append")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            q.awaitTermination()
+    back = read_ledger(spark, path, _LEDGER_SCHEMA)
+    return back.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("row_id").cast("long").alias("id_checksum"),
+        F.min("payload").alias("min_payload"),
+        F.max("payload").alias("max_payload"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Hive-partitioned warehouse round-trip (pruned re-read, end-to-end)
 # ---------------------------------------------------------------------------
 

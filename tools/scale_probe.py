@@ -151,6 +151,8 @@ HEAVY_QUERIES = [
     ("pipeline_kanon_apply", "governance (round 13, executed k-anonymity release)"),
     ("scan_python_stream", "streaming (round 13, Python simple stream reader — fixed-size source, probes micro-batch overhead)"),
     ("scan_python_stream_parallel", "streaming (round 13, partition-parallel stream reader — fixed-size source, probes executor-side generation)"),
+    ("sink_python_datasource", "formats (round 13, custom sink — manifest-committed ledger, reuse path)"),
+    ("sink_python_stream", "formats (round 13, custom streaming sink — per-epoch manifests, reuse path)"),
 ]
 
 
@@ -260,7 +262,8 @@ def main() -> int:
                 f"| {name} | {family} | {t01:.2f}s | {t1:.2f}s | {slope:.2f} |"
             )
         out.append(
-            "\n**Substring-family slopes (r13: spans 0.90, cut 0.87) are "
+            "\n**Substring-family slopes (r13 passes ranged spans "
+            "0.60-0.90, cut 0.52-0.87 — up from r12's 0.53/0.45) are "
             "OUTPUT-bound, measured:** `dedup_substring_spans` emits 477 "
             "spans at sf0.1 vs 49,996 at sf1 — 105× output per 10× rows, "
             "because every sf1 document coexists with its 9 perturbed "
