@@ -2612,3 +2612,175 @@ def dedup_neardup_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("version", "n_entries", "id_sum", "n_signatures")
 
     return audit(1, v1_path).unionByName(audit(2, v2_path))
+
+
+# ---------------------------------------------------------------------------
+# pipeline_corpus_delta (round 13) — the EXECUTED nightly delta publish:
+# incremental near-dup verdict × quality gate × physical delta table,
+# the whole loop's end product certified from disk
+# ---------------------------------------------------------------------------
+
+_DELTA_SQL = f"""
+    WITH {_INCR_CTES},
+    verd AS (
+      SELECT sp.doc_id,
+             cm.dup_of_corpus IS NOT NULL AS dup_c,
+             (cm.dup_of_corpus IS NULL AND bm.first_in_batch IS NOT NULL
+              AND bm.first_in_batch < sp.doc_id) AS dup_b,
+             (cm.dup_of_corpus IS NULL
+              AND (bm.first_in_batch IS NULL
+                   OR bm.first_in_batch = sp.doc_id)) AS keep
+      FROM split sp
+      LEFT JOIN bsig b ON b.doc_id = sp.doc_id
+      LEFT JOIN cm ON cm.doc_id = sp.doc_id
+      LEFT JOIN bm ON bm.m0 = b.m0 AND bm.m1 = b.m1
+                  AND bm.m2 = b.m2 AND bm.m3 = b.m3
+      WHERE sp.is_batch
+    ),
+    fullv AS (
+      SELECT v.dup_c, v.dup_b, v.keep, d.lang, d.source,
+             len(d.text) BETWEEN 150 AND 500 AS quality,
+             len(string_split(d.text, ' ')) AS n_toks
+      FROM verd v JOIN documents d ON d.doc_id = v.doc_id
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_batch,
+           CAST(COUNT(*) FILTER (WHERE dup_c) AS BIGINT) AS n_dup_corpus,
+           CAST(COUNT(*) FILTER (WHERE dup_b) AS BIGINT) AS n_dup_batch,
+           CAST(COUNT(*) FILTER (WHERE keep AND NOT quality) AS BIGINT)
+             AS n_quality_fail,
+           CAST(COUNT(*) FILTER (WHERE keep AND quality) AS BIGINT)
+             AS n_admitted,
+           CAST(COALESCE(SUM(CASE WHEN keep AND quality THEN n_toks END), 0)
+                AS BIGINT) AS tok_sum
+    FROM fullv GROUP BY 1, 2
+"""
+
+
+def _corpus_delta_workdir(sf_dir: str) -> str:
+    import os
+
+    from ..sources import source_fingerprint
+
+    fp = source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+        "corpus_delta",
+        fp,
+    )
+
+
+@query("pipeline_corpus_delta", oracle=_DELTA_SQL)
+def pipeline_corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXECUTED nightly delta publish — the incremental loop's end
+    product, composing three certified pieces the way a production
+    corpus build chains them: the new batch is verdicted against the
+    PERSISTED signature index (dedup_incremental_neardup's probe —
+    O(batch), the corpus is never re-signed), survivors pass the
+    corpus_build quality gate (150-500 chars), and the admitted docs
+    are physically WRITTEN as the corpus DELTA table (doc_id, lang,
+    source, n_toks; staged write + atomic rename, content-addressed by
+    the documents fingerprint). Grounding: the reference's weekly
+    append (R8/O4, weather_task.py:99-104) upgraded to a dedup-gated,
+    quality-gated, replay-idempotent delta.
+
+    The attrition manifest per (lang, source) carries the whole
+    funnel: n_batch = n_dup_corpus + n_dup_batch + n_quality_fail +
+    n_admitted (suppressed nothing, counted everything), with
+    n_admitted and tok_sum measured FROM THE DELTA TABLE ON DISK (the
+    gdpr/merge discipline) and the dup/quality legs from the live
+    verdict. The DuckDB oracle replays index build + probe + gate +
+    token count from the raw documents table, so a hash match
+    certifies the physical delta end-to-end: exactly the kept,
+    quality-passing docs were published, none double-published, none
+    lost. Byte-identical replay is pinned by tests/test_operators.py.
+
+    Scale shape: probe is the signature equijoin (ids + 4×32-hex keys
+    shuffle, never text); the gate and token count are map-side over
+    the batch only; the delta write is one O(batch) partitioned pass;
+    the audit is two partial-aggregated scans. At 100 TB the delta is
+    the unit of catalog commit — exactly the reference's weekly
+    increment, now safe to replay."""
+    import os
+
+    from .layout import _atomic_dir_write
+
+    base = _corpus_delta_workdir(sf_dir)
+    delta_path = os.path.join(base, "delta")
+    manifest_path = os.path.join(base, "manifest")
+    cols = [
+        "lang", "source", "n_batch", "n_dup_corpus", "n_dup_batch",
+        "n_quality_fail", "n_admitted", "tok_sum",
+    ]
+    if os.path.isdir(manifest_path):
+        return spark.read.parquet(manifest_path).select(*cols)
+
+    batch_docs, bsig, cm, bm, lanes = _incr_probe_frames(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    verdict = (
+        batch_docs.select("doc_id")
+        .join(bsig, "doc_id", "left")
+        .join(cm, "doc_id", "left")
+        .join(bm, lanes, "left")
+        .select(
+            "doc_id",
+            F.col("dup_of_corpus").isNotNull().alias("dup_c"),
+            (
+                F.col("dup_of_corpus").isNull()
+                & F.col("first_in_batch").isNotNull()
+                & (F.col("first_in_batch") < F.col("doc_id"))
+            ).alias("dup_b"),
+            (
+                F.col("dup_of_corpus").isNull()
+                & (
+                    F.col("first_in_batch").isNull()
+                    | (F.col("first_in_batch") == F.col("doc_id"))
+                )
+            ).alias("keep"),
+        )
+    )
+    quality = F.length("text").between(150, 500)
+    full = verdict.join(docs, "doc_id").select(
+        "doc_id", "lang", "source", "dup_c", "dup_b", "keep",
+        quality.alias("quality"),
+        F.size(F.split("text", " ")).cast("long").alias("n_toks"),
+    )
+    if not os.path.isdir(delta_path):
+        admitted = full.filter(F.col("keep") & F.col("quality")).select(
+            "doc_id", "lang", "source", "n_toks"
+        )
+        _atomic_dir_write(lambda p: admitted.write.parquet(p), delta_path)
+
+    live = full.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_batch"),
+        F.sum(F.when(F.col("dup_c"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_corpus"),
+        F.sum(F.when(F.col("dup_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_batch"),
+        F.sum(F.when(F.col("keep") & ~F.col("quality"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_quality_fail"),
+    )
+    disk = (
+        spark.read.parquet(delta_path)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_admitted"),
+            F.sum("n_toks").cast("long").alias("tok_sum"),
+        )
+    )
+    result = live.join(disk, ["lang", "source"], "left").select(
+        "lang", "source", "n_batch", "n_dup_corpus", "n_dup_batch",
+        "n_quality_fail",
+        F.coalesce("n_admitted", F.lit(0)).cast("long").alias("n_admitted"),
+        F.coalesce("tok_sum", F.lit(0)).cast("long").alias("tok_sum"),
+    )
+    _atomic_dir_write(
+        lambda p: result.coalesce(1).write.parquet(p), manifest_path
+    )
+    return spark.read.parquet(manifest_path).select(*cols)

@@ -2237,6 +2237,45 @@ def test_embedding_index_append_is_exact_and_idempotent(spark, sf_dir):
     assert tree_digest(v2_path) == snap
 
 
+def test_corpus_delta_funnel_partitions_and_replays(spark, sf_dir):
+    """pipeline_corpus_delta: the attrition funnel must PARTITION the
+    batch exactly (n_batch = dup_corpus + dup_batch + quality_fail +
+    admitted per cell), the on-disk delta must hold exactly the
+    keep∧quality docs, and a replay must leave every delta byte
+    unchanged (content-addressed, the merge_apply discipline)."""
+    import hashlib
+    import os
+
+    from projektdataengineering_spark.queries import pipeline_ops as P
+
+    m1 = sorted(map(tuple, P.pipeline_corpus_delta(spark, sf_dir).collect()))
+    for lang, source, n_batch, dc, db, qf, adm, toks in m1:
+        assert n_batch == dc + db + qf + adm, (lang, source, m1)
+
+    base = P._corpus_delta_workdir(sf_dir)
+    delta_path = os.path.join(base, "delta")
+    delta_ids = {r["doc_id"] for r in spark.read.parquet(delta_path).collect()}
+    verdict = P.dedup_incremental_neardup(spark, sf_dir)
+    kept = {r["doc_id"] for r in verdict.filter("keep").collect()}
+    assert delta_ids <= kept, "a published doc was not a keeper"
+    assert sum(r[6] for r in m1) == len(delta_ids)
+
+    def tree_digest(root):
+        out = {}
+        for dirpath, _, files in os.walk(root):
+            for fn in files:
+                p = os.path.join(dirpath, fn)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, root)] = hashlib.sha256(
+                        fh.read()).hexdigest()
+        return out
+
+    snap = tree_digest(delta_path)
+    m2 = sorted(map(tuple, P.pipeline_corpus_delta(spark, sf_dir).collect()))
+    assert m1 == m2
+    assert tree_digest(delta_path) == snap
+
+
 def test_neardup_index_append_is_exact_and_idempotent(spark, sf_dir):
     """dedup_neardup_index_append: the installed v2 must equal
     v1 ∪ (signatures of exactly the keep=true SIGNED batch docs) —

@@ -153,6 +153,7 @@ HEAVY_QUERIES = [
     ("scan_python_stream_parallel", "streaming (round 13, partition-parallel stream reader — fixed-size source, probes executor-side generation)"),
     ("sink_python_datasource", "formats (round 13, custom sink — manifest-committed ledger, reuse path)"),
     ("sink_python_stream", "formats (round 13, custom streaming sink — per-epoch manifests, reuse path)"),
+    ("pipeline_corpus_delta", "corpus (round 13, executed delta publish — probe + gate + content-addressed write, reuse path)"),
 ]
 
 
