@@ -684,3 +684,21 @@ def test_corpus_build_does_not_force_cluster_broadcast(spark, sf_dir):
     logical = s.split("== Physical Plan ==")[0]
     assert "ResolvedHint" not in logical, logical
     assert "UnresolvedHint" not in logical, logical
+
+
+def test_embedding_incremental_probes_persisted_index(spark, sf_dir):
+    """dedup_embedding_incremental: the corpus leg must be a PLAIN
+    parquet scan of the persisted IVF member lists — no assignment
+    kernel, no centroid math above it (the O(corpus) work happened
+    once at index build) — and the per-cell BLAS kernel must appear
+    exactly ONCE (both verdicts are conditional mins of a single
+    aggregate over the pair stream)."""
+    from projektdataengineering_spark.queries import similarity as S
+
+    df = REGISTRY["dedup_embedding_incremental"].fn(spark, sf_dir)
+    f = plan_facts(df)
+    assert f.count("FlatMapGroupsInPandas") == 1, f.nodes
+    assert f.cartesian_like == 0, f.nodes
+    # the persisted member lists are read as a real parquet scan
+    idx = S._embed_index_path(sf_dir)
+    assert any(idx in fl for fl in df.inputFiles()), (idx, df.inputFiles())
