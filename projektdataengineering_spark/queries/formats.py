@@ -328,6 +328,77 @@ _PYSTREAM_SQL = f"""
 """
 
 
+_PUSHDOWN_BUCKET = 3
+
+_PYPUSHDOWN_SQL = f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(r) AS BIGINT) AS id_checksum,
+           MIN(md5(CAST(r AS VARCHAR))) AS min_payload,
+           MAX(md5(CAST(r AS VARCHAR))) AS max_payload
+    FROM range({_PYSOURCE_ROWS}) t(r)
+    WHERE r % 10 = {_PUSHDOWN_BUCKET}
+      AND md5(CAST(r AS VARCHAR)) LIKE '%aa%'
+"""
+
+
+@query("scan_python_pushdown", oracle=_PYPUSHDOWN_SQL)
+def scan_python_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER PUSHDOWN into the custom Python source — the Spark-4.1
+    ``pushFilters`` seam (sources/pydatasource.py
+    SyntheticDocsPushdownReader), the capability that separates a
+    connector from a dump pipe: the ``bucket = 3`` equality is
+    CONSUMED by the reader, which then stride-generates only matching
+    rows (first hit + step 10 per partition — at a real database/API
+    source this is the predicate shipped remote), while the
+    ``payload LIKE '%aa%'`` leg is yielded back by reference and
+    evaluated by Spark post-scan — PARTIAL pushdown, exactly the
+    protocol the API documents. The conf gate
+    (spark.sql.python.filterPushdown.enabled) is scoped to this query
+    because Spark refuses to silently ignore an implemented
+    pushFilters.
+
+    The DuckDB oracle recomputes both predicate legs over range(N),
+    so the hash certifies the split: the pushed leg dropped no
+    matching row and leaked no non-matching one across all 8 partition
+    stride walks, and the residual leg still ran. The stride math and
+    the by-reference residual contract are pinned by
+    tests/test_operators.py. (sf_dir is unused — the source IS the
+    data.)"""
+    from ..sources.pydatasource import register_synthetic_source
+
+    register_synthetic_source(spark)
+    key = "spark.sql.python.filterPushdown.enabled"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        df = (
+            spark.read.format("synthdocspushdown")
+            .option("rows", _PYSOURCE_ROWS)
+            .option("partitions", 8)
+            .load()
+            .filter(
+                (F.col("bucket") == _PUSHDOWN_BUCKET)
+                & F.col("payload").like("%aa%")
+            )
+        )
+        out = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("row_id").cast("long").alias("id_checksum"),
+            F.min("payload").alias("min_payload"),
+            F.max("payload").alias("max_payload"),
+        )
+        # eager checkpoint: the source is planned and executed WHILE
+        # the scoped conf is on; the returned frame re-reads the
+        # materialized result, so a later collect can't re-plan the
+        # pushFilters reader under a restored-default session
+        return out.localCheckpoint(eager=True)
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 @query("scan_python_stream", oracle=_PYSTREAM_SQL)
 def scan_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The custom Python data source on the STREAM side — Spark 4's

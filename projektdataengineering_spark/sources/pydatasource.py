@@ -116,6 +116,77 @@ class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
         return iter(list(_gen_rows(int(start["offset"]), int(end["offset"]))))
 
 
+class SyntheticDocsPushdownDataSource(DataSource):
+    """``spark.read.format("synthdocspushdown")`` — the synthdocs table
+    behind a reader that implements FILTER PUSHDOWN (Spark 4.1
+    ``pushFilters``). A separate format name on purpose: Spark refuses
+    to plan a pushFilters-implementing reader unless
+    ``spark.sql.python.filterPushdown.enabled`` is on (it will not
+    silently ignore the capability), and the plain ``synthdocs``
+    format must keep working under default sessions."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthdocspushdown"
+
+    def schema(self) -> str:
+        return "row_id bigint, bucket int, payload string"
+
+    def reader(self, schema) -> "SyntheticDocsPushdownReader":
+        return SyntheticDocsPushdownReader(self.options)
+
+
+class SyntheticDocsPushdownReader(DataSourceReader):
+    """The pushdown contract, demonstrated natively: an
+    ``EqualTo(("bucket",), v)`` filter is ACCEPTED (consumed, not
+    yielded back) and turns each partition's row generation into a
+    stride walk — only matching rows are ever materialized, the way a
+    database/API source would ship the predicate to the remote system.
+    Every other filter is yielded back BY REFERENCE for Spark to
+    evaluate post-scan (partial pushdown, the documented protocol).
+    pushFilters mutates self before partitions()/read() are called —
+    the planned partitions see the filtered row ranges."""
+
+    def __init__(self, options) -> None:
+        self.n_rows = int(options.get("rows", "1000"))
+        self.n_parts = int(options.get("partitions", "8"))
+        self.bucket_eq: int | None = None
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import EqualTo
+
+        for f in filters:
+            if (
+                isinstance(f, EqualTo)
+                and f.attribute == ("bucket",)
+                and self.bucket_eq is None
+                and isinstance(f.value, int)
+                and 0 <= f.value <= 9
+            ):
+                self.bucket_eq = f.value
+            else:
+                yield f  # unsupported → Spark evaluates it post-scan
+
+    def partitions(self):
+        return [InputPartition(i) for i in range(self.n_parts)]
+
+    def read(self, partition):
+        i = partition.value
+        lo = self.n_rows * i // self.n_parts
+        hi = self.n_rows * (i + 1) // self.n_parts
+        if self.bucket_eq is None:
+            return _gen_rows(lo, hi)
+        # native filtering: stride straight to the matching rows —
+        # bucket = row_id % 10, so the first hit is lo rounded up to
+        # the bucket residue, then every 10th row
+        v = self.bucket_eq
+        first = lo + (v - lo) % 10
+        return iter(
+            [(r, v, hashlib.md5(str(r).encode()).hexdigest())
+             for r in range(first, hi, 10)]
+        )
+
+
 class RangeInputPartition(InputPartition):
     """One executor task's [lo, hi) row slice of a micro-batch."""
 
@@ -197,3 +268,4 @@ def register_synthetic_source(spark) -> None:
     latest wins, matching Spark's own semantics)."""
     spark.dataSource.register(SyntheticDocsDataSource)
     spark.dataSource.register(SyntheticDocsFeedDataSource)
+    spark.dataSource.register(SyntheticDocsPushdownDataSource)

@@ -1031,6 +1031,55 @@ def test_python_stream_reader_offset_progression(spark):
     assert len(q.recentProgress) >= 2  # genuinely micro-batched
 
 
+def test_python_pushdown_reader_contract(spark):
+    """The pushFilters contract, driven directly: the bucket equality
+    is CONSUMED (not yielded back), every other filter comes back BY
+    REFERENCE, and read() stride-generates ONLY matching rows —
+    pushdown means fewer rows materialized, not a post-filter. The
+    end-to-end run (conf-gated) must agree with the plain source plus
+    a Spark-side filter."""
+    import hashlib
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import EqualTo, GreaterThan, InputPartition
+    from projektdataengineering_spark.sources.pydatasource import (
+        SyntheticDocsPushdownReader, register_synthetic_source)
+
+    r = SyntheticDocsPushdownReader({"rows": "1000", "partitions": "8"})
+    eq = EqualTo(("bucket",), 3)
+    gt = GreaterThan(("row_id",), 500)
+    residual = list(r.pushFilters([eq, gt]))
+    assert residual == [gt] and residual[0] is gt  # by reference
+    assert r.bucket_eq == 3
+
+    rows = [row for p in r.partitions() for row in r.read(p)]
+    ids = [x[0] for x in rows]
+    assert ids == [i for i in range(1000) if i % 10 == 3]  # only matches
+    assert all(x[1] == 3 for x in rows)
+    assert rows[0][2] == hashlib.md5(b"3").hexdigest()
+
+    # unsupported-only pushdown leaves the reader unfiltered
+    r2 = SyntheticDocsPushdownReader({"rows": "100", "partitions": "2"})
+    assert list(r2.pushFilters([gt])) == [gt] and r2.bucket_eq is None
+    assert len([x for p in r2.partitions() for x in r2.read(p)]) == 100
+
+    # end-to-end under the scoped conf ≡ plain source + Spark filter
+    register_synthetic_source(spark)
+    key = "spark.sql.python.filterPushdown.enabled"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        pushed = (spark.read.format("synthdocspushdown")
+                  .option("rows", 1000).option("partitions", 8).load()
+                  .filter("bucket = 3 AND row_id > 500").collect())
+    finally:
+        spark.conf.unset(key) if old is None else spark.conf.set(key, old)
+    plain = (spark.read.format("synthdocs")
+             .option("rows", 1000).option("partitions", 8).load()
+             .filter("bucket = 3 AND row_id > 500").collect())
+    assert sorted(map(tuple, pushed)) == sorted(map(tuple, plain))
+    assert len(pushed) == 50
+
+
 def test_python_stream_parallel_partition_contract(spark):
     """The partition-parallel streaming reader (the firehose twin):
     latestOffset advances the HWM batch by batch and stops at the row
