@@ -75,6 +75,12 @@ def _embeddings_normed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # correct tool is the ANN family (sim_cosine_ann_lsh / sim_cosine_ivf).
 TOPK_BROADCAST_MAX_CELLS = 32_000_000
 
+# Hard ceiling on sim_cosine_pq's driver-collected code matrix: rows ×
+# _PQ_M int32 cells (32M cells = 128 MB of codes).  Same contract as
+# TOPK_BROADCAST_MAX_CELLS: overridable for tests, NOT a scale knob —
+# past it, shard the codes by IVF cell and ADC-join distributed.
+PQ_CODES_MAX_CELLS = 32_000_000
+
 
 def _collect_broadcast_matrix(emb: DataFrame, dim: int, max_cells: int):
     """Materialize the broadcast side of an exact-cosine query with a
@@ -824,6 +830,27 @@ _PQ_RERANK_MIN = 16  # ADC shortlist floor; actual width = max(this, N/100)
 _PQ_RECALL_BOUND = 0.20
 
 
+def _pq_encode_np(mat: "np.ndarray", cb: "np.ndarray") -> "np.ndarray":
+    """(n, dim) float matrix → (n, M) int32 PQ codes against codebooks
+    ``cb`` (M, K, dim/M): per-subspace BLAS argmin, ties → lowest cell.
+    ONE definition of the encoder geometry, shared by pq_top3's encode
+    pass and the distributed IVFPQ kernels — the codes a cell partition
+    stores and the codes a probe scores against can never disagree."""
+    n, m_sub = len(mat), cb.shape[0]
+    sub = mat.shape[1] // m_sub
+    x3 = mat.reshape(n, m_sub, sub)
+    codes = np.empty((n, m_sub), dtype="int32")
+    for m in range(m_sub):
+        x = x3[:, m, :]
+        d2 = (
+            (x * x).sum(1, keepdims=True)
+            - 2.0 * (x @ cb[m].T)
+            + (cb[m] * cb[m]).sum(1)[None, :]
+        )
+        codes[:, m] = np.argmin(d2, axis=1)
+    return codes
+
+
 def _pq_train_codebooks(spark: SparkSession, e: DataFrame) -> "np.ndarray":
     """(M, K, dim/M) PQ codebooks by deterministic per-subspace
     k-means: init = the subvectors of the _PQ_K smallest vec_ids, then
@@ -969,21 +996,32 @@ def pq_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             mat = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
-            ).reshape(len(pdf), _PQ_M, sub)
-            codes = np.empty((len(pdf), _PQ_M), dtype="int32")
-            for m in range(_PQ_M):
-                x = mat[:, m, :]
-                d2 = (
-                    (x * x).sum(1, keepdims=True)
-                    - 2.0 * (x @ cb[m].T)
-                    + (cb[m] * cb[m]).sum(1)[None, :]
-                )
-                codes[:, m] = np.argmin(d2, axis=1)
+            )
             yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"].to_numpy(), "codes": list(codes)}
+                {"vec_id": pdf["vec_id"].to_numpy(),
+                 "codes": list(_pq_encode_np(mat, cb))}
             )
 
     enc = e.mapInPandas(encode, "vec_id long, codes array<int>")
+    # Fail-fast guard (round-1 no-unbounded-collect contract, the
+    # _collect_broadcast_matrix discipline): the PQ code matrix is
+    # N×M int32 cells and is collect()ed then broadcast — count FIRST
+    # and refuse loudly past the ceiling.  "Codes ~1000× smaller than
+    # vectors" makes the broadcast small RELATIVE to the vectors, but
+    # smaller-than-vectors ≠ driver-fits: at 1e10 vectors the code
+    # matrix alone is ~100 GB.  Past the ceiling the correct shape is
+    # to KEEP the codes distributed and ADC-join probe batches against
+    # code partitions (shard by IVF cell — same math per cell).
+    n_codes = e.count()
+    if n_codes * _PQ_M > PQ_CODES_MAX_CELLS:
+        raise ValueError(
+            f"sim_cosine_pq: PQ code matrix is {n_codes} rows × {_PQ_M} "
+            f"codes = {n_codes * _PQ_M} cells > limit {PQ_CODES_MAX_CELLS}; "
+            "a driver-collected + broadcast code matrix is only valid while "
+            "it fits one heap — at this scale keep the codes distributed "
+            "and ADC-join probe batches against code partitions sharded by "
+            "IVF cell (sim_cosine_ivf composes with PQ per cell)"
+        )
     code_rows = enc.collect()  # N×M small ints — the PQ index itself
     ids_all = np.array([r["vec_id"] for r in code_rows], dtype=np.int64)
     codes_all = np.stack([np.asarray(r["codes"], dtype=np.int32) for r in code_rows])
@@ -1076,6 +1114,163 @@ def sim_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     families plus the exact anchor."""
     exact = _exact_top3_per_query(spark, sf_dir)
     return _recall_certified(exact, pq_top3(spark, sf_dir), _PQ_RECALL_BOUND)
+
+
+def ivfpq_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw DISTRIBUTED IVF-PQ ANN producer (id_q, id_n, cos_sim) —
+    faiss's IVFADC expressed relationally, and the scale path
+    sim_cosine_pq's collect guard names: the PQ code table NEVER
+    touches the driver. Each vector is coarse-assigned once
+    (_ivf_assign — the quantizer shared with sim_cosine_ivf and the
+    embedding dedup family) and PQ-encoded map-side (_pq_encode_np —
+    the encoder shared with pq_top3); the codes live CELL-PARTITIONED.
+    Each query explodes to its nprobe probe cells and meets ONLY those
+    cells' code lists in a per-cell ADC kernel: one (M, K) exact
+    query-subvector·centroid table per query, member scores = M
+    fancy-indexed gathers over the cell's code matrix, per-(query,
+    cell) shortlist out. The union of shortlists is re-scored with the
+    exact fold cosine (JVM-side column expressions) and row_number
+    picks the global top-3.
+
+    Scale shape — the memory math that motivated the guard: per task,
+    ADC holds one CELL's codes (N·M/K cells' worth), not the corpus's;
+    at 10¹⁰ vectors × 8 codes with K=65k cells that is ~1.2 MB per
+    cell partition, with the corpus-wide ~100 GB code table spread
+    across the cluster as ordinary shuffle partitions. Probe work is
+    nprobe/K of the corpus per query; nothing flows through the
+    driver but the K×dim centroids and M×K×sub codebooks (both
+    broadcast, both k-bounded). Shortlist = max(_PQ_RERANK_MIN,
+    cell/8) per probed cell — relatively ~10× wider than plain PQ's
+    global max(16, N/100), so ADC rank truncation contributes almost
+    nothing to the composed loss (measured: same recall as the
+    half-cell shortlist at both fixture SFs, at ~1/4 the rerank-join
+    width); production tunes it with the faiss k-for-rerank rule."""
+    e = _embeddings_normed(spark, sf_dir).select("vec_id", "vec").localCheckpoint()
+    cents = _ivf_centroids(spark, sf_dir, e)
+    books = _pq_codebooks(spark, sf_dir, e)
+    bc_c = spark.sparkContext.broadcast(cents)
+    bc_b = spark.sparkContext.broadcast(books)
+    assigned = _ivf_assign(e, bc_c).localCheckpoint(eager=False)
+
+    def encode_members(batches):
+        cb = bc_b.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+            yield pd.DataFrame(
+                {"cell": pdf["cell"].to_numpy(),
+                 "vec_id": pdf["vec_id"].to_numpy(),
+                 "codes": list(_pq_encode_np(mat, cb))}
+            )
+
+    # the distributed code table: cell-partitioned, map-side encoded
+    member_codes = assigned.select("cell", "vec_id", "vec").mapInPandas(
+        encode_members, "cell int, vec_id long, codes array<int>"
+    )
+    members = member_codes.select(
+        "cell", F.lit(0).alias("role"), "vec_id", "codes",
+        F.lit(None).cast("array<double>").alias("vec"),
+    )
+    probes = assigned.select(
+        F.explode("probes").alias("cell"),
+        F.lit(1).alias("role"),
+        "vec_id",
+        F.lit(None).cast("array<int>").alias("codes"),
+        "vec",
+    )
+    sub = _IVF_DIM // _PQ_M
+
+    def adc_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = pdf[pdf["role"] == 0]
+        q = pdf[pdf["role"] == 1]
+        empty = pd.DataFrame({"id_q": [], "id_n": []}).astype(
+            {"id_q": "int64", "id_n": "int64"}
+        )
+        if len(m) == 0 or len(q) == 0:
+            return empty
+        cb = bc_b.value
+        codes = np.stack([np.asarray(c, dtype=np.int64) for c in m["codes"]])
+        ids_m = m["vec_id"].to_numpy()
+        qm = np.stack([np.asarray(v, dtype=np.float64) for v in q["vec"]])
+        qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        ids_q = q["vec_id"].to_numpy()
+        rr = min(len(ids_m), max(_PQ_RERANK_MIN, len(ids_m) // 8))
+        out_q, out_n = [], []
+        chunk = 512
+        qsub = qn.reshape(len(qn), _PQ_M, sub)
+        for s0 in range(0, len(qn), chunk):
+            qs = qsub[s0 : s0 + chunk]
+            tables = np.einsum("qms,mks->qmk", qs, cb)  # (q, M, K)
+            scores = np.zeros((len(qs), len(ids_m)))
+            for mm in range(_PQ_M):
+                scores += tables[:, mm, codes[:, mm]]
+            scores[ids_q[s0 : s0 + chunk, None] == ids_m[None, :]] = -np.inf
+            if rr >= len(ids_m):
+                top = np.tile(np.arange(len(ids_m)), (len(qs), 1))
+            else:
+                top = np.argpartition(-scores, rr, axis=1)[:, :rr]
+            keep = np.take_along_axis(scores, top, axis=1) > -np.inf
+            iq, ic = np.nonzero(keep)
+            out_q.append(ids_q[s0 : s0 + chunk][iq])
+            out_n.append(ids_m[top[iq, ic]])
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {"id_q": np.concatenate(out_q).astype(np.int64),
+             "id_n": np.concatenate(out_n).astype(np.int64)}
+        )
+
+    cand = (
+        members.unionByName(probes)
+        .groupBy("cell")
+        .applyInPandas(adc_cell, "id_q long, id_n long")
+        # a member lives in one cell but a query probes several — the
+        # same (q, n) pair can shortlist only once (one member cell),
+        # so no distinct is needed
+    )
+    a = e.select(F.col("vec_id").alias("id_q"), F.col("vec").alias("vq"))
+    b = e.select(F.col("vec_id").alias("id_n"), F.col("vec").alias("vn"))
+    from pyspark.sql import Window
+
+    scored = (
+        cand.join(a, "id_q")
+        .join(b, "id_n")
+        .select(
+            "id_q", "id_n",
+            (_dot(F.col("vq"), F.col("vn"))
+             / (_norm(F.col("vq")) * _norm(F.col("vn")))).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("id_q").orderBy(F.col("cos_sim").desc(), F.col("id_n"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .drop("rk")
+    )
+
+
+@query("sim_cosine_ivfpq", oracle=_EXACT_TOP3_ORACLE)
+def sim_cosine_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED IVF-PQ recall certification, hash-checked — the
+    composed production ANN (coarse IVF partitioning × PQ compression
+    × ADC scan × exact re-rank, faiss IVFADC) with the code table kept
+    distributed and cell-partitioned end-to-end: the plan whose
+    absence sim_cosine_pq's fail-fast guard (PQ_CODES_MAX_CELLS)
+    points to past the collect ceiling. Same certification surface as
+    the other ANN families: runs ivfpq_top3, measures recall@3 against
+    the exact baseline, emits the EXACT top-3 rows stamped with
+    ``recall_ok`` (≥ _PQ_RECALL_BOUND = 0.20; measured 0.39 / 0.40 at
+    sf0.001 / sf0.01 — the IVF nprobe=2/16 probe miss dominates the
+    composed loss, the same regime sim_cosine_ivf certifies at 0.15,
+    so the boolean is a ~2× margin, not a knife edge). A broken
+    quantizer,
+    encoder, cell routing, ADC gather, or re-rank collapses recall and
+    flips every row → hash fails. Probe-geometry recall and the
+    shared-encoder contract are additionally pinned by
+    tests/test_operators.py."""
+    exact = _exact_top3_per_query(spark, sf_dir)
+    return _recall_certified(exact, ivfpq_top3(spark, sf_dir), _PQ_RECALL_BOUND)
 
 
 def ivf_top3_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -127,6 +127,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "sim_cosine_ivf",  # 1-row recall-ok certification broadcast
         "sim_cosine_ivf_reuse",  # same certification broadcast, persisted index
         "sim_cosine_pq",  # 1-row recall-ok certification broadcast (PQ)
+        "sim_cosine_ivfpq",  # 1-row recall-ok certification broadcast (IVFADC)
         "agg_heavy_hitters_mg",  # 1-row corpus-total certification broadcast
         "stream_heavy_hitters",  # 1-row corpus-total certification broadcast
         "sample_priority",  # 1-row tau threshold broadcast (DLT estimator)
@@ -149,6 +150,9 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "multimodal_video_frames": 4,  # AVI decode + frame stride + PNG feats
         "sim_cosine_ivf": 3,  # IVF probe + exact baseline + recall legs
         "sim_cosine_ivf_reuse": 3,  # same legs on the persisted index
+        # coarse assign + member encode + per-cell ADC + exact baseline
+        # (each executes once — the assigned frame is checkpoint-fanned)
+        "sim_cosine_ivfpq": 5,
         "er_mutual_best": 3,  # JW verdict re-read across union branches (name-domain sized)
     }
     for name, qd in REGISTRY.items():
