@@ -525,6 +525,40 @@ def _ledger_workdir(kind: str) -> str:
     )
 
 
+def _ledger_run_complete(path: str, pattern: str) -> bool:
+    """Terminal-state check for a reusable ledger workdir (r13 ADVICE):
+    manifest EXISTENCE is not completion — a crash between epochs
+    leaves a partial ledger that an existence-only guard would serve
+    (and hash-certify wrong) forever. A run is reusable only when the
+    sum of its manifests' n_rows equals the full feed; anything else
+    is invalidated by the caller (workdir AND checkpoint together —
+    they are one unit) and rerun."""
+    import glob
+    import json
+
+    names = glob.glob(os.path.join(path, pattern))
+    if not names:
+        return False
+    total = 0
+    for name in names:
+        try:
+            with open(name) as fh:
+                total += int(json.load(fh)["n_rows"])
+        except (OSError, ValueError, KeyError, TypeError):
+            return False
+    return total == _PYSTREAM_ROWS
+
+
+def _invalidate_ledger(path: str) -> None:
+    """Drop a partial/corrupt ledger run whole: parts, manifests, the
+    stream checkpoint, and the feed's HWM file live under one workdir
+    and are deleted as one unit, so the rerun starts from a clean
+    offset-0 world instead of a mismatched half-state."""
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+
+
 @query("sink_python_datasource", oracle=_PYSTREAM_SQL)
 def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A CUSTOM PYTHON DATA SINK written like a built-in — the write
@@ -555,7 +589,8 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_synthetic_source(spark)
     register_ledger_sink(spark)
     path = _ledger_workdir("batch")
-    if not os.path.exists(os.path.join(path, "manifest.json")):
+    if not _ledger_run_complete(path, "manifest.json"):
+        _invalidate_ledger(path)
         df = (
             spark.read.format("synthdocs")
             .option("rows", _PYSTREAM_ROWS)
@@ -591,7 +626,6 @@ def sink_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries twice all break id_checksum). Epoch-manifest count and
     replay idempotence are pinned by tests/test_formats_sink.py.
     (sf_dir is unused — the source IS the data.)"""
-    import glob
     import os
 
     from ..sources.pydatasource import register_synthetic_source
@@ -601,12 +635,15 @@ def sink_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_synthetic_source(spark)
     register_ledger_sink(spark)
     path = _ledger_workdir("stream")
-    if not glob.glob(os.path.join(path, "manifest-*.json")):
+    if not _ledger_run_complete(path, "manifest-*.json"):
+        _invalidate_ledger(path)
+        os.makedirs(path, exist_ok=True)
         stream = (
             spark.readStream.format("synthdocsfeed")
             .option("rows", _PYSTREAM_ROWS)
             .option("batchrows", _PYSTREAM_BATCH)
             .option("partitions", 4)
+            .option("hwmpath", os.path.join(path, ".feed-hwm"))
             .load()
         )
         with stream_state_partitions(spark):
@@ -630,6 +667,151 @@ def sink_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("row_id").cast("long").alias("id_checksum"),
         F.min("payload").alias("min_payload"),
         F.max("payload").alias("max_payload"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_vacuum (round 14) — retention GC for the manifest-committed
+# ledger, executed and certified from disk
+# ---------------------------------------------------------------------------
+
+# The vacuum fixture replays epoch 0 (written by _VACUUM_FEED_PARTS
+# tasks) as one part, orphaning exactly _VACUUM_FEED_PARTS files; one
+# fresh orphan is planted inside the retention horizon and must survive.
+_VACUUM_FEED_PARTS = 4
+
+_VACUUM_SQL = f"""
+    SELECT CAST(r % 10 AS INTEGER) AS bucket,
+           COUNT(*) AS n_rows,
+           CAST(SUM(r) AS BIGINT) AS id_checksum,
+           MIN(md5(CAST(r AS VARCHAR))) AS min_payload,
+           MAX(md5(CAST(r AS VARCHAR))) AS max_payload,
+           CAST({_VACUUM_FEED_PARTS} AS BIGINT) AS n_orphans_removed,
+           CAST(1 AS BIGINT) AS n_orphans_retained
+    FROM range({_PYSTREAM_ROWS}) t(r)
+    GROUP BY r % 10
+"""
+
+
+@query("pipeline_vacuum", oracle=_VACUUM_SQL)
+def pipeline_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED retention GC over the manifest-committed ledger — the
+    missing lifecycle piece of the streaming sink (r13 verdict task
+    #5): replayed epochs orphan their superseded parts BY DESIGN
+    (sources/pysink.py), and this query runs the vacuum that reclaims
+    them, then certifies the result from disk. The fixture builds its
+    own ledger (the sink_python_stream pipeline on a private workdir),
+    REPLAYS epoch 0 at the writer level (deterministic content, fresh
+    part uuid — manifest-0 swaps, orphaning the original
+    {_VACUUM_FEED_PARTS} task parts), ages those orphans past the
+    retention boundary, and plants one FRESH orphan inside it (the
+    in-flight-commit stand-in). ``vacuum_ledger`` then deletes exactly
+    the aged unreferenced parts: referenced files are never touched,
+    the fresh orphan survives until it ages.
+
+    The certified row carries BOTH halves of the contract: the
+    per-bucket content audit of the post-vacuum ledger (the oracle
+    recomputes it from range(N) — proof no visible row was lost or
+    changed) and the MEASURED GC funnel (n_orphans_removed/retained,
+    read back from the vacuum's own accounting — the oracle pins the
+    protocol-implied expectation). Visible-content byte-identity
+    before/after and fresh-orphan survival are additionally pinned by
+    tests/test_formats_sink.py.
+
+    Scale shape: vacuum is O(files) driver-side metadata (a manifest
+    file-set vs listing anti-join — shardable by prefix at an object
+    store); the audit is one partition-parallel scan of the committed
+    files. Completes the executed-layout family: compaction / zorder /
+    merge / erasure / vacuum."""
+    import json
+
+    from ..sources.pydatasource import _gen_rows, register_synthetic_source
+    from ..sources.pysink import (
+        LedgerStreamWriter,
+        read_ledger,
+        register_ledger_sink,
+        vacuum_ledger,
+    )
+    from ..streaming import stream_state_partitions
+
+    register_synthetic_source(spark)
+    register_ledger_sink(spark)
+    path = _ledger_workdir("vacuum")
+    marker = os.path.join(path, "_VACUUMED.json")
+    if not os.path.exists(marker):
+        _invalidate_ledger(path)
+        os.makedirs(path, exist_ok=True)
+        stream = (
+            spark.readStream.format("synthdocsfeed")
+            .option("rows", _PYSTREAM_ROWS)
+            .option("batchrows", _PYSTREAM_BATCH)
+            .option("partitions", _VACUUM_FEED_PARTS)
+            .option("hwmpath", os.path.join(path, ".feed-hwm"))
+            .load()
+        )
+        with stream_state_partitions(spark):
+            q = (
+                stream.writeStream.format("ledgersink")
+                .option("path", path)
+                .option(
+                    "checkpointLocation", os.path.join(path, ".checkpoint")
+                )
+                .outputMode("append")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            q.awaitTermination()
+
+        # replay epoch 0 at the writer level: identical content (the
+        # deterministic feed), fresh part file — the original epoch-0
+        # parts become manifest-less orphans, exactly the crash-replay
+        # debris vacuum exists for
+        class _R:
+            def __init__(self, t):
+                self._d = {"row_id": t[0], "bucket": t[1], "payload": t[2]}
+
+            def asDict(self):
+                return self._d
+
+        w = LedgerStreamWriter({"path": path})
+        msg = w.write(_R(t) for t in _gen_rows(0, _PYSTREAM_BATCH))
+        w.commit([msg], 0)
+
+        # age every unreferenced part past the retention boundary …
+        referenced: set[str] = set()
+        for name in os.listdir(path):
+            if name.startswith("manifest") and name.endswith(".json"):
+                with open(os.path.join(path, name)) as fh:
+                    referenced.update(json.load(fh)["files"])
+        for name in os.listdir(path):
+            if name.startswith("part-") and name not in referenced:
+                os.utime(os.path.join(path, name), (0, 0))
+        # … and plant one orphan INSIDE it (current mtime): an
+        # in-flight commit's part the vacuum must not eat
+        with open(os.path.join(path, "part-inflight.jsonl"), "w") as fh:
+            fh.write('{"row_id": -1, "bucket": -1, "payload": "x"}\n')
+
+        stats = vacuum_ledger(path, older_than=1.0)
+        tmp = f"{marker}.{os.getpid()}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(stats, fh, sort_keys=True)
+        os.replace(tmp, marker)
+
+    with open(marker) as fh:
+        stats = json.load(fh)
+    back = read_ledger(spark, path, _LEDGER_SCHEMA)
+    return back.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("row_id").cast("long").alias("id_checksum"),
+        F.min("payload").alias("min_payload"),
+        F.max("payload").alias("max_payload"),
+        F.lit(stats["n_orphans_removed"]).cast("long")
+        .alias("n_orphans_removed"),
+        F.lit(stats["n_orphans_retained"]).cast("long")
+        .alias("n_orphans_retained"),
     )
 
 

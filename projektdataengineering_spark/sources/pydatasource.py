@@ -160,7 +160,10 @@ class SyntheticDocsPushdownReader(DataSourceReader):
                 isinstance(f, EqualTo)
                 and f.attribute == ("bucket",)
                 and self.bucket_eq is None
-                and isinstance(f.value, int)
+                # type() is int, NOT isinstance: bool is an int subclass
+                # in Python, and consuming `bucket = TRUE` as `bucket = 1`
+                # would silently change the predicate the scan honors
+                and type(f.value) is int
                 and 0 <= f.value <= 9
             ):
                 self.bucket_eq = f.value
@@ -233,11 +236,25 @@ class SyntheticDocsFeedStreamReader(DataSourceStreamReader):
         self.n_rows = int(options.get("rows", "1000"))
         self.batch_rows = int(options.get("batchrows", "250"))
         self.n_parts = int(options.get("partitions", "4"))
-        # per-instance HWM is right for this bounded generated feed (a
-        # fresh query drains it from 0); a production source derives
-        # latestOffset from the EXTERNAL system so a checkpoint restart
-        # resumes mid-stream instead of re-advertising old offsets
-        self._hwm = 0
+        # Durable HWM (r13 ADVICE): with .option("hwmpath", file) the
+        # committed offset is persisted driver-side on commit() and
+        # restored here, so a restart against an existing checkpoint
+        # resumes FROM the committed offset instead of re-advertising
+        # offsets below the committed start (offset regression — the
+        # thing a production source avoids by deriving latestOffset
+        # from the external system). Without the option the feed keeps
+        # its bounded-fixture behavior: a fresh query drains it from 0.
+        self._hwm_path = options.get("hwmpath")
+        self._hwm = self._load_hwm()
+
+    def _load_hwm(self) -> int:
+        if self._hwm_path:
+            try:
+                with open(self._hwm_path) as fh:
+                    return int(fh.read().strip() or 0)
+            except (OSError, ValueError):
+                pass
+        return 0
 
     def initialOffset(self) -> dict:
         return {"offset": 0}
@@ -260,7 +277,121 @@ class SyntheticDocsFeedStreamReader(DataSourceStreamReader):
         return _gen_rows(partition.lo, partition.hi)
 
     def commit(self, end: dict) -> None:
-        pass
+        # Persist the committed offset (atomic tmp+rename) so a
+        # restarted query's fresh reader instance resumes from here
+        # instead of regressing; a no-op for the deterministic
+        # bounded-fixture mode (no hwmpath — replay IS the contract).
+        if self._hwm_path:
+            import os
+
+            tmp = f"{self._hwm_path}.{os.getpid()}.tmp"
+            try:
+                with open(tmp, "w") as fh:
+                    fh.write(str(int(end["offset"])))
+                os.replace(tmp, self._hwm_path)
+            except OSError:
+                pass
+
+
+class DocsFeedDataSource(DataSource):
+    """``spark.readStream.format("docsfeed").option("path", parquet)``
+    — a partition-parallel streaming feed over a REAL parquet table
+    (the documents fixture), completing the source-extension seam's
+    production story: synthdocsfeed proves the offset/partition
+    lifecycle on generated rows; this reader walks an existing table's
+    doc_id key space in ``epochs`` monotone id-window micro-batches,
+    each window split into ``partitions`` executor tasks that read
+    their slice straight from parquet with a pyarrow range filter
+    (row-group pruning via column stats — the predicate ships to the
+    scan, nothing row-shaped passes through the driver). Monotone
+    epochs make stream-order first-wins ≡ global min-id first-wins,
+    which is what lets stream_corpus_delta certify against the batch
+    twin's exact oracle."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "docsfeed"
+
+    def schema(self) -> str:
+        return "doc_id bigint, lang string, source string, text string"
+
+    def streamReader(self, schema) -> "DocsFeedStreamReader":
+        return DocsFeedStreamReader(self.options)
+
+
+class DocsFeedStreamReader(DataSourceStreamReader):
+    """Offsets are ``{"epoch": e}``; epoch e covers the id window
+    [min + span·e/E, min + span·(e+1)/E). The id bounds come from the
+    parquet FOOTER (driver-side metadata read, no data scan) — the
+    replay contract is the same as synthdocsfeed's: a re-planned epoch
+    re-reads the exact same id window from the immutable table."""
+
+    def __init__(self, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("docsfeed requires .option('path', parquet)")
+        self.epochs = int(options.get("epochs", "4"))
+        self.n_parts = int(options.get("partitions", "4"))
+        lo, hi = self._id_bounds(self.path)
+        self._lo, self._hi = lo, hi + 1  # [lo, hi)
+        self._epoch = 0
+
+    @staticmethod
+    def _id_bounds(path: str) -> tuple[int, int]:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        los, his = [], []
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            for i in range(rg.num_columns):
+                c = rg.column(i)
+                if c.path_in_schema == "doc_id" and c.statistics is not None:
+                    los.append(c.statistics.min)
+                    his.append(c.statistics.max)
+        if not los:
+            raise ValueError(f"docsfeed: no doc_id stats in {path}")
+        return min(los), max(his)
+
+    def _window(self, e0: int, e1: int) -> tuple[int, int]:
+        span = self._hi - self._lo
+        return (
+            self._lo + span * e0 // self.epochs,
+            self._lo + span * e1 // self.epochs,
+        )
+
+    def initialOffset(self) -> dict:
+        return {"epoch": 0}
+
+    def latestOffset(self) -> dict:
+        self._epoch = min(self._epoch + 1, self.epochs)
+        return {"epoch": self._epoch}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = self._window(int(start["epoch"]), int(end["epoch"]))
+        n = max(1, self.n_parts)
+        bounds = [lo + (hi - lo) * i // n for i in range(n + 1)]
+        return [
+            RangeInputPartition(a, b)
+            for a, b in zip(bounds, bounds[1:])
+            if b > a
+        ]
+
+    def read(self, partition: RangeInputPartition):
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            self.path,
+            columns=["doc_id", "lang", "source", "text"],
+            filters=[("doc_id", ">=", partition.lo),
+                     ("doc_id", "<", partition.hi)],
+        )
+        cols = [tbl.column(c).to_pylist()
+                for c in ("doc_id", "lang", "source", "text")]
+        return iter(list(zip(*cols)))
+
+    def commit(self, end: dict) -> None:
+        pass  # immutable table + deterministic windows: replay IS safe
 
 
 def register_synthetic_source(spark) -> None:
@@ -269,3 +400,4 @@ def register_synthetic_source(spark) -> None:
     spark.dataSource.register(SyntheticDocsDataSource)
     spark.dataSource.register(SyntheticDocsFeedDataSource)
     spark.dataSource.register(SyntheticDocsPushdownDataSource)
+    spark.dataSource.register(DocsFeedDataSource)

@@ -168,6 +168,54 @@ def read_ledger(spark, path: str, schema: str):
     return spark.read.schema(schema).json(files)
 
 
+def vacuum_ledger(path: str, older_than: float) -> dict:
+    """Retention GC for a manifest-committed ledger — the cleanup half
+    of the visibility protocol: replayed epochs REWRITE their manifest
+    and orphan the superseded parts BY DESIGN (LedgerStreamWriter
+    docstring), so a long-lived ledger accumulates invisible files
+    until something deletes them. This is that something, with the
+    same safety contract as a table format's VACUUM:
+
+    * only part files NO manifest references are candidates — a
+      referenced file is never touched, so every visible row is
+      byte-identical before/after;
+    * of the candidates, only those with mtime < ``older_than`` are
+      deleted — a recent orphan may belong to an IN-FLIGHT commit
+      (its manifest install races the GC listing), so it survives
+      until it ages past the retention boundary (the exact reason
+      Delta refuses sub-horizon vacuums);
+    * manifests themselves are never deleted (they ARE the state).
+
+    Returns the measured funnel {n_referenced, n_orphans_removed,
+    n_orphans_retained}. Driver-side O(files) metadata work — at scale
+    this is a listing join (manifest file-set vs object-store listing),
+    embarrassingly shardable by prefix."""
+    referenced: set[str] = set()
+    manifests = []
+    for name in sorted(os.listdir(path)):
+        if name.startswith("manifest") and name.endswith(".json"):
+            manifests.append(name)
+            with open(os.path.join(path, name)) as fh:
+                referenced.update(json.load(fh)["files"])
+    removed = retained = 0
+    for name in sorted(os.listdir(path)):
+        if name in manifests or not name.startswith("part-"):
+            continue
+        if name in referenced:
+            continue
+        full = os.path.join(path, name)
+        if os.path.getmtime(full) < older_than:
+            os.unlink(full)
+            removed += 1
+        else:
+            retained += 1
+    return {
+        "n_referenced": len(referenced),
+        "n_orphans_removed": removed,
+        "n_orphans_retained": retained,
+    }
+
+
 def register_ledger_sink(spark) -> None:
     """Idempotent registration (latest wins, matching Spark)."""
     spark.dataSource.register(LedgerSinkDataSource)

@@ -75,6 +75,174 @@ def test_batch_sink_abort_gc(tmp_path):
     assert not glob.glob(os.path.join(path, "manifest*"))
 
 
+def test_ledger_reuse_guard_requires_complete_run(tmp_path):
+    """The registered sink queries reuse a prior run's ledger ONLY when
+    its manifests account for every feed row (r14 fix for the r13
+    ADVICE): manifest EXISTENCE alone would serve a crash-truncated
+    partial ledger forever. Partial, corrupt, and empty states all
+    fail the check; invalidation drops the workdir as ONE unit
+    (parts + manifests + checkpoint + the feed's HWM file)."""
+    from projektdataengineering_spark.queries import formats as FT
+
+    path = str(tmp_path / "ledger")
+    os.makedirs(path)
+    assert not FT._ledger_run_complete(path, "manifest-*.json")  # empty
+
+    # partial: one epoch of a multi-epoch run landed before a crash
+    with open(os.path.join(path, "manifest-0.json"), "w") as fh:
+        json.dump({"files": ["part-a.jsonl"], "n_rows": 6000}, fh)
+    assert not FT._ledger_run_complete(path, "manifest-*.json")
+
+    # complete: manifests tile the whole feed
+    with open(os.path.join(path, "manifest-1.json"), "w") as fh:
+        json.dump({"files": ["part-b.jsonl"],
+                   "n_rows": FT._PYSTREAM_ROWS - 6000}, fh)
+    assert FT._ledger_run_complete(path, "manifest-*.json")
+
+    # corrupt manifest → not reusable, regardless of the others
+    with open(os.path.join(path, "manifest-1.json"), "w") as fh:
+        fh.write("{torn")
+    assert not FT._ledger_run_complete(path, "manifest-*.json")
+
+    # invalidation removes the whole unit, checkpoint and HWM included
+    os.makedirs(os.path.join(path, ".checkpoint", "offsets"))
+    with open(os.path.join(path, ".feed-hwm"), "w") as fh:
+        fh.write("6000")
+    FT._invalidate_ledger(path)
+    assert not os.path.exists(path)
+
+
+def test_stream_corpus_delta_epoch_replay_idempotent(spark, sf_dir):
+    """The live nightly loop's ledger honors the per-epoch
+    exactly-once contract: replaying an epoch (same batchId, same
+    deterministic content, fresh part files) swaps that epoch's
+    manifest and leaves the query's certified result IDENTICAL — the
+    O4 replay discipline certified on the composed stream, not just on
+    the raw sink."""
+    from projektdataengineering_spark.queries import pipeline_ops as P
+
+    df1 = sorted(map(tuple, P.stream_corpus_delta(spark, sf_dir).collect()))
+    ledger = os.path.join(P._stream_delta_workdir(sf_dir), "ledger")
+    manifests = sorted(glob.glob(os.path.join(ledger, "manifest-*.json")))
+    assert len(manifests) == P._STREAM_DELTA_EPOCHS, manifests
+    target = next(m for m in manifests if json.load(open(m))["n_rows"] > 0)
+    doc = json.load(open(target))
+    rows = []
+    for f in doc["files"]:
+        with open(os.path.join(ledger, f)) as fh:
+            rows.extend(json.loads(line) for line in fh)
+
+    class R:
+        def __init__(self, d):
+            self._d = d
+
+        def asDict(self):
+            return self._d
+
+    w = LedgerStreamWriter({"path": ledger})
+    msg = w.write(iter([R(r) for r in rows]))
+    w.commit([msg], int(target.rsplit("-", 1)[1].split(".")[0]))
+
+    swapped = json.load(open(target))
+    assert swapped["files"] != doc["files"]  # fresh part uuid
+    assert swapped["n_rows"] == doc["n_rows"]
+    df2 = sorted(map(tuple, P.stream_corpus_delta(spark, sf_dir).collect()))
+    assert df2 == df1
+
+
+def test_vacuum_ledger_removes_only_aged_orphans(spark, tmp_path):
+    """vacuum_ledger: (a) every manifest-referenced part is untouched
+    and the visible rows are byte-identical before/after; (b) an
+    unreferenced part OLDER than the retention boundary is deleted;
+    (c) a FRESH orphan (in-flight commit stand-in) survives; (d) a
+    second vacuum is a no-op (idempotent)."""
+    from projektdataengineering_spark.sources.pysink import vacuum_ledger
+
+    register_synthetic_source(spark)
+    register_ledger_sink(spark)
+    path = str(tmp_path / "vac")
+    stream = (spark.readStream.format("synthdocsfeed")
+              .option("rows", 400).option("batchrows", 200)
+              .option("partitions", 2).load())
+    q = (stream.writeStream.format("ledgersink")
+         .option("path", path)
+         .option("checkpointLocation", os.path.join(path, ".ckpt"))
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    q.awaitTermination()
+
+    # replay epoch 0 → its 2 original parts become orphans
+    w = LedgerStreamWriter({"path": path})
+
+    class R:
+        def __init__(self, r):
+            self._d = {"row_id": r, "bucket": r % 10, "payload": f"p{r}"}
+
+        def asDict(self):
+            return self._d
+
+    msg = w.write(iter([R(r) for r in range(200)]))
+    w.commit([msg], 0)
+
+    referenced = set()
+    for name in glob.glob(os.path.join(path, "manifest-*.json")):
+        referenced.update(json.load(open(name))["files"])
+    orphans = [n for n in os.listdir(path)
+               if n.startswith("part-") and n not in referenced]
+    assert len(orphans) == 2, orphans
+    for n in orphans:
+        os.utime(os.path.join(path, n), (0, 0))  # age past retention
+    with open(os.path.join(path, "part-fresh.jsonl"), "w") as fh:
+        fh.write('{"row_id": -1, "bucket": 0, "payload": "inflight"}\n')
+
+    before = sorted(map(tuple, read_ledger(spark, path, SCHEMA).collect()))
+    stats = vacuum_ledger(path, older_than=1.0)
+    assert stats == {"n_referenced": len(referenced),
+                     "n_orphans_removed": 2, "n_orphans_retained": 1}
+    for n in orphans:
+        assert not os.path.exists(os.path.join(path, n))
+    assert os.path.exists(os.path.join(path, "part-fresh.jsonl"))
+    for n in referenced:
+        assert os.path.exists(os.path.join(path, n))
+    after = sorted(map(tuple, read_ledger(spark, path, SCHEMA).collect()))
+    assert after == before  # visible rows byte-identical
+
+    stats2 = vacuum_ledger(path, older_than=1.0)  # idempotent no-op
+    assert stats2["n_orphans_removed"] == 0
+    assert stats2["n_orphans_retained"] == 1
+
+
+def test_feed_reader_durable_hwm_no_offset_regression(tmp_path):
+    """With .option('hwmpath', f) the feed reader persists its committed
+    offset and a restarted instance resumes FROM it — latestOffset never
+    re-advertises a range below the committed start (the r13 ADVICE
+    offset-regression scenario). Without the option, the bounded-fixture
+    behavior is unchanged: a fresh instance drains from 0."""
+    from projektdataengineering_spark.sources.pydatasource import (
+        SyntheticDocsFeedStreamReader,
+    )
+
+    hwm = str(tmp_path / "feed-hwm")
+    opts = {"rows": "1000", "batchrows": "300", "partitions": "2",
+            "hwmpath": hwm}
+    r1 = SyntheticDocsFeedStreamReader(opts)
+    assert r1.latestOffset() == {"offset": 300}
+    r1.commit({"offset": 300})
+
+    r2 = SyntheticDocsFeedStreamReader(opts)  # restart after crash
+    nxt = r2.latestOffset()
+    assert nxt["offset"] >= 300, "offset regressed below committed start"
+    assert nxt == {"offset": 600}
+
+    # no hwmpath → per-instance fixture behavior preserved
+    r3 = SyntheticDocsFeedStreamReader(
+        {"rows": "1000", "batchrows": "300", "partitions": "2"})
+    assert r3.latestOffset() == {"offset": 300}
+
+
 def test_stream_sink_epoch_manifests_and_replay(spark, tmp_path):
     """The streaming sink commits one manifest per epoch; a replayed
     epoch REWRITES its manifest so the superseded parts become
