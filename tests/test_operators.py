@@ -89,6 +89,25 @@ def test_cosine_topk_broadcast_guard_fails_loudly(spark, sf_dir):
         _collect_broadcast_matrix(emb, 64, max_cells=1)
 
 
+def test_pq_code_matrix_guard_fails_loudly(spark, sf_dir):
+    """sim_cosine_pq collects the N×M code matrix driver-side (the PQ
+    index itself).  That collect must honor the same fail-fast contract
+    as every other collect site (r13 verdict's one weak mark): past the
+    cell ceiling it refuses with an error naming the distributed-ADC
+    scale path instead of OOMing the driver."""
+    import pytest
+
+    from projektdataengineering_spark.queries import similarity as S
+
+    orig = S.PQ_CODES_MAX_CELLS
+    try:
+        S.PQ_CODES_MAX_CELLS = 1
+        with pytest.raises(ValueError, match="ADC-join probe batches"):
+            S.pq_top3(spark, sf_dir)
+    finally:
+        S.PQ_CODES_MAX_CELLS = orig
+
+
 def test_ann_recall_vs_exact(spark, sf_dir, emb_matrix):
     """LSH-bucketed ANN: every reported neighbor must be a real vector,
     ranked correctly within its bucket; overall recall@3 against the
@@ -2093,6 +2112,118 @@ def test_embedding_incremental_index_reuse_and_verdict(spark, sf_dir):
                 by_id[vec_id])
 
 
+def test_ivfpq_distributed_adc_recall_and_shared_encoder(spark, sf_dir, emb_matrix):
+    """sim_cosine_ivfpq (round 14): (a) the distributed IVFADC path's
+    recall@3 against the exact numpy baseline clears the certification
+    bound with real margin; (b) the cell kernels score against EXACTLY
+    the codes _pq_encode_np produces (shared-encoder contract: every
+    reported neighbor must be a member of a cell the query probes
+    under the shared quantizer geometry)."""
+    import numpy as np
+
+    from projektdataengineering_spark.queries import similarity as S
+
+    ids, m = emb_matrix
+    cos = _numpy_cosine_matrix(m)
+    np.fill_diagonal(cos, -np.inf)
+    exact_top3 = {
+        int(ids[i]): {int(ids[j]) for j in np.argsort(-cos[i], kind="stable")[:3]}
+        for i in range(len(ids))
+    }
+    got = S.ivfpq_top3(spark, sf_dir).collect()
+    by_q: dict[int, set[int]] = {}
+    for r in got:
+        by_q.setdefault(r["id_q"], set()).add(r["id_n"])
+    hits = sum(len(by_q.get(q, set()) & exact) for q, exact in exact_top3.items())
+    recall = hits / (3 * len(exact_top3))
+    assert recall >= S._PQ_RECALL_BOUND + 0.1, recall  # margin, not knife edge
+
+    # probe-geometry containment: every reported neighbor's rank-1 cell
+    # is probed by its query under the shared assignment
+    unit = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cents = S._ivf_centroids(
+        spark, sf_dir,
+        S._embeddings_normed(spark, sf_dir).select("vec_id", "vec"),
+    )
+    dots = unit @ cents.T
+    order = np.argsort(-dots, kind="stable", axis=1)
+    pos = {int(i): k for k, i in enumerate(ids)}
+    for r in got:
+        member_cell = order[pos[r["id_n"]], 0]
+        probed = set(order[pos[r["id_q"]], : S._IVF_NPROBE])
+        assert member_cell in probed, (r["id_q"], r["id_n"])
+
+    # shared-encoder determinism: same matrix → same codes, in range
+    books = S._pq_codebooks(
+        spark, sf_dir,
+        S._embeddings_normed(spark, sf_dir).select("vec_id", "vec"),
+    )
+    c1 = S._pq_encode_np(m.astype(np.float64), books)
+    c2 = S._pq_encode_np(m.astype(np.float64), books)
+    assert (c1 == c2).all()
+    assert c1.min() >= 0 and c1.max() < books.shape[1]
+
+
+def test_einc_probe_covers_every_exact_threshold_pair(spark, sf_dir):
+    """Zero probe-vs-exact disagreements at the CANDIDATE level (r13
+    ADVICE): dedup_embedding_incremental certifies an approximate IVF
+    probe (nprobe cells; batch members visible only via their rank-1
+    cell) against an exact all-pairs oracle. The driver hash only
+    checks the min-id VERDICTS, so a missed near-threshold pair could
+    hide until fixture drift flips a verdict. This test recomputes the
+    exact ≥-τ pair set in numpy and asserts every such pair is inside
+    the probed candidate geometry — fixture or hyperparameter drift
+    that opens a recall gap fails HERE, before the driver round."""
+    import numpy as np
+
+    from projektdataengineering_spark.queries import similarity as S
+    from projektdataengineering_spark.queries.dedup import (
+        EMBEDDING_DUP_THRESHOLD,
+    )
+
+    batch_df, _ = S._einc_probe_frames(spark, sf_dir)
+    bp = batch_df.toPandas()  # vec_id, vec, cell, probes
+    corpus = spark.read.parquet(S._embed_index_path(sf_dir)).toPandas()
+
+    def unit(col):
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in col])
+        return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+    bq, cm = unit(bp["vec"]), unit(corpus["vec"])
+    ids_b = bp["vec_id"].to_numpy()
+    ids_c = corpus["vec_id"].to_numpy()
+    probes = [set(p) for p in bp["probes"]]
+    cell_b = bp["cell"].to_numpy()
+    cell_c = corpus["cell"].to_numpy()
+    tau = EMBEDDING_DUP_THRESHOLD
+
+    # exact batch↔corpus pairs: candidate iff the member's cell is probed
+    qi, mi = np.nonzero(bq @ cm.T >= tau)
+    n_exact_c = len(qi)
+    for q, m in zip(qi, mi):
+        assert cell_c[m] in probes[q], (
+            f"probe missed corpus pair ({ids_b[q]}, {ids_c[m]}): "
+            f"member cell {cell_c[m]} not in probes {probes[q]}"
+        )
+    # exact batch↔batch pairs, in the direction the verdict consumes
+    # them (first-wins: the LATER id is the query, the earlier one the
+    # member — visible only through its rank-1 cell)
+    bb = bq @ bq.T
+    np.fill_diagonal(bb, -np.inf)
+    qi, mi = np.nonzero(bb >= tau)
+    n_exact_b = 0
+    for q, m in zip(qi, mi):
+        if ids_b[m] >= ids_b[q]:
+            continue
+        n_exact_b += 1
+        assert cell_b[m] in probes[q], (
+            f"probe missed batch pair ({ids_b[q]}, {ids_b[m]}): "
+            f"member cell {cell_b[m]} not in probes {probes[q]}"
+        )
+    # the fixture must actually exercise the property (planted twins)
+    assert n_exact_c > 0 and n_exact_b > 0, (n_exact_c, n_exact_b)
+
+
 def test_incremental_neardup_index_reuse_and_partition(spark, sf_dir):
     """dedup_incremental_neardup (round 12): (a) the corpus signature
     index is built at most ONCE per corpus fingerprint and every later
@@ -2183,6 +2314,90 @@ def test_merge_replay_is_byte_identical_and_timetravel_consistent(spark, sf_dir)
         ins = audit1.get((b, "insert"), (0,))[0]
         dels = audit1.get((b, "delete"), (0,))[0]
         assert v1.get(b, 0) == v0.get(b, 0) + ins - dels, (b, v0, v1, audit1)
+
+
+def test_merge_evolve_schema_on_disk_and_replay(spark, sf_dir):
+    """pipeline_merge_evolve: the v2 table must be a GENUINELY evolved
+    table on disk — at least one rewritten bucket's files carry the new
+    d2_events column and at least one copied bucket's files do NOT
+    (byte-identical to their v1 originals) — and a replay must leave
+    every v2 byte unchanged (the merge_apply content-addressed
+    discipline). Read-side: the backfilled column is exactly 0 on every
+    copied-bucket row."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pqt
+
+    from projektdataengineering_spark.queries import layout as L
+
+    rows1 = sorted(map(tuple, L.pipeline_merge_evolve(spark, sf_dir).collect()))
+    base_dir = L._merge_workdir(sf_dir)
+    v1_path = os.path.join(base_dir, "merged")
+    v2_path = os.path.join(base_dir, "merged2")
+
+    def bucket_schemas(root):
+        out = {}
+        for name in sorted(os.listdir(root)):
+            if not name.startswith("bucket="):
+                continue
+            for fn in sorted(os.listdir(os.path.join(root, name))):
+                if fn.endswith(".parquet"):
+                    sch = pqt.ParquetFile(
+                        os.path.join(root, name, fn)
+                    ).schema_arrow
+                    out[name] = "d2_events" in sch.names
+                    break
+        return out
+
+    schemas = bucket_schemas(v2_path)
+    evolved = {b for b, has in schemas.items() if has}
+    legacy = {b for b, has in schemas.items() if not has}
+    assert evolved and legacy, schemas  # both generations coexist
+
+    # copied buckets are byte-identical to their v1 originals
+    def digest_dir(p):
+        out = {}
+        for fn in sorted(os.listdir(p)):
+            full = os.path.join(p, fn)
+            if os.path.isfile(full):
+                with open(full, "rb") as fh:
+                    out[fn] = hashlib.sha256(fh.read()).hexdigest()
+        return out
+
+    for b in legacy:
+        assert digest_dir(os.path.join(v2_path, b)) == digest_dir(
+            os.path.join(v1_path, b)
+        ), b
+
+    # replay: byte-identical v2, identical certified rows
+    snap = {
+        os.path.join(dp, fn): os.path.getmtime(os.path.join(dp, fn))
+        for dp, _, fns in os.walk(v2_path) for fn in fns
+    }
+    rows2 = sorted(map(tuple, L.pipeline_merge_evolve(spark, sf_dir).collect()))
+    assert rows2 == rows1
+    snap2 = {
+        os.path.join(dp, fn): os.path.getmtime(os.path.join(dp, fn))
+        for dp, _, fns in os.walk(v2_path) for fn in fns
+    }
+    assert snap2 == snap  # retry never rewrites
+
+    # read-side backfill: copied-bucket rows surface d2_events = 0
+    from pyspark.sql import functions as F
+
+    legacy_buckets = [int(b.split("=", 1)[1]) for b in legacy]
+    v2 = spark.read.option("mergeSchema", "true").parquet(v2_path)
+    assert (
+        v2.filter(F.col("bucket").isin(legacy_buckets))
+        .filter(F.coalesce(F.col("d2_events"), F.lit(0)) != 0)
+        .count()
+        == 0
+    )
+    # and v2 rows in evolved buckets carry real provenance mass
+    assert (
+        v2.filter(F.col("d2_events") > 0).count() > 0
+    )
 
 
 def test_kanon_apply_release_is_k_anonymous_from_disk(spark, sf_dir):
