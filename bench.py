@@ -117,7 +117,34 @@ _WARM_BUDGETS_SF01 = {
     # extraction (isolated A/B in SCALING.md §1b) — pinned so a real
     # plan regression is caught as over_budget next time.
     "pipeline_bigram_kn": 4.0,
+    # round 14 (r13 verdict task #2): the heaviest unpinned query —
+    # real readStream micro-batch machinery, 3.1-3.9 s warm across
+    # hosts; fixed overhead, pinned ~2x warm above wobble.
+    "stream_cdc_stateful": 7.0,
+    # round 14: the three new executed/streaming queries, pinned at
+    # ~2-3x their measured warm level (stream_corpus_delta 3.6 s —
+    # 4-epoch stateful stream; vacuum 2.7 s — its own 4-epoch stream
+    # build; merge_evolve 1.1 s — one keyed join + 3 snapshot scans).
+    "stream_corpus_delta": 8.0,
+    "pipeline_vacuum": 7.0,
+    "pipeline_merge_evolve": 3.5,
+    # round 14: distributed IVFADC, ~2.8 s warm certified at sf0.1
+    # after the cell/8 shortlist fix (the half-cell first cut measured
+    # 6.8 s — the pin catches a regression back to a wide rerank join)
+    "sim_cosine_ivfpq": 8.0,
 }
+
+# Suite-level WARM budget (r13 verdict task #2): the r12→r13 driver
+# bench drifted +16.5% with no per-query pin breached — broad uniform
+# drift plus between-query hygiene growth that only a SUITE gate can
+# see. The warm wall (best pass after warm-up) is the comparable
+# number; 330 s sits ~12% above the r14 expected warm level (r13
+# driver 288 s + ~8 s of round-14 additions) so a repeat of the r13
+# drift magnitude surfaces as over_budget_suite in-round. The
+# per-pass hygiene_sec field decomposes any breach: wall = query-sum
+# + hygiene (measured), so drift attribution no longer needs git
+# archaeology.
+_SUITE_WARM_BUDGET_SF01 = 330.0
 
 
 def _sf_of(path: str) -> float:
@@ -182,11 +209,14 @@ def main() -> int:
 
     pass_timings: list[dict[str, float]] = []
     pass_walls: list[float] = []
+    pass_hygiene: list[float] = []  # attribution: wall = Σqueries + this
     for _ in range(n_passes):
         timings: dict[str, float] = {}
         t_pass = time.perf_counter()
+        hygiene_sec = 0.0
         for qi, name in enumerate(sorted(registry)):
             qd = registry[name]
+            t_hyg = time.perf_counter()
             # Session hygiene BETWEEN queries, inside the pass wall but
             # outside each per-query timer (the tools/scale_probe.py
             # lesson, applied here in round 8): drop cached/checkpoint
@@ -241,6 +271,7 @@ def main() -> int:
                 )
             if qi % 8 == 0:
                 spark._jvm.System.gc()
+            hygiene_sec += time.perf_counter() - t_hyg
             t0 = time.perf_counter()
             try:
                 qd.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -250,6 +281,7 @@ def main() -> int:
                 print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
         pass_walls.append(round(time.perf_counter() - t_pass, 3))
         pass_timings.append(timings)
+        pass_hygiene.append(round(hygiene_sec, 3))
 
     # per-query min across passes; a -1.0 (failure) in ANY pass wins so
     # failures stay visible as failures
@@ -268,6 +300,7 @@ def main() -> int:
         "passes": n_passes,
         "warmup_sec": warmup_sec,
         "pass_walls": pass_walls,
+        "hygiene_sec": pass_hygiene,
         # headline-level failure count: survives even if the stdout
         # byte budget truncates individual failure entries below
         "failed": sum(1 for v in merged.values() if v < 0),
@@ -280,6 +313,13 @@ def main() -> int:
         }
         if over:
             headline["over_budget"] = over
+        # suite-level warm gate: best post-warm-up pass wall
+        warm_wall = min(pass_walls[1:]) if len(pass_walls) > 1 else pass_walls[0]
+        if warm_wall > _SUITE_WARM_BUDGET_SF01:
+            headline["over_budget_suite"] = {
+                "warm_wall": warm_wall,
+                "budget": _SUITE_WARM_BUDGET_SF01,
+            }
 
     # complete record → BENCH_full.json (committed per round)
     full_payload = json.dumps(

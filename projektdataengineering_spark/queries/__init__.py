@@ -384,52 +384,75 @@ _R12_WINDOW = frozenset((
     "stream_dedup_stateful", "stream_session_native",
     "subquery_avg_yearly", "window_lag_lead", "window_range_frame",
 ))
+# Round-13's recorded window (CORRECTNESS_r13.json keys — on disk,
+# 50 hash-pass, zero rows-only, zero errors: fourth consecutive perfect
+# window. It proved the 9 round-13 additions, the whole round-13
+# _RECHECK population, and the entire stale r06 tier — after it the
+# 32 r07 rows are the stalest, front-loaded into round 14).
+_R13_WINDOW = frozenset((
+    "agg_corr_exact", "agg_histogram", "agg_q22_antijoin_rollup",
+    "agg_weighted_avg", "array_ops", "dedup_embedding_incremental",
+    "dedup_embedding_index_append", "join_exists_correlated",
+    "join_fuzzy_jaro", "join_not_exists_agg", "pipeline_bpe_encode",
+    "pipeline_bpe_train", "pipeline_chunk_overlap", "pipeline_corpus_build",
+    "pipeline_corpus_delta", "pipeline_interval_concurrency",
+    "pipeline_kanon_apply", "pipeline_kanon_generalize",
+    "pipeline_key_skew_profile", "pipeline_pmi_collocations",
+    "pipeline_repetition_filter", "pipeline_time_gapfill",
+    "pipeline_zorder_layout", "scalar_date", "scalar_math", "scalar_string",
+    "scalar_variant", "scan_parquet_schema_evolution",
+    "scan_python_datasource", "scan_python_pushdown", "scan_python_stream",
+    "scan_python_stream_parallel", "set_except", "set_intersect",
+    "set_union_all", "set_union_distinct", "sim_cosine_ivf",
+    "sim_cosine_ivf_reuse", "sink_python_datasource", "sink_python_stream",
+    "sql_recursive_month_spine", "subquery_scalar_select", "text_ngram",
+    "text_tokenize_wordcount", "topk_per_group", "unpivot_metrics",
+    "window_first_last", "window_percentiles", "window_rank",
+    "window_running_sum",
+))
 _DRIVER_VERIFIED = (
     _R01_WINDOW | _R03_WINDOW | _R04_WINDOW | _R05_WINDOW | _R06_WINDOW
     | _R07_WINDOW | _R08_WINDOW | _R10_WINDOW | _R11_WINDOW | _R12_WINDOW
+    | _R13_WINDOW
 )
 
 # Verified in an earlier round, but the implementation, oracle, or an
 # upstream seam changed afterwards — their old driver row no longer
 # certifies the current code, so they re-enter the window right after
-# the never-verified block.  Round-13 population (every round-12
-# recheck drew a green r12 row and dropped out):
-# * scalar_variant — the raw-props leg moved to
-#   try_parse_json/try_variant_get and the oracle's matching leg to
-#   TRY_CAST (round-12 ADVICE low: one malformed document should
-#   degrade to NULL parity, not abort the query) after its r12 row —
-#   values unchanged on the clean fixture, both sides' expressions
-#   changed;
-# * pipeline_corpus_build — the canonical-docs join no longer forces
-#   F.broadcast() on the data-dependent CC cluster table (round-12
-#   verdict task #2, the pipeline_neardup_apply fix applied at the
-#   last remaining site) after its r12 row — values unchanged, the
-#   plan seam moved;
-# * pipeline_bpe_train / pipeline_bpe_encode — the shared
-#   _bpe_vocab_from_batches guard now also caps SUM OF WORD LENGTHS
-#   (round-12 ADVICE low: the row-count cap alone under-guarded the
-#   exploded per-char in-task state) after their r12 rows — values
-#   unchanged, the single-task kernel changed;
-# * sim_cosine_ivf / sim_cosine_ivf_reuse — ivf_top3's inline cell
-#   assignment was extracted into the shared _ivf_assign kernel (now
-#   also the probe half of dedup_embedding_incremental) after their
-#   r10 rows — plan and values unchanged, the seam moved (the
-#   join_bloom_prefiltered extraction precedent);
-# * pipeline_kanon_generalize — its per-doc ladder assignment was
-#   extracted into _kanon_assigned (now shared with the executed
-#   pipeline_kanon_apply release) after its r08 row — plan and values
-#   unchanged, the seam moved.
+# the never-verified block.  Round-14 population (every round-13
+# recheck drew a green r13 row and dropped out):
+# * sim_cosine_pq — the driver-side collect of the N×M code matrix now
+#   runs behind the PQ_CODES_MAX_CELLS fail-fast guard (round-13
+#   verdict's one weak mark: the last collect site outside the
+#   round-1 no-unbounded-collect contract) after its r10 row —
+#   values unchanged, the collect seam changed;
+# * sink_python_datasource / sink_python_stream — the reuse guard is
+#   now terminal-state (sum of manifest n_rows must equal the feed;
+#   a partial ledger is invalidated WITH its checkpoint) instead of
+#   manifest-existence (round-13 ADVICE: a crash between epochs left
+#   a partial ledger served forever), and the stream twin's feed now
+#   persists its committed offset (hwmpath) — values unchanged, the
+#   reuse/restart seam changed;
+# * scan_python_stream_parallel — SyntheticDocsFeedStreamReader gained
+#   the durable-HWM option (init-from-disk + commit persistence;
+#   round-13 ADVICE offset-regression fix) after its r13 row — the
+#   query passes no hwmpath so behavior is identical, but the reader
+#   lifecycle it certifies changed;
+# * scan_python_pushdown — pushFilters now rejects bool EqualTo values
+#   (type(f.value) is int; round-13 ADVICE: bool is an int subclass,
+#   so `bucket = TRUE` was consumed as `bucket = 1`) after its r13
+#   row — values unchanged, the consumed-filter predicate changed.
 _RECHECK: tuple[str, ...] = (
-    "scalar_variant", "pipeline_corpus_build",
-    "pipeline_bpe_train", "pipeline_bpe_encode",
-    "sim_cosine_ivf", "sim_cosine_ivf_reuse",
-    "pipeline_kanon_generalize",
+    "sim_cosine_pq", "sink_python_datasource", "sink_python_stream",
+    "scan_python_stream_parallel", "scan_python_pushdown",
 )
 
 
 def _latest_row_round(name: str) -> int:
     """Most recent round whose on-disk driver artifact holds this
     query's correctness row (0 = never verified)."""
+    if name in _R13_WINDOW:
+        return 13
     if name in _R12_WINDOW:
         return 12
     if name in _R11_WINDOW:

@@ -329,6 +329,29 @@ HEADLINERS: list[tuple[str, str]] = [
         "mins of a single aggregate over the pair stream — and only "
         "(id, id, src) triples leave the kernel.",
     ),
+    (
+        "sim_cosine_ivfpq",
+        "Round-14 distributed IVFADC: the code table never touches the "
+        "driver — members are coarse-assigned and PQ-encoded in ONE "
+        "map-side mapInPandas chain, then cell-partitioned by the "
+        "groupBy exchange; probes explode to nprobe cells and meet only "
+        "those cells' codes inside the per-cell applyInPandas ADC "
+        "kernel; the shortlist re-rank is pure JVM fold-cosine column "
+        "math under a per-query window. Driver-side payload = the "
+        "broadcast centroids and codebooks, both k-bounded — the "
+        "distributed form sim_cosine_pq's PQ_CODES_MAX_CELLS guard "
+        "points to past the collect ceiling.",
+    ),
+    (
+        "pipeline_merge_evolve",
+        "Round-14 write-side schema evolution: ONE keyed full-outer "
+        "join against the v1 table read from disk; the rewrite plan "
+        "touches only the partial-rollout buckets (copy-on-write "
+        "carries the rest as files, outside the plan entirely); the "
+        "three snapshot reads are partial-aggregated scans — v2's "
+        "under mergeSchema with a COALESCE backfill projection, "
+        "v0/v1 under their own five-column schema.",
+    ),
 ]
 
 

@@ -154,6 +154,12 @@ HEAVY_QUERIES = [
     ("sink_python_datasource", "formats (round 13, custom sink — manifest-committed ledger, reuse path)"),
     ("sink_python_stream", "formats (round 13, custom streaming sink — per-epoch manifests, reuse path)"),
     ("pipeline_corpus_delta", "corpus (round 13, executed delta publish — probe + gate + content-addressed write, reuse path)"),
+    # round 14 — the r13 verdict's missing row plus the three additions
+    ("scan_python_pushdown", "formats (round 13, pushFilters native pushdown — fixed-size source, probes the stride-walk scan)"),
+    ("stream_corpus_delta", "corpus (round 14, LIVE nightly delta loop — docsfeed epochs → index probe → stateful first-wins → per-epoch manifests; reuse path after first run)"),
+    ("pipeline_vacuum", "layout (round 14, executed ledger retention GC — fixed-size source, reuse path)"),
+    ("pipeline_merge_evolve", "layout (round 14, write-side schema evolution on the executed merge table, reuse path)"),
+    ("ivfpq_top3", "similarity (round 14, distributed IVFADC — cell-partitioned codes, no driver collect)"),
 ]
 
 
@@ -287,6 +293,32 @@ def main() -> int:
             "(its own two passes read 1.67/1.27 s); the query is now "
             "warm-budget-pinned (bench.py) so real drift surfaces as "
             "`over_budget` instead of a verdict archaeology item.\n"
+        )
+        out.append(
+            "\n**r13 suite-wall drift (+16.5%, 296.6 → 345.7 s), attributed "
+            "r14 by decomposing every committed bench into wall = "
+            "query-sum + between-query hygiene:** r12 driver warm pass = "
+            "237.6 s (179.3 query-sum + 58.3 hygiene, 232 queries); r13 "
+            "driver warm pass = 288.2 s (210.7 + 77.5, 241 queries). The "
+            "+50.6 s warm drift therefore splits ~31.4 s query-sum (9.6 s "
+            "= the 9 new queries; the rest broad per-query drift, largely "
+            "host — the same 241-query tree measured 205.2 s query-sum / "
+            "73.3 s hygiene on the build host) and ~19.2 s hygiene growth "
+            "(gc.collect + clearCache + persistent-RDD sweep + listTables "
+            "+ every-8th System.gc, whose cost grows with registry size "
+            "and JVM heap — 0.25 s/query at r12 → 0.32 at r13). Neither "
+            "term is a per-query plan regression, which is why no pin "
+            "fired. The same-code A/B the verdict asked for (two fresh "
+            "bench invocations of the identical r14 tree, 245 queries, "
+            "build host): warm walls 294.3 / 295.8 s, query-sums 215.8 / "
+            "215.7 s, hygiene 78.5 / 80.1 s — invocation-to-invocation "
+            "variance ≤ 0.5%, so within one host the bench is stable and "
+            "the r12→r13 movement was systemic (hygiene) + cross-host, "
+            "not noise. Permanent fix: bench.py now measures hygiene_sec per "
+            "pass (wall − query-sum, reported in BENCH_full.json) and "
+            "gates the WARM suite wall at 330 s (over_budget_suite), so "
+            "the next drift of this magnitude is attributed in-round "
+            "from the committed artifact alone.\n"
         )
         out.append(
             "\nEvery heavy-family slope must stay ≤ ~1: banding/bucketing "
