@@ -2814,6 +2814,10 @@ _STREAM_DELTA_SQL = f"""
 """
 
 _STREAM_DELTA_EPOCHS = 4
+# keyed-state bucket count for the cross-epoch first-wins kernel (the
+# stream_dedup_stateful DEDUP_BUCKETS discipline: per-signature groups
+# pay one Arrow round-trip per distinct doc — bucketing amortizes it)
+_STREAM_DELTA_BUCKETS = 64
 _STREAM_DELTA_LEDGER_SCHEMA = (
     "doc_id bigint, lang string, source string, n_toks bigint"
 )
@@ -2845,11 +2849,14 @@ def stream_corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions, no shuffle), probed against the PERSISTED corpus
     signature index as a stream-static LEFT ANTI join (stateless, the
     index is never re-signed), deduped across epochs by a CUSTOM
-    STATEFUL first-wins operator keyed on the signature
-    (applyInPandasWithState — unsigned docs get per-doc keys so they
-    bypass dedup without colliding), quality-gated map-side, and
-    published through the ledgersink streaming SINK with one atomic
-    manifest per epoch (sources/pysink.py).
+    STATEFUL first-wins operator over {_STREAM_DELTA_BUCKETS}-way
+    signature hash buckets (applyInPandasWithState; each bucket's
+    state is its seen-signature list — the stream_dedup_stateful
+    bucketing discipline, since per-signature groups would pay one
+    Arrow round-trip per distinct doc; unsigned docs carry per-doc
+    fallback sigs so they pass through undeduped), quality-gated
+    map-side, and published through the ledgersink streaming SINK
+    with one atomic manifest per epoch (sources/pysink.py).
 
     Monotone epochs make stream-order first-wins ≡ global min-doc_id
     first-wins, so the union of epoch manifests equals the batch
@@ -2936,16 +2943,33 @@ def stream_corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[lane(i) for i in range(_PORTABLE_LANES)],
         )
         # unsigned docs (< 2 tokens) have NULL lanes: the anti join
-        # passes them (NULL never equals) and the per-doc fallback key
-        # gives each its own state group — no dedup, no skew group
+        # passes them (NULL never equals) and the per-doc fallback sig
+        # lets them through the dedup kernel untouched. Keyed-state
+        # granularity is a {_STREAM_DELTA_BUCKETS}-way HASH BUCKET of
+        # signatures, not one signature — the stream_dedup_stateful
+        # round-12 lesson (per-key Arrow groups pay one pandas
+        # round-trip per group; one group per distinct doc signature
+        # made the first cut of this kernel the probe's worst sf1 row).
+        # Each bucket's state is its seen-signature list.
         raw_key = F.concat(F.lit("raw#"), F.col("doc_id").cast("string"))
-        keyed = signed.select(
-            "*",
-            *[
-                F.coalesce(F.col(f"m{i}"), raw_key).alias(f"k{i}")
-                for i in range(_PORTABLE_LANES)
-            ],
-        ).join(csig, [f"m{i}" for i in range(_PORTABLE_LANES)], "left_anti")
+        sig = F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    F.coalesce(F.col(f"m{i}"), raw_key)
+                    for i in range(_PORTABLE_LANES)
+                ],
+            )
+        )
+        keyed = signed.join(
+            csig, [f"m{i}" for i in range(_PORTABLE_LANES)], "left_anti"
+        ).select(
+            "doc_id", "lang", "source", "n_toks", "quality",
+            sig.alias("sig"),
+            F.pmod(F.xxhash64(sig), F.lit(_STREAM_DELTA_BUCKETS))
+            .cast("int")
+            .alias("bucket"),
+        )
 
         out_schema = (
             "doc_id long, lang string, source string, "
@@ -2953,42 +2977,36 @@ def stream_corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         def first_wins(key, pdf_iter, state):
-            if state.exists:
-                return iter(())
-            best = None
-            for pdf in pdf_iter:
-                if len(pdf) == 0:
-                    continue
-                row = pdf.loc[pdf["doc_id"].idxmin()]
-                if best is None or row["doc_id"] < best["doc_id"]:
-                    best = row
-            if best is None:
-                return iter(())
-            state.update((True,))
             import pandas as pd
 
-            return iter(
-                [
-                    pd.DataFrame(
-                        [
-                            {
-                                "doc_id": int(best["doc_id"]),
-                                "lang": best["lang"],
-                                "source": best["source"],
-                                "n_toks": int(best["n_toks"]),
-                                "quality": bool(best["quality"]),
-                            }
-                        ]
-                    )
-                ]
-            )
+            seen = set(state.get[0]) if state.exists else set()
+            parts = [pdf for pdf in pdf_iter if len(pdf)]
+            if not parts:
+                return iter(())
+            batch = pd.concat(parts).sort_values("doc_id", kind="stable")
+            out = []
+            for row in batch.itertuples(index=False):
+                if row.sig in seen:
+                    continue
+                seen.add(row.sig)
+                out.append(
+                    {
+                        "doc_id": int(row.doc_id),
+                        "lang": row.lang,
+                        "source": row.source,
+                        "n_toks": int(row.n_toks),
+                        "quality": bool(row.quality),
+                    }
+                )
+            state.update((sorted(seen),))
+            if not out:
+                return iter(())
+            return iter([pd.DataFrame(out)])
 
-        deduped = keyed.groupBy(
-            *[f"k{i}" for i in range(_PORTABLE_LANES)]
-        ).applyInPandasWithState(
+        deduped = keyed.groupBy("bucket").applyInPandasWithState(
             first_wins,
             outputStructType=out_schema,
-            stateStructType="seen boolean",
+            stateStructType="seen array<string>",
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
@@ -3018,3 +3036,120 @@ def stream_corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_admitted"),
         F.sum("n_toks").cast("long").alias("tok_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_stream_index_append (round 14) — the COMMIT half of the live
+# nightly loop: the PUBLISHED delta's signatures installed as the next
+# index version, closing stream_corpus_delta's cycle
+# ---------------------------------------------------------------------------
+
+_STREAM_APPEND_SQL = f"""
+    WITH {_INCR_CTES},
+    keepers AS (
+      SELECT sp.doc_id
+      FROM split sp
+      LEFT JOIN bsig b ON b.doc_id = sp.doc_id
+      LEFT JOIN cm ON cm.doc_id = sp.doc_id
+      LEFT JOIN bm ON bm.m0 = b.m0 AND bm.m1 = b.m1
+                  AND bm.m2 = b.m2 AND bm.m3 = b.m3
+      WHERE sp.is_batch
+        AND cm.dup_of_corpus IS NULL
+        AND (bm.first_in_batch IS NULL OR bm.first_in_batch = sp.doc_id)
+    ),
+    admitted AS (
+      SELECT k.doc_id FROM keepers k JOIN documents d ON d.doc_id = k.doc_id
+      WHERE len(d.text) BETWEEN 150 AND 500
+    ),
+    v1 AS (SELECT doc_id, m0, m1, m2, m3 FROM csig),
+    v2 AS (
+      SELECT * FROM v1
+      UNION ALL
+      SELECT b.doc_id, b.m0, b.m1, b.m2, b.m3
+      FROM bsig b JOIN admitted a ON a.doc_id = b.doc_id
+    ),
+    versions AS (
+      SELECT 1 AS version, * FROM v1
+      UNION ALL
+      SELECT 2 AS version, * FROM v2
+    )
+    SELECT CAST(version AS BIGINT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_entries,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(COUNT(DISTINCT m0 || m1 || m2 || m3) AS BIGINT)
+             AS n_signatures
+    FROM versions GROUP BY 1
+"""
+
+
+@query("dedup_stream_index_append", family="dedup", oracle=_STREAM_APPEND_SQL)
+def dedup_stream_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMMIT half of the LIVE nightly loop — what
+    dedup_neardup_index_append is to the batch verdict, this is to the
+    STREAMED publish: after stream_corpus_delta's epochs land, the
+    PUBLISHED docs' signatures are physically installed as the next
+    index version (v2 = v1 ∪ signatures of admitted docs; staged write
+    + atomic rename, content-addressed), so tomorrow's stream probes
+    v2 and the cycle closes without ever re-signing the corpus.
+
+    Publication-gated semantics — deliberately different from the
+    batch twin's keeper-gated v2: the batch append indexes every KEPT
+    doc; the nightly publish indexes what was actually RELEASED (keep
+    AND quality). A quality-failed keeper's content was never
+    published, so a future near-duplicate that passes quality should
+    be admitted — the index tracks the published corpus, not the
+    attempted one. Unsigned admitted docs (< 2 tokens) index nothing
+    (no probe surface) — the dedup_neardup_index_append rule.
+
+    The admitted set is read FROM THE LEDGER the streaming sink
+    committed (manifest-visible files only), and only those docs are
+    re-signed — O(published delta) work, the corpus side is the
+    persisted v1 parquet. The audit measures BOTH on-disk versions
+    (entries, id sum, distinct signatures); the oracle recomputes v1
+    and v2 from raw documents through the shared probe/publish CTE
+    chain, so the hash certifies the physical append: exactly the
+    published signatures were added, none dropped or duplicated, v1
+    undisturbed.
+
+    Scale shape: one O(delta) signing pass + one O(delta) parquet
+    append; the audit is two partial-aggregated index scans. At 100 TB
+    the append is a catalog commit of delta-sized files — the same
+    bound as the batch twin."""
+    import os
+
+    from ..sources.pysink import read_ledger
+    from .layout import _atomic_dir_write
+
+    v1_path = _neardup_index_path(sf_dir)
+    v2_path = f"{v1_path}_pub2"
+    v1 = _corpus_signature_index(spark, sf_dir)
+    lanes = [f"m{i}" for i in range(_PORTABLE_LANES)]
+    if not os.path.isdir(v2_path):
+        stream_corpus_delta(spark, sf_dir)  # ensure the ledger exists
+        ledger = os.path.join(_stream_delta_workdir(sf_dir), "ledger")
+        admitted = read_ledger(
+            spark, ledger, _STREAM_DELTA_LEDGER_SCHEMA
+        ).select("doc_id")
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .join(admitted, "doc_id")
+            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        )
+        v2 = v1.select("doc_id", *lanes).unionByName(
+            _signature_of(docs).select("doc_id", *lanes)
+        )
+        _atomic_dir_write(lambda p: v2.write.parquet(p), v2_path)
+
+    def audit(version: int, path: str) -> DataFrame:
+        idx = spark.read.parquet(path)
+        return idx.agg(
+            F.lit(version).cast("long").alias("version"),
+            F.count(F.lit(1)).cast("long").alias("n_entries"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.count_distinct(*[F.col(m) for m in lanes])
+            .cast("long")
+            .alias("n_signatures"),
+        ).select("version", "n_entries", "id_sum", "n_signatures")
+
+    return audit(1, v1_path).unionByName(audit(2, v2_path))

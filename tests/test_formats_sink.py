@@ -150,6 +150,70 @@ def test_stream_corpus_delta_epoch_replay_idempotent(spark, sf_dir):
     assert df2 == df1
 
 
+def test_stream_index_append_installs_exactly_published_sigs(spark, sf_dir):
+    """dedup_stream_index_append: v2 − v1 must be EXACTLY the
+    signatures of the ledger-published docs that have a probe surface
+    (≥ 2 tokens) — publication-gated, unlike the batch twin's
+    keeper-gated v2 — v1 must be undisturbed, and a replay must leave
+    v2 byte-identical (content-addressed reuse)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from projektdataengineering_spark.queries import pipeline_ops as P
+    from projektdataengineering_spark.sources.pysink import read_ledger
+
+    rows1 = sorted(map(tuple, P.dedup_stream_index_append(spark, sf_dir).collect()))
+    v1_path = P._neardup_index_path(sf_dir)
+    v2_path = f"{v1_path}_pub2"
+
+    v1 = spark.read.parquet(v1_path)
+    v2 = spark.read.parquet(v2_path)
+    lanes = [f"m{i}" for i in range(P._PORTABLE_LANES)]
+    delta_ids = sorted(
+        r["doc_id"]
+        for r in v2.select("doc_id").exceptAll(v1.select("doc_id")).collect()
+    )
+    ledger = os.path.join(P._stream_delta_workdir(sf_dir), "ledger")
+    published = read_ledger(
+        spark, ledger, P._STREAM_DELTA_LEDGER_SCHEMA
+    ).select("doc_id")
+    from projektdataengineering_spark.catalog import load_table
+
+    signable = (
+        load_table(spark, sf_dir, "documents")
+        .join(published, "doc_id")
+        .filter(F.size(F.split("text", " ")) >= 2)
+    )
+    expected_ids = sorted(r["doc_id"] for r in signable.select("doc_id").collect())
+    assert delta_ids == expected_ids
+    # v2's delta rows carry the canonical signatures for those docs
+    resigned = P._signature_of(signable.select("doc_id", "text"))
+    mismatch = (
+        v2.join(published, "doc_id")
+        .select("doc_id", *lanes)
+        .exceptAll(resigned.select("doc_id", *lanes))
+        .count()
+    )
+    assert mismatch == 0
+
+    def tree_digest(root):
+        out = {}
+        for dp, _, fns in os.walk(root):
+            for fn in fns:
+                with open(os.path.join(dp, fn), "rb") as fh:
+                    out[os.path.relpath(os.path.join(dp, fn), root)] = (
+                        hashlib.sha256(fh.read()).hexdigest()
+                    )
+        return out
+
+    snap1, snap2 = tree_digest(v1_path), tree_digest(v2_path)
+    rows2 = sorted(map(tuple, P.dedup_stream_index_append(spark, sf_dir).collect()))
+    assert rows2 == rows1
+    assert tree_digest(v1_path) == snap1  # v1 undisturbed
+    assert tree_digest(v2_path) == snap2  # replay never rewrites
+
+
 def test_vacuum_ledger_removes_only_aged_orphans(spark, tmp_path):
     """vacuum_ledger: (a) every manifest-referenced part is untouched
     and the visible rows are byte-identical before/after; (b) an
