@@ -1139,7 +1139,12 @@ def ivfpq_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     across the cluster as ordinary shuffle partitions. Probe work is
     nprobe/K of the corpus per query; nothing flows through the
     driver but the K×dim centroids and M×K×sub codebooks (both
-    broadcast, both k-bounded). Shortlist = max(_PQ_RERANK_MIN,
+    broadcast, both k-bounded). The measured sf0.1→sf1 slope (~0.96,
+    SCALING.md) is the FIXED-K fixture regime: per-query ADC work is
+    O(N·nprobe/K), so with K pinned at {_IVF_K} a 10× corpus costs
+    ~10× — production scales K with √N (the faiss rule), which holds
+    per-cell work constant and makes the slope sub-linear; same
+    regime note as ivf_top3. Shortlist = max(_PQ_RERANK_MIN,
     cell/8) per probed cell — relatively ~10× wider than plain PQ's
     global max(16, N/100), so ADC rank truncation contributes almost
     nothing to the composed loss (measured: same recall as the

@@ -160,6 +160,7 @@ HEAVY_QUERIES = [
     ("pipeline_vacuum", "layout (round 14, executed ledger retention GC — fixed-size source, reuse path)"),
     ("pipeline_merge_evolve", "layout (round 14, write-side schema evolution on the executed merge table, reuse path)"),
     ("ivfpq_top3", "similarity (round 14, distributed IVFADC — cell-partitioned codes, no driver collect)"),
+    ("dedup_stream_index_append", "dedup (round 14, publication-gated index commit from the stream ledger, reuse path)"),
 ]
 
 
@@ -314,11 +315,19 @@ def main() -> int:
             "215.7 s, hygiene 78.5 / 80.1 s — invocation-to-invocation "
             "variance ≤ 0.5%, so within one host the bench is stable and "
             "the r12→r13 movement was systemic (hygiene) + cross-host, "
-            "not noise. Permanent fix: bench.py now measures hygiene_sec per "
-            "pass (wall − query-sum, reported in BENCH_full.json) and "
-            "gates the WARM suite wall at 330 s (over_budget_suite), so "
-            "the next drift of this magnitude is attributed in-round "
-            "from the committed artifact alone.\n"
+            "not noise. Fixes shipped with the attribution: a component "
+            "probe put 52% of the hygiene in the per-query listTables "
+            "RPC (~135 ms × registry) and ~20% in per-query FULL gen-2 "
+            "gc.collect scans of the grown module heap — both now ride "
+            "the every-8th block instead (pileup stays bounded by 8 "
+            "queries' views), measured 78 → 24 s hygiene/pass and warm "
+            "wall 294 → 238 s with ZERO per-query pin breaches (worst "
+            "pin at 72% — the r11 checkpoint-orphan class the hygiene "
+            "exists for is still swept, every query). bench.py also now "
+            "measures hygiene_sec per pass (wall − query-sum, in "
+            "BENCH_full.json) and gates the WARM suite wall at 300 s "
+            "(over_budget_suite), so the next drift of this magnitude "
+            "is attributed in-round from the committed artifact alone.\n"
         )
         out.append(
             "\nEvery heavy-family slope must stay ≤ ~1: banding/bucketing "
