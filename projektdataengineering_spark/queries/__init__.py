@@ -441,10 +441,17 @@ _DRIVER_VERIFIED = (
 # * scan_python_pushdown — pushFilters now rejects bool EqualTo values
 #   (type(f.value) is int; round-13 ADVICE: bool is an int subclass,
 #   so `bucket = TRUE` was consumed as `bucket = 1`) after its r13
-#   row — values unchanged, the consumed-filter predicate changed.
+#   row — values unchanged, the consumed-filter predicate changed;
+# * dedup_embedding_incremental / dedup_embedding_index_append — the
+#   arrival-fixture construction and the per-cell BLAS kernel were
+#   extracted into shared module functions (_einc_arrival_frame,
+#   _cell_threshold_matches — now also the probe half of the streaming
+#   twin stream_embedding_delta) after their r13 rows — plan and
+#   values unchanged, the seam moved (the _ivf_assign precedent).
 _RECHECK: tuple[str, ...] = (
     "sim_cosine_pq", "sink_python_datasource", "sink_python_stream",
     "scan_python_stream_parallel", "scan_python_pushdown",
+    "dedup_embedding_incremental", "dedup_embedding_index_append",
 )
 
 

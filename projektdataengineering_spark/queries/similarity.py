@@ -2393,32 +2393,14 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _einc_probe_frames(spark: SparkSession, sf_dir: str):
-    """The probe side shared by dedup_embedding_incremental (verdict
-    table) and dedup_embedding_index_append (v2 install): (batch,
-    matches) — batch is the assigned new-arrivals frame (fresh
-    md5-split vectors + planted twins, lazily localCheckpointed: it
-    feeds the batch-member leg, the probe leg, and the verdict spine);
-    matches carries BOTH min-id verdicts (dup_of_corpus, batch_min) as
-    conditional mins of ONE aggregate over the pair stream, so the
-    per-cell BLAS kernel and its exchange execute exactly once (the
-    first cut computed corpus and batch matches as separate aggregates
-    — the plan dump showed the whole Union→shuffle→kernel subtree
-    duplicated per branch)."""
-    from .dedup import (
-        EMBEDDING_DUP_THRESHOLD,
-        _TWIN_AMPLITUDE,
-        _TWIN_EVERY,
-        _TWIN_OFFSET,
-    )
+def _einc_arrival_frame(e: DataFrame) -> DataFrame:
+    """The NEW-ARRIVALS batch over a normed (vec_id, vec) frame: the
+    md5-split fresh quarter plus the planted ±6% twins of every 20th
+    base vector — ONE definition of the arrival fixture, shared by the
+    batch incremental dedup (_einc_probe_frames) and the streaming
+    twin's seen-so-far reconstruction (stream_embedding_delta)."""
+    from .dedup import _TWIN_AMPLITUDE, _TWIN_EVERY, _TWIN_OFFSET
 
-    e = _embeddings_normed(spark, sf_dir).select("vec_id", "vec")
-    cents = _ivf_centroids(
-        spark, sf_dir, e.localCheckpoint(eager=False)
-    )
-    bc = spark.sparkContext.broadcast(cents)
-
-    members_c = _corpus_cell_index(spark, sf_dir, bc)
     fresh = e.filter(F.expr(_EINC_SPLIT_SPARK))
     twins = e.filter(F.col("vec_id") % _TWIN_EVERY == 0).select(
         (F.col("vec_id") + _TWIN_OFFSET).alias("vec_id"),
@@ -2428,25 +2410,17 @@ def _einc_probe_frames(spark: SparkSession, sf_dir: str):
             * (1.0 + _TWIN_AMPLITUDE * ((i % 7).cast("double") - 3.0) / 3.0),
         ).alias("vec"),
     )
-    batch = _ivf_assign(fresh.unionByName(twins), bc).localCheckpoint(
-        eager=False
-    )  # three consumers: batch members, probes, verdict spine
+    return fresh.unionByName(twins)
 
-    members = members_c.select(
-        "cell", F.lit(0).alias("role"), F.lit(0).alias("src"), "vec_id", "vec"
-    ).unionByName(
-        batch.select(
-            "cell", F.lit(0).alias("role"), F.lit(1).alias("src"), "vec_id", "vec"
-        )
-    )
-    probes = batch.select(
-        F.explode("probes").alias("cell"),
-        F.lit(1).alias("role"),
-        F.lit(-1).alias("src"),
-        "vec_id",
-        "vec",
-    )
-    tau = EMBEDDING_DUP_THRESHOLD
+
+def _cell_threshold_matches(tau: float):
+    """Per-cell BLAS threshold scan — ONE definition of the probed-cell
+    pair semantics, shared by the batch incremental embedding dedup
+    (_einc_probe_frames) and its streaming twin
+    (stream_embedding_delta). Input rows: (cell, role, src, vec_id,
+    vec) with role 0 = member / 1 = probe; emits (id_q, id_n, src)
+    for every probe-member pair with cosine >= ``tau`` (self-pairs
+    excluded)."""
 
     def cell_matches(pdf: pd.DataFrame) -> pd.DataFrame:
         m = pdf[pdf["role"] == 0]
@@ -2477,10 +2451,53 @@ def _einc_probe_frames(spark: SparkSession, sf_dir: str):
             }
         )
 
+    return cell_matches
+
+
+def _einc_probe_frames(spark: SparkSession, sf_dir: str):
+    """The probe side shared by dedup_embedding_incremental (verdict
+    table) and dedup_embedding_index_append (v2 install): (batch,
+    matches) — batch is the assigned new-arrivals frame (fresh
+    md5-split vectors + planted twins, lazily localCheckpointed: it
+    feeds the batch-member leg, the probe leg, and the verdict spine);
+    matches carries BOTH min-id verdicts (dup_of_corpus, batch_min) as
+    conditional mins of ONE aggregate over the pair stream, so the
+    per-cell BLAS kernel and its exchange execute exactly once (the
+    first cut computed corpus and batch matches as separate aggregates
+    — the plan dump showed the whole Union→shuffle→kernel subtree
+    duplicated per branch)."""
+    from .dedup import EMBEDDING_DUP_THRESHOLD
+
+    e = _embeddings_normed(spark, sf_dir).select("vec_id", "vec")
+    cents = _ivf_centroids(
+        spark, sf_dir, e.localCheckpoint(eager=False)
+    )
+    bc = spark.sparkContext.broadcast(cents)
+
+    members_c = _corpus_cell_index(spark, sf_dir, bc)
+    batch = _ivf_assign(_einc_arrival_frame(e), bc).localCheckpoint(
+        eager=False
+    )  # three consumers: batch members, probes, verdict spine
+
+    members = members_c.select(
+        "cell", F.lit(0).alias("role"), F.lit(0).alias("src"), "vec_id", "vec"
+    ).unionByName(
+        batch.select(
+            "cell", F.lit(0).alias("role"), F.lit(1).alias("src"), "vec_id", "vec"
+        )
+    )
+    probes = batch.select(
+        F.explode("probes").alias("cell"),
+        F.lit(1).alias("role"),
+        F.lit(-1).alias("src"),
+        "vec_id",
+        "vec",
+    )
     # a member lives in exactly one cell and a probe's cells are
     # distinct, so a (q, n) pair is scored at most once — no distinct
     pairs = members.unionByName(probes).groupBy("cell").applyInPandas(
-        cell_matches, "id_q long, id_n long, src int"
+        _cell_threshold_matches(EMBEDDING_DUP_THRESHOLD),
+        "id_q long, id_n long, src int",
     )
     matches = pairs.groupBy(F.col("id_q").alias("vec_id")).agg(
         F.min(F.when(F.col("src") == 0, F.col("id_n")))
@@ -2593,3 +2610,210 @@ def dedup_embedding_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return audit(1, v1_path).unionByName(audit(2, v2_path))
+
+
+# ---------------------------------------------------------------------------
+# stream_embedding_delta (round 14) — the VECTOR modality's live nightly
+# loop: dedup_embedding_incremental run as a real streaming query, one
+# epoch verdict per micro-batch through the manifest-committed ledger
+# ---------------------------------------------------------------------------
+
+_ESTREAM_EPOCHS = 3  # base id-window epochs; the feed adds 1 twin epoch
+
+
+def _estream_workdir(sf_dir: str) -> str:
+    import os
+
+    from ..sources import source_fingerprint
+
+    fp = source_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+        "stream_embedding_delta",
+        f"{fp}_e{_ESTREAM_EPOCHS}",
+    )
+
+
+@query("stream_embedding_delta", family="dedup", oracle=_einc_oracle())
+def stream_embedding_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LIVE nightly loop on the VECTOR modality — the streaming
+    twin of dedup_embedding_incremental, completing the incremental-
+    dedup matrix (text × vectors, batch × stream): the embfeed Python
+    source walks the embeddings table in monotone vec_id-window
+    micro-batches and then emits the planted-twin epoch (the exact
+    batch fixture, float64-bit-identical, all twin ids above all base
+    ids — so stream arrival order IS global id order); each epoch's
+    arrivals are verdicted inside foreachBatch against the PERSISTED
+    IVF member lists (corpus — never re-assigned) plus the arrivals
+    already seen (each epoch's assigned frame is checkpointed and
+    carried forward — the index-append discipline in-process, so
+    seen-so-far is never re-derived from the table), through the SAME
+    _ivf_assign quantizer and _cell_threshold_matches kernel as the
+    batch twin; the per-epoch verdict rows land in the ledgersink
+    with one atomic manifest per epoch (the foreachBatch per-epoch
+    commit, pysink.py's manifest option).
+
+    The registered result is the union of epoch manifests read back
+    from the committed ledger, and the oracle is dedup_embedding_
+    incremental's EXACT all-pairs oracle, verbatim — a hash match
+    therefore PROVES stream ≡ batch: every arrival verdicted exactly
+    once across epochs, dup_of_corpus/dup_of_batch/keep identical to
+    the one-shot batch semantics (monotone epochs make stream-order
+    first-wins ≡ global min-id first-wins, and the seen-so-far side
+    includes non-admitted arrivals — a later near-dup of a REJECTED
+    arrival must still point at it, which is why the ledger alone is
+    not sufficient state). Epoch-manifest replay idempotence is pinned
+    by tests/test_formats_sink.py; completion is terminal-state (the
+    r13-ADVICE guard: a crashed partial run is invalidated WITH its
+    checkpoint and rerun).
+
+    Scale shape: per epoch, only the epoch's arrivals are assigned
+    map-side; the corpus side is a parquet index scan; the quadratic
+    work is confined to probed-cell × epoch BLAS blocks; the
+    seen-so-far side is the carried checkpointed frames (O(arrivals)
+    storage, zero recompute) — at 100 TB those frames live in the
+    persisted index instead (dedup_embedding_index_append commits
+    them), same geometry either way because the quantizer is one
+    shared kernel."""
+    import os
+    import shutil
+
+    from .dedup import EMBEDDING_DUP_THRESHOLD, _TWIN_OFFSET
+
+    base = _estream_workdir(sf_dir)
+    ledger = os.path.join(base, "ledger")
+    marker = os.path.join(base, "_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(ledger, exist_ok=True)
+        from ..sources.pydatasource import register_synthetic_source
+        from ..sources.pysink import register_ledger_sink
+
+        register_synthetic_source(spark)
+        register_ledger_sink(spark)
+
+        e_all = _embeddings_normed(spark, sf_dir).select("vec_id", "vec")
+        cents = _ivf_centroids(spark, sf_dir, e_all.localCheckpoint(eager=False))
+        bc = spark.sparkContext.broadcast(cents)
+        members_c = _corpus_cell_index(spark, sf_dir, bc)
+        # assigned arrivals carried ACROSS epochs (the index-append
+        # discipline in-process): each epoch appends its checkpointed
+        # assigned frame, so seen-so-far is never re-derived from the
+        # table. Monotone epochs guarantee every carried id < every
+        # current id. A mid-run epoch retry could append twice —
+        # harmless, seen feeds MIN aggregates only; a process-level
+        # crash is covered by the terminal-state invalidation below.
+        acc: dict = {"seen": None}
+
+        feed = (
+            spark.readStream.format("embfeed")
+            .option("path", os.path.join(sf_dir, "embeddings.parquet"))
+            .option("epochs", _ESTREAM_EPOCHS)
+            .option("partitions", 4)
+            .load()
+        )
+        # the feed emits every base row + the twin epoch; arrivals are
+        # the md5-split quarter plus all twins (ids above _TWIN_OFFSET)
+        stream_arrivals = feed.filter(
+            F.expr(_EINC_SPLIT_SPARK) | (F.col("vec_id") >= _TWIN_OFFSET)
+        )
+
+        def publish_epoch(df, batch_id: int) -> None:
+            if df.isEmpty():
+                return  # empty epoch window: nothing to verdict
+            batch_e = _ivf_assign(df.select("vec_id", "vec"), bc).localCheckpoint()
+            seen = acc["seen"]  # prior epochs' assigned arrivals
+            batch_leg = batch_e.select(
+                "cell", F.lit(0).alias("role"), F.lit(1).alias("src"),
+                "vec_id", "vec",
+            )
+            members = members_c.select(
+                "cell", F.lit(0).alias("role"), F.lit(0).alias("src"),
+                "vec_id", "vec",
+            ).unionByName(
+                batch_leg
+                if seen is None
+                else seen.select(
+                    "cell", F.lit(0).alias("role"), F.lit(1).alias("src"),
+                    "vec_id", "vec",
+                ).unionByName(batch_leg)
+            )
+            probes = batch_e.select(
+                F.explode("probes").alias("cell"),
+                F.lit(1).alias("role"),
+                F.lit(-1).alias("src"),
+                "vec_id",
+                "vec",
+            )
+            pairs = members.unionByName(probes).groupBy("cell").applyInPandas(
+                _cell_threshold_matches(EMBEDDING_DUP_THRESHOLD),
+                "id_q long, id_n long, src int",
+            )
+            matches = pairs.groupBy(F.col("id_q").alias("vec_id")).agg(
+                F.min(F.when(F.col("src") == 0, F.col("id_n")))
+                .cast("long")
+                .alias("dup_of_corpus"),
+                F.min(
+                    F.when(
+                        (F.col("src") == 1) & (F.col("id_n") < F.col("id_q")),
+                        F.col("id_n"),
+                    )
+                )
+                .cast("long")
+                .alias("batch_min"),
+            )
+            verdict = (
+                batch_e.select("vec_id")
+                .join(matches, "vec_id", "left")
+                .select(
+                    "vec_id",
+                    "dup_of_corpus",
+                    F.when(F.col("dup_of_corpus").isNull(), F.col("batch_min"))
+                    .cast("long")
+                    .alias("dup_of_batch"),
+                    (
+                        F.col("dup_of_corpus").isNull()
+                        & F.col("batch_min").isNull()
+                    ).alias("keep"),
+                )
+            )
+            (
+                verdict.write.format("ledgersink")
+                .option("path", ledger)
+                .option("manifest", f"manifest-{batch_id}.json")
+                .mode("append")
+                .save()
+            )
+            acc["seen"] = (
+                batch_e
+                if acc["seen"] is None
+                else acc["seen"].unionByName(batch_e)
+            )
+
+        from ..streaming import stream_state_partitions
+
+        with stream_state_partitions(spark):
+            q = (
+                stream_arrivals.writeStream.foreachBatch(publish_epoch)
+                .option(
+                    "checkpointLocation", os.path.join(base, ".checkpoint")
+                )
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            q.awaitTermination()
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+
+    from ..sources.pysink import read_ledger
+
+    back = read_ledger(
+        spark,
+        ledger,
+        "vec_id bigint, dup_of_corpus bigint, dup_of_batch bigint, keep boolean",
+    )
+    return back.select("vec_id", "dup_of_corpus", "dup_of_batch", "keep")

@@ -107,12 +107,17 @@ class LedgerBatchWriter(DataSourceWriter):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("ledgersink requires .option('path', dir)")
+        # optional manifest NAME: a caller driving its own epoch loop
+        # (foreachBatch) can commit per-epoch manifests through the
+        # batch writer — stream_embedding_delta's shape; the default
+        # keeps the plain one-manifest batch contract
+        self.manifest = options.get("manifest", "manifest.json")
 
     def write(self, iterator) -> LedgerCommit:
         return _write_part(self.path, iterator)
 
     def commit(self, messages) -> None:
-        _install_manifest(self.path, "manifest.json", messages)
+        _install_manifest(self.path, self.manifest, messages)
 
     def abort(self, messages) -> None:
         # orphan parts are invisible without a manifest; best-effort GC

@@ -150,6 +150,47 @@ def test_stream_corpus_delta_epoch_replay_idempotent(spark, sf_dir):
     assert df2 == df1
 
 
+def test_stream_embedding_delta_epoch_replay_idempotent(spark, sf_dir):
+    """The vector modality's live loop honors the same per-epoch
+    exactly-once contract as its text twin: replaying an epoch's
+    manifest (same batchId, same content, fresh part file) leaves the
+    certified verdict table identical — and the ledger must hold one
+    manifest per non-empty epoch (base windows + the planted-twin
+    epoch)."""
+    from projektdataengineering_spark.queries import similarity as S
+
+    rows1 = sorted(
+        map(tuple, S.stream_embedding_delta(spark, sf_dir).collect())
+    )
+    ledger = os.path.join(S._estream_workdir(sf_dir), "ledger")
+    manifests = sorted(glob.glob(os.path.join(ledger, "manifest-*.json")))
+    assert len(manifests) == S._ESTREAM_EPOCHS + 1, manifests  # + twins
+    target = next(m for m in manifests if json.load(open(m))["n_rows"] > 0)
+    doc = json.load(open(target))
+    rows = []
+    for f in doc["files"]:
+        with open(os.path.join(ledger, f)) as fh:
+            rows.extend(json.loads(line) for line in fh)
+
+    class R:
+        def __init__(self, d):
+            self._d = d
+
+        def asDict(self):
+            return self._d
+
+    w = LedgerStreamWriter({"path": ledger})
+    msg = w.write(iter([R(r) for r in rows]))
+    w.commit([msg], int(target.rsplit("-", 1)[1].split(".")[0]))
+    swapped = json.load(open(target))
+    assert swapped["files"] != doc["files"]
+    assert swapped["n_rows"] == doc["n_rows"]
+    rows2 = sorted(
+        map(tuple, S.stream_embedding_delta(spark, sf_dir).collect())
+    )
+    assert rows2 == rows1
+
+
 def test_stream_index_append_installs_exactly_published_sigs(spark, sf_dir):
     """dedup_stream_index_append: v2 − v1 must be EXACTLY the
     signatures of the ledger-published docs that have a probe surface
