@@ -136,6 +136,10 @@ _WARM_BUDGETS_SF01 = {
     # persisted indexes (~0.5 s warm); the pin catches a regression to
     # re-signing the corpus instead of only the published delta
     "dedup_stream_index_append": 4.0,
+    # round 14: the vector live loop — reuse path reads the committed
+    # ledger (~0.3 s warm; cold build ~8.5 s rides pass 0 only); the
+    # pin catches a regression to rebuilding the stream per call
+    "stream_embedding_delta": 4.0,
 }
 
 # Suite-level WARM budget (r13 verdict task #2): the r12→r13 driver

@@ -161,6 +161,7 @@ HEAVY_QUERIES = [
     ("pipeline_merge_evolve", "layout (round 14, write-side schema evolution on the executed merge table, reuse path)"),
     ("ivfpq_top3", "similarity (round 14, distributed IVFADC — cell-partitioned codes, no driver collect)"),
     ("dedup_stream_index_append", "dedup (round 14, publication-gated index commit from the stream ledger, reuse path)"),
+    ("stream_embedding_delta", "dedup (round 14, LIVE vector nightly loop — embfeed epochs → persisted-IVF probe → per-epoch manifests; reuse path after first run)"),
 ]
 
 
