@@ -343,6 +343,16 @@ HEADLINERS: list[tuple[str, str]] = [
         "points to past the collect ceiling.",
     ),
     (
+        "stream_embedding_delta",
+        "Round-14 vector live loop (read-back side): the certified "
+        "result is a union of epoch-manifest JSONL scans with an "
+        "explicit schema — the verdict work happened inside the "
+        "stream's per-epoch foreachBatch (persisted-index scan + "
+        "shared assignment/threshold kernels, committed atomically "
+        "per epoch), so the steady-state read is pure committed-state "
+        "metadata plus a projection.",
+    ),
+    (
         "pipeline_merge_evolve",
         "Round-14 write-side schema evolution: ONE keyed full-outer "
         "join against the v1 table read from disk; the rewrite plan "
