@@ -410,54 +410,80 @@ _R13_WINDOW = frozenset((
     "window_first_last", "window_percentiles", "window_rank",
     "window_running_sum",
 ))
+# Round-14's recorded window (CORRECTNESS_r14.json keys — on disk,
+# 50 hash-pass, zero rows-only, zero errors: fifth consecutive perfect
+# window. It proved the 6 round-14 additions, the whole round-14
+# _RECHECK population, and the entire stale r07 tier — after it the
+# 32 r08 rows are the stalest, front-loaded into round 15).
+_R14_WINDOW = frozenset((
+    "agg_top_supplier_revenue", "dedup_embedding_incremental",
+    "dedup_embedding_index_append", "dedup_incremental",
+    "dedup_stream_index_append", "join_cross_calendar",
+    "join_large_volume_customers", "join_min_cost_supplier",
+    "join_only_late_supplier", "pipeline_domain_mix",
+    "pipeline_embedding_norm_filter", "pipeline_market_share",
+    "pipeline_merge_evolve", "pipeline_mixture_temperature",
+    "pipeline_promo_revenue", "pipeline_span_mask", "pipeline_vacuum",
+    "pipeline_vocab_encode", "pipeline_volume_shipping",
+    "scan_csv_roundtrip", "scan_jsonl_roundtrip", "scan_orc_roundtrip",
+    "scan_python_pushdown", "scan_python_stream_parallel",
+    "sim_cosine_ann_lsh", "sim_cosine_ivfpq", "sim_cosine_pq",
+    "sim_ngram_jaccard", "sink_python_datasource", "sink_python_stream",
+    "stream_cdc_stateful", "stream_corpus_delta",
+    "stream_embedding_delta", "stream_ewma_stateful",
+    "stream_heavy_hitters", "stream_late_data_policy",
+    "stream_native_tumbling", "stream_session_windows",
+    "stream_sliding_avg", "stream_tumbling_counts",
+    "text_char_diversity", "text_fingerprint", "text_langid",
+    "text_normalize", "text_quality_score", "text_redact_pattern",
+    "text_token_count", "udaf_grouped", "udf_scalar",
+    "udtf_explode_like",
+))
 _DRIVER_VERIFIED = (
     _R01_WINDOW | _R03_WINDOW | _R04_WINDOW | _R05_WINDOW | _R06_WINDOW
     | _R07_WINDOW | _R08_WINDOW | _R10_WINDOW | _R11_WINDOW | _R12_WINDOW
-    | _R13_WINDOW
+    | _R13_WINDOW | _R14_WINDOW
 )
 
 # Verified in an earlier round, but the implementation, oracle, or an
 # upstream seam changed afterwards — their old driver row no longer
 # certifies the current code, so they re-enter the window right after
-# the never-verified block.  Round-14 population (every round-13
-# recheck drew a green r13 row and dropped out):
-# * sim_cosine_pq — the driver-side collect of the N×M code matrix now
-#   runs behind the PQ_CODES_MAX_CELLS fail-fast guard (round-13
-#   verdict's one weak mark: the last collect site outside the
-#   round-1 no-unbounded-collect contract) after its r10 row —
-#   values unchanged, the collect seam changed;
-# * sink_python_datasource / sink_python_stream — the reuse guard is
-#   now terminal-state (sum of manifest n_rows must equal the feed;
-#   a partial ledger is invalidated WITH its checkpoint) instead of
-#   manifest-existence (round-13 ADVICE: a crash between epochs left
-#   a partial ledger served forever), and the stream twin's feed now
-#   persists its committed offset (hwmpath) — values unchanged, the
-#   reuse/restart seam changed;
-# * scan_python_stream_parallel — SyntheticDocsFeedStreamReader gained
-#   the durable-HWM option (init-from-disk + commit persistence;
-#   round-13 ADVICE offset-regression fix) after its r13 row — the
-#   query passes no hwmpath so behavior is identical, but the reader
-#   lifecycle it certifies changed;
-# * scan_python_pushdown — pushFilters now rejects bool EqualTo values
-#   (type(f.value) is int; round-13 ADVICE: bool is an int subclass,
-#   so `bucket = TRUE` was consumed as `bucket = 1`) after its r13
-#   row — values unchanged, the consumed-filter predicate changed;
-# * dedup_embedding_incremental / dedup_embedding_index_append — the
-#   arrival-fixture construction and the per-cell BLAS kernel were
-#   extracted into shared module functions (_einc_arrival_frame,
-#   _cell_threshold_matches — now also the probe half of the streaming
-#   twin stream_embedding_delta) after their r13 rows — plan and
-#   values unchanged, the seam moved (the _ivf_assign precedent).
+# the never-verified block.  Round-15 population (every round-14
+# recheck drew a green r14 row and dropped out); entries are added
+# here as round-15 work changes the seams they certify:
+# * sim_cosine_pq — pq_top3 no longer runs a dedicated e.count()
+#   action per invocation to enforce PQ_CODES_MAX_CELLS (round-14
+#   ADVICE: a full extra scan job even when the guard cannot fire);
+#   the guard now rides the collected rows themselves — values
+#   unchanged, the guard seam changed;
+# * sim_cosine_ivfpq — the member code table is now persisted as a
+#   fingerprint-keyed cell-partitioned parquet index
+#   (encode-once/probe-forever, the round-14 verdict task #3) instead
+#   of being re-encoded per invocation — values unchanged by encoder
+#   determinism, the code-table provenance changed;
+# * stream_embedding_delta — the embfeed stream now passes the twin
+#   geometry (twinevery/twinoffset/twinamp) explicitly from dedup.py's
+#   constants instead of relying on the reader defaults matching
+#   (round-14 ADVICE: silent desync risk) — values unchanged, the
+#   fixture wiring changed;
+# * scan_python_stream / scan_python_stream_parallel /
+#   sink_python_stream — _load_hwm now raises on a present-but-
+#   unparsable hwm file instead of silently restarting from offset 0
+#   (round-14 ADVICE: the silent fallback re-introduced the offset
+#   regression the durable HWM exists to prevent) — values unchanged,
+#   the restart seam changed.
 _RECHECK: tuple[str, ...] = (
-    "sim_cosine_pq", "sink_python_datasource", "sink_python_stream",
-    "scan_python_stream_parallel", "scan_python_pushdown",
-    "dedup_embedding_incremental", "dedup_embedding_index_append",
+    "sim_cosine_pq", "sim_cosine_ivfpq", "stream_embedding_delta",
+    "scan_python_stream", "scan_python_stream_parallel",
+    "sink_python_stream",
 )
 
 
 def _latest_row_round(name: str) -> int:
     """Most recent round whose on-disk driver artifact holds this
     query's correctness row (0 = never verified)."""
+    if name in _R14_WINDOW:
+        return 14
     if name in _R13_WINDOW:
         return 13
     if name in _R12_WINDOW:
