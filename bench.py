@@ -336,11 +336,24 @@ def main() -> int:
         }
         if over:
             headline["over_budget"] = over
-        # suite-level warm gate: best post-warm-up pass wall
-        warm_wall = min(pass_walls[1:]) if len(pass_walls) > 1 else pass_walls[0]
-        if warm_wall > _SUITE_WARM_BUDGET_SF01:
-            headline["over_budget_suite"] = {
-                "warm_wall": warm_wall,
+        # suite-level warm gate: best post-warm-up pass wall.  The
+        # gate is warm-only by definition (mirroring the per-query
+        # budgets), so a single-pass invocation — whose one wall
+        # absorbs the cold scratch builds of the streaming-class
+        # queries (e.g. stream_embedding_delta ~8.5 s cold vs ~0.3 s
+        # warm) — is flagged informationally, never failed (r14
+        # ADVICE: a fresh-.scratch single pass emitted a spurious
+        # over_budget_suite).
+        if len(pass_walls) > 1:
+            warm_wall = min(pass_walls[1:])
+            if warm_wall > _SUITE_WARM_BUDGET_SF01:
+                headline["over_budget_suite"] = {
+                    "warm_wall": warm_wall,
+                    "budget": _SUITE_WARM_BUDGET_SF01,
+                }
+        elif pass_walls[0] > _SUITE_WARM_BUDGET_SF01:
+            headline["suite_gate_skipped_cold"] = {
+                "cold_wall": pass_walls[0],
                 "budget": _SUITE_WARM_BUDGET_SF01,
             }
 

@@ -248,13 +248,30 @@ class SyntheticDocsFeedStreamReader(DataSourceStreamReader):
         self._hwm = self._load_hwm()
 
     def _load_hwm(self) -> int:
-        if self._hwm_path:
-            try:
-                with open(self._hwm_path) as fh:
-                    return int(fh.read().strip() or 0)
-            except (OSError, ValueError):
-                pass
-        return 0
+        # Only a MISSING file means "never committed" → offset 0.  A
+        # present-but-unparsable file must raise, not silently restart
+        # from 0 (r14 ADVICE): hwm writes are atomic tmp+rename, so a
+        # damaged file indicates external interference, and swallowing
+        # it would re-advertise offsets below the committed start —
+        # exactly the offset regression the durable HWM exists to
+        # prevent.
+        if not self._hwm_path:
+            return 0
+        try:
+            with open(self._hwm_path) as fh:
+                body = fh.read().strip()
+        except FileNotFoundError:
+            return 0
+        try:
+            return int(body or 0)
+        except ValueError as exc:
+            raise ValueError(
+                f"durable HWM file {self._hwm_path!r} exists but is not "
+                f"an integer offset ({body!r}); refusing to restart from "
+                "offset 0 with an intact checkpoint — repair or remove "
+                "the file (writes are atomic tmp+rename, so corruption "
+                "indicates external interference)"
+            ) from exc
 
     def initialOffset(self) -> dict:
         return {"offset": 0}

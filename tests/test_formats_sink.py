@@ -348,6 +348,35 @@ def test_feed_reader_durable_hwm_no_offset_regression(tmp_path):
     assert r3.latestOffset() == {"offset": 300}
 
 
+def test_feed_reader_corrupt_hwm_raises(tmp_path):
+    """A present-but-unparsable hwm file must raise at reader init, not
+    silently restart from offset 0 (r14 ADVICE): hwm writes are atomic
+    tmp+rename, so a damaged file means external interference, and the
+    silent fallback would re-advertise offsets below the committed
+    start — the exact regression the durable HWM exists to prevent.
+    A MISSING file still means never-committed → offset 0."""
+    import pytest
+
+    from projektdataengineering_spark.sources.pydatasource import (
+        SyntheticDocsFeedStreamReader,
+    )
+
+    hwm = tmp_path / "feed-hwm"
+    opts = {"rows": "1000", "batchrows": "300", "partitions": "2",
+            "hwmpath": str(hwm)}
+    # missing file: fine, drains from 0
+    assert SyntheticDocsFeedStreamReader(opts).latestOffset() == {"offset": 300}
+    # corrupt file: loud refusal naming the path
+    hwm.write_text("not-an-offset")
+    with pytest.raises(ValueError, match="refusing to restart from"):
+        SyntheticDocsFeedStreamReader(opts)
+    # empty file (crash between open and write is impossible with
+    # tmp+rename, but an operator-truncated file parses as 0 by the
+    # documented `int(body or 0)` contract — present and WELL-FORMED)
+    hwm.write_text("")
+    assert SyntheticDocsFeedStreamReader(opts)._hwm == 0
+
+
 def test_stream_sink_epoch_manifests_and_replay(spark, tmp_path):
     """The streaming sink commits one manifest per epoch; a replayed
     epoch REWRITES its manifest so the superseded parts become
