@@ -928,11 +928,14 @@ _PQ_TRAIN_RUNS = 0
 
 
 def _pq_codebooks(
-    spark: SparkSession, sf_dir: str, e: DataFrame
+    spark: SparkSession, sf_dir: str, e: DataFrame,
+    force_disk_reload: bool = False,
 ) -> "np.ndarray":
     """Persisted PQ codebooks — identical write-once/reuse-forever
     contract as _ivf_centroids (memory → fingerprint-keyed .npy with
-    atomic rename → train as last resort)."""
+    atomic rename → train as last resort). ``force_disk_reload`` drops
+    the in-process cache first so a registered reuse query genuinely
+    exercises the disk round-trip (the _ivf_centroids contract)."""
     import os
 
     from ..sources import source_fingerprint
@@ -945,6 +948,8 @@ def _pq_codebooks(
         "ivf",
         f"pqbooks_{tag}.npy",
     )
+    if force_disk_reload:
+        _PQ_BOOK_CACHE.pop(tag, None)
     cached = _PQ_BOOK_CACHE.get(tag)
     if cached is not None:
         return cached
@@ -984,6 +989,32 @@ def pq_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~8 GB, which production shards by IVF cell, same math per cell);
     per-query work is O(N·M) lookups + the shortlist's exact dots, fully
     partition-parallel over queries with NO pairwise shuffle."""
+    # Fail-fast guard (round-1 no-unbounded-collect contract, the
+    # _collect_broadcast_matrix discipline): the PQ code matrix below
+    # is N×M int32 cells, collect()ed then broadcast — count FIRST and
+    # refuse loudly past the ceiling.  "Codes ~1000× smaller than
+    # vectors" makes the broadcast small RELATIVE to the vectors, but
+    # smaller-than-vectors ≠ driver-fits: at 1e10 vectors the code
+    # matrix alone is ~100 GB.  Past the ceiling the correct shape is
+    # to KEEP the codes distributed and ADC-join probe batches against
+    # code partitions sharded by IVF cell — which is exactly
+    # sim_cosine_ivfpq.  The count runs on the BARE parquet scan
+    # (all columns pruned → row-group-stats count, the cheap form the
+    # _collect_broadcast_matrix contract documents), before any
+    # normalization, checkpoint, or codebook work is scheduled — the
+    # r14-ADVICE fix for the extra full-scan job the old post-
+    # checkpoint e.count() paid on every call.  _embeddings_normed is
+    # row-1:1 with the table, so this N is the code-matrix N.
+    n_codes = load_table(spark, sf_dir, "embeddings").count()
+    if n_codes * _PQ_M > PQ_CODES_MAX_CELLS:
+        raise ValueError(
+            f"sim_cosine_pq: PQ code matrix is {n_codes} rows × {_PQ_M} "
+            f"codes = {n_codes * _PQ_M} cells > limit {PQ_CODES_MAX_CELLS}; "
+            "a driver-collected + broadcast code matrix is only valid while "
+            "it fits one heap — at this scale keep the codes distributed "
+            "and ADC-join probe batches against code partitions sharded by "
+            "IVF cell (sim_cosine_ivfpq is that operator)"
+        )
     e = _embeddings_normed(spark, sf_dir).select("vec_id", "vec").localCheckpoint()
     books = _pq_codebooks(spark, sf_dir, e)
     sub = _IVF_DIM // _PQ_M
@@ -1003,26 +1034,8 @@ def pq_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     enc = e.mapInPandas(encode, "vec_id long, codes array<int>")
-    # Fail-fast guard (round-1 no-unbounded-collect contract, the
-    # _collect_broadcast_matrix discipline): the PQ code matrix is
-    # N×M int32 cells and is collect()ed then broadcast — count FIRST
-    # and refuse loudly past the ceiling.  "Codes ~1000× smaller than
-    # vectors" makes the broadcast small RELATIVE to the vectors, but
-    # smaller-than-vectors ≠ driver-fits: at 1e10 vectors the code
-    # matrix alone is ~100 GB.  Past the ceiling the correct shape is
-    # to KEEP the codes distributed and ADC-join probe batches against
-    # code partitions (shard by IVF cell — same math per cell).
-    n_codes = e.count()
-    if n_codes * _PQ_M > PQ_CODES_MAX_CELLS:
-        raise ValueError(
-            f"sim_cosine_pq: PQ code matrix is {n_codes} rows × {_PQ_M} "
-            f"codes = {n_codes * _PQ_M} cells > limit {PQ_CODES_MAX_CELLS}; "
-            "a driver-collected + broadcast code matrix is only valid while "
-            "it fits one heap — at this scale keep the codes distributed "
-            "and ADC-join probe batches against code partitions sharded by "
-            "IVF cell (sim_cosine_ivf composes with PQ per cell)"
-        )
     code_rows = enc.collect()  # N×M small ints — the PQ index itself
+    # (guarded above: n_codes × _PQ_M ≤ PQ_CODES_MAX_CELLS)
     ids_all = np.array([r["vec_id"] for r in code_rows], dtype=np.int64)
     codes_all = np.stack([np.asarray(r["codes"], dtype=np.int32) for r in code_rows])
     order = np.argsort(ids_all)
@@ -1116,14 +1129,108 @@ def sim_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_certified(exact, pq_top3(spark, sf_dir), _PQ_RECALL_BOUND)
 
 
-def ivfpq_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+_IVFPQ_ENCODE_RUNS = 0  # map-side code-table builds; tests assert reuse skips
+
+
+def _ivfpq_code_index_path(sf_dir: str) -> str:
+    """Persisted IVFADC code-table location — the _ivf_index_path /
+    _embed_index_path keying discipline: embeddings-source content
+    fingerprint + every hyperparameter that shapes the stored codes
+    (the coarse quantizer's AND the product quantizer's), so a
+    regenerated fixture or a retuned index can never silently reuse a
+    stale code table."""
+    import os
+
+    from ..sources import source_fingerprint
+
+    fp = source_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    tag = (
+        f"{fp}_k{_IVF_K}_i{_IVF_ITERS}_d{_IVF_DIM}"
+        f"_m{_PQ_M}_c{_PQ_K}_p{_PQ_ITERS}"
+    )
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+        "ivfpq_codes",
+        f"codes_{tag}",
+    )
+
+
+def _encode_codes_frame(assigned: DataFrame, books_bc) -> DataFrame:
+    """(…, cell, vec_id, vec) → (cell, vec_id, codes): the map-side PQ
+    encode — ONE definition of the code-table row shape, shared by the
+    initial index build (_ivfpq_code_index) and the incremental append
+    (sim_ivfpq_index_append), so appended codes can never disagree with
+    built codes on encoder geometry."""
+
+    def encode_members(batches):
+        cb = books_bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+            yield pd.DataFrame(
+                {"cell": pdf["cell"].to_numpy(),
+                 "vec_id": pdf["vec_id"].to_numpy(),
+                 "codes": list(_pq_encode_np(mat, cb))}
+            )
+
+    return assigned.select("cell", "vec_id", "vec").mapInPandas(
+        encode_members, "cell int, vec_id long, codes array<int>"
+    )
+
+
+def _ivfpq_code_index(
+    spark: SparkSession, sf_dir: str, cents_bc, books_bc
+) -> DataFrame:
+    """Read-or-build the persisted IVFADC code table: faiss's inverted
+    lists WITH the PQ codes, as a parquet table physically partitioned
+    by cell (one directory per inverted list — partition pruning IS the
+    nprobe cell selection at the storage layer). Built once per corpus
+    version (staged write + atomic rename, _atomic_dir_write); every
+    later probe session reads codes straight from parquet and the
+    corpus is never re-encoded — the encode-once/probe-forever
+    operating mode the 100-TB deployment runs in (the r14 verdict's
+    task #3: sim_cosine_ivf_reuse's train-once discipline extended to
+    the code table, which at 10¹⁰ vectors is ~100 GB and is exactly
+    the artifact you cannot afford to rebuild per query session).
+
+    Returns (cell int, vec_id long, codes array<int>). Hash-neutral by
+    construction: _pq_encode_np is deterministic, so disk-loaded codes
+    are bit-identical to freshly encoded ones."""
+    global _IVFPQ_ENCODE_RUNS
+    import os
+
+    from .layout import _atomic_dir_write
+
+    path = _ivfpq_code_index_path(sf_dir)
+    if not os.path.isdir(path):
+        e = _embeddings_normed(spark, sf_dir).select("vec_id", "vec")
+        assigned = _ivf_assign(e, cents_bc)
+        codes = _encode_codes_frame(assigned, books_bc)
+        _atomic_dir_write(
+            lambda p: codes.write.partitionBy("cell").parquet(p), path
+        )
+        _IVFPQ_ENCODE_RUNS += 1
+    return spark.read.parquet(path).select(
+        F.col("cell").cast("int").alias("cell"), "vec_id", "codes"
+    )
+
+
+def ivfpq_top3(
+    spark: SparkSession, sf_dir: str, force_disk_reload: bool = False
+) -> DataFrame:
     """Raw DISTRIBUTED IVF-PQ ANN producer (id_q, id_n, cos_sim) —
     faiss's IVFADC expressed relationally, and the scale path
     sim_cosine_pq's collect guard names: the PQ code table NEVER
     touches the driver. Each vector is coarse-assigned once
     (_ivf_assign — the quantizer shared with sim_cosine_ivf and the
     embedding dedup family) and PQ-encoded map-side (_pq_encode_np —
-    the encoder shared with pq_top3); the codes live CELL-PARTITIONED.
+    the encoder shared with pq_top3); the codes live CELL-PARTITIONED
+    as a PERSISTED parquet index (_ivfpq_code_index — encoded once per
+    corpus version, read-or-build; ``force_disk_reload`` additionally
+    drops the centroid/codebook memory caches so the registered reuse
+    query exercises the full disk round-trip).
     Each query explodes to its nprobe probe cells and meets ONLY those
     cells' code lists in a per-cell ADC kernel: one (M, K) exact
     query-subvector·centroid table per query, member scores = M
@@ -1151,28 +1258,16 @@ def ivfpq_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-cell shortlist at both fixture SFs, at ~1/4 the rerank-join
     width); production tunes it with the faiss k-for-rerank rule."""
     e = _embeddings_normed(spark, sf_dir).select("vec_id", "vec").localCheckpoint()
-    cents = _ivf_centroids(spark, sf_dir, e)
-    books = _pq_codebooks(spark, sf_dir, e)
+    cents = _ivf_centroids(spark, sf_dir, e, force_disk_reload=force_disk_reload)
+    books = _pq_codebooks(spark, sf_dir, e, force_disk_reload=force_disk_reload)
     bc_c = spark.sparkContext.broadcast(cents)
     bc_b = spark.sparkContext.broadcast(books)
     assigned = _ivf_assign(e, bc_c).localCheckpoint(eager=False)
 
-    def encode_members(batches):
-        cb = bc_b.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
-            yield pd.DataFrame(
-                {"cell": pdf["cell"].to_numpy(),
-                 "vec_id": pdf["vec_id"].to_numpy(),
-                 "codes": list(_pq_encode_np(mat, cb))}
-            )
-
-    # the distributed code table: cell-partitioned, map-side encoded
-    member_codes = assigned.select("cell", "vec_id", "vec").mapInPandas(
-        encode_members, "cell int, vec_id long, codes array<int>"
-    )
+    # the distributed code table: cell-partitioned parquet inverted
+    # lists, encoded ONCE per corpus version (read-or-build) — every
+    # invocation after the first is pure probe work
+    member_codes = _ivfpq_code_index(spark, sf_dir, bc_c, bc_b)
     members = member_codes.select(
         "cell", F.lit(0).alias("role"), "vec_id", "codes",
         F.lit(None).cast("array<double>").alias("vec"),
@@ -1276,6 +1371,36 @@ def sim_cosine_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_operators.py."""
     exact = _exact_top3_per_query(spark, sf_dir)
     return _recall_certified(exact, ivfpq_top3(spark, sf_dir), _PQ_RECALL_BOUND)
+
+
+def ivfpq_top3_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw persisted-index IVFADC ANN (scale-probe twin of
+    sim_cosine_ivfpq_reuse WITHOUT the exact brute-force baseline leg —
+    same split as ivf_top3_reuse in tools/scale_probe.py)."""
+    return ivfpq_top3(spark, sf_dir, force_disk_reload=True)
+
+
+@query("sim_cosine_ivfpq_reuse", oracle=_EXACT_TOP3_ORACLE)
+def sim_cosine_ivfpq_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC on the PERSISTED code index — same pipeline, same recall
+    certification, and (by _pq_encode_np's determinism) the same hash
+    as ``sim_cosine_ivfpq``, but the cell-partitioned code table is
+    loaded from the on-disk parquet index written by whichever
+    invocation encoded first, and the centroid/codebook memory caches
+    are dropped first (``force_disk_reload=True``) so the disk
+    round-trip genuinely happens; if no index exists yet this call
+    encodes and persists it — still hash-identical. The encode-once/
+    probe-forever split is the 100-TB operating mode: at 10¹⁰ vectors
+    the code table is ~100 GB of cell-partitioned parquet built once
+    per corpus version, and a query session's cost is nprobe/K of a
+    code scan — never a corpus re-encode. Keying/staleness discipline
+    in _ivfpq_code_index_path; encode-skip on second invocation proven
+    by the builds-counter pytest (tests/test_operators.py)."""
+    exact = _exact_top3_per_query(spark, sf_dir)
+    return _recall_certified(
+        exact, ivfpq_top3(spark, sf_dir, force_disk_reload=True),
+        _PQ_RECALL_BOUND,
+    )
 
 
 def ivf_top3_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2413,6 +2538,100 @@ def _einc_arrival_frame(e: DataFrame) -> DataFrame:
     return fresh.unionByName(twins)
 
 
+def _ivfpq_append_oracle() -> str:
+    """Versioned code-index audit oracle: v1 = every base vector, v2 =
+    v1 ∪ the planted twins — membership recomputed from the raw table
+    (code VALUES are k-means artifacts, certified by pytest instead)."""
+    from .dedup import _TWIN_EVERY, _TWIN_OFFSET
+
+    return f"""
+    WITH versions AS (
+      SELECT 1 AS version, vec_id FROM embeddings
+      UNION ALL SELECT 2 AS version, vec_id FROM embeddings
+      UNION ALL SELECT 2 AS version, vec_id + {_TWIN_OFFSET} AS vec_id
+      FROM embeddings WHERE vec_id % {_TWIN_EVERY} = 0
+    )
+    SELECT CAST(version AS BIGINT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_entries,
+           CAST(SUM(vec_id) AS BIGINT) AS id_sum,
+           CAST(MIN(vec_id) AS BIGINT) AS min_id,
+           CAST(MAX(vec_id) AS BIGINT) AS max_id
+    FROM versions GROUP BY 1
+    """
+
+
+@query("sim_ivfpq_index_append", oracle=_ivfpq_append_oracle())
+def sim_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMMIT half of the persisted IVFADC code index — the
+    dedup_embedding_index_append discipline applied to the CODE table:
+    when new vectors arrive (the planted ±6% twins of every 20th base
+    vector — the established arrival fixture), ONLY the arrivals are
+    coarse-assigned and PQ-encoded (one O(batch) map-side pass through
+    the SAME _ivf_assign quantizer and _encode_codes_frame encoder as
+    the v1 build), and index version v2 = v1 ∪ batch-codes is installed
+    by staged write + atomic rename, content-addressed next to v1.
+    The corpus is NEVER re-encoded: v1's parquet rows are read, not
+    recomputed — which is the entire point of a persisted ANN index at
+    100 TB (an IVFADC whose append re-encodes 10¹⁰ vectors nightly is
+    not incremental).
+
+    The audit is measured FROM BOTH ON-DISK versions (entries, id sum,
+    id range per version — the merge_timetravel discipline) and the
+    oracle recomputes both membership sets from the raw table, so the
+    driver hash certifies the physical append: exactly the twin batch
+    was added, nothing dropped or duplicated, v1 undisturbed. Code
+    CONTENT equality (v2 − v1 rows carry byte-identical codes to a
+    fresh shared-encoder pass, byte-identical replay) is pinned by
+    tests/test_operators.py — code values are k-means artifacts and
+    deliberately outside the SQL oracle's vocabulary.
+
+    Scale shape: assignment + encode touch only the batch; the append
+    is one O(batch) cell-partitioned parquet write; the audit two
+    partial-aggregated index scans. At 100 TB versions live in a
+    catalog manifest and the append is a metadata commit of
+    batch-sized, cell-partitioned files — same bound."""
+    import os
+
+    from .dedup import _TWIN_OFFSET
+    from .layout import _atomic_dir_write
+
+    v1_path = _ivfpq_code_index_path(sf_dir)
+    v2_path = f"{v1_path}_v2"
+    e = _embeddings_normed(spark, sf_dir).select("vec_id", "vec")
+    echk = e.localCheckpoint(eager=False)
+    cents = _ivf_centroids(spark, sf_dir, echk)
+    books = _pq_codebooks(spark, sf_dir, echk)
+    bc_c = spark.sparkContext.broadcast(cents)
+    bc_b = spark.sparkContext.broadcast(books)
+    # read-or-build v1 UNCONDITIONALLY (no-op read when present): a
+    # partially cleaned scratch dir must self-heal, not fail the audit
+    v1 = _ivfpq_code_index(spark, sf_dir, bc_c, bc_b)
+    if not os.path.isdir(v2_path):
+        # the arrival batch = the planted twins — ONE definition of the
+        # twin geometry (_einc_arrival_frame), selected by the id band
+        # the fixture reserves for twins
+        twins = _einc_arrival_frame(e).filter(
+            F.col("vec_id") >= _TWIN_OFFSET
+        )
+        tw_codes = _encode_codes_frame(_ivf_assign(twins, bc_c), bc_b)
+        v2 = v1.unionByName(tw_codes.select("cell", "vec_id", "codes"))
+        _atomic_dir_write(
+            lambda p: v2.write.partitionBy("cell").parquet(p), v2_path
+        )
+
+    def audit(version: int, path: str) -> DataFrame:
+        idx = spark.read.parquet(path)
+        return idx.agg(
+            F.lit(version).cast("long").alias("version"),
+            F.count(F.lit(1)).cast("long").alias("n_entries"),
+            F.sum("vec_id").cast("long").alias("id_sum"),
+            F.min("vec_id").cast("long").alias("min_id"),
+            F.max("vec_id").cast("long").alias("max_id"),
+        )
+
+    return audit(1, v1_path).unionByName(audit(2, v2_path))
+
+
 def _cell_threshold_matches(tau: float):
     """Per-cell BLAS threshold scan — ONE definition of the probed-cell
     pair semantics, shared by the batch incremental embedding dedup
@@ -2679,7 +2898,12 @@ def stream_embedding_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    from .dedup import EMBEDDING_DUP_THRESHOLD, _TWIN_OFFSET
+    from .dedup import (
+        EMBEDDING_DUP_THRESHOLD,
+        _TWIN_AMPLITUDE,
+        _TWIN_EVERY,
+        _TWIN_OFFSET,
+    )
 
     base = _estream_workdir(sf_dir)
     ledger = os.path.join(base, "ledger")
@@ -2706,11 +2930,19 @@ def stream_embedding_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         # crash is covered by the terminal-state invalidation below.
         acc: dict = {"seen": None}
 
+        # Twin geometry passed EXPLICITLY from dedup.py's constants
+        # (r14 ADVICE): the reader's defaults happen to match, but a
+        # change to _TWIN_* would otherwise desync the stream fixture
+        # from the batch/oracle fixture with no signal — one source of
+        # truth, wired at build time.
         feed = (
             spark.readStream.format("embfeed")
             .option("path", os.path.join(sf_dir, "embeddings.parquet"))
             .option("epochs", _ESTREAM_EPOCHS)
             .option("partitions", 4)
+            .option("twinevery", _TWIN_EVERY)
+            .option("twinoffset", _TWIN_OFFSET)
+            .option("twinamp", _TWIN_AMPLITUDE)
             .load()
         )
         # the feed emits every base row + the twin epoch; arrivals are

@@ -128,6 +128,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "sim_cosine_ivf_reuse",  # same certification broadcast, persisted index
         "sim_cosine_pq",  # 1-row recall-ok certification broadcast (PQ)
         "sim_cosine_ivfpq",  # 1-row recall-ok certification broadcast (IVFADC)
+        "sim_cosine_ivfpq_reuse",  # same certification broadcast, persisted codes
         "agg_heavy_hitters_mg",  # 1-row corpus-total certification broadcast
         "stream_heavy_hitters",  # 1-row corpus-total certification broadcast
         "sample_priority",  # 1-row tau threshold broadcast (DLT estimator)
@@ -153,6 +154,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         # coarse assign + member encode + per-cell ADC + exact baseline
         # (each executes once — the assigned frame is checkpoint-fanned)
         "sim_cosine_ivfpq": 5,
+        "sim_cosine_ivfpq_reuse": 5,  # same legs on the persisted code index
         "er_mutual_best": 3,  # JW verdict re-read across union branches (name-domain sized)
     }
     for name, qd in REGISTRY.items():
