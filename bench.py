@@ -140,6 +140,18 @@ _WARM_BUDGETS_SF01 = {
     # ledger (~0.3 s warm; cold build ~8.5 s rides pass 0 only); the
     # pin catches a regression to rebuilding the stream per call
     "stream_embedding_delta": 4.0,
+    # round 15: IVFADC on the persisted code table (~2.4 s warm — same
+    # probe pipeline as the twin, codes read from the one-file-per-cell
+    # parquet lists; the pin catches a regression to per-call corpus
+    # re-encode, which the builds-counter pytest also gates), the
+    # executed code-index append (~0.5 s warm reuse path — two
+    # partial-aggregated index scans; pin catches re-encoding v1), and
+    # the merge-table snapshot expiry (~0.4 s warm — idempotent
+    # re-vacuum + two manifest-pinned snapshot reads; pin catches a
+    # regression to rebuilding the vtable pool per call)
+    "sim_cosine_ivfpq_reuse": 8.0,
+    "sim_ivfpq_index_append": 4.0,
+    "pipeline_merge_vacuum": 3.5,
 }
 
 # Suite-level WARM budget (r13 verdict task #2): the r12→r13 driver

@@ -560,9 +560,12 @@ _IVF_ITERS = 2
 _IVF_DIM = 64
 
 
-def _ivf_train_centroids(spark: SparkSession, e: DataFrame) -> "np.ndarray":
+def _ivf_train_centroids(
+    spark: SparkSession, e: DataFrame, k: int = _IVF_K
+) -> "np.ndarray":
     """Deterministic spherical k-means: init = unit vectors of the
-    _IVF_K smallest vec_ids (no rand()), then _IVF_ITERS Lloyd rounds.
+    ``k`` (default _IVF_K) smallest vec_ids (no rand()), then
+    _IVF_ITERS Lloyd rounds.
 
     Each round is one distributed pass: a mapInPandas assigns cells with
     a broadcast centroid matrix (BLAS argmax), emits (cell, pos, val)
@@ -575,7 +578,7 @@ def _ivf_train_centroids(spark: SparkSession, e: DataFrame) -> "np.ndarray":
     cell×dim per batch); the plan shape is otherwise identical."""
     global _IVF_TRAIN_RUNS
     _IVF_TRAIN_RUNS += 1
-    init = [r["vec"] for r in e.orderBy("vec_id").limit(_IVF_K).collect()]
+    init = [r["vec"] for r in e.orderBy("vec_id").limit(k).collect()]
     cents = np.stack([np.asarray(v, dtype=np.float64) for v in init])
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
 
@@ -624,20 +627,21 @@ _IVF_CENTROID_CACHE: dict[str, "np.ndarray"] = {}
 _IVF_TRAIN_RUNS = 0  # Lloyd trainings this process; tests assert reuse skips them
 
 
-def _ivf_index_path(sf_dir: str) -> tuple[str, str]:
+def _ivf_index_path(sf_dir: str, k: int = _IVF_K) -> tuple[str, str]:
     """(tag, path) for the persisted coarse-quantizer index.
 
     The tag folds the CONTENT fingerprint of the embeddings source with
     every hyperparameter that shapes the trained centroids, so a
     regenerated fixture or a retuned quantizer can never silently reuse
     a stale index — the same keying discipline as ensure_bucketed
-    (round-8 ADVICE)."""
+    (round-8 ADVICE). ``k`` defaults to the fixture K; the √N-regime
+    probe trains its own K and the tag keeps the indexes apart."""
     import os
 
     from ..sources import source_fingerprint
 
     fp = source_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
-    tag = f"{fp}_k{_IVF_K}_i{_IVF_ITERS}_d{_IVF_DIM}"
+    tag = f"{fp}_k{k}_i{_IVF_ITERS}_d{_IVF_DIM}"
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         ".scratch",
@@ -648,7 +652,8 @@ def _ivf_index_path(sf_dir: str) -> tuple[str, str]:
 
 
 def _ivf_centroids(
-    spark: SparkSession, sf_dir: str, e: DataFrame, force_disk_reload: bool = False
+    spark: SparkSession, sf_dir: str, e: DataFrame,
+    force_disk_reload: bool = False, k: int = _IVF_K,
 ) -> "np.ndarray":
     """Train-once / reuse-forever IVF index: memory cache → on-disk
     ``.npy`` keyed by source fingerprint (+ hyperparams) → Lloyd
@@ -664,7 +669,7 @@ def _ivf_centroids(
     registered reuse query genuinely exercises the disk round-trip."""
     import os
 
-    tag, path = _ivf_index_path(sf_dir)
+    tag, path = _ivf_index_path(sf_dir, k=k)
     if force_disk_reload:
         _IVF_CENTROID_CACHE.pop(tag, None)
     cached = _IVF_CENTROID_CACHE.get(tag)
@@ -674,7 +679,7 @@ def _ivf_centroids(
         cents = np.load(path)
         _IVF_CENTROID_CACHE[tag] = cents
         return cents
-    cents = _ivf_train_centroids(spark, e)
+    cents = _ivf_train_centroids(spark, e, k=k)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = f"{path}.{os.getpid()}.tmp.npy"  # .npy suffix: np.save appends otherwise
     np.save(tmp, cents)
@@ -1132,7 +1137,7 @@ def sim_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVFPQ_ENCODE_RUNS = 0  # map-side code-table builds; tests assert reuse skips
 
 
-def _ivfpq_code_index_path(sf_dir: str) -> str:
+def _ivfpq_code_index_path(sf_dir: str, k_cells: int = _IVF_K) -> str:
     """Persisted IVFADC code-table location — the _ivf_index_path /
     _embed_index_path keying discipline: embeddings-source content
     fingerprint + every hyperparameter that shapes the stored codes
@@ -1145,7 +1150,7 @@ def _ivfpq_code_index_path(sf_dir: str) -> str:
 
     fp = source_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
     tag = (
-        f"{fp}_k{_IVF_K}_i{_IVF_ITERS}_d{_IVF_DIM}"
+        f"{fp}_k{k_cells}_i{_IVF_ITERS}_d{_IVF_DIM}"
         f"_m{_PQ_M}_c{_PQ_K}_p{_PQ_ITERS}"
     )
     return os.path.join(
@@ -1181,7 +1186,8 @@ def _encode_codes_frame(assigned: DataFrame, books_bc) -> DataFrame:
 
 
 def _ivfpq_code_index(
-    spark: SparkSession, sf_dir: str, cents_bc, books_bc
+    spark: SparkSession, sf_dir: str, cents_bc, books_bc,
+    k_cells: int = _IVF_K,
 ) -> DataFrame:
     """Read-or-build the persisted IVFADC code table: faiss's inverted
     lists WITH the PQ codes, as a parquet table physically partitioned
@@ -1203,13 +1209,19 @@ def _ivfpq_code_index(
 
     from .layout import _atomic_dir_write
 
-    path = _ivfpq_code_index_path(sf_dir)
+    path = _ivfpq_code_index_path(sf_dir, k_cells=k_cells)
     if not os.path.isdir(path):
         e = _embeddings_normed(spark, sf_dir).select("vec_id", "vec")
         assigned = _ivf_assign(e, cents_bc)
         codes = _encode_codes_frame(assigned, books_bc)
+        # one file per inverted list (the faiss layout): the build-time
+        # cell shuffle is paid once per corpus version and keeps the
+        # probe-side scan from paying per-input-partition small files
         _atomic_dir_write(
-            lambda p: codes.write.partitionBy("cell").parquet(p), path
+            lambda p: codes.repartition("cell")
+            .write.partitionBy("cell")
+            .parquet(p),
+            path,
         )
         _IVFPQ_ENCODE_RUNS += 1
     return spark.read.parquet(path).select(
@@ -1268,16 +1280,29 @@ def ivfpq_top3(
     # lists, encoded ONCE per corpus version (read-or-build) — every
     # invocation after the first is pure probe work
     member_codes = _ivfpq_code_index(spark, sf_dir, bc_c, bc_b)
-    members = member_codes.select(
-        "cell", F.lit(0).alias("role"), "vec_id", "codes",
-        F.lit(None).cast("array<double>").alias("vec"),
-    )
     probes = assigned.select(
         F.explode("probes").alias("cell"),
         F.lit(1).alias("role"),
         "vec_id",
         F.lit(None).cast("array<int>").alias("codes"),
         "vec",
+    )
+    return _ivfpq_adc_rank(member_codes, probes, e, bc_b)
+
+
+def _ivfpq_adc_rank(
+    member_codes: DataFrame, probes: DataFrame, e: DataFrame, bc_b
+) -> DataFrame:
+    """The IVFADC probe pipeline — ONE definition of the per-cell ADC
+    kernel + JVM exact re-rank + global top-3, shared by ivfpq_top3
+    (fixture-K, all-vectors-are-queries) and the √N-K regime probe
+    (ivfpq_top3_sqrtk, fixed query budget), so the measured regime row
+    exercises exactly the production kernel. ``member_codes`` rows:
+    (cell, vec_id, codes); ``probes`` rows: (cell, role=1, vec_id,
+    codes=null, vec); ``e``: (vec_id, vec) for the exact re-rank."""
+    members = member_codes.select(
+        "cell", F.lit(0).alias("role"), "vec_id", "codes",
+        F.lit(None).cast("array<double>").alias("vec"),
     )
     sub = _IVF_DIM // _PQ_M
 
@@ -1378,6 +1403,50 @@ def ivfpq_top3_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_cosine_ivfpq_reuse WITHOUT the exact brute-force baseline leg —
     same split as ivf_top3_reuse in tools/scale_probe.py)."""
     return ivfpq_top3(spark, sf_dir, force_disk_reload=True)
+
+
+# fixed query budget for the √N-K regime probe: production query load
+# is a budget, not a function of corpus size — the fixture's
+# every-vector-is-a-query shape conflates the two, which is exactly why
+# the fixed-K slope reads ~1 (N queries × O(N/K) each)
+_SQRTK_QUERY_BUDGET = 2048
+
+
+def ivfpq_top3_sqrtk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The √N-K IVFADC PRODUCTION regime, measurable (r14 verdict task
+    #4): K = ⌈√N⌉ cells (the faiss rule — per-cell size √N holds
+    per-probe work flat in relative terms), nprobe = ⌊√K⌋ (recall-
+    preserving probe growth), and a FIXED budget of ~{_SQRTK_QUERY_BUDGET}
+    probe queries selected by deterministic id stride. Per-query work is
+    nprobe × N/K ≈ N^¾ · const instead of fixed-K's N — the sub-linear
+    slope the sim_cosine_ivfpq docstring asserts, measured by
+    tools/scale_probe.py (SCALING.md §1c) through the SAME
+    _ivfpq_adc_rank kernel, same persisted-index machinery
+    (fingerprint+K-keyed centroids and code table, built once per
+    corpus version, untimed warm call), same exact re-rank. Not a
+    registered query: the recall oracle already certifies the fixture-K
+    geometry; this exists to measure the regime."""
+    import math
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    k = max(_IVF_K, math.isqrt(max(n - 1, 0)) + 1)  # ⌈√N⌉
+    nprobe = max(_IVF_NPROBE, math.isqrt(k))
+    e = _embeddings_normed(spark, sf_dir).select("vec_id", "vec").localCheckpoint()
+    cents = _ivf_centroids(spark, sf_dir, e, k=k)
+    books = _pq_codebooks(spark, sf_dir, e)
+    bc_c = spark.sparkContext.broadcast(cents)
+    bc_b = spark.sparkContext.broadcast(books)
+    member_codes = _ivfpq_code_index(spark, sf_dir, bc_c, bc_b, k_cells=k)
+    stride = max(1, n // _SQRTK_QUERY_BUDGET)
+    queries = e.filter(F.col("vec_id") % stride == 0)
+    probes = _ivf_assign(queries, bc_c, nprobe=nprobe).select(
+        F.explode("probes").alias("cell"),
+        F.lit(1).alias("role"),
+        "vec_id",
+        F.lit(None).cast("array<int>").alias("codes"),
+        "vec",
+    )
+    return _ivfpq_adc_rank(member_codes, probes, e, bc_b)
 
 
 @query("sim_cosine_ivfpq_reuse", oracle=_EXACT_TOP3_ORACLE)
@@ -2616,7 +2685,10 @@ def sim_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         tw_codes = _encode_codes_frame(_ivf_assign(twins, bc_c), bc_b)
         v2 = v1.unionByName(tw_codes.select("cell", "vec_id", "codes"))
         _atomic_dir_write(
-            lambda p: v2.write.partitionBy("cell").parquet(p), v2_path
+            lambda p: v2.repartition("cell")
+            .write.partitionBy("cell")
+            .parquet(p),
+            v2_path,
         )
 
     def audit(version: int, path: str) -> DataFrame:

@@ -362,6 +362,34 @@ HEADLINERS: list[tuple[str, str]] = [
         "under mergeSchema with a COALESCE backfill projection, "
         "v0/v1 under their own five-column schema.",
     ),
+    (
+        "sim_cosine_ivfpq_reuse",
+        "Round-15 IVFADC on the PERSISTED code table: the member-code "
+        "leg is now a parquet scan of the cell-partitioned index (one "
+        "file per inverted list; `cell` is the partition column, so "
+        "the groupBy exchange is the only movement the codes ever "
+        "make) instead of a per-call assign+encode chain — the "
+        "encode-once/probe-forever split. Probe/ADC/re-rank legs are "
+        "plan-identical to sim_cosine_ivfpq.",
+    ),
+    (
+        "sim_ivfpq_index_append",
+        "Round-15 code-index append: the v1 leg is a pure parquet "
+        "scan (never recomputed); only the twin batch flows through "
+        "the assign+encode mapInPandas chain; the union writes "
+        "cell-partitioned and the audit is two partial-aggregated "
+        "index scans — nothing driver-side but the k-bounded "
+        "centroid/codebook broadcasts.",
+    ),
+    (
+        "pipeline_merge_vacuum",
+        "Round-15 snapshot expiry (read-back side): the GC itself is "
+        "O(files) driver metadata (manifest difference + unlink); the "
+        "certified plan is two partial-aggregated snapshot reads over "
+        "EXPLICIT manifest file lists (basePath-pinned so the bucket "
+        "partition column survives), v2's under mergeSchema with the "
+        "COALESCE backfill projection.",
+    ),
 ]
 
 
