@@ -766,3 +766,249 @@ def agg_q22_antijoin_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("total_bal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q11 shape: important stock — per-part supply value above a global
+# fraction threshold (scalar-subquery HAVING)
+# ---------------------------------------------------------------------------
+
+# supplier group = one of four nation-key shards (a fixed nation name
+# would be empty at sf0.001, where 10 suppliers spread over 25
+# nations); threshold = a multiple of the group's MEAN part value, so
+# the predicate is scale-free (a fixed fraction of the TOTAL — Q11's
+# literal form — goes empty as the part count grows)
+_STOCK_SHARD = 1
+_STOCK_MULT = 1.5
+
+_IMPORTANT_STOCK_SQL = f"""
+    WITH supply AS (
+      SELECT l.l_partkey,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS part_value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE s.s_nationkey % 4 = {_STOCK_SHARD}
+      GROUP BY l.l_partkey
+    ), tot AS (
+      SELECT CAST(SUM(CAST(part_value AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_value,
+             CAST(COUNT(*) AS DOUBLE) AS n_parts
+      FROM supply
+    )
+    SELECT l_partkey, part_value
+    FROM supply, tot
+    WHERE part_value * n_parts > {_STOCK_MULT} * total_value
+"""
+
+
+@query("agg_important_stock", oracle=_IMPORTANT_STOCK_SQL)
+def agg_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — parts whose supply value from one supplier
+    group (a nation-key shard) exceeds a multiple of the group's MEAN
+    part value. The fixture has no partsupp, so supply value per part
+    is the exact decimal sum of l_extendedprice over lineitems shipped
+    by the group's suppliers (cast to double once, at the end). The
+    correlated "HAVING SUM(...) > threshold(SELECT ...)" becomes: one
+    keyed aggregation per part, then a 1-row RE-AGGREGATION of that
+    already-shuffled frame (total + count) broadcast into the filter —
+    the scalar leg never re-scans lineitem, and the comparison is one
+    IEEE multiply per side of two deterministic operands (so Spark and
+    DuckDB agree bit-for-bit on every row).
+
+    At 100 TB: the group's supplier keys broadcast into a semi join
+    BEFORE the per-part shuffle (only qualifying lineitems move); the
+    scalar total is a metadata-sized broadcast; no second pass over
+    the fact table."""
+    supp_keys = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") % 4 == _STOCK_SHARD)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(supp_keys),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_semi",
+    )
+    supply = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("part_value")
+    )
+    total = supply.agg(
+        F.sum(F.col("part_value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+        F.count(F.lit(1)).cast("double").alias("n_parts"),
+    )
+    return (
+        supply.join(F.broadcast(total))
+        .filter(
+            F.col("part_value") * F.col("n_parts")
+            > _STOCK_MULT * F.col("total_value")
+        )
+        .select("l_partkey", "part_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 shape: supplier diversity per part attribute class, with an
+# excluded-supplier anti join
+# ---------------------------------------------------------------------------
+
+_PTYPE_EXCLUDED_PREFIX = "PROMO"
+_PBRAND_EXCLUDED = "Brand#13"
+
+_SUPPLIER_TYPES_SQL = f"""
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> '{_PBRAND_EXCLUDED}'
+      AND p.p_type NOT LIKE '{_PTYPE_EXCLUDED_PREFIX}%'
+      AND p.p_size % 3 = 1
+      AND ps.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 0
+      )
+    GROUP BY 1, 2, 3
+"""
+
+
+@query("agg_supplier_part_types", oracle=_SUPPLIER_TYPES_SQL)
+def agg_supplier_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — how many DISTINCT suppliers can deliver each
+    (brand, type, size) class, excluding one brand, one type family,
+    off-pattern sizes, and a denylisted supplier set (Q16's
+    complaint-comment exclusion, stood in by a deterministic key
+    predicate since the fixture has no comment column). The fixture
+    has no partsupp, so the part-supplier relation is the DISTINCT
+    (l_partkey, l_suppkey) projection of lineitem.
+
+    Shape notes: the NOT IN over a non-null key set is a broadcast
+    LEFT ANTI join (never a per-row subquery); the distinct pair
+    projection and the count-distinct share the same partkey-side
+    shuffle; part is a broadcast. At 100 TB the pair distinct is the
+    only big exchange — it carries two key columns, nothing else."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != _PBRAND_EXCLUDED)
+        & ~F.col("p_type").startswith(_PTYPE_EXCLUDED_PREFIX)
+        & (F.col("p_size") % 3 == 1)
+    )
+    denied = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_suppkey") % 7 == 0
+    ).select("s_suppkey")
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(
+            F.broadcast(denied),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+    )
+    return (
+        pairs.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            "p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size")
+        )
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape: suppliers whose shipped share of one part family clears a
+# threshold of their total shipments (nested aggregate ratio, exact
+# integer arithmetic)
+# ---------------------------------------------------------------------------
+
+_PROMO_NAME_PREFIX = "large "
+_PROMO_YEAR_LO = "1997-01-01"
+_PROMO_YEAR_HI = "1998-01-01"
+
+_PROMO_SHARE_SQL = f"""
+    WITH shipped AS (
+      SELECT l.l_suppkey,
+             CAST(SUM(CASE WHEN p.p_name LIKE '{_PROMO_NAME_PREFIX}%'
+                           THEN CAST(l.l_quantity AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS promo_qty,
+             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '{_PROMO_YEAR_LO}'
+        AND l.l_shipdate < TIMESTAMP '{_PROMO_YEAR_HI}'
+      GROUP BY l.l_suppkey
+    )
+    , g AS (
+      SELECT CAST(SUM(promo_qty) AS BIGINT) AS g_promo,
+             CAST(SUM(total_qty) AS BIGINT) AS g_total
+      FROM shipped
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name, sh.promo_qty, sh.total_qty
+    FROM shipped sh, g
+    JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE sh.promo_qty * g.g_total * 10 > sh.total_qty * g.g_promo * 11
+"""
+
+
+@query("join_promo_share_suppliers", oracle=_PROMO_SHARE_SQL)
+def join_promo_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — suppliers OVERWEIGHT in one part family
+    (p_name prefix, Q20's 'forest%'): family share of everything they
+    shipped in a year exceeds 1.1× the GLOBAL family share. The
+    fixture has no partsupp availability, so Q20's "availqty > 0.5 *
+    shipped" threshold becomes a per-supplier nested aggregate over
+    the SAME scan — family quantity (conditional sum) vs total
+    quantity — compared against the global ratio by EXACT integer
+    cross-multiplication (promo*g_total*10 > total*g_promo*11): no
+    ratio doubles anywhere, the whole-number-quantity discipline, and
+    scale-free by construction (a fixed share threshold goes empty
+    when the family's global share sits below it). Products stay far
+    inside int64 at every fixture SF; past ~1e9 rows the cross-
+    multiply moves to decimal, same plan.
+
+    Shape notes: ONE pass over the date-pruned lineitem (the ship-date
+    predicate lands in the parquet scan), part broadcast into the
+    family flag, one per-supplier exchange carrying two longs, a
+    1-row global re-aggregation of that frame broadcast into the
+    filter, then broadcast supplier/nation decoration. At 100 TB the
+    date window prunes row groups before anything moves, and the
+    single keyed aggregate is the only shuffle."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_name").startswith(_PROMO_NAME_PREFIX).alias("is_promo"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_PROMO_YEAR_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_PROMO_YEAR_HI).cast("timestamp"))
+    )
+    qty = F.col("l_quantity").cast("bigint")
+    shipped = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.when(F.col("is_promo"), qty).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("promo_qty"),
+            F.sum(qty).cast("bigint").alias("total_qty"),
+        )
+    )
+    g = shipped.agg(
+        F.sum("promo_qty").cast("bigint").alias("g_promo"),
+        F.sum("total_qty").cast("bigint").alias("g_total"),
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        shipped.join(F.broadcast(g))
+        .filter(
+            F.col("promo_qty") * F.col("g_total") * 10
+            > F.col("total_qty") * F.col("g_promo") * 11
+        )
+        .join(
+            F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name", "promo_qty", "total_qty")
+    )

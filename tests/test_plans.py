@@ -115,6 +115,8 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "pipeline_price_deciles",  # 1-row total-count broadcast for exact_ntile
         "join_not_exists_agg",  # 1-row positive-balance average broadcast
         "agg_q22_antijoin_rollup",  # 1-row global-average broadcast (Q22 shape)
+        "agg_important_stock",  # 1-row group-total supply broadcast (Q11 shape)
+        "join_promo_share_suppliers",  # 1-row global-share broadcast (Q20 shape)
         "pipeline_key_skew_profile",  # 1-row stat assembly broadcasts
         "subquery_scalar_select",  # 1-row global-average broadcast
         "pipeline_pmi_collocations",  # 1-row token/bigram totals broadcasts
