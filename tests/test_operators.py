@@ -2312,6 +2312,36 @@ def test_atomic_installers_concurrent_writer_race(spark, sf_dir, tmp_path):
     assert not os.path.exists(t1) and not os.path.exists(t2)
 
 
+def test_ivfpq_sqrtk_regime_recall_floor(spark, sf_dir, emb_matrix):
+    """The √N-K regime probe (ivfpq_top3_sqrtk) must stay a USEFUL
+    index at its measured speed: recall@3 against the exact numpy
+    baseline over the probed query budget clears the IVFADC
+    certification bound. Guards the SCALING.md §1c row — a sub-linear
+    slope from a recall-collapsed geometry would be a sham
+    measurement."""
+    import numpy as np
+
+    from projektdataengineering_spark.queries import similarity as S
+
+    ids, m = emb_matrix
+    cos = _numpy_cosine_matrix(m)
+    np.fill_diagonal(cos, -np.inf)
+    exact_top3 = {
+        int(ids[i]): {int(ids[j]) for j in np.argsort(-cos[i], kind="stable")[:3]}
+        for i in range(len(ids))
+    }
+    got = S.ivfpq_top3_sqrtk(spark, sf_dir).collect()
+    by_q: dict[int, set[int]] = {}
+    for r in got:
+        by_q.setdefault(r["id_q"], set()).add(r["id_n"])
+    assert by_q, "probe budget must select queries at this SF"
+    hits = sum(len(neigh & exact_top3[q]) for q, neigh in by_q.items())
+    recall = hits / (3 * len(by_q))
+    # √N-K probes a SMALLER corpus fraction than the fixture geometry
+    # by design; the floor is the registered certification bound
+    assert recall >= S._PQ_RECALL_BOUND, recall
+
+
 def test_merge_vacuum_gc_precision_and_byte_identity(spark, sf_dir):
     """pipeline_merge_vacuum: the snapshot-expiry GC deletes EXACTLY
     the pool files only the expired v0 references; every retained pool

@@ -153,10 +153,12 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "multimodal_video_frames": 4,  # AVI decode + frame stride + PNG feats
         "sim_cosine_ivf": 3,  # IVF probe + exact baseline + recall legs
         "sim_cosine_ivf_reuse": 3,  # same legs on the persisted index
-        # coarse assign + member encode + per-cell ADC + exact baseline
-        # (each executes once — the assigned frame is checkpoint-fanned)
-        "sim_cosine_ivfpq": 5,
-        "sim_cosine_ivfpq_reuse": 5,  # same legs on the persisted code index
+        # coarse probe assign + per-cell ADC + exact baseline — the
+        # member ENCODE left the plan in round 15 (codes come from the
+        # persisted parquet index), so the budget tightened 5 -> 3; a
+        # regression to in-plan re-encoding fails here
+        "sim_cosine_ivfpq": 3,
+        "sim_cosine_ivfpq_reuse": 3,  # same legs on the persisted code index
         "er_mutual_best": 3,  # JW verdict re-read across union branches (name-domain sized)
     }
     for name, qd in REGISTRY.items():
