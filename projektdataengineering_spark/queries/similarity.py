@@ -1262,8 +1262,11 @@ def ivfpq_top3(
     SCALING.md) is the FIXED-K fixture regime: per-query ADC work is
     O(N·nprobe/K), so with K pinned at {_IVF_K} a 10× corpus costs
     ~10× — production scales K with √N (the faiss rule), which holds
-    per-cell work constant and makes the slope sub-linear; same
-    regime note as ivf_top3. Shortlist = max(_PQ_RERANK_MIN,
+    per-cell work constant and makes the slope sub-linear: MEASURED at
+    0.27/decade by ivfpq_top3_sqrtk (K=⌈√N⌉, nprobe=⌊√K⌋, fixed query
+    budget, this same kernel — SCALING.md §1c, recall floor pinned by
+    tests/test_operators.py); same regime note as ivf_top3.
+    Shortlist = max(_PQ_RERANK_MIN,
     cell/8) per probed cell — relatively ~10× wider than plain PQ's
     global max(16, N/100), so ADC rank truncation contributes almost
     nothing to the composed loss (measured: same recall as the
