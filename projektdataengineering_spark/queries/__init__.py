@@ -471,11 +471,19 @@ _DRIVER_VERIFIED = (
 #   unparsable hwm file instead of silently restarting from offset 0
 #   (round-14 ADVICE: the silent fallback re-introduced the offset
 #   regression the durable HWM exists to prevent) — values unchanged,
-#   the restart seam changed.
+#   the restart seam changed;
+# * sim_cosine_ivf / sim_cosine_ivf_reuse / dedup_embedding_incremental
+#   / dedup_embedding_index_append — the coarse-quantizer chain
+#   (_ivf_train_centroids, _ivf_centroids, _ivf_index_path) gained the
+#   ``k`` parameter for the √N-regime probe, and _pq_codebooks gained
+#   force_disk_reload — defaults preserve fixture behavior exactly,
+#   but the trainer/index seam these rows certify changed (the
+#   _ivf_assign extraction precedent from round 14).
 _RECHECK: tuple[str, ...] = (
     "sim_cosine_pq", "sim_cosine_ivfpq", "stream_embedding_delta",
     "scan_python_stream", "scan_python_stream_parallel",
-    "sink_python_stream",
+    "sink_python_stream", "sim_cosine_ivf", "sim_cosine_ivf_reuse",
+    "dedup_embedding_incremental", "dedup_embedding_index_append",
 )
 
 
