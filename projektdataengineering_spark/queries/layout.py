@@ -1535,9 +1535,15 @@ def _vacuum_expired_versions(
     retention set, then delete exactly the pool files no RETAINED
     manifest references. Shared files survive (they are still
     referenced); idempotent by construction (a second pass finds no
-    expired manifest and no unreferenced file). Driver-side O(files)
-    metadata work, prefix-shardable at scale — the pipeline_vacuum
-    posture."""
+    expired manifest and no unreferenced file) — and CRASH-RESUMABLE:
+    the GC is driven by the retained manifests alone, so a crash at
+    any point (after the manifest unlink, mid file sweep) leaves a
+    state the next invocation finishes identically; only external
+    deletion of a retained manifest or referenced file can damage the
+    root, and that fails the next read loudly rather than serving a
+    partial table (the durable-HWM interference philosophy).
+    Driver-side O(files) metadata work, prefix-shardable at scale —
+    the pipeline_vacuum posture."""
     import json
     import os
 

@@ -945,10 +945,11 @@ _PROMO_SHARE_SQL = f"""
       FROM shipped
     )
     SELECT s.s_suppkey, s.s_name, n.n_name, sh.promo_qty, sh.total_qty
-    FROM shipped sh, g
+    FROM shipped sh
     JOIN supplier s ON s.s_suppkey = sh.l_suppkey
     JOIN nation n ON n.n_nationkey = s.s_nationkey
-    WHERE sh.promo_qty * g.g_total * 10 > sh.total_qty * g.g_promo * 11
+    WHERE sh.promo_qty * (SELECT g_total FROM g) * 10
+          > sh.total_qty * (SELECT g_promo FROM g) * 11
 """
 
 
