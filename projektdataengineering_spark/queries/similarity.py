@@ -1260,7 +1260,7 @@ def ivfpq_top3(
     driver but the K×dim centroids and M×K×sub codebooks (both
     broadcast, both k-bounded). The measured sf0.1→sf1 slope (~0.96,
     SCALING.md) is the FIXED-K fixture regime: per-query ADC work is
-    O(N·nprobe/K), so with K pinned at {_IVF_K} a 10× corpus costs
+    O(N·nprobe/K), so with K pinned at _IVF_K a 10× corpus costs
     ~10× — production scales K with √N (the faiss rule), which holds
     per-cell work constant and makes the slope sub-linear: MEASURED at
     0.27/decade by ivfpq_top3_sqrtk (K=⌈√N⌉, nprobe=⌊√K⌋, fixed query
@@ -1419,8 +1419,8 @@ def ivfpq_top3_sqrtk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The √N-K IVFADC PRODUCTION regime, measurable (r14 verdict task
     #4): K = ⌈√N⌉ cells (the faiss rule — per-cell size √N holds
     per-probe work flat in relative terms), nprobe = ⌊√K⌋ (recall-
-    preserving probe growth), and a FIXED budget of ~{_SQRTK_QUERY_BUDGET}
-    probe queries selected by deterministic id stride. Per-query work is
+    preserving probe growth), and a FIXED budget of probe queries
+    (_SQRTK_QUERY_BUDGET, selected by deterministic id stride). Per-query work is
     nprobe × N/K ≈ N^¾ · const instead of fixed-K's N — the sub-linear
     slope the sim_cosine_ivfpq docstring asserts, measured by
     tools/scale_probe.py (SCALING.md §1c) through the SAME
