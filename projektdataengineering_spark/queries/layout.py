@@ -1512,10 +1512,21 @@ def _build_vtable(spark: SparkSession, sf_dir: str) -> str:
                     dst = os.path.join(pool, bucket_dir, fn)
                     if os.path.exists(dst):
                         # a shared name MUST be a copied (identical)
-                        # file — rewritten buckets use fresh UUIDs
-                        assert os.path.getsize(dst) == os.path.getsize(
-                            src
-                        ), (version, bucket_dir, fn)
+                        # file — rewritten buckets use fresh UUIDs.
+                        # Full-content compare (r15 ADVICE): a size-only
+                        # bare assert is stripped under -O and an
+                        # equal-size name collision would silently serve
+                        # the earlier generation's bytes to later
+                        # versions' time-travel reads.
+                        import filecmp
+
+                        if not filecmp.cmp(src, dst, shallow=False):
+                            raise RuntimeError(
+                                "merge-table pool collision: "
+                                f"v{version} {bucket_dir}/{fn} differs "
+                                "byte-wise from the pooled copy — shared "
+                                "names must be identical files"
+                            )
                     else:
                         os.makedirs(os.path.dirname(dst), exist_ok=True)
                         shutil.copyfile(src, dst)

@@ -1013,3 +1013,145 @@ def join_promo_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_name", "n_name", "promo_qty", "total_qty")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q13 shape: customer order-count distribution INCLUDING zero-order
+# customers (aggregate over a null-preserving outer join)
+# ---------------------------------------------------------------------------
+
+# Orders filter lives in the JOIN CONDITION, not a WHERE clause — Q13's
+# defining trap: a post-join WHERE on the orders side would silently
+# drop the unmatched (all-null) customer rows and lose the c_count=0
+# bucket. The fixture has no o_comment, so the excluded class is the
+# urgent-priority analog of "%special%requests%".
+_CUSTDIST_SQL = """
+    WITH c_orders AS (
+      SELECT c.c_custkey,
+             CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority NOT LIKE '%URGENT%'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@query("agg_custdist_outer", oracle=_CUSTDIST_SQL)
+def agg_custdist_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 — the distribution of per-customer order counts with
+    zero-order customers PRESERVED: a left outer join whose orders-side
+    predicate (NOT LIKE the urgent class; the fixture's o_comment
+    analog) sits in the join condition, followed by COUNT(o_orderkey)
+    — which counts non-null matches only, so an unmatched customer
+    lands in the c_count=0 bucket instead of vanishing. This is the
+    agg-over-preserved-nulls shape every retention report hits, and no
+    other registered query plans it (reference grounding: SURVEY §2.1
+    S1-S3, the MLapp serving-query generalization).
+
+    Plan shape: the NOT LIKE filter is evaluated ON THE SCAN of orders
+    (a join-condition single-side predicate is pushed below the outer
+    join — PushedFilters shows Not(StringContains(o_orderpriority))).
+    At fixture scale the filtered orders side broadcasts, leaving ONE
+    custkey exchange for the per-customer count; at 100 TB, where both
+    sides are large, the join becomes a custkey SortMergeJoin and the
+    groupBy(c_custkey) REUSES that partitioning with no extra
+    exchange — either way the final groupBy(c_count) re-shuffles only
+    ~50 distinct counts, metadata-sized. The sort carries custdist
+    then c_count — a unique composite, so ordering is total."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (~F.col("o_orderpriority").like("%URGENT%")),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 shape: disjunctive OR-of-ANDs multi-attribute predicate
+# (CNF extraction + partial pushdown)
+# ---------------------------------------------------------------------------
+
+# Three (brand, size-range, quantity-range) branches — Q19's structure
+# with the fixture's columns (no p_container/l_shipmode). l_linestatus
+# appears in EVERY branch of the original's OR; hoisting it out (and
+# the branches' shared p_size lower bound) is exactly the
+# CNF-conversion work the optimizer must do to push scan filters
+# through a disjunction.
+_Q19_BRANCHES = (
+    ("Brand#12", 5, 1, 11),
+    ("Brand#23", 10, 10, 20),
+    ("Brand#3", 15, 20, 30),
+)
+
+_DISJUNCT_SQL = f"""
+    SELECT CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_linestatus = 'O'
+      AND ({" OR ".join(
+        f"(p.p_brand = '{b}' AND p.p_size BETWEEN 1 AND {sz}"
+        f" AND l.l_quantity BETWEEN {qlo} AND {qhi})"
+        for b, sz, qlo, qhi in _Q19_BRANCHES)})
+"""
+
+
+@query("join_disjunctive_pushdown", oracle=_DISJUNCT_SQL)
+def join_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 — revenue from an OR of three conjunctive
+    (brand, part-size, quantity) branches over part⋈lineitem, plus one
+    conjunct (l_linestatus) shared by every branch. The optimizer work
+    this exercises is CNF conversion / partial pushdown: from the
+    disjunction, the single-table residuals ARE derivable —
+    l_linestatus='O' and the OR of quantity ranges push to the
+    lineitem scan, the OR of (brand AND size) branches pushes to the
+    part scan — so both scans prune before the join and the full
+    cross-attribute predicate re-applies post-join. PLANS.md pins the
+    PushedFilters lines proving both scans received their derived
+    disjunctions.
+
+    The declarative form is deliberately the NAIVE one (filter after
+    join): extracting the pushable residuals is Catalyst's job, not
+    the query author's — hand-distributing the OR would defeat the
+    shape's purpose. At 100 TB the part side after its pushed
+    disjunction is a tiny brand-sliced dimension (broadcast), and
+    lineitem rows surviving the pushed quantity/status filters are the
+    only ones shuffled. Revenue goes through the exact-decimal helper;
+    the single output row is hash-trivial."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    branch = None
+    for b, sz, qlo, qhi in _Q19_BRANCHES:
+        cond = (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(1, sz)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+        branch = cond if branch is None else (branch | cond)
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .filter((F.col("l_linestatus") == "O") & branch)
+        .agg(
+            F.sum(revenue_expr()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )

@@ -2429,6 +2429,22 @@ _EINC_SPLIT_DUCK = (
 _EMBED_INDEX_BUILDS = 0  # tests assert index reuse skips the build
 
 
+def _append_v2_path(v1_path: str) -> str:
+    """v2 generation path for an append-family index, keyed by the
+    ARRIVAL-BATCH geometry as well as the v1 key (r15 ADVICE): the v1
+    path already folds the corpus fingerprint and quantizer
+    hyperparameters, but v2's CONTENT additionally depends on which
+    batch was appended — retuning the twin constants
+    (_TWIN_EVERY/_TWIN_OFFSET/_TWIN_AMPLITUDE) must REBUILD v2 under a
+    new key, not reuse a stale v2 built for a different batch (which
+    would surface as a loud oracle hash mismatch instead of a
+    rebuild). Superseded tags left behind by a retune are exactly
+    what pipeline_index_vacuum garbage-collects."""
+    from .dedup import _TWIN_AMPLITUDE, _TWIN_EVERY, _TWIN_OFFSET
+
+    return f"{v1_path}_v2-e{_TWIN_EVERY}-o{_TWIN_OFFSET}-a{_TWIN_AMPLITUDE}"
+
+
 def _embed_index_path(sf_dir: str) -> str:
     """Persisted corpus cell-index location — the _ivf_index_path /
     _neardup_index_path keying discipline: embeddings-source content
@@ -2668,7 +2684,7 @@ def sim_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .layout import _atomic_dir_write
 
     v1_path = _ivfpq_code_index_path(sf_dir)
-    v2_path = f"{v1_path}_v2"
+    v2_path = _append_v2_path(v1_path)
     e = _embeddings_normed(spark, sf_dir).select("vec_id", "vec")
     echk = e.localCheckpoint(eager=False)
     cents = _ivf_centroids(spark, sf_dir, echk)
@@ -2874,7 +2890,7 @@ def dedup_embedding_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .layout import _atomic_dir_write
 
     v1_path = _embed_index_path(sf_dir)
-    v2_path = f"{v1_path}_v2"
+    v2_path = _append_v2_path(v1_path)
     e = _embeddings_normed(spark, sf_dir).select("vec_id", "vec")
     cents = _ivf_centroids(spark, sf_dir, e.localCheckpoint(eager=False))
     bc = spark.sparkContext.broadcast(cents)

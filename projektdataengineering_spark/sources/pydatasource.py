@@ -262,8 +262,13 @@ class SyntheticDocsFeedStreamReader(DataSourceStreamReader):
                 body = fh.read().strip()
         except FileNotFoundError:
             return 0
+        # An existing-but-EMPTY file is corruption too (r15 ADVICE):
+        # truncation-to-empty is the most common external-corruption
+        # mode, and mapping it to offset 0 silently reintroduces the
+        # offset regression this path exists to prevent.  Only a
+        # MISSING file means never-committed.
         try:
-            return int(body or 0)
+            return int(body)
         except ValueError as exc:
             raise ValueError(
                 f"durable HWM file {self._hwm_path!r} exists but is not "

@@ -2177,7 +2177,7 @@ def test_ivfpq_code_index_persists_and_skips_reencode(spark, sf_dir):
     from projektdataengineering_spark.queries import similarity as S
 
     path = S._ivfpq_code_index_path(sf_dir)
-    for p in (path, f"{path}_v2"):
+    for p in (path, S._append_v2_path(path)):
         if os.path.isdir(p):
             shutil.rmtree(p)
 
@@ -2216,7 +2216,7 @@ def test_ivfpq_index_append_codes_and_replay(spark, sf_dir):
     from projektdataengineering_spark.queries.dedup import _TWIN_OFFSET
 
     v1_path = S._ivfpq_code_index_path(sf_dir)
-    v2_path = f"{v1_path}_v2"
+    v2_path = S._append_v2_path(v1_path)
     if os.path.isdir(v2_path):
         shutil.rmtree(v2_path)
 
@@ -2715,7 +2715,7 @@ def test_embedding_index_append_is_exact_and_idempotent(spark, sf_dir):
     audit1 = {r["version"]: tuple(r[1:]) for r in
               S.dedup_embedding_index_append(spark, sf_dir).collect()}
     v1_path = S._embed_index_path(sf_dir)
-    v2_path = f"{v1_path}_v2"
+    v2_path = S._append_v2_path(v1_path)
 
     key = lambda r: (r["vec_id"], r["cell"], tuple(r["vec"]))
     v1_rows = {key(r) for r in spark.read.parquet(v1_path).collect()}
