@@ -90,6 +90,10 @@ _MODULES = (
     # round-9 additions
     "retrieval",
     "analytics",
+    # round-16 additions — maintenance MUST stay last: its oracle is
+    # composed at import time from pipeline_ops' and similarity's
+    # append oracles (see its module docstring)
+    "maintenance",
 )
 
 # Window packing: the driver's correctness pass records the FIRST 50

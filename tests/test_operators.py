@@ -2839,3 +2839,59 @@ def test_neardup_index_append_is_exact_and_idempotent(spark, sf_dir):
               P.dedup_neardup_index_append(spark, sf_dir).collect()}
     assert audit1 == audit2
     assert tree_digest(v2_path) == snap
+
+
+def test_index_vacuum_removes_exactly_orphans(spark, sf_dir):
+    """pipeline_index_vacuum: the generation GC deletes EXACTLY the
+    orphans of each index line (stale-geometry v2s, legacy v2s,
+    crashed staged-write temps), never a retained generation's bytes,
+    never a sibling line (a different tag is another LIVE
+    configuration); the audit is deterministic across re-runs."""
+    import hashlib
+    import os
+    import shutil
+
+    from projektdataengineering_spark.queries import maintenance as M
+    from projektdataengineering_spark.queries import similarity as S
+
+    audit1 = sorted(
+        map(tuple, M.pipeline_index_vacuum(spark, sf_dir).collect())
+    )
+    assert all(row[4] == 1 for row in audit1), audit1  # planted orphan only
+
+    def tree_digest(path):
+        h = hashlib.sha256()
+        for root, _, files in sorted(os.walk(path)):
+            for fn in sorted(files):
+                rel = os.path.relpath(os.path.join(root, fn), path)
+                h.update(rel.encode())
+                with open(os.path.join(root, fn), "rb") as fh:
+                    h.update(fh.read())
+        return h.hexdigest()
+
+    v1 = S._embed_index_path(sf_dir)
+    v2 = S._append_v2_path(v1)
+    before = {p: tree_digest(p) for p in (v1, v2)}
+
+    # plant two orphan shapes in the embedding line + one DECOY sibling
+    # line (same scratch family, different tag = a live configuration)
+    stale_geom = f"{v1}_v2-e99-o123-a0.5"
+    crashed_tmp = f"{v1}.777.tmp"
+    decoy = os.path.join(os.path.dirname(v1), "cells_decoytag_k16")
+    for p in (stale_geom, crashed_tmp, decoy):
+        shutil.copytree(v1, p)
+    try:
+        audit2 = sorted(
+            map(tuple, M.pipeline_index_vacuum(spark, sf_dir).collect())
+        )
+        # deterministic by construction: pre-clean sweeps the planted
+        # orphans, then exactly one re-planted orphan is expired
+        assert audit2 == audit1
+        assert not os.path.exists(stale_geom), "stale-geometry v2 must be GC'd"
+        assert not os.path.exists(crashed_tmp), "crashed temp must be GC'd"
+        assert os.path.isdir(decoy), "sibling line must SURVIVE the vacuum"
+        # retained generations byte-identical through the vacuum
+        assert {p: tree_digest(p) for p in (v1, v2)} == before
+    finally:
+        if os.path.isdir(decoy):
+            shutil.rmtree(decoy)
