@@ -627,7 +627,9 @@ _IVF_CENTROID_CACHE: dict[str, "np.ndarray"] = {}
 _IVF_TRAIN_RUNS = 0  # Lloyd trainings this process; tests assert reuse skips them
 
 
-def _ivf_index_path(sf_dir: str, k: int = _IVF_K) -> tuple[str, str]:
+def _ivf_index_path(
+    sf_dir: str, k: int = _IVF_K, gen: int = 0
+) -> tuple[str, str]:
     """(tag, path) for the persisted coarse-quantizer index.
 
     The tag folds the CONTENT fingerprint of the embeddings source with
@@ -635,13 +637,21 @@ def _ivf_index_path(sf_dir: str, k: int = _IVF_K) -> tuple[str, str]:
     regenerated fixture or a retuned quantizer can never silently reuse
     a stale index — the same keying discipline as ensure_bucketed
     (round-8 ADVICE). ``k`` defaults to the fixture K; the √N-regime
-    probe trains its own K and the tag keeps the indexes apart."""
+    probe trains its own K and the tag keeps the indexes apart.
+    ``gen`` is the RETRAIN generation: the skew trigger
+    (ivf_retrain_generation) bumps it so a quantizer retrained on the
+    post-append distribution lands under a NEW key instead of
+    clobbering the generation the current code tables were encoded
+    against; gen=0 (the original corpus training) keeps the historical
+    tag exactly."""
     import os
 
     from ..sources import source_fingerprint
 
     fp = source_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
     tag = f"{fp}_k{k}_i{_IVF_ITERS}_d{_IVF_DIM}"
+    if gen:
+        tag = f"{tag}_g{gen}"
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         ".scratch",
@@ -653,7 +663,7 @@ def _ivf_index_path(sf_dir: str, k: int = _IVF_K) -> tuple[str, str]:
 
 def _ivf_centroids(
     spark: SparkSession, sf_dir: str, e: DataFrame,
-    force_disk_reload: bool = False, k: int = _IVF_K,
+    force_disk_reload: bool = False, k: int = _IVF_K, gen: int = 0,
 ) -> "np.ndarray":
     """Train-once / reuse-forever IVF index: memory cache → on-disk
     ``.npy`` keyed by source fingerprint (+ hyperparams) → Lloyd
@@ -669,7 +679,7 @@ def _ivf_centroids(
     registered reuse query genuinely exercises the disk round-trip."""
     import os
 
-    tag, path = _ivf_index_path(sf_dir, k=k)
+    tag, path = _ivf_index_path(sf_dir, k=k, gen=gen)
     if force_disk_reload:
         _IVF_CENTROID_CACHE.pop(tag, None)
     cached = _IVF_CENTROID_CACHE.get(tag)
@@ -3140,3 +3150,251 @@ def stream_embedding_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id bigint, dup_of_corpus bigint, dup_of_batch bigint, keep boolean",
     )
     return back.select("vec_id", "dup_of_corpus", "dup_of_batch", "keep")
+
+
+# ---------------------------------------------------------------------------
+# sim_ivfpq_cell_skew (round 16) — the production loop closure of
+# train-once/append-forever ANN: inverted-list occupancy audit after the
+# append, with a declared retrain bound and a bumped-generation retrain
+# path (round-15 verdict task #4)
+# ---------------------------------------------------------------------------
+
+# Declared occupancy bound: a retrain is demanded once the fullest
+# inverted list holds more than this multiple of the MEAN list mass
+# (max_mass / (N/K)). The fixture's natural post-append skew is
+# ~1.2-1.35 (uniform-ish synthetic embeddings, measured r16); a
+# hot-spot arrival batch concentrating in one cell pushes past 2
+# quickly, and past 2 the probe-cost model degrades (one cell does
+# >2× the per-probe work the nprobe/K budget assumes).
+_IVF_SKEW_BOUND = 2.0
+
+
+def _lloyd_assign_cte(name: str, src: str, cents: str) -> str:
+    """One spherical-k-means assignment as SQL: rank-1 cell per vector
+    by dot product, ties to the LOWEST cell — exactly _ivf_assign's
+    stable argsort. The dot uses RAW components (argmax is invariant
+    to the per-vector positive norm the numpy side divides out)."""
+    return f"""{name} AS (
+      SELECT vec_id, cell FROM (
+        SELECT s.vec_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                 ORDER BY SUM(s.val * c.cval) DESC, c.cell ASC) AS rk
+        FROM {src} s JOIN {cents} c USING (pos)
+        GROUP BY s.vec_id, c.cell
+      ) ranked_{name} WHERE rk = 1
+    )"""
+
+
+def _cell_skew_oracle() -> str:
+    """Occupancy-audit oracle that recomputes the WHOLE quantizer from
+    the raw table: init = unit vectors of the K smallest vec_ids, then
+    _IVF_ITERS Lloyd rounds UNROLLED as CTEs (the pipeline_bpe_train
+    unrolled-CTE discipline applied to k-means), then the v1/v2
+    member assignments and per-cell masses. The trainer's decimal
+    (28,14) component sums make each round's means EXACTLY equal on
+    both engines once the round's assignments agree, and assignment
+    margins (~1e-2 cosine) dwarf the ~1e-16 summation-order noise in
+    the dots, so cell masses — integers — hash bit-stably. The audit
+    ratio is one IEEE division of two deterministic integers and the
+    retrain boolean one comparison against the declared bound, so the
+    driver hash certifies the production retrain DECISION, not just
+    the counts."""
+    from .dedup import _TWIN_AMPLITUDE, _TWIN_EVERY, _TWIN_OFFSET
+
+    parts = [
+        f"""WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ),
+    ev AS (
+      SELECT vec_id, UNNEST(range({_IVF_DIM})) AS pos, UNNEST(vec) AS val
+      FROM e
+    ),
+    nv AS (SELECT vec_id, sqrt(SUM(val * val)) AS nrm FROM ev GROUP BY vec_id),
+    init AS (
+      SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+      FROM e ORDER BY vec_id LIMIT {_IVF_K}
+    ),
+    c0 AS (
+      SELECT i.cell, ev.pos, ev.val / nv.nrm AS cval
+      FROM init i JOIN ev USING (vec_id) JOIN nv USING (vec_id)
+    )"""
+    ]
+    prev = "c0"
+    for n in range(1, _IVF_ITERS + 1):
+        parts.append(_lloyd_assign_cte(f"a{n}", "ev", prev))
+        parts.append(
+            f"""m{n} AS (
+      SELECT a.cell, ev.pos,
+             CAST(SUM(CAST(ev.val AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*)
+               AS mval
+      FROM a{n} a JOIN ev USING (vec_id)
+      GROUP BY a.cell, ev.pos
+    ),
+    mn{n} AS (
+      SELECT cell, sqrt(SUM(mval * mval)) AS nrm FROM m{n} GROUP BY cell
+    ),
+    c{n} AS (
+      SELECT m.cell, m.pos, m.mval / n.nrm AS cval
+      FROM m{n} m JOIN mn{n} n USING (cell) WHERE n.nrm > 0
+      UNION ALL
+      SELECT c.cell, c.pos, c.cval FROM {prev} c
+      WHERE c.cell NOT IN (SELECT cell FROM mn{n} WHERE nrm > 0)
+    )"""
+        )
+        prev = f"c{n}"
+    parts.append(
+        f"""tw AS (
+      SELECT vec_id + {_TWIN_OFFSET} AS vec_id, pos,
+             val * (1.0 + ({_TWIN_AMPLITUDE}
+                           * (CAST(pos % 7 AS DOUBLE) - 3.0)) / 3.0) AS val
+      FROM ev WHERE vec_id % {_TWIN_EVERY} = 0
+    )"""
+    )
+    parts.append(_lloyd_assign_cte("af", "ev", prev))
+    parts.append(_lloyd_assign_cte("at", "tw", prev))
+    parts.append(
+        f"""members AS (
+      SELECT 1 AS version, cell FROM af
+      UNION ALL SELECT 2 AS version, cell FROM af
+      UNION ALL SELECT 2 AS version, cell FROM at
+    ),
+    masses AS (
+      SELECT version, cell, COUNT(*) AS mass FROM members GROUP BY 1, 2
+    )
+    SELECT CAST(version AS BIGINT) AS version,
+           CAST(SUM(mass) AS BIGINT) AS n_entries,
+           CAST(COUNT(*) AS BIGINT) AS occupied_cells,
+           CAST(MAX(mass) AS BIGINT) AS max_cell_mass,
+           MAX(mass) * {_IVF_K} / SUM(mass) AS skew_ratio,
+           MAX(mass) * {_IVF_K} / SUM(mass) > {_IVF_SKEW_BOUND}
+             AS needs_retrain
+    FROM masses GROUP BY 1"""
+    )
+    return ",\n    ".join(parts)
+
+
+def _occupancy_audit(version: int, masses: DataFrame) -> DataFrame:
+    """(cell, mass) → the 1-row occupancy audit: total entries,
+    occupied cells, max list mass, skew ratio = max/(N/K), and the
+    retrain verdict against the declared bound. ONE definition of the
+    audit arithmetic, shared by the registered query, the retrain
+    trigger and the skew-flip pytest."""
+    return (
+        masses.agg(
+            F.lit(version).cast("long").alias("version"),
+            F.sum("mass").cast("long").alias("n_entries"),
+            F.count(F.lit(1)).cast("long").alias("occupied_cells"),
+            F.max("mass").cast("long").alias("max_cell_mass"),
+        )
+        .select(
+            "*",
+            (
+                (F.col("max_cell_mass") * F.lit(_IVF_K))
+                / F.col("n_entries")
+            ).alias("skew_ratio"),
+        )
+        .select(
+            "*",
+            (F.col("skew_ratio") > F.lit(_IVF_SKEW_BOUND)).alias(
+                "needs_retrain"
+            ),
+        )
+    )
+
+
+@query("sim_ivfpq_cell_skew", oracle=_cell_skew_oracle())
+def sim_ivfpq_cell_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-list occupancy audit of the persisted IVFADC code index
+    across the append lifecycle — the measurement half of the missing
+    production loop of train-once/append-forever ANN: centroids are
+    trained once per corpus version, appends assign arrivals into
+    cells trained on the ORIGINAL distribution, and nothing previously
+    measured whether the accumulated appends have skewed the inverted
+    lists past the point where per-probe cost (∝ the probed cells'
+    masses) stays within the nprobe/K budget the index promises.
+
+    Emits one row per on-disk generation (v1 = as trained, v2 = after
+    the twin-batch append): entries, occupied cells, max list mass,
+    skew_ratio = max/(N/K), and needs_retrain against the declared
+    _IVF_SKEW_BOUND. Masses are measured FROM THE INDEX PARQUET (the
+    artifact the probes actually read); the oracle recomputes the
+    entire quantizer from the raw table — init + both Lloyd rounds
+    unrolled as CTEs — so the driver hash certifies trainer,
+    assignment geometry, masses AND the retrain decision end-to-end.
+    The acted-on half is ivf_retrain_generation: the same
+    read-or-build under a bumped generation key
+    (tests/test_operators.py pins the skew-flip and the retrain
+    wiring).
+
+    Scale shape: the audit is one partial-aggregated scan of each
+    code-table generation (counts only — codes never move), the
+    verdict row is metadata-sized, and the retrain it gates is the
+    ordinary O(N) training pass under a new key — never an in-place
+    clobber, so mid-flight probes keep a consistent generation and the
+    superseded one is pipeline_index_vacuum's to expire."""
+    import os
+
+    v1_path = _ivfpq_code_index_path(sf_dir)
+    v2_path = _append_v2_path(v1_path)
+    if not (os.path.isdir(v1_path) and os.path.isdir(v2_path)):
+        sim_ivfpq_index_append(spark, sf_dir)  # idempotent read-or-build
+
+    def masses(path: str) -> DataFrame:
+        return (
+            spark.read.parquet(path)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("mass"))
+        )
+
+    return _occupancy_audit(1, masses(v1_path)).unionByName(
+        _occupancy_audit(2, masses(v2_path))
+    )
+
+
+def ivf_retrain_generation(
+    spark: SparkSession,
+    sf_dir: str,
+    members: DataFrame,
+    gen: int = 1,
+    k: int = _IVF_K,
+) -> "np.ndarray":
+    """The ACT half of the skew trigger: retrain the coarse quantizer
+    on the CURRENT membership (corpus ∪ accumulated appends) through
+    the ordinary read-or-build, under the bumped generation key
+    (_ivf_index_path gen tag) — the round-15 verdict's 'existing
+    read-or-build with a bumped index key'. The live generation's
+    centroids and code tables are never touched: cutover is a new
+    index line, and the superseded line is pipeline_index_vacuum's to
+    expire once the cutover commits."""
+    return _ivf_centroids(spark, sf_dir, members, k=k, gen=gen)
+
+
+def ivfpq_retrain_if_skewed(
+    spark: SparkSession, sf_dir: str
+) -> tuple[bool, int]:
+    """Audit the post-append (v2) generation and retrain iff the skew
+    bound is breached: returns (retrained, generation). On the fixture
+    this returns (False, 0) — the planted twins land in their bases'
+    cells, preserving the trained distribution; the skew-flip path is
+    exercised by tests/test_operators.py with a hot-spot batch."""
+    v2_path = _append_v2_path(_ivfpq_code_index_path(sf_dir))
+    import os
+
+    if not os.path.isdir(v2_path):
+        sim_ivfpq_index_append(spark, sf_dir)
+    masses = (
+        spark.read.parquet(v2_path)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("mass"))
+    )
+    row = _occupancy_audit(2, masses).collect()[0]
+    if not row["needs_retrain"]:
+        return False, 0
+    from .dedup import _TWIN_OFFSET
+
+    e = _embeddings_normed(spark, sf_dir).select("vec_id", "vec")
+    twins = _einc_arrival_frame(e).filter(F.col("vec_id") >= _TWIN_OFFSET)
+    members = e.unionByName(twins).localCheckpoint(eager=False)
+    ivf_retrain_generation(spark, sf_dir, members, gen=1)
+    return True, 1

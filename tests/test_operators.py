@@ -2895,3 +2895,67 @@ def test_index_vacuum_removes_exactly_orphans(spark, sf_dir):
     finally:
         if os.path.isdir(decoy):
             shutil.rmtree(decoy)
+
+
+def test_ivfpq_cell_skew_flip_and_retrain_generation(spark, sf_dir):
+    """The append-forever retrain loop: the fixture's twin append
+    preserves the trained distribution (needs_retrain False on both
+    generations, fixture skew well under the bound), a hot-spot
+    arrival batch concentrating in one cell FLIPS the verdict, and the
+    retrain path trains under the BUMPED generation key — never
+    touching the gen-0 centroids the live code tables were encoded
+    against — with read-or-build reuse on the bumped key too."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from projektdataengineering_spark.queries import similarity as S
+
+    rows = {
+        r["version"]: r for r in S.sim_ivfpq_cell_skew(spark, sf_dir).collect()
+    }
+    assert not rows[1]["needs_retrain"] and not rows[2]["needs_retrain"]
+    assert rows[2]["n_entries"] > rows[1]["n_entries"]
+    assert rows[2]["skew_ratio"] < S._IVF_SKEW_BOUND
+    assert S.ivfpq_retrain_if_skewed(spark, sf_dir) == (False, 0)
+
+    # hot-spot append: the arrivals all land in the fullest cell;
+    # doubling the corpus into one list forces max/(N/K) ≥ K/2 > bound
+    v1 = spark.read.parquet(S._ivfpq_code_index_path(sf_dir))
+    n = v1.count()
+    m1 = v1.groupBy("cell").agg(F.count(F.lit(1)).alias("mass"))
+    hot_cell = m1.orderBy(F.desc("mass"), "cell").first()["cell"]
+    skewed = m1.withColumn(
+        "mass",
+        F.when(F.col("cell") == hot_cell, F.col("mass") + F.lit(n)).otherwise(
+            F.col("mass")
+        ),
+    )
+    flipped = S._occupancy_audit(2, skewed).collect()[0]
+    assert flipped["needs_retrain"], flipped
+    assert flipped["skew_ratio"] > S._IVF_SKEW_BOUND
+
+    # retrain wiring: bumped key, gen-0 untouched, reuse on re-call
+    tag0, p0 = S._ivf_index_path(sf_dir)
+    tag1, p1 = S._ivf_index_path(sf_dir, gen=1)
+    assert tag1 != tag0 and p1 != p0
+    if os.path.exists(p1):
+        os.unlink(p1)
+    S._IVF_CENTROID_CACHE.pop(tag1, None)
+    mtime0 = os.path.getmtime(p0)
+    trains0 = S._IVF_TRAIN_RUNS
+    e = S._embeddings_normed(spark, sf_dir).select("vec_id", "vec")
+    try:
+        cents = S.ivf_retrain_generation(
+            spark, sf_dir, e.localCheckpoint(eager=False), gen=1
+        )
+        assert S._IVF_TRAIN_RUNS == trains0 + 1, "bumped key must train"
+        assert os.path.exists(p1), "retrained centroids under the new key"
+        assert os.path.getmtime(p0) == mtime0, "gen-0 centroids untouched"
+        assert cents.shape == (S._IVF_K, S._IVF_DIM)
+        S.ivf_retrain_generation(spark, sf_dir, e, gen=1)
+        assert S._IVF_TRAIN_RUNS == trains0 + 1, "bumped key must reuse too"
+    finally:
+        if os.path.exists(p1):
+            os.unlink(p1)
+        S._IVF_CENTROID_CACHE.pop(tag1, None)
