@@ -443,57 +443,82 @@ _R14_WINDOW = frozenset((
     "text_token_count", "udaf_grouped", "udf_scalar",
     "udtf_explode_like",
 ))
+# Round-15's recorded window (CORRECTNESS_r15.json keys — on disk,
+# 50 hash-pass, zero rows-only, zero errors: sixth consecutive perfect
+# window. It proved the 6 round-15 additions, the whole round-15
+# _RECHECK population, and the entire stale r08 tier — after it the
+# 33 r10 rows are the stalest, front-loaded into round 16).
+_R15_WINDOW = frozenset((
+    "agg_approx_distinct", "agg_approx_quantile", "agg_heavy_hitters_mg",
+    "agg_hll_merge", "agg_important_stock", "agg_supplier_part_types",
+    "dedup_embedding_incremental", "dedup_embedding_index_append",
+    "dedup_keep_latest", "join_bucketed_colocated",
+    "join_promo_share_suppliers", "join_spatial_grid",
+    "multimodal_audio_features", "multimodal_features",
+    "pipeline_cdc_apply", "pipeline_compaction_plan",
+    "pipeline_corpus_stats", "pipeline_customer_revenue",
+    "pipeline_distinctive_terms", "pipeline_event_funnel",
+    "pipeline_event_zscore", "pipeline_lang_balance",
+    "pipeline_length_filter", "pipeline_merge_vacuum",
+    "pipeline_price_deciles", "pipeline_quality_band",
+    "pipeline_rank_fusion", "pipeline_schema_profile",
+    "pipeline_session_stats", "pipeline_sessionize",
+    "pipeline_snapshot_diff", "pipeline_token_budget",
+    "pipeline_user_retention", "pipeline_value_outliers",
+    "profile_numeric_stats", "sample_stratified",
+    "scan_hive_partitioned", "scan_python_stream",
+    "scan_python_stream_parallel", "sim_cosine_exact_pairs",
+    "sim_cosine_ivf", "sim_cosine_ivf_reuse", "sim_cosine_ivfpq",
+    "sim_cosine_ivfpq_reuse", "sim_cosine_pq", "sim_ivfpq_index_append",
+    "sim_minhash_lsh", "sink_python_stream", "split_train_test",
+    "stream_embedding_delta",
+))
 _DRIVER_VERIFIED = (
     _R01_WINDOW | _R03_WINDOW | _R04_WINDOW | _R05_WINDOW | _R06_WINDOW
     | _R07_WINDOW | _R08_WINDOW | _R10_WINDOW | _R11_WINDOW | _R12_WINDOW
-    | _R13_WINDOW | _R14_WINDOW
+    | _R13_WINDOW | _R14_WINDOW | _R15_WINDOW
 )
 
 # Verified in an earlier round, but the implementation, oracle, or an
 # upstream seam changed afterwards — their old driver row no longer
 # certifies the current code, so they re-enter the window right after
-# the never-verified block.  Round-15 population (every round-14
-# recheck drew a green r14 row and dropped out); entries are added
-# here as round-15 work changes the seams they certify:
-# * sim_cosine_pq — pq_top3 no longer runs a dedicated e.count()
-#   action per invocation to enforce PQ_CODES_MAX_CELLS (round-14
-#   ADVICE: a full extra scan job even when the guard cannot fire);
-#   the guard now rides the collected rows themselves — values
-#   unchanged, the guard seam changed;
-# * sim_cosine_ivfpq — the member code table is now persisted as a
-#   fingerprint-keyed cell-partitioned parquet index
-#   (encode-once/probe-forever, the round-14 verdict task #3) instead
-#   of being re-encoded per invocation — values unchanged by encoder
-#   determinism, the code-table provenance changed;
-# * stream_embedding_delta — the embfeed stream now passes the twin
-#   geometry (twinevery/twinoffset/twinamp) explicitly from dedup.py's
-#   constants instead of relying on the reader defaults matching
-#   (round-14 ADVICE: silent desync risk) — values unchanged, the
-#   fixture wiring changed;
+# the never-verified block.  Round-16 population (every round-15
+# recheck drew a green r15 row and dropped out); entries are added
+# here as round-16 work changes the seams they certify:
+# * sim_ivfpq_index_append / dedup_embedding_index_append — the v2
+#   generation path is now keyed by the arrival-batch geometry
+#   (_append_v2_path, r15 ADVICE: a twin-constant retune must rebuild
+#   v2, not reuse a stale one) — values unchanged, the index-version
+#   addressing these rows certify changed;
+# * sim_cosine_ivf / sim_cosine_ivf_reuse / sim_cosine_ivfpq /
+#   sim_cosine_ivfpq_reuse / dedup_embedding_incremental — the
+#   coarse-quantizer chain (_ivf_index_path, _ivf_centroids) gained
+#   the ``gen`` retrain-generation parameter for the skew trigger —
+#   defaults preserve the historical tags exactly, but the
+#   trainer/index seam changed (the r15 ``k``-parameter precedent);
 # * scan_python_stream / scan_python_stream_parallel /
-#   sink_python_stream — _load_hwm now raises on a present-but-
-#   unparsable hwm file instead of silently restarting from offset 0
-#   (round-14 ADVICE: the silent fallback re-introduced the offset
-#   regression the durable HWM exists to prevent) — values unchanged,
-#   the restart seam changed;
-# * sim_cosine_ivf / sim_cosine_ivf_reuse / dedup_embedding_incremental
-#   / dedup_embedding_index_append — the coarse-quantizer chain
-#   (_ivf_train_centroids, _ivf_centroids, _ivf_index_path) gained the
-#   ``k`` parameter for the √N-regime probe, and _pq_codebooks gained
-#   force_disk_reload — defaults preserve fixture behavior exactly,
-#   but the trainer/index seam these rows certify changed (the
-#   _ivf_assign extraction precedent from round 14).
+#   sink_python_stream — _load_hwm now treats an existing-but-EMPTY
+#   hwm file as corruption (raises) instead of offset 0 (r15 ADVICE:
+#   truncation-to-empty is the common external-corruption mode) —
+#   values unchanged, the restart seam changed;
+# * pipeline_merge_vacuum — _build_vtable's shared-pool check is now a
+#   full-content filecmp raising an explicit exception instead of a
+#   size-only bare assert (r15 ADVICE) — values unchanged, the
+#   pool-integrity seam its byte-identity promise rests on changed.
 _RECHECK: tuple[str, ...] = (
-    "sim_cosine_pq", "sim_cosine_ivfpq", "stream_embedding_delta",
+    "sim_ivfpq_index_append", "dedup_embedding_index_append",
+    "sim_cosine_ivf", "sim_cosine_ivf_reuse", "sim_cosine_ivfpq",
+    "sim_cosine_ivfpq_reuse", "dedup_embedding_incremental",
     "scan_python_stream", "scan_python_stream_parallel",
-    "sink_python_stream", "sim_cosine_ivf", "sim_cosine_ivf_reuse",
-    "dedup_embedding_incremental", "dedup_embedding_index_append",
+    "sink_python_stream", "pipeline_merge_vacuum",
 )
 
 
 def _latest_row_round(name: str) -> int:
     """Most recent round whose on-disk driver artifact holds this
     query's correctness row (0 = never verified)."""
+    if name in _R15_WINDOW:
+        return 15
     if name in _R14_WINDOW:
         return 14
     if name in _R13_WINDOW:

@@ -63,6 +63,14 @@ PROBE_QUERIES = [
     ("pipeline_target_encode", "LOO target encoding, single segment exchange"),
     ("pipeline_feature_scale", "exact-stats scaler, 1-row broadcast"),
     ("sql_recursive_reachability", "native recursive-CTE closure (hot subgraph)"),
+    # round 16 (r15 verdict task #6): the TPC-H shapes land here — the
+    # relational tables scale across the testdata decades (the sf1
+    # heavy set only grows documents/embeddings/events)
+    ("agg_important_stock", "Q11 shape: semi-filtered per-part agg + scalar re-agg"),
+    ("agg_supplier_part_types", "Q16 shape: distinct-count rollup behind an anti join"),
+    ("join_promo_share_suppliers", "Q20/Q14 shape: promo share vs global scalar"),
+    ("agg_custdist_outer", "Q13 shape: null-preserving outer-join count distribution"),
+    ("join_disjunctive_pushdown", "Q19 shape: OR-of-ANDs pushed to both scans"),
 ]
 
 # Heavy families probed one decade past bench scale (sf0.1 → sf1) when
@@ -166,6 +174,8 @@ HEAVY_QUERIES = [
     ("ivfpq_top3_reuse", "similarity (round 15, IVFADC on the persisted code table — encode-once/probe-forever, raw ANN)"),
     ("sim_ivfpq_index_append", "similarity (round 15, executed code-index append, reuse path)"),
     ("pipeline_merge_vacuum", "layout (round 15, executed snapshot expiry over the merge generations, reuse path)"),
+    ("pipeline_index_vacuum", "maintenance (round 16, generation GC over the three append-family indexes, reuse path)"),
+    ("sim_ivfpq_cell_skew", "similarity (round 16, occupancy audit of the persisted code-table generations)"),
 ]
 
 
@@ -350,6 +360,22 @@ def main() -> int:
             "estimate is robust to single-pass noise; the per-query "
             "pins (all green) remain the regression gate that matters "
             "under this noise regime.\n"
+        )
+        out.append(
+            "\n**r16 query-sum gate derivation (r15 verdict task #5):** "
+            "under the r15 host-noise regime (±17% same-code wall "
+            "swings) the 300 s warm-wall gate lost discrimination, so "
+            "bench.py now ALSO gates the warm QUERY-SUM — the Σ of "
+            "per-query timings inside the best post-warm-up pass, which "
+            "excludes the hygiene component and is the measured-stable "
+            "signal: 215.8/215.7 s in the r14 same-code A/B (≤0.1% "
+            "variance while the walls swung), 217.2 s at r15 (253 "
+            "queries). Expected r16 level ≈ 217 s + ~4 s for the four "
+            "round-16 additions ≈ 221 s; the budget is set at 260 s "
+            "(~+18%) — above query-sum wobble, below the r13-magnitude "
+            "(+16.5%) drift class the suite gates exist to catch. "
+            "Breaches surface as `over_budget_qsum` on the bench line; "
+            "per-query pins remain the primary regression gate.\n"
         )
         out.append(
             "\nEvery heavy-family slope must stay ≤ ~1: banding/bucketing "
