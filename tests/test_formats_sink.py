@@ -370,11 +370,13 @@ def test_feed_reader_corrupt_hwm_raises(tmp_path):
     hwm.write_text("not-an-offset")
     with pytest.raises(ValueError, match="refusing to restart from"):
         SyntheticDocsFeedStreamReader(opts)
-    # empty file (crash between open and write is impossible with
-    # tmp+rename, but an operator-truncated file parses as 0 by the
-    # documented `int(body or 0)` contract — present and WELL-FORMED)
+    # empty file: corruption too (r15 ADVICE) — truncation-to-empty is
+    # the most common external-corruption mode, and mapping it to
+    # offset 0 silently reintroduces the offset regression this path
+    # exists to prevent; only a MISSING file means never-committed
     hwm.write_text("")
-    assert SyntheticDocsFeedStreamReader(opts)._hwm == 0
+    with pytest.raises(ValueError, match="refusing to restart from"):
+        SyntheticDocsFeedStreamReader(opts)
 
 
 def test_stream_sink_epoch_manifests_and_replay(spark, tmp_path):

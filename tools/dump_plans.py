@@ -390,6 +390,40 @@ HEADLINERS: list[tuple[str, str]] = [
         "partition column survives), v2's under mergeSchema with the "
         "COALESCE backfill projection.",
     ),
+    (
+        "agg_custdist_outer",
+        "Round-16 TPC-H Q13 shape: the orders-side NOT LIKE sits in "
+        "the OUTER join condition and is still pushed to the scan — "
+        "PushedFilters shows Not(StringContains(o_orderpriority)) — "
+        "so unmatched customers survive to the c_count=0 bucket while "
+        "the scan prunes. One custkey exchange feeds the per-customer "
+        "count; the distribution aggregate re-shuffles ~50 rows.",
+    ),
+    (
+        "join_disjunctive_pushdown",
+        "Round-16 TPC-H Q19 shape: written filter-after-join, and "
+        "Catalyst's CNF extraction hands EACH scan its derived "
+        "disjunction — lineitem gets the status equality plus the OR "
+        "of quantity ranges, part gets the OR of (brand AND size) "
+        "branches (both in PushedFilters) — with the full "
+        "cross-attribute OR re-applied as the join condition.",
+    ),
+    (
+        "pipeline_index_vacuum",
+        "Round-16 unified index-generation vacuum (read-back side): "
+        "the GC is driver-side directory metadata; the certified plan "
+        "is six partial-aggregated scans — one per retained "
+        "generation per index family — over the post-vacuum parquet, "
+        "proving the sweep deleted only orphans.",
+    ),
+    (
+        "sim_ivfpq_cell_skew",
+        "Round-16 occupancy audit: two counts-only partial-aggregated "
+        "scans of the cell-partitioned code index (codes never move; "
+        "the cell column comes from the partition directory), each "
+        "collapsing to a 1-row verdict with the skew ratio and the "
+        "retrain boolean computed as single IEEE ops.",
+    ),
 ]
 
 
