@@ -1147,13 +1147,20 @@ def sim_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVFPQ_ENCODE_RUNS = 0  # map-side code-table builds; tests assert reuse skips
 
 
-def _ivfpq_code_index_path(sf_dir: str, k_cells: int = _IVF_K) -> str:
+def _ivfpq_code_index_path(
+    sf_dir: str, k_cells: int = _IVF_K, gen: int = 0
+) -> str:
     """Persisted IVFADC code-table location — the _ivf_index_path /
     _embed_index_path keying discipline: embeddings-source content
     fingerprint + every hyperparameter that shapes the stored codes
     (the coarse quantizer's AND the product quantizer's), so a
     regenerated fixture or a retuned index can never silently reuse a
-    stale code table."""
+    stale code table. ``gen`` is the RETRAIN generation (the
+    _ivf_index_path discipline): the skew-triggered cutover re-encodes
+    under a NEW line instead of clobbering the one mid-flight probes
+    are reading; a retrain generation is a LIVE configuration, so
+    pipeline_index_vacuum deliberately does not treat it as an orphan
+    of the gen-0 line."""
     import os
 
     from ..sources import source_fingerprint
@@ -1163,6 +1170,8 @@ def _ivfpq_code_index_path(sf_dir: str, k_cells: int = _IVF_K) -> str:
         f"{fp}_k{k_cells}_i{_IVF_ITERS}_d{_IVF_DIM}"
         f"_m{_PQ_M}_c{_PQ_K}_p{_PQ_ITERS}"
     )
+    if gen:
+        tag = f"{tag}_g{gen}"
     return os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         ".scratch",
@@ -1197,7 +1206,7 @@ def _encode_codes_frame(assigned: DataFrame, books_bc) -> DataFrame:
 
 def _ivfpq_code_index(
     spark: SparkSession, sf_dir: str, cents_bc, books_bc,
-    k_cells: int = _IVF_K,
+    k_cells: int = _IVF_K, gen: int = 0, members: DataFrame | None = None,
 ) -> DataFrame:
     """Read-or-build the persisted IVFADC code table: faiss's inverted
     lists WITH the PQ codes, as a parquet table physically partitioned
@@ -1213,15 +1222,25 @@ def _ivfpq_code_index(
 
     Returns (cell int, vec_id long, codes array<int>). Hash-neutral by
     construction: _pq_encode_np is deterministic, so disk-loaded codes
-    are bit-identical to freshly encoded ones."""
+    are bit-identical to freshly encoded ones.
+
+    ``gen``/``members``: the skew-triggered cutover
+    (ivfpq_retrain_if_skewed) builds a RETRAIN generation — the
+    CURRENT membership (corpus ∪ accumulated appends) re-encoded under
+    the gen-keyed quantizer — by passing both; the defaults keep the
+    historical gen-0 build (full corpus, original quantizer) exactly."""
     global _IVFPQ_ENCODE_RUNS
     import os
 
     from .layout import _atomic_dir_write
 
-    path = _ivfpq_code_index_path(sf_dir, k_cells=k_cells)
+    path = _ivfpq_code_index_path(sf_dir, k_cells=k_cells, gen=gen)
     if not os.path.isdir(path):
-        e = _embeddings_normed(spark, sf_dir).select("vec_id", "vec")
+        e = (
+            members
+            if members is not None
+            else _embeddings_normed(spark, sf_dir).select("vec_id", "vec")
+        )
         assigned = _ivf_assign(e, cents_bc)
         codes = _encode_codes_frame(assigned, books_bc)
         # one file per inverted list (the faiss layout): the build-time
@@ -3373,11 +3392,27 @@ def ivf_retrain_generation(
 def ivfpq_retrain_if_skewed(
     spark: SparkSession, sf_dir: str
 ) -> tuple[bool, int]:
-    """Audit the post-append (v2) generation and retrain iff the skew
-    bound is breached: returns (retrained, generation). On the fixture
-    this returns (False, 0) — the planted twins land in their bases'
-    cells, preserving the trained distribution; the skew-flip path is
-    exercised by tests/test_operators.py with a hot-spot batch."""
+    """Audit the post-append (v2) generation and, iff the skew bound
+    is breached, run the FULL CUTOVER: retrain the coarse quantizer on
+    the CURRENT membership (corpus ∪ accumulated appends) under the
+    bumped generation key, then re-encode that membership as a
+    gen-keyed code-table line through the same read-or-build
+    (_ivfpq_code_index with gen/members) — so after the cutover a
+    probe session has a complete, self-consistent index (centroids +
+    codes trained on what the index actually holds) at the new key,
+    while mid-flight probes keep reading the old line untouched. PQ
+    codebooks are deliberately REUSED: codes quantize raw subvectors
+    (not cell residuals), so the books are independent of the coarse
+    partition that skewed. The superseded line is the engine host's to
+    expire once the cutover commits (the pipeline_index_vacuum
+    retention decision — a retrain generation is a live
+    configuration, never an orphan of gen-0).
+
+    Returns (retrained, generation). On the fixture this returns
+    (False, 0) — the planted twins land in their bases' cells,
+    preserving the trained distribution; the flip AND the executed
+    cutover are exercised by tests/test_operators.py under a
+    tightened bound."""
     v2_path = _append_v2_path(_ivfpq_code_index_path(sf_dir))
     import os
 
@@ -3396,5 +3431,14 @@ def ivfpq_retrain_if_skewed(
     e = _embeddings_normed(spark, sf_dir).select("vec_id", "vec")
     twins = _einc_arrival_frame(e).filter(F.col("vec_id") >= _TWIN_OFFSET)
     members = e.unionByName(twins).localCheckpoint(eager=False)
-    ivf_retrain_generation(spark, sf_dir, members, gen=1)
+    cents1 = ivf_retrain_generation(spark, sf_dir, members, gen=1)
+    books = _pq_codebooks(spark, sf_dir, e.localCheckpoint(eager=False))
+    _ivfpq_code_index(
+        spark,
+        sf_dir,
+        spark.sparkContext.broadcast(cents1),
+        spark.sparkContext.broadcast(books),
+        gen=1,
+        members=members,
+    )
     return True, 1

@@ -2959,3 +2959,79 @@ def test_ivfpq_cell_skew_flip_and_retrain_generation(spark, sf_dir):
         if os.path.exists(p1):
             os.unlink(p1)
         S._IVF_CENTROID_CACHE.pop(tag1, None)
+
+
+def test_ivfpq_skew_cutover_builds_generation_line(spark, sf_dir, monkeypatch):
+    """Tightening the declared bound below the fixture's natural v2
+    skew forces the REAL trigger down the full cutover path: gen-1
+    centroids AND a gen-1 code-table line re-encoding the v2
+    membership appear at bumped keys, the gen-0 line stays
+    byte-untouched, pipeline_index_vacuum treats the retrain
+    generation as a live configuration (not an orphan), and a second
+    trigger call reuses both artifacts without retraining or
+    re-encoding."""
+    import hashlib
+    import os
+    import shutil
+
+    from projektdataengineering_spark.queries import maintenance as M
+    from projektdataengineering_spark.queries import similarity as S
+
+    v1 = S._ivfpq_code_index_path(sf_dir)
+    v2 = S._append_v2_path(v1)
+    g1 = S._ivfpq_code_index_path(sf_dir, gen=1)
+    tag1, cpath1 = S._ivf_index_path(sf_dir, gen=1)
+    if os.path.isdir(g1):
+        shutil.rmtree(g1)
+    if os.path.exists(cpath1):
+        os.unlink(cpath1)
+    S._IVF_CENTROID_CACHE.pop(tag1, None)
+
+    S.sim_ivfpq_index_append(spark, sf_dir)  # ensure v1+v2 on disk
+
+    def tree_digest(path):
+        h = hashlib.sha256()
+        for root, _, files in sorted(os.walk(path)):
+            for fn in sorted(files):
+                rel = os.path.relpath(os.path.join(root, fn), path)
+                h.update(rel.encode())
+                with open(os.path.join(root, fn), "rb") as fh:
+                    h.update(fh.read())
+        return h.hexdigest()
+
+    before = {p: tree_digest(p) for p in (v1, v2)}
+    monkeypatch.setattr(S, "_IVF_SKEW_BOUND", 1.0)  # fixture skew ~1.3
+    trains0, enc0 = S._IVF_TRAIN_RUNS, S._IVFPQ_ENCODE_RUNS
+    try:
+        assert S.ivfpq_retrain_if_skewed(spark, sf_dir) == (True, 1)
+        assert S._IVF_TRAIN_RUNS == trains0 + 1, "cutover must retrain"
+        assert S._IVFPQ_ENCODE_RUNS == enc0 + 1, "cutover must re-encode"
+        assert os.path.exists(cpath1), "gen-1 centroids at the bumped key"
+        assert os.path.isdir(g1), "gen-1 code line at the bumped key"
+        cells = [d for d in os.listdir(g1) if d.startswith("cell=")]
+        assert len(cells) > 1, "cutover line must stay cell-partitioned"
+        g1_ids = {
+            r["vec_id"]
+            for r in spark.read.parquet(g1).select("vec_id").collect()
+        }
+        v2_ids = {
+            r["vec_id"]
+            for r in spark.read.parquet(v2).select("vec_id").collect()
+        }
+        assert g1_ids == v2_ids, "gen-1 must hold exactly the v2 membership"
+        assert {p: tree_digest(p) for p in (v1, v2)} == before, (
+            "gen-0 line must be byte-untouched by the cutover"
+        )
+        # second trigger call: read-or-build reuse on BOTH artifacts
+        assert S.ivfpq_retrain_if_skewed(spark, sf_dir) == (True, 1)
+        assert S._IVF_TRAIN_RUNS == trains0 + 1
+        assert S._IVFPQ_ENCODE_RUNS == enc0 + 1
+        # the vacuum must NOT expire the retrain generation
+        M.pipeline_index_vacuum(spark, sf_dir).collect()
+        assert os.path.isdir(g1), "retrain generation survives the vacuum"
+    finally:
+        if os.path.isdir(g1):
+            shutil.rmtree(g1)
+        if os.path.exists(cpath1):
+            os.unlink(cpath1)
+        S._IVF_CENTROID_CACHE.pop(tag1, None)
