@@ -3035,3 +3035,98 @@ def test_ivfpq_skew_cutover_builds_generation_line(spark, sf_dir, monkeypatch):
         if os.path.exists(cpath1):
             os.unlink(cpath1)
         S._IVF_CENTROID_CACHE.pop(tag1, None)
+
+
+def test_ivfpq_cutover_line_serves(spark, sf_dir, emb_matrix, monkeypatch):
+    """The retrain generation must be a USEFUL index, not just bytes:
+    probing the gen-1 code line with the gen-1 quantizer through the
+    SHARED ADC kernel clears the IVFADC recall bound against an exact
+    numpy baseline over the full v2 membership (corpus ∪ twins), and
+    the gen-1 codes are byte-identical to a fresh shared-encoder pass
+    under the retrained quantizer."""
+    import os
+    import shutil
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from projektdataengineering_spark.queries import similarity as S
+    from projektdataengineering_spark.queries.dedup import (
+        _TWIN_AMPLITUDE,
+        _TWIN_EVERY,
+        _TWIN_OFFSET,
+    )
+
+    g1 = S._ivfpq_code_index_path(sf_dir, gen=1)
+    tag1, cpath1 = S._ivf_index_path(sf_dir, gen=1)
+    monkeypatch.setattr(S, "_IVF_SKEW_BOUND", 1.0)  # fixture skew ~1.3
+    try:
+        assert S.ivfpq_retrain_if_skewed(spark, sf_dir) == (True, 1)
+
+        # exact numpy baseline over the v2 membership
+        ids, m = emb_matrix
+        tsel = ids % _TWIN_EVERY == 0
+        factors = (
+            1.0
+            + (_TWIN_AMPLITUDE * ((np.arange(m.shape[1]) % 7) - 3.0)) / 3.0
+        )
+        all_ids = np.concatenate([ids, ids[tsel] + _TWIN_OFFSET])
+        am = np.vstack([m, m[tsel] * factors])
+        cos = _numpy_cosine_matrix(am)
+        np.fill_diagonal(cos, -np.inf)
+        exact_top3 = {
+            int(all_ids[i]): {
+                int(all_ids[j])
+                for j in np.argsort(-cos[i], kind="stable")[:3]
+            }
+            for i in range(len(all_ids))
+        }
+
+        # probe the gen-1 line through the shared production kernel
+        e = S._embeddings_normed(spark, sf_dir).select("vec_id", "vec")
+        twins = S._einc_arrival_frame(e).filter(
+            F.col("vec_id") >= _TWIN_OFFSET
+        )
+        members = e.unionByName(twins).localCheckpoint()
+        cents1 = S._ivf_centroids(spark, sf_dir, members, gen=1)  # reuse
+        books = S._pq_codebooks(spark, sf_dir, e.localCheckpoint(eager=False))
+        bc_c = spark.sparkContext.broadcast(cents1)
+        bc_b = spark.sparkContext.broadcast(books)
+        member_codes = spark.read.parquet(g1).select(
+            F.col("cell").cast("int").alias("cell"), "vec_id", "codes"
+        )
+        assigned = S._ivf_assign(members, bc_c).localCheckpoint(eager=False)
+        probes = assigned.select(
+            F.explode("probes").alias("cell"),
+            F.lit(1).alias("role"),
+            "vec_id",
+            F.lit(None).cast("array<int>").alias("codes"),
+            "vec",
+        )
+        got = S._ivfpq_adc_rank(member_codes, probes, members, bc_b).collect()
+        by_q: dict[int, set[int]] = {}
+        for r in got:
+            by_q.setdefault(r["id_q"], set()).add(r["id_n"])
+        assert len(by_q) == len(all_ids), "every member must be served"
+        hits = sum(len(n & exact_top3[q]) for q, n in by_q.items())
+        recall = hits / (3 * len(by_q))
+        assert recall >= S._PQ_RECALL_BOUND, recall
+
+        # gen-1 codes ≡ fresh shared-encoder pass under cents1
+        fresh = {
+            r["vec_id"]: (r["cell"], tuple(r["codes"]))
+            for r in S._encode_codes_frame(
+                S._ivf_assign(members, bc_c), bc_b
+            ).collect()
+        }
+        disk = {
+            r["vec_id"]: (int(r["cell"]), tuple(r["codes"]))
+            for r in spark.read.parquet(g1).collect()
+        }
+        assert disk == fresh, "cutover codes must match the shared encoder"
+    finally:
+        if os.path.isdir(g1):
+            shutil.rmtree(g1)
+        if os.path.exists(cpath1):
+            os.unlink(cpath1)
+        S._IVF_CENTROID_CACHE.pop(tag1, None)
