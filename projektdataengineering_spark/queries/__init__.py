@@ -504,13 +504,18 @@ _DRIVER_VERIFIED = (
 # * pipeline_merge_vacuum — _build_vtable's shared-pool check is now a
 #   full-content filecmp raising an explicit exception instead of a
 #   size-only bare assert (r15 ADVICE) — values unchanged, the
-#   pool-integrity seam its byte-identity promise rests on changed.
+#   pool-integrity seam its byte-identity promise rests on changed;
+# * stream_embedding_delta — sits on the same coarse-quantizer chain
+#   (_ivf_centroids / _corpus_cell_index) as the five ivf-family rows
+#   above, so the ``gen`` seam change re-enters it too (r16 review:
+#   it was the one consumer of the changed trainer seam left out).
 _RECHECK: tuple[str, ...] = (
     "sim_ivfpq_index_append", "dedup_embedding_index_append",
     "sim_cosine_ivf", "sim_cosine_ivf_reuse", "sim_cosine_ivfpq",
     "sim_cosine_ivfpq_reuse", "dedup_embedding_incremental",
     "scan_python_stream", "scan_python_stream_parallel",
     "sink_python_stream", "pipeline_merge_vacuum",
+    "stream_embedding_delta",
 )
 
 

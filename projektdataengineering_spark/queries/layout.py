@@ -1481,6 +1481,7 @@ def _build_vtable(spark: SparkSession, sf_dir: str) -> str:
     the merge workdir; the published generation dirs are read, never
     modified. Manifests are JSON driver-side: O(files) metadata, the
     pipeline_vacuum bound."""
+    import filecmp
     import json
     import os
     import shutil
@@ -1518,8 +1519,6 @@ def _build_vtable(spark: SparkSession, sf_dir: str) -> str:
                         # equal-size name collision would silently serve
                         # the earlier generation's bytes to later
                         # versions' time-travel reads.
-                        import filecmp
-
                         if not filecmp.cmp(src, dst, shallow=False):
                             raise RuntimeError(
                                 "merge-table pool collision: "

@@ -42,48 +42,64 @@ from .similarity import _einc_append_oracle, _ivfpq_append_oracle
 
 # Fake pid for the planted crashed-stage directory — a value a real
 # staged write can never race with (pids are recycled, but the plant
-# is created and removed within one invocation).
+# is created and removed within one invocation). The plant reproduces
+# _atomic_dir_write's ACTUAL crash shape, `{path}.tmp.<pid>.<hex8>`
+# (layout.py:335), so the certified GC row exercises the artifact
+# production really leaves behind.
 _PLANT_PID = 4242
+_PLANT_SUFFIX = f".tmp.{_PLANT_PID}.cafef00d"
 
 
 def _line_members(v1_path: str) -> list[str]:
     """Directory names (inside v1's parent) belonging to v1's index
     line: v1 itself, every v2 generation (`{v1}_v2*` — geometry-tagged
-    or legacy), and every staged-write temp of either (`{v1}.…` /
-    `{v1}_v2….…`). A sibling line whose tag merely shares a prefix
-    (e.g. `_b4` vs `_b42`) is excluded by requiring the separator."""
+    or legacy), every RETRAIN generation (`{v1}_g*` — the
+    skew-cutover lines), and every staged-write temp of any of them
+    (`.tmp.` infix, the _atomic_dir_write crash shape). A sibling
+    line whose tag merely shares a prefix (e.g. `_b4` vs `_b42`) is
+    excluded by requiring the separator."""
     parent, base = os.path.split(v1_path)
     if not os.path.isdir(parent):
         return []
     return [
         d
         for d in sorted(os.listdir(parent))
-        if d == base or d.startswith(f"{base}_v2") or d.startswith(f"{base}.")
+        if d == base
+        or d.startswith(f"{base}_v2")
+        or d.startswith(f"{base}_g")
+        or d.startswith(f"{base}.")
     ]
 
 
 def _vacuum_index_line(v1_path: str, v2_path: str) -> int:
     """EXECUTED generation expiry for one index line — the
     `_vacuum_expired_versions` semantics (layout.py) applied to
-    append-family indexes: retention set = {v1, the CURRENT-geometry
-    v2}; every other generation of the line (stale-geometry v2s,
-    legacy un-tagged v2s, crashed staged-write temps) is deleted.
-    Idempotent by construction (a second pass finds nothing outside
-    the retention set) and crash-resumable (deletion order is
-    irrelevant; retained generations are never touched). Returns the
-    number of expired generation directories.
+    append-family indexes: retention keeps {v1, the CURRENT-geometry
+    v2} and every COMPLETED retrain generation (`{v1}_g*` without a
+    temp infix — a live configuration the skew cutover installed, the
+    host's to expire once its cutover commits); every other member of
+    the line — stale-geometry v2s, legacy un-tagged v2s, and crashed
+    staged-write temps of ANY generation (`.tmp.` infix, including a
+    cutover that died mid-encode) — is deleted. Idempotent by
+    construction (a second pass finds nothing outside the retention
+    set) and crash-resumable (deletion order is irrelevant; retained
+    generations are never touched). Returns the number of expired
+    directories.
 
     Production caveat, encoded here as the fixed retention set: a
-    `.tmp` of an IN-FLIGHT concurrent staged write is
+    `.tmp.` of an IN-FLIGHT concurrent staged write is
     indistinguishable from a crashed one by name alone — at scale the
     vacuum runs with an age threshold (mtime older than the staging
     window), exactly like pipeline_vacuum's ledger GC."""
     retained = {os.path.basename(v1_path), os.path.basename(v2_path)}
+    base = os.path.basename(v1_path)
     parent = os.path.dirname(v1_path)
     expired = 0
     for d in _line_members(v1_path):
         if d in retained:
             continue
+        if d.startswith(f"{base}_g") and ".tmp." not in d:
+            continue  # completed retrain generation: live configuration
         shutil.rmtree(os.path.join(parent, d))
         expired += 1
     return expired
@@ -129,8 +145,8 @@ def pipeline_index_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulated by earlier sessions, stale-geometry v2s from retunes)
     is swept by a PRE-PASS of the same idempotent vacuum — pre-clean +
     vacuum ≡ vacuum — and then exactly ONE orphan is planted per
-    family in the crashed-staged-write shape (`{v2}.pid.tmp`, the
-    shape _atomic_dir_write leaves on a crash), so expired_generations
+    family in the crashed-staged-write shape (`{v2}.tmp.<pid>.<hex>`,
+    _atomic_dir_write's actual crash artifact), so expired_generations
     is 1 by construction, independent of history. Exactly-the-orphans
     deletion, retained-generation byte-identity, decoy-line safety and
     re-vacuum idempotence are pinned by
@@ -169,7 +185,7 @@ def pipeline_index_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     out: DataFrame | None = None
     for fam, v1, v2, idcol in families:
         _vacuum_index_line(v1, v2)  # pre-clean accumulated history
-        plant = f"{v2}.{_PLANT_PID}.tmp"
+        plant = f"{v2}{_PLANT_SUFFIX}"
         shutil.copytree(v1, plant)
         expired = _vacuum_index_line(v1, v2)
         for version, path in ((1, v1), (2, v2)):

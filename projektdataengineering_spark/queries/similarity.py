@@ -651,7 +651,7 @@ def _ivf_index_path(
     fp = source_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
     tag = f"{fp}_k{k}_i{_IVF_ITERS}_d{_IVF_DIM}"
     if gen:
-        tag = f"{tag}_g{gen}"
+        tag = f"{tag}{_gen_tag(gen)}"
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         ".scratch",
@@ -1171,7 +1171,7 @@ def _ivfpq_code_index_path(
         f"_m{_PQ_M}_c{_PQ_K}_p{_PQ_ITERS}"
     )
     if gen:
-        tag = f"{tag}_g{gen}"
+        tag = f"{tag}{_gen_tag(gen)}"
     return os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         ".scratch",
@@ -2474,6 +2474,22 @@ def _append_v2_path(v1_path: str) -> str:
     return f"{v1_path}_v2-e{_TWIN_EVERY}-o{_TWIN_OFFSET}-a{_TWIN_AMPLITUDE}"
 
 
+def _gen_tag(gen: int) -> str:
+    """Tag suffix for a RETRAIN generation, folding the arrival-batch
+    geometry alongside the generation number: a retrain generation's
+    membership is corpus ∪ the geometry-defined appends, so retuning
+    the twin constants must land a NEW gen line instead of silently
+    reusing one trained on a different membership — the same
+    stale-reuse class _append_v2_path closes for the v2 append (r16
+    review). Advancing past gen=1 (a skew event on a retrain line
+    itself) is the engine host's cutover-commit loop: it bumps the
+    live generation it audits, and the superseded line becomes the
+    vacuum's to expire."""
+    from .dedup import _TWIN_AMPLITUDE, _TWIN_EVERY, _TWIN_OFFSET
+
+    return f"_g{gen}-e{_TWIN_EVERY}-o{_TWIN_OFFSET}-a{_TWIN_AMPLITUDE}"
+
+
 def _embed_index_path(sf_dir: str) -> str:
     """Persisted corpus cell-index location — the _ivf_index_path /
     _neardup_index_path keying discipline: embeddings-source content
@@ -3293,6 +3309,18 @@ def _cell_skew_oracle() -> str:
     return ",\n    ".join(parts)
 
 
+def _cell_masses(spark: SparkSession, path: str) -> DataFrame:
+    """(cell, mass) occupancy of one on-disk code-table generation —
+    ONE definition of the occupancy MEASUREMENT (counts only; codes
+    never move), shared by the registered audit query and the retrain
+    trigger so the two can never diverge on what 'mass' means."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("mass"))
+    )
+
+
 def _occupancy_audit(version: int, masses: DataFrame) -> DataFrame:
     """(cell, mass) → the 1-row occupancy audit: total entries,
     occupied cells, max list mass, skew ratio = max/(N/K), and the
@@ -3359,15 +3387,8 @@ def sim_ivfpq_cell_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not (os.path.isdir(v1_path) and os.path.isdir(v2_path)):
         sim_ivfpq_index_append(spark, sf_dir)  # idempotent read-or-build
 
-    def masses(path: str) -> DataFrame:
-        return (
-            spark.read.parquet(path)
-            .groupBy("cell")
-            .agg(F.count(F.lit(1)).alias("mass"))
-        )
-
-    return _occupancy_audit(1, masses(v1_path)).unionByName(
-        _occupancy_audit(2, masses(v2_path))
+    return _occupancy_audit(1, _cell_masses(spark, v1_path)).unionByName(
+        _occupancy_audit(2, _cell_masses(spark, v2_path))
     )
 
 
@@ -3418,12 +3439,7 @@ def ivfpq_retrain_if_skewed(
 
     if not os.path.isdir(v2_path):
         sim_ivfpq_index_append(spark, sf_dir)
-    masses = (
-        spark.read.parquet(v2_path)
-        .groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("mass"))
-    )
-    row = _occupancy_audit(2, masses).collect()[0]
+    row = _occupancy_audit(2, _cell_masses(spark, v2_path)).collect()[0]
     if not row["needs_retrain"]:
         return False, 0
     from .dedup import _TWIN_OFFSET

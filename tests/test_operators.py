@@ -13,6 +13,25 @@ from projektdataengineering_spark.queries import load_registry
 REGISTRY = load_registry()
 
 
+def _tree_digest(root):
+    """{relpath: sha256} of every file under root — ONE definition of
+    the byte-identity snapshot the executed-layout/index tests pin
+    (previously seven per-test copies; r16 review)."""
+    import hashlib
+    import os
+
+    out = {}
+    for dirpath, _, files in sorted(os.walk(root)):
+        for fn in sorted(files):
+            fp = os.path.join(dirpath, fn)
+            with open(fp, "rb") as fh:
+                out[os.path.relpath(fp, root)] = hashlib.sha256(
+                    fh.read()
+                ).hexdigest()
+    return out
+
+
+
 def test_approx_distinct_within_bound(spark, sf_dir):
     """HLL++ at rsd=2% must land within 5% of the exact distinct count."""
     from pyspark.sql import functions as F
@@ -2530,31 +2549,20 @@ def test_merge_replay_is_byte_identical_and_timetravel_consistent(spark, sf_dir)
 
     from projektdataengineering_spark.queries import layout as L
 
-    def tree_digest(root):
-        out = {}
-        for dirpath, _, files in os.walk(root):
-            for fn in files:
-                p = os.path.join(dirpath, fn)
-                with open(p, "rb") as fh:
-                    out[os.path.relpath(p, root)] = hashlib.sha256(
-                        fh.read()
-                    ).hexdigest()
-        return out
-
     # first apply (or reuse of a prior run — either way installs all)
     audit1 = {tuple(r[:2]): tuple(r[2:]) for r in L.pipeline_merge_apply(
         spark, sf_dir).collect()}
     base_dir = L._merge_workdir(sf_dir)
-    snap_base = tree_digest(os.path.join(base_dir, "base"))
-    snap_merged = tree_digest(os.path.join(base_dir, "merged"))
+    snap_base = _tree_digest(os.path.join(base_dir, "base"))
+    snap_merged = _tree_digest(os.path.join(base_dir, "merged"))
     assert snap_base and snap_merged
 
     # replay: same changelog, same invocation
     audit2 = {tuple(r[:2]): tuple(r[2:]) for r in L.pipeline_merge_apply(
         spark, sf_dir).collect()}
     assert audit1 == audit2
-    assert tree_digest(os.path.join(base_dir, "base")) == snap_base
-    assert tree_digest(os.path.join(base_dir, "merged")) == snap_merged
+    assert _tree_digest(os.path.join(base_dir, "base")) == snap_base
+    assert _tree_digest(os.path.join(base_dir, "merged")) == snap_merged
 
     # time-travel consistency: per bucket, v1 keys = v0 keys
     # + inserts − deletes per the audit
@@ -2667,17 +2675,7 @@ def test_kanon_apply_release_is_k_anonymous_from_disk(spark, sf_dir):
     base = P._kanon_workdir(sf_dir)
     released_path = os.path.join(base, "released")
 
-    def tree_digest(root):
-        out = {}
-        for dirpath, _, files in os.walk(root):
-            for fn in files:
-                p = os.path.join(dirpath, fn)
-                with open(p, "rb") as fh:
-                    out[os.path.relpath(p, root)] = hashlib.sha256(
-                        fh.read()).hexdigest()
-        return out
-
-    snap = tree_digest(released_path)
+    snap = _tree_digest(released_path)
     assert snap, "release must be physically installed"
 
     rel = spark.read.parquet(released_path)
@@ -2696,7 +2694,7 @@ def test_kanon_apply_release_is_k_anonymous_from_disk(spark, sf_dir):
     # replay: identical manifest, identical bytes on disk
     manifest2 = sorted(map(tuple, P.pipeline_kanon_apply(spark, sf_dir).collect()))
     assert manifest1 == manifest2
-    assert tree_digest(released_path) == snap
+    assert _tree_digest(released_path) == snap
 
 
 def test_embedding_index_append_is_exact_and_idempotent(spark, sf_dir):
@@ -2735,21 +2733,11 @@ def test_embedding_index_append_is_exact_and_idempotent(spark, sf_dir):
                 .select("vec_id", "cell", "vec").collect()}
     assert added == expected
 
-    def tree_digest(root):
-        out = {}
-        for dirpath, _, files in os.walk(root):
-            for fn in files:
-                p = os.path.join(dirpath, fn)
-                with open(p, "rb") as fh:
-                    out[os.path.relpath(p, root)] = hashlib.sha256(
-                        fh.read()).hexdigest()
-        return out
-
-    snap = tree_digest(v2_path)
+    snap = _tree_digest(v2_path)
     audit2 = {r["version"]: tuple(r[1:]) for r in
               S.dedup_embedding_index_append(spark, sf_dir).collect()}
     assert audit1 == audit2
-    assert tree_digest(v2_path) == snap
+    assert _tree_digest(v2_path) == snap
 
 
 def test_corpus_delta_funnel_partitions_and_replays(spark, sf_dir):
@@ -2775,20 +2763,10 @@ def test_corpus_delta_funnel_partitions_and_replays(spark, sf_dir):
     assert delta_ids <= kept, "a published doc was not a keeper"
     assert sum(r[6] for r in m1) == len(delta_ids)
 
-    def tree_digest(root):
-        out = {}
-        for dirpath, _, files in os.walk(root):
-            for fn in files:
-                p = os.path.join(dirpath, fn)
-                with open(p, "rb") as fh:
-                    out[os.path.relpath(p, root)] = hashlib.sha256(
-                        fh.read()).hexdigest()
-        return out
-
-    snap = tree_digest(delta_path)
+    snap = _tree_digest(delta_path)
     m2 = sorted(map(tuple, P.pipeline_corpus_delta(spark, sf_dir).collect()))
     assert m1 == m2
-    assert tree_digest(delta_path) == snap
+    assert _tree_digest(delta_path) == snap
 
 
 def test_neardup_index_append_is_exact_and_idempotent(spark, sf_dir):
@@ -2823,22 +2801,11 @@ def test_neardup_index_append_is_exact_and_idempotent(spark, sf_dir):
     assert audit1[2][0] - audit1[1][0] == n_kept_signed
     assert batch_signed <= kept_ids
 
-    def tree_digest(root):
-        out = {}
-        for dirpath, _, files in os.walk(root):
-            for fn in files:
-                p = os.path.join(dirpath, fn)
-                with open(p, "rb") as fh:
-                    out[os.path.relpath(p, root)] = hashlib.sha256(
-                        fh.read()
-                    ).hexdigest()
-        return out
-
-    snap = tree_digest(v2_path)
+    snap = _tree_digest(v2_path)
     audit2 = {r["version"]: tuple(r[1:]) for r in
               P.dedup_neardup_index_append(spark, sf_dir).collect()}
     assert audit1 == audit2
-    assert tree_digest(v2_path) == snap
+    assert _tree_digest(v2_path) == snap
 
 
 def test_index_vacuum_removes_exactly_orphans(spark, sf_dir):
@@ -2859,26 +2826,22 @@ def test_index_vacuum_removes_exactly_orphans(spark, sf_dir):
     )
     assert all(row[4] == 1 for row in audit1), audit1  # planted orphan only
 
-    def tree_digest(path):
-        h = hashlib.sha256()
-        for root, _, files in sorted(os.walk(path)):
-            for fn in sorted(files):
-                rel = os.path.relpath(os.path.join(root, fn), path)
-                h.update(rel.encode())
-                with open(os.path.join(root, fn), "rb") as fh:
-                    h.update(fh.read())
-        return h.hexdigest()
-
     v1 = S._embed_index_path(sf_dir)
     v2 = S._append_v2_path(v1)
-    before = {p: tree_digest(p) for p in (v1, v2)}
+    before = {p: _tree_digest(p) for p in (v1, v2)}
 
-    # plant two orphan shapes in the embedding line + one DECOY sibling
-    # line (same scratch family, different tag = a live configuration)
+    # plant three orphan shapes in the embedding line (a stale-geometry
+    # v2 from a retune, a crashed staged write of v1 in
+    # _atomic_dir_write's real `{path}.tmp.<pid>.<hex>` shape, and a
+    # crashed CUTOVER stage of a retrain generation) + one DECOY
+    # sibling line and one COMPLETED retrain generation (both live
+    # configurations that must survive)
     stale_geom = f"{v1}_v2-e99-o123-a0.5"
-    crashed_tmp = f"{v1}.777.tmp"
+    crashed_tmp = f"{v1}.tmp.777.deadbeef"
+    gen_tmp = f"{v1}_g1-e99-o123-a0.5.tmp.777.deadbeef"
+    gen_live = f"{v1}_g7-e99-o123-a0.5"
     decoy = os.path.join(os.path.dirname(v1), "cells_decoytag_k16")
-    for p in (stale_geom, crashed_tmp, decoy):
+    for p in (stale_geom, crashed_tmp, gen_tmp, gen_live, decoy):
         shutil.copytree(v1, p)
     try:
         audit2 = sorted(
@@ -2889,12 +2852,15 @@ def test_index_vacuum_removes_exactly_orphans(spark, sf_dir):
         assert audit2 == audit1
         assert not os.path.exists(stale_geom), "stale-geometry v2 must be GC'd"
         assert not os.path.exists(crashed_tmp), "crashed temp must be GC'd"
+        assert not os.path.exists(gen_tmp), "crashed cutover stage must be GC'd"
+        assert os.path.isdir(gen_live), "completed retrain gen must SURVIVE"
         assert os.path.isdir(decoy), "sibling line must SURVIVE the vacuum"
         # retained generations byte-identical through the vacuum
-        assert {p: tree_digest(p) for p in (v1, v2)} == before
+        assert {p: _tree_digest(p) for p in (v1, v2)} == before
     finally:
-        if os.path.isdir(decoy):
-            shutil.rmtree(decoy)
+        for p in (decoy, gen_live):
+            if os.path.isdir(p):
+                shutil.rmtree(p)
 
 
 def test_ivfpq_cell_skew_flip_and_retrain_generation(spark, sf_dir):
@@ -2989,17 +2955,7 @@ def test_ivfpq_skew_cutover_builds_generation_line(spark, sf_dir, monkeypatch):
 
     S.sim_ivfpq_index_append(spark, sf_dir)  # ensure v1+v2 on disk
 
-    def tree_digest(path):
-        h = hashlib.sha256()
-        for root, _, files in sorted(os.walk(path)):
-            for fn in sorted(files):
-                rel = os.path.relpath(os.path.join(root, fn), path)
-                h.update(rel.encode())
-                with open(os.path.join(root, fn), "rb") as fh:
-                    h.update(fh.read())
-        return h.hexdigest()
-
-    before = {p: tree_digest(p) for p in (v1, v2)}
+    before = {p: _tree_digest(p) for p in (v1, v2)}
     monkeypatch.setattr(S, "_IVF_SKEW_BOUND", 1.0)  # fixture skew ~1.3
     trains0, enc0 = S._IVF_TRAIN_RUNS, S._IVFPQ_ENCODE_RUNS
     try:
@@ -3019,7 +2975,7 @@ def test_ivfpq_skew_cutover_builds_generation_line(spark, sf_dir, monkeypatch):
             for r in spark.read.parquet(v2).select("vec_id").collect()
         }
         assert g1_ids == v2_ids, "gen-1 must hold exactly the v2 membership"
-        assert {p: tree_digest(p) for p in (v1, v2)} == before, (
+        assert {p: _tree_digest(p) for p in (v1, v2)} == before, (
             "gen-0 line must be byte-untouched by the cutover"
         )
         # second trigger call: read-or-build reuse on BOTH artifacts
