@@ -362,6 +362,19 @@ def main() -> int:
             "under this noise regime.\n"
         )
         out.append(
+            "\n**r16 same-code A/B (two fresh bench invocations of the "
+            "identical 257-query tree, build host, measured while "
+            "closing round 16):** warm walls 212.13 / 212.59 s (0.2% "
+            "variance), warm query-sums 190.50 / 191.48 s (0.5%), "
+            "hygiene 21.6 / 21.1 s, zero pin or suite-gate breaches in "
+            "either run. The r15 ±17% host-noise regime has subsided on "
+            "this host — and the query-sum again shows the tighter "
+            "spread, confirming it as the gate signal. Both warm "
+            "query-sums sit ~27% under the 260 s budget (the four r16 "
+            "additions cost ~2.6 s combined), so the gate retains the "
+            "headroom its derivation note below assumed.\n"
+        )
+        out.append(
             "\n**r16 query-sum gate derivation (r15 verdict task #5):** "
             "under the r15 host-noise regime (±17% same-code wall "
             "swings) the 300 s warm-wall gate lost discrimination, so "
