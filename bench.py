@@ -170,6 +170,10 @@ _WARM_BUDGETS_SF01 = {
     "join_disjunctive_pushdown": 2.5,
     "pipeline_index_vacuum": 6.0,
     "sim_ivfpq_cell_skew": 2.5,
+    # Q9 shape (measured warm sf0.1: 1.33 s — four broadcast dims +
+    # one keyed exchange; the pin catches a regression to joining
+    # orders before the part semi-reduction)
+    "agg_product_profit": 4.0,
 }
 
 # Suite-level WARM budget (r13 verdict task #2): the r12→r13 driver

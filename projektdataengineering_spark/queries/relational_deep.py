@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions import SQL_REVENUE, dsum, revenue_expr
+from ..functions import SQL_REVENUE, dsum, money, revenue_expr
 from . import query
 
 
@@ -1153,5 +1153,86 @@ def join_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(revenue_expr()).cast("double").alias("revenue"),
             F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 shape: product-line profit by (supplier nation, order year) — the
+# widest join tree in the relational sweep (5 tables, two fact-dim chains)
+# ---------------------------------------------------------------------------
+
+# Revenue and cost are summed as SEPARATE exact decimals and subtracted
+# ONCE as doubles: a single mixed-scale decimal subtraction inside the
+# aggregate would hit the two engines' different precision-cap /
+# scale-alignment rules (Spark reduces scale at precision 38 under
+# allowPrecisionLoss; DuckDB widens), so the only IEEE op is the final
+# subtraction of two deterministic operands. The fixture has no
+# partsupp, so unit cost is the part's retail price (profit = gross
+# margin analog; sign is irrelevant to the shape).
+_PROFIT_SQL = f"""
+    SELECT n.n_name, CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM({SQL_REVENUE}) AS DOUBLE)
+             - CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,2))
+                        * CAST(l.l_quantity AS BIGINT)) AS DOUBLE)
+             AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%bolt%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+"""
+
+
+@query("agg_product_profit", oracle=_PROFIT_SQL)
+def agg_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 — profit of one product family by supplier nation and
+    order year: the widest join tree in the relational sweep, with two
+    independent dimension chains hanging off lineitem (part for the
+    family filter, supplier→nation for the grouping geography) plus
+    the orders chain for the time axis. The optimizer work this
+    exercises is join ORDERING under a selective dimension filter: the
+    LIKE-filtered part slice must prune lineitem FIRST (broadcast
+    semi-reduction), so the orders join — the only big-big edge —
+    runs on the already-reduced fact.
+
+    Plan shape at fixture scale: part (filtered), supplier and nation
+    all broadcast; orders broadcasts too at sf ≤ 0.1 and becomes the
+    one orderkey SortMergeJoin at 100 TB, where AQE's runtime
+    statistics see the post-part-filter fact size and keep the
+    dimension edges broadcast. One keyed exchange for the
+    (nation, year) aggregate. Revenue and cost ride the aggregate as
+    two EXACT decimal sums (order-independent), subtracted once as
+    doubles — see _PROFIT_SQL's note on why the subtraction must stay
+    outside the decimal domain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    cost = money("p_retailprice") * F.col("l_quantity").cast("bigint")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "n_name",
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            (
+                F.sum(revenue_expr()).cast("double")
+                - F.sum(cost).cast("double")
+            ).alias("profit")
         )
     )

@@ -417,6 +417,14 @@ HEADLINERS: list[tuple[str, str]] = [
         "proving the sweep deleted only orphans.",
     ),
     (
+        "agg_product_profit",
+        "Round-16 TPC-H Q9 shape: the LIKE-filtered part slice, "
+        "supplier and nation all broadcast so the fact table is "
+        "semi-reduced before the orders edge — the only big-big join "
+        "— and one (nation, year) exchange carries two exact decimal "
+        "sums subtracted once as doubles.",
+    ),
+    (
         "sim_ivfpq_cell_skew",
         "Round-16 occupancy audit: two counts-only partial-aggregated "
         "scans of the cell-partitioned code index (codes never move; "

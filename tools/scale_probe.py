@@ -71,6 +71,7 @@ PROBE_QUERIES = [
     ("join_promo_share_suppliers", "Q20/Q14 shape: promo share vs global scalar"),
     ("agg_custdist_outer", "Q13 shape: null-preserving outer-join count distribution"),
     ("join_disjunctive_pushdown", "Q19 shape: OR-of-ANDs pushed to both scans"),
+    ("agg_product_profit", "Q9 shape: 5-table profit rollup, part-filter semi-reduction first"),
 ]
 
 # Heavy families probed one decade past bench scale (sf0.1 → sf1) when
