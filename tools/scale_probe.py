@@ -373,7 +373,18 @@ def main() -> int:
             "spread, confirming it as the gate signal. Both warm "
             "query-sums sit ~27% under the 260 s budget (the four r16 "
             "additions cost ~2.6 s combined), so the gate retains the "
-            "headroom its derivation note below assumed.\n"
+            "headroom its derivation note below assumed. A THIRD "
+            "invocation later the same day (after adding "
+            "agg_product_profit, +1.1 s) read warm wall 258.5 s / warm "
+            "query-sum 230.1 s — a noise episode of the r15 kind "
+            "returned (broad shallow per-query drift, zero pin "
+            "breaches), moving BOTH suite signals together by ~20%; "
+            "the episode stayed inside both budgets (230 < 260, "
+            "258 < 300), which is exactly the headroom the derivation "
+            "sized for: the suite gates flag r13-magnitude systemic "
+            "drift, the per-query pins catch real plan regressions, "
+            "and episode-level host noise passes through without "
+            "false alarms.\n"
         )
         out.append(
             "\n**r16 query-sum gate derivation (r15 verdict task #5):** "
