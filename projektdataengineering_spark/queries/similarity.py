@@ -2458,6 +2458,17 @@ _EINC_SPLIT_DUCK = (
 _EMBED_INDEX_BUILDS = 0  # tests assert index reuse skips the build
 
 
+def _batch_geometry_tag() -> str:
+    """The arrival-batch geometry rendered as a key fragment — ONE
+    definition shared by the v2 append paths (_append_v2_path) and the
+    retrain-generation tags (_gen_tag), so the two generation kinds
+    can never diverge on what 'same batch geometry' means (r16
+    review)."""
+    from .dedup import _TWIN_AMPLITUDE, _TWIN_EVERY, _TWIN_OFFSET
+
+    return f"e{_TWIN_EVERY}-o{_TWIN_OFFSET}-a{_TWIN_AMPLITUDE}"
+
+
 def _append_v2_path(v1_path: str) -> str:
     """v2 generation path for an append-family index, keyed by the
     ARRIVAL-BATCH geometry as well as the v1 key (r15 ADVICE): the v1
@@ -2469,25 +2480,22 @@ def _append_v2_path(v1_path: str) -> str:
     would surface as a loud oracle hash mismatch instead of a
     rebuild). Superseded tags left behind by a retune are exactly
     what pipeline_index_vacuum garbage-collects."""
-    from .dedup import _TWIN_AMPLITUDE, _TWIN_EVERY, _TWIN_OFFSET
-
-    return f"{v1_path}_v2-e{_TWIN_EVERY}-o{_TWIN_OFFSET}-a{_TWIN_AMPLITUDE}"
+    return f"{v1_path}_v2-{_batch_geometry_tag()}"
 
 
 def _gen_tag(gen: int) -> str:
     """Tag suffix for a RETRAIN generation, folding the arrival-batch
     geometry alongside the generation number: a retrain generation's
-    membership is corpus ∪ the geometry-defined appends, so retuning
-    the twin constants must land a NEW gen line instead of silently
-    reusing one trained on a different membership — the same
-    stale-reuse class _append_v2_path closes for the v2 append (r16
-    review). Advancing past gen=1 (a skew event on a retrain line
-    itself) is the engine host's cutover-commit loop: it bumps the
-    live generation it audits, and the superseded line becomes the
-    vacuum's to expire."""
-    from .dedup import _TWIN_AMPLITUDE, _TWIN_EVERY, _TWIN_OFFSET
-
-    return f"_g{gen}-e{_TWIN_EVERY}-o{_TWIN_OFFSET}-a{_TWIN_AMPLITUDE}"
+    membership is EXACTLY the canonical cutover membership (corpus ∪
+    the geometry-defined appends — _cutover_members, the one producer
+    allowed to train under a gen key), so retuning the twin constants
+    must land a NEW gen line instead of silently reusing one trained
+    on a different membership — the same stale-reuse class
+    _append_v2_path closes for the v2 append (r16 review). Advancing
+    past gen=1 (a skew event on a retrain line itself) is the engine
+    host's cutover-commit loop: it bumps the live generation it
+    audits, and the superseded line becomes the vacuum's to expire."""
+    return f"_g{gen}-{_batch_geometry_tag()}"
 
 
 def _embed_index_path(sf_dir: str) -> str:
@@ -3392,21 +3400,37 @@ def sim_ivfpq_cell_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cutover_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE definition of the retrain-generation membership: corpus ∪
+    the geometry-defined arrival twins — exactly the membership the
+    v2 append installs and the gen tag's folded geometry describes.
+    Keeping this the only producer of gen-trained membership is what
+    makes the gen key sound: centroids at a gen key are guaranteed to
+    have been trained on THIS frame, never an arbitrary caller's
+    (r16 review: a caller-supplied members frame under the same key
+    would collide silently)."""
+    from .dedup import _TWIN_OFFSET
+
+    e = _embeddings_normed(spark, sf_dir).select("vec_id", "vec")
+    twins = _einc_arrival_frame(e).filter(F.col("vec_id") >= _TWIN_OFFSET)
+    return e.unionByName(twins)
+
+
 def ivf_retrain_generation(
-    spark: SparkSession,
-    sf_dir: str,
-    members: DataFrame,
-    gen: int = 1,
-    k: int = _IVF_K,
+    spark: SparkSession, sf_dir: str, gen: int = 1, k: int = _IVF_K
 ) -> "np.ndarray":
     """The ACT half of the skew trigger: retrain the coarse quantizer
-    on the CURRENT membership (corpus ∪ accumulated appends) through
-    the ordinary read-or-build, under the bumped generation key
-    (_ivf_index_path gen tag) — the round-15 verdict's 'existing
-    read-or-build with a bumped index key'. The live generation's
-    centroids and code tables are never touched: cutover is a new
-    index line, and the superseded line is pipeline_index_vacuum's to
-    expire once the cutover commits."""
+    on the CANONICAL cutover membership (_cutover_members — corpus ∪
+    accumulated appends) through the ordinary read-or-build, under the
+    bumped generation key (_ivf_index_path gen tag) — the round-15
+    verdict's 'existing read-or-build with a bumped index key'. The
+    membership is computed here, not caller-supplied, so the gen key
+    always addresses centroids trained on the membership its folded
+    geometry declares. The live generation's centroids and code
+    tables are never touched: cutover is a new index line, and the
+    superseded line is pipeline_index_vacuum's to expire once the
+    cutover commits."""
+    members = _cutover_members(spark, sf_dir).localCheckpoint(eager=False)
     return _ivf_centroids(spark, sf_dir, members, k=k, gen=gen)
 
 
@@ -3442,12 +3466,18 @@ def ivfpq_retrain_if_skewed(
     row = _occupancy_audit(2, _cell_masses(spark, v2_path)).collect()[0]
     if not row["needs_retrain"]:
         return False, 0
-    from .dedup import _TWIN_OFFSET
-
+    # reuse short-circuit BEFORE any broadcast (r16 review): a repeated
+    # trigger call on an already-cut-over line must not ship the
+    # centroid/codebook matrices cluster-wide just for the
+    # read-or-build's isdir check to discard them
+    _, cents1_path = _ivf_index_path(sf_dir, gen=1)
+    if os.path.isdir(
+        _ivfpq_code_index_path(sf_dir, gen=1)
+    ) and os.path.exists(cents1_path):
+        return True, 1
+    members = _cutover_members(spark, sf_dir).localCheckpoint(eager=False)
+    cents1 = _ivf_centroids(spark, sf_dir, members, gen=1)
     e = _embeddings_normed(spark, sf_dir).select("vec_id", "vec")
-    twins = _einc_arrival_frame(e).filter(F.col("vec_id") >= _TWIN_OFFSET)
-    members = e.unionByName(twins).localCheckpoint(eager=False)
-    cents1 = ivf_retrain_generation(spark, sf_dir, members, gen=1)
     books = _pq_codebooks(spark, sf_dir, e.localCheckpoint(eager=False))
     _ivfpq_code_index(
         spark,

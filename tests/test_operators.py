@@ -2910,16 +2910,13 @@ def test_ivfpq_cell_skew_flip_and_retrain_generation(spark, sf_dir):
     S._IVF_CENTROID_CACHE.pop(tag1, None)
     mtime0 = os.path.getmtime(p0)
     trains0 = S._IVF_TRAIN_RUNS
-    e = S._embeddings_normed(spark, sf_dir).select("vec_id", "vec")
     try:
-        cents = S.ivf_retrain_generation(
-            spark, sf_dir, e.localCheckpoint(eager=False), gen=1
-        )
+        cents = S.ivf_retrain_generation(spark, sf_dir, gen=1)
         assert S._IVF_TRAIN_RUNS == trains0 + 1, "bumped key must train"
         assert os.path.exists(p1), "retrained centroids under the new key"
         assert os.path.getmtime(p0) == mtime0, "gen-0 centroids untouched"
         assert cents.shape == (S._IVF_K, S._IVF_DIM)
-        S.ivf_retrain_generation(spark, sf_dir, e, gen=1)
+        S.ivf_retrain_generation(spark, sf_dir, gen=1)
         assert S._IVF_TRAIN_RUNS == trains0 + 1, "bumped key must reuse too"
     finally:
         if os.path.exists(p1):
@@ -3015,6 +3012,14 @@ def test_ivfpq_cutover_line_serves(spark, sf_dir, emb_matrix, monkeypatch):
 
     g1 = S._ivfpq_code_index_path(sf_dir, gen=1)
     tag1, cpath1 = S._ivf_index_path(sf_dir, gen=1)
+    # clean slate (r16 review): leftover gen-1 artifacts from an
+    # interrupted prior run would make this test certify stale bytes
+    # instead of the current cutover path
+    if os.path.isdir(g1):
+        shutil.rmtree(g1)
+    if os.path.exists(cpath1):
+        os.unlink(cpath1)
+    S._IVF_CENTROID_CACHE.pop(tag1, None)
     monkeypatch.setattr(S, "_IVF_SKEW_BOUND", 1.0)  # fixture skew ~1.3
     try:
         assert S.ivfpq_retrain_if_skewed(spark, sf_dir) == (True, 1)
