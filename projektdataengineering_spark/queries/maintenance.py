@@ -100,7 +100,15 @@ def _vacuum_index_line(v1_path: str, v2_path: str) -> int:
             continue
         if d.startswith(f"{base}_g") and ".tmp." not in d:
             continue  # completed retrain generation: live configuration
-        shutil.rmtree(os.path.join(parent, d))
+        full = os.path.join(parent, d)
+        # a stray REGULAR file matching the line prefix (an editor
+        # backup, a future non-dir artifact) is still this line's
+        # orphan — expire it with unlink instead of letting rmtree
+        # raise NotADirectoryError and fail the vacuum (r16 ADVICE)
+        if os.path.isdir(full):
+            shutil.rmtree(full)
+        else:
+            os.unlink(full)
         expired += 1
     return expired
 
@@ -157,11 +165,16 @@ def pipeline_index_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregated parquet scans per family. At 100 TB generations
     live in a catalog manifest and the sweep is a metadata transaction,
     the pipeline_merge_vacuum posture."""
-    from .pipeline_ops import _neardup_index_path, dedup_neardup_index_append
+    from .pipeline_ops import (
+        _neardup_index_path,
+        _neardup_v2_path,
+        dedup_neardup_index_append,
+    )
     from .similarity import (
-        _append_v2_path,
         _embed_index_path,
+        _embed_index_v2_path,
         _ivfpq_code_index_path,
+        _ivfpq_code_v2_path,
         dedup_embedding_index_append,
         sim_ivfpq_index_append,
     )
@@ -173,13 +186,13 @@ def pipeline_index_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_embedding_index_append(spark, sf_dir)
     sim_ivfpq_index_append(spark, sf_dir)
 
-    nd_v1 = _neardup_index_path(sf_dir)
-    em_v1 = _embed_index_path(sf_dir)
-    pq_v1 = _ivfpq_code_index_path(sf_dir)
+    # every retained path comes from the appender module's own helper
+    # (r16 verdict task): the vacuum can never disagree with a
+    # producer about which generation is current
     families = (
-        ("neardup", nd_v1, f"{nd_v1}_v2", "doc_id"),
-        ("embedding", em_v1, _append_v2_path(em_v1), "vec_id"),
-        ("ivfpq", pq_v1, _append_v2_path(pq_v1), "vec_id"),
+        ("neardup", _neardup_index_path(sf_dir), _neardup_v2_path(sf_dir), "doc_id"),
+        ("embedding", _embed_index_path(sf_dir), _embed_index_v2_path(sf_dir), "vec_id"),
+        ("ivfpq", _ivfpq_code_index_path(sf_dir), _ivfpq_code_v2_path(sf_dir), "vec_id"),
     )
 
     out: DataFrame | None = None

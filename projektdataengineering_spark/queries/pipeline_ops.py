@@ -2372,6 +2372,21 @@ def _neardup_index_path(sf_dir: str) -> str:
     )
 
 
+def _neardup_v2_path(sf_dir: str) -> str:
+    """Canonical v2 path of the near-dup signature line, keyed by the
+    family's arrival-batch definition (the md5 split position) on top
+    of the v1 key — the similarity._append_v2_path discipline (r16
+    verdict task): retuning _INCR_BATCH_POS must REBUILD v2 under a
+    new key, never reuse one built for a different batch, and every
+    consumer (the appender, pipeline_index_vacuum, tests) derives the
+    path from THIS helper so the line's addressing can never fork.
+    The v1 tag also folds the split (it shapes the corpus side too);
+    v2's key re-states it because a v2's batch definition must be
+    self-sufficient, not an accident of what the corpus key happens
+    to carry."""
+    return f"{_neardup_index_path(sf_dir)}_v2-p{_INCR_BATCH_POS}"
+
+
 def _corpus_signature_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read-or-build the CORPUS side's signature/band table: built once
     per corpus version (write-temp + atomic rename, the ensure_bucketed
@@ -2581,7 +2596,7 @@ def dedup_neardup_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .layout import _atomic_dir_write
 
     v1_path = _neardup_index_path(sf_dir)
-    v2_path = f"{v1_path}_v2"
+    v2_path = _neardup_v2_path(sf_dir)
     # read-or-build v1 UNCONDITIONALLY (no-op read when present): a
     # partially cleaned scratch dir (v1 gone, v2 surviving) must
     # self-heal instead of failing the audit's v1 scan

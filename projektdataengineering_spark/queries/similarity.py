@@ -2458,29 +2458,68 @@ _EINC_SPLIT_DUCK = (
 _EMBED_INDEX_BUILDS = 0  # tests assert index reuse skips the build
 
 
-def _batch_geometry_tag() -> str:
+def _batch_geometry_tag(split_fragment: str = "") -> str:
     """The arrival-batch geometry rendered as a key fragment — ONE
     definition shared by the v2 append paths (_append_v2_path) and the
     retrain-generation tags (_gen_tag), so the two generation kinds
     can never diverge on what 'same batch geometry' means (r16
-    review)."""
+    review). ``split_fragment`` carries a family's EXTRA
+    batch-definition constants beyond the shared twin geometry: the
+    embedding member family's arrivals are twins ∪ the md5
+    fresh-quarter, so its keys fold the split position too (r16
+    ADVICE — a retuned split must rebuild, never silently reuse); the
+    IVFADC code family's arrivals are twins only, so it passes
+    nothing."""
     from .dedup import _TWIN_AMPLITUDE, _TWIN_EVERY, _TWIN_OFFSET
 
-    return f"e{_TWIN_EVERY}-o{_TWIN_OFFSET}-a{_TWIN_AMPLITUDE}"
+    tag = f"e{_TWIN_EVERY}-o{_TWIN_OFFSET}-a{_TWIN_AMPLITUDE}"
+    return f"{tag}-{split_fragment}" if split_fragment else tag
 
 
-def _append_v2_path(v1_path: str) -> str:
+def _einc_batch_tag() -> str:
+    """The embedding member family's COMPLETE arrival-batch definition
+    as a key fragment: the shared twin geometry PLUS the md5
+    fresh-quarter split position (_EINC_BATCH_POS) — the constant that
+    decides which base vectors play the arrival batch, hence which
+    keepers a v2 holds (r16 ADVICE: the twin-only tag under-keyed the
+    embedding line's v2)."""
+    return _batch_geometry_tag(f"p{_EINC_BATCH_POS}")
+
+
+def _append_v2_path(v1_path: str, batch_tag: str | None = None) -> str:
     """v2 generation path for an append-family index, keyed by the
     ARRIVAL-BATCH geometry as well as the v1 key (r15 ADVICE): the v1
     path already folds the corpus fingerprint and quantizer
     hyperparameters, but v2's CONTENT additionally depends on which
-    batch was appended — retuning the twin constants
-    (_TWIN_EVERY/_TWIN_OFFSET/_TWIN_AMPLITUDE) must REBUILD v2 under a
-    new key, not reuse a stale v2 built for a different batch (which
-    would surface as a loud oracle hash mismatch instead of a
-    rebuild). Superseded tags left behind by a retune are exactly
-    what pipeline_index_vacuum garbage-collects."""
-    return f"{v1_path}_v2-{_batch_geometry_tag()}"
+    batch was appended — retuning the batch-defining constants
+    (_TWIN_EVERY/_TWIN_OFFSET/_TWIN_AMPLITUDE, and for the embedding
+    family the split position via its ``batch_tag``) must REBUILD v2
+    under a new key, not reuse a stale v2 built for a different batch
+    (which would surface as a loud oracle hash mismatch instead of a
+    rebuild). ``batch_tag`` defaults to the shared twin-only geometry
+    (the IVFADC code family's batch definition); families whose batch
+    definition has more constants pass their own complete fragment.
+    Superseded tags left behind by a retune are exactly what
+    pipeline_index_vacuum garbage-collects."""
+    tag = _batch_geometry_tag() if batch_tag is None else batch_tag
+    return f"{v1_path}_v2-{tag}"
+
+
+def _embed_index_v2_path(sf_dir: str) -> str:
+    """Canonical v2 path of the embedding member line — v1 key +
+    the family's COMPLETE batch definition (twins + split). The one
+    producer (dedup_embedding_index_append), every consumer (the
+    member skew audit, pipeline_index_vacuum, tests) and the GC all
+    read THIS helper, so the line's addressing can never fork (r16
+    verdict task: derive every v2 path from its appender)."""
+    return _append_v2_path(_embed_index_path(sf_dir), _einc_batch_tag())
+
+
+def _ivfpq_code_v2_path(sf_dir: str) -> str:
+    """Canonical v2 path of the IVFADC code line — v1 key + the
+    twin-only batch definition (its arrivals carry no split). Same
+    single-producer discipline as _embed_index_v2_path."""
+    return _append_v2_path(_ivfpq_code_index_path(sf_dir))
 
 
 def _gen_tag(gen: int) -> str:
@@ -2737,7 +2776,7 @@ def sim_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .layout import _atomic_dir_write
 
     v1_path = _ivfpq_code_index_path(sf_dir)
-    v2_path = _append_v2_path(v1_path)
+    v2_path = _ivfpq_code_v2_path(sf_dir)
     e = _embeddings_normed(spark, sf_dir).select("vec_id", "vec")
     echk = e.localCheckpoint(eager=False)
     cents = _ivf_centroids(spark, sf_dir, echk)
@@ -2943,7 +2982,7 @@ def dedup_embedding_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .layout import _atomic_dir_write
 
     v1_path = _embed_index_path(sf_dir)
-    v2_path = _append_v2_path(v1_path)
+    v2_path = _embed_index_v2_path(sf_dir)
     e = _embeddings_normed(spark, sf_dir).select("vec_id", "vec")
     cents = _ivf_centroids(spark, sf_dir, e.localCheckpoint(eager=False))
     bc = spark.sparkContext.broadcast(cents)
@@ -3228,20 +3267,21 @@ def _lloyd_assign_cte(name: str, src: str, cents: str) -> str:
     )"""
 
 
-def _cell_skew_oracle() -> str:
-    """Occupancy-audit oracle that recomputes the WHOLE quantizer from
-    the raw table: init = unit vectors of the K smallest vec_ids, then
-    _IVF_ITERS Lloyd rounds UNROLLED as CTEs (the pipeline_bpe_train
-    unrolled-CTE discipline applied to k-means), then the v1/v2
-    member assignments and per-cell masses. The trainer's decimal
-    (28,14) component sums make each round's means EXACTLY equal on
-    both engines once the round's assignments agree, and assignment
-    margins (~1e-2 cosine) dwarf the ~1e-16 summation-order noise in
-    the dots, so cell masses — integers — hash bit-stably. The audit
-    ratio is one IEEE division of two deterministic integers and the
-    retrain boolean one comparison against the declared bound, so the
-    driver hash certifies the production retrain DECISION, not just
-    the counts."""
+def _quantizer_assignment_parts() -> list[str]:
+    """The shared quantizer-recomputation CTE chain: init = unit
+    vectors of the K smallest vec_ids, _IVF_ITERS Lloyd rounds
+    UNROLLED as CTEs (the pipeline_bpe_train unrolled-CTE discipline
+    applied to k-means), the twin components (``tw``), and the final
+    assignments ``af`` (every base vector) and ``at`` (every planted
+    twin). ONE definition, composed by BOTH occupancy-audit oracles
+    (sim_ivfpq_cell_skew over the code line, sim_ivf_member_skew over
+    the member line) — the two consumers of the shared quantizer must
+    be certified against the same recomputed geometry. The trainer's
+    decimal (28,14) component sums make each round's means EXACTLY
+    equal on both engines once the round's assignments agree, and
+    assignment margins (~1e-2 cosine) dwarf the ~1e-16
+    summation-order noise in the dots, so downstream cell masses —
+    integers — hash bit-stably."""
     from .dedup import _TWIN_AMPLITUDE, _TWIN_EVERY, _TWIN_OFFSET
 
     parts = [
@@ -3296,23 +3336,44 @@ def _cell_skew_oracle() -> str:
     )
     parts.append(_lloyd_assign_cte("af", "ev", prev))
     parts.append(_lloyd_assign_cte("at", "tw", prev))
-    parts.append(
-        f"""members AS (
-      SELECT 1 AS version, cell FROM af
-      UNION ALL SELECT 2 AS version, cell FROM af
-      UNION ALL SELECT 2 AS version, cell FROM at
-    ),
-    masses AS (
+    return parts
+
+
+# The audit tail shared by both occupancy oracles: (version, cell)
+# member rows → per-cell masses → the 1-row-per-version audit with the
+# retrain verdict — the SQL twin of _occupancy_audit, parameterized
+# only by the members CTE feeding it.
+_OCCUPANCY_AUDIT_TAIL = """masses AS (
       SELECT version, cell, COUNT(*) AS mass FROM members GROUP BY 1, 2
     )
     SELECT CAST(version AS BIGINT) AS version,
            CAST(SUM(mass) AS BIGINT) AS n_entries,
            CAST(COUNT(*) AS BIGINT) AS occupied_cells,
            CAST(MAX(mass) AS BIGINT) AS max_cell_mass,
-           MAX(mass) * {_IVF_K} / SUM(mass) AS skew_ratio,
-           MAX(mass) * {_IVF_K} / SUM(mass) > {_IVF_SKEW_BOUND}
+           MAX(mass) * {k} / SUM(mass) AS skew_ratio,
+           MAX(mass) * {k} / SUM(mass) > {bound}
              AS needs_retrain
     FROM masses GROUP BY 1"""
+
+
+def _cell_skew_oracle() -> str:
+    """Occupancy-audit oracle for the IVFADC CODE line: the shared
+    quantizer recomputation (_quantizer_assignment_parts), then the
+    v1/v2 code-table memberships (v1 = every base vector, v2 = v1 ∪
+    the planted twins — sim_ivfpq_index_append's membership) and
+    per-cell masses. The audit ratio is one IEEE division of two
+    deterministic integers and the retrain boolean one comparison
+    against the declared bound, so the driver hash certifies the
+    production retrain DECISION, not just the counts."""
+    parts = _quantizer_assignment_parts()
+    parts.append(
+        """members AS (
+      SELECT 1 AS version, cell FROM af
+      UNION ALL SELECT 2 AS version, cell FROM af
+      UNION ALL SELECT 2 AS version, cell FROM at
+    ),
+    """
+        + _OCCUPANCY_AUDIT_TAIL.format(k=_IVF_K, bound=_IVF_SKEW_BOUND)
     )
     return ",\n    ".join(parts)
 
@@ -3391,9 +3452,101 @@ def sim_ivfpq_cell_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     v1_path = _ivfpq_code_index_path(sf_dir)
-    v2_path = _append_v2_path(v1_path)
+    v2_path = _ivfpq_code_v2_path(sf_dir)
     if not (os.path.isdir(v1_path) and os.path.isdir(v2_path)):
         sim_ivfpq_index_append(spark, sf_dir)  # idempotent read-or-build
+
+    return _occupancy_audit(1, _cell_masses(spark, v1_path)).unionByName(
+        _occupancy_audit(2, _cell_masses(spark, v2_path))
+    )
+
+
+def _member_skew_oracle() -> str:
+    """Occupancy-audit oracle for the embedding MEMBER line (the
+    dedup_embedding_* family's persisted IVF inverted lists): the
+    shared quantizer recomputation (_quantizer_assignment_parts) for
+    the cell geometry, PLUS the exact all-pairs cosine verdict chain
+    (_einc_oracle's CTEs) for the keepers — because this line's v2
+    membership is corpus ∪ the KEEP-verdict arrivals, not corpus ∪
+    twins. v1 = the corpus members (the md5-split non-fresh vectors),
+    v2 = v1 ∪ keepers, each joined to its recomputed rank-1 cell
+    (``af`` covers base vectors, ``at`` the planted twins — twins are
+    all dups by construction, so the union is total over any keeper
+    set), then per-cell masses and the same audit tail as the code
+    line's oracle. The driver hash therefore certifies trainer,
+    assignment geometry, keep verdicts, masses AND the retrain
+    decision for the SECOND consumer of the shared quantizer."""
+    with_part, _ = _einc_oracle().split("SELECT bt.vec_id", 1)
+    einc_block = with_part.strip()
+    assert einc_block.startswith("WITH"), einc_block[:40]
+    einc_ctes = einc_block[len("WITH"):].strip().rstrip(",")
+
+    parts = _quantizer_assignment_parts()
+    parts.append(einc_ctes)
+    parts.append(
+        """keepers AS (
+      SELECT bt.vec_id FROM batch bt
+      LEFT JOIN cm USING (vec_id)
+      LEFT JOIN bm USING (vec_id)
+      WHERE cm.dup_of_corpus IS NULL AND bm.batch_min IS NULL
+    ),
+    assign_all AS (
+      SELECT vec_id, cell FROM af
+      UNION ALL SELECT vec_id, cell FROM at
+    ),
+    members AS (
+      SELECT 1 AS version, a.cell
+      FROM assign_all a JOIN corpus c USING (vec_id)
+      UNION ALL
+      SELECT 2 AS version, a.cell
+      FROM assign_all a JOIN corpus c USING (vec_id)
+      UNION ALL
+      SELECT 2 AS version, a.cell
+      FROM assign_all a JOIN keepers k USING (vec_id)
+    ),
+    """
+        + _OCCUPANCY_AUDIT_TAIL.format(k=_IVF_K, bound=_IVF_SKEW_BOUND)
+    )
+    return ",\n    ".join(parts)
+
+
+@query("sim_ivf_member_skew", oracle=_member_skew_oracle())
+def sim_ivf_member_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-list occupancy audit of the embedding MEMBER index —
+    sim_ivfpq_cell_skew's measurement applied to the shared
+    quantizer's SECOND consumer (r16 verdict task #3): the
+    dedup_embedding_* family's persisted member lists have the same
+    append-forever exposure as the code table (arrivals assigned into
+    cells trained on the original distribution), and a skewed cell
+    there degrades BOTH the probe cost and the recall margin of every
+    dedup verdict, because candidates come from exactly the probed
+    cells' member lists.
+
+    Emits one row per on-disk generation of the member line (v1 = the
+    corpus members as trained, v2 = after the kept arrivals'
+    install): entries, occupied cells, max list mass, skew_ratio =
+    max/(N/K), and needs_retrain against the same declared
+    _IVF_SKEW_BOUND — one bound for both consumers, because one
+    quantizer serves both. Masses are measured FROM THE MEMBER
+    PARQUET (the artifact the dedup probes actually read), through
+    the same _cell_masses/_occupancy_audit kernels as the code-line
+    audit; the oracle recomputes the quantizer (unrolled Lloyd) AND
+    the keep verdicts (exact all-pairs cosine) from the raw table, so
+    the hash certifies the whole decision chain. The acted-on half is
+    ivfpq_retrain_if_skewed, whose cutover installs BOTH consumers
+    under ONE generation key (tests pin the shared-generation
+    cutover).
+
+    Scale shape: one partial-aggregated scan per generation (cell
+    counts only — vectors never move), a metadata-sized verdict row;
+    at 100 TB this is a catalog statistics read, and the retrain it
+    gates is the one O(N) pass a skewed quantizer costs anyway."""
+    import os
+
+    v1_path = _embed_index_path(sf_dir)
+    v2_path = _embed_index_v2_path(sf_dir)
+    if not (os.path.isdir(v1_path) and os.path.isdir(v2_path)):
+        dedup_embedding_index_append(spark, sf_dir)  # idempotent
 
     return _occupancy_audit(1, _cell_masses(spark, v1_path)).unionByName(
         _occupancy_audit(2, _cell_masses(spark, v2_path))
@@ -3434,57 +3587,125 @@ def ivf_retrain_generation(
     return _ivf_centroids(spark, sf_dir, members, k=k, gen=gen)
 
 
-def ivfpq_retrain_if_skewed(
-    spark: SparkSession, sf_dir: str
-) -> tuple[bool, int]:
-    """Audit the post-append (v2) generation and, iff the skew bound
-    is breached, run the FULL CUTOVER: retrain the coarse quantizer on
-    the CURRENT membership (corpus ∪ accumulated appends) under the
-    bumped generation key, then re-encode that membership as a
-    gen-keyed code-table line through the same read-or-build
-    (_ivfpq_code_index with gen/members) — so after the cutover a
-    probe session has a complete, self-consistent index (centroids +
-    codes trained on what the index actually holds) at the new key,
-    while mid-flight probes keep reading the old line untouched. PQ
-    codebooks are deliberately REUSED: codes quantize raw subvectors
-    (not cell residuals), so the books are independent of the coarse
-    partition that skewed. The superseded line is the engine host's to
-    expire once the cutover commits (the pipeline_index_vacuum
-    retention decision — a retrain generation is a live
-    configuration, never an orphan of gen-0).
+def _member_gen_path(sf_dir: str, gen: int) -> str:
+    """Gen-keyed MEMBER-line location: the member line's v1 key (which
+    folds the split position — the family's corpus/arrival boundary)
+    plus the shared retrain-generation tag, so the member cutover and
+    the code cutover of the same generation carry the SAME _g{gen}
+    suffix — one generation key, two consumers (r17: the verdict's
+    shared-generation cutover). pipeline_index_vacuum's `{base}_g*`
+    retention pattern covers it as a live configuration."""
+    return f"{_embed_index_path(sf_dir)}{_gen_tag(gen)}"
 
-    Returns (retrained, generation). On the fixture this returns
-    (False, 0) — the planted twins land in their bases' cells,
-    preserving the trained distribution; the flip AND the executed
-    cutover are exercised by tests/test_operators.py under a
-    tightened bound."""
-    v2_path = _append_v2_path(_ivfpq_code_index_path(sf_dir))
+
+_MEMBER_GEN_BUILDS = 0  # tests assert cutover reuse skips the rebuild
+
+
+def _ivf_member_gen_index(
+    spark: SparkSession, sf_dir: str, cents_bc, gen: int
+) -> DataFrame:
+    """Read-or-build the gen-keyed MEMBER line: the member line's
+    CURRENT holdings — the v2 generation's (vec_id, vec) rows, i.e.
+    corpus ∪ the kept arrivals — re-assigned rank-1 under the
+    gen-keyed quantizer and installed as a NEW line (staged write +
+    atomic rename). The holdings are read FROM the v2 parquet, not
+    recomputed, so the cutover re-assigns exactly what the index
+    holds (one O(holdings) map-side pass — no re-verdicting, no
+    re-signing); the serving line is never clobbered, and the
+    superseded one is pipeline_index_vacuum's to expire once the
+    cutover commits."""
+    global _MEMBER_GEN_BUILDS
     import os
 
-    if not os.path.isdir(v2_path):
-        sim_ivfpq_index_append(spark, sf_dir)
-    row = _occupancy_audit(2, _cell_masses(spark, v2_path)).collect()[0]
+    from .layout import _atomic_dir_write
+
+    path = _member_gen_path(sf_dir, gen)
+    if not os.path.isdir(path):
+        v2_path = _embed_index_v2_path(sf_dir)
+        if not os.path.isdir(v2_path):
+            dedup_embedding_index_append(spark, sf_dir)
+        holdings = spark.read.parquet(v2_path).select("vec_id", "vec")
+        rows = _ivf_assign(holdings, cents_bc).select("vec_id", "vec", "cell")
+        _atomic_dir_write(lambda p: rows.write.parquet(p), path)
+        _MEMBER_GEN_BUILDS += 1
+    return spark.read.parquet(path)
+
+
+def ivfpq_retrain_if_skewed(
+    spark: SparkSession, sf_dir: str, current_gen: int = 0
+) -> tuple[bool, int]:
+    """Audit generation ``current_gen``'s post-append line and, iff
+    the skew bound is breached, run the FULL CUTOVER to generation
+    ``current_gen + 1`` for BOTH consumers of the shared quantizer:
+    retrain the coarse quantizer on the CURRENT membership (corpus ∪
+    accumulated appends) under the bumped generation key, re-encode
+    that membership as a gen-keyed CODE-table line (_ivfpq_code_index
+    with gen/members), and re-assign the MEMBER line's holdings as a
+    gen-keyed member line (_ivf_member_gen_index) — so after the
+    cutover a probe session has a complete, self-consistent index
+    (centroids + codes + member lists trained on what the index
+    actually holds) at ONE new key, while mid-flight probes keep
+    reading the old line untouched. PQ codebooks are deliberately
+    REUSED: codes quantize raw subvectors (not cell residuals), so
+    the books are independent of the coarse partition that skewed.
+    The superseded line is the engine host's to expire once the
+    cutover commits (the pipeline_index_vacuum retention decision — a
+    retrain generation is a live configuration, never an orphan).
+
+    ``current_gen`` is the host loop's live generation (r16 ADVICE:
+    with gen hard-coded the loop could never advance past 1): gen 0
+    audits the ordinary v2 append line; gen N ≥ 1 audits the gen-N
+    line a previous cutover installed, and a breach there cuts over
+    to N + 1 — the documented host loop is now expressible through
+    this entry point. Auditing a generation that was never installed
+    is a caller error and raises.
+
+    Returns (retrained, generation): (False, current_gen) when the
+    audit clears the bound, else (True, current_gen + 1). On the
+    fixture gen 0 returns (False, 0) — the planted twins land in
+    their bases' cells, preserving the trained distribution; the flip
+    AND the executed two-consumer cutover are exercised by
+    tests/test_operators.py under a tightened bound."""
+    import os
+
+    if current_gen == 0:
+        audit_path = _ivfpq_code_v2_path(sf_dir)
+        if not os.path.isdir(audit_path):
+            sim_ivfpq_index_append(spark, sf_dir)
+    else:
+        audit_path = _ivfpq_code_index_path(sf_dir, gen=current_gen)
+        if not os.path.isdir(audit_path):
+            raise FileNotFoundError(
+                f"generation {current_gen} was never cut over: no code "
+                f"line at {audit_path}; audit the live generation"
+            )
+    row = _occupancy_audit(2, _cell_masses(spark, audit_path)).collect()[0]
     if not row["needs_retrain"]:
-        return False, 0
+        return False, current_gen
+    gen = current_gen + 1
     # reuse short-circuit BEFORE any broadcast (r16 review): a repeated
     # trigger call on an already-cut-over line must not ship the
     # centroid/codebook matrices cluster-wide just for the
     # read-or-build's isdir check to discard them
-    _, cents1_path = _ivf_index_path(sf_dir, gen=1)
-    if os.path.isdir(
-        _ivfpq_code_index_path(sf_dir, gen=1)
-    ) and os.path.exists(cents1_path):
-        return True, 1
+    _, cents_gen_path = _ivf_index_path(sf_dir, gen=gen)
+    if (
+        os.path.isdir(_ivfpq_code_index_path(sf_dir, gen=gen))
+        and os.path.isdir(_member_gen_path(sf_dir, gen))
+        and os.path.exists(cents_gen_path)
+    ):
+        return True, gen
     members = _cutover_members(spark, sf_dir).localCheckpoint(eager=False)
-    cents1 = _ivf_centroids(spark, sf_dir, members, gen=1)
+    cents_gen = _ivf_centroids(spark, sf_dir, members, gen=gen)
+    bc_c = spark.sparkContext.broadcast(cents_gen)
     e = _embeddings_normed(spark, sf_dir).select("vec_id", "vec")
     books = _pq_codebooks(spark, sf_dir, e.localCheckpoint(eager=False))
     _ivfpq_code_index(
         spark,
         sf_dir,
-        spark.sparkContext.broadcast(cents1),
+        bc_c,
         spark.sparkContext.broadcast(books),
-        gen=1,
+        gen=gen,
         members=members,
     )
-    return True, 1
+    _ivf_member_gen_index(spark, sf_dir, bc_c, gen)
+    return True, gen

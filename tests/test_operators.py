@@ -2196,7 +2196,7 @@ def test_ivfpq_code_index_persists_and_skips_reencode(spark, sf_dir):
     from projektdataengineering_spark.queries import similarity as S
 
     path = S._ivfpq_code_index_path(sf_dir)
-    for p in (path, S._append_v2_path(path)):
+    for p in (path, S._ivfpq_code_v2_path(sf_dir)):
         if os.path.isdir(p):
             shutil.rmtree(p)
 
@@ -2235,7 +2235,7 @@ def test_ivfpq_index_append_codes_and_replay(spark, sf_dir):
     from projektdataengineering_spark.queries.dedup import _TWIN_OFFSET
 
     v1_path = S._ivfpq_code_index_path(sf_dir)
-    v2_path = S._append_v2_path(v1_path)
+    v2_path = S._ivfpq_code_v2_path(sf_dir)
     if os.path.isdir(v2_path):
         shutil.rmtree(v2_path)
 
@@ -2713,7 +2713,7 @@ def test_embedding_index_append_is_exact_and_idempotent(spark, sf_dir):
     audit1 = {r["version"]: tuple(r[1:]) for r in
               S.dedup_embedding_index_append(spark, sf_dir).collect()}
     v1_path = S._embed_index_path(sf_dir)
-    v2_path = S._append_v2_path(v1_path)
+    v2_path = S._embed_index_v2_path(sf_dir)
 
     key = lambda r: (r["vec_id"], r["cell"], tuple(r["vec"]))
     v1_rows = {key(r) for r in spark.read.parquet(v1_path).collect()}
@@ -2783,7 +2783,7 @@ def test_neardup_index_append_is_exact_and_idempotent(spark, sf_dir):
     audit1 = {r["version"]: tuple(r[1:]) for r in
               P.dedup_neardup_index_append(spark, sf_dir).collect()}
     v1_path = P._neardup_index_path(sf_dir)
-    v2_path = f"{v1_path}_v2"
+    v2_path = P._neardup_v2_path(sf_dir)
 
     v1_rows = {tuple(r) for r in spark.read.parquet(v1_path).collect()}
     v2_rows = {tuple(r) for r in spark.read.parquet(v2_path).collect()}
@@ -2827,7 +2827,7 @@ def test_index_vacuum_removes_exactly_orphans(spark, sf_dir):
     assert all(row[4] == 1 for row in audit1), audit1  # planted orphan only
 
     v1 = S._embed_index_path(sf_dir)
-    v2 = S._append_v2_path(v1)
+    v2 = S._embed_index_v2_path(sf_dir)
     before = {p: _tree_digest(p) for p in (v1, v2)}
 
     # plant three orphan shapes in the embedding line (a stale-geometry
@@ -2861,6 +2861,73 @@ def test_index_vacuum_removes_exactly_orphans(spark, sf_dir):
         for p in (decoy, gen_live):
             if os.path.isdir(p):
                 shutil.rmtree(p)
+
+
+def test_v2_keys_fold_each_family_batch_definition(sf_dir, monkeypatch):
+    """Every append-family v2 key must fold that family's COMPLETE
+    arrival-batch definition (r16 ADVICE + verdict task): retuning the
+    neardup split constant or the embedding fresh-quarter split must
+    land a NEW v2 key (rebuild), never reuse a v2 built for a
+    different batch — while staying inside the line-membership pattern
+    the vacuum's _line_members GC recognizes."""
+    import os
+
+    from projektdataengineering_spark.queries import pipeline_ops as P
+    from projektdataengineering_spark.queries import similarity as S
+
+    # neardup: the split position is the batch definition
+    nd = P._neardup_v2_path(sf_dir)
+    monkeypatch.setattr(P, "_INCR_BATCH_POS", P._INCR_BATCH_POS + 3)
+    nd_retuned = P._neardup_v2_path(sf_dir)
+    assert nd != nd_retuned, "neardup retune must change the v2 key"
+    assert f"-p{P._INCR_BATCH_POS}" in os.path.basename(nd_retuned)
+
+    # embedding: twins + the fresh-quarter split — the v2 key itself
+    # must fold the split (not merely inherit it from the v1 tag)
+    em_tag = S._einc_batch_tag()
+    assert em_tag.endswith(f"p{S._EINC_BATCH_POS}")
+    em = S._embed_index_v2_path(sf_dir)
+    monkeypatch.setattr(S, "_EINC_BATCH_POS", S._EINC_BATCH_POS + 3)
+    assert S._einc_batch_tag() != em_tag, "einc retune must change the tag"
+    assert S._embed_index_v2_path(sf_dir) != em
+    # the twin-only shared tag is deliberately split-free (the IVFADC
+    # family's arrivals carry no split)
+    assert f"p{S._EINC_BATCH_POS}" not in S._batch_geometry_tag()
+
+    # both retuned keys still match the vacuum's v2 line pattern
+    for v1p, v2p in (
+        (P._neardup_index_path(sf_dir), nd_retuned),
+        (S._embed_index_path(sf_dir), S._embed_index_v2_path(sf_dir)),
+    ):
+        assert os.path.basename(v2p).startswith(
+            f"{os.path.basename(v1p)}_v2"
+        ), "retuned v2 must stay inside its line's GC pattern"
+
+
+def test_member_skew_audit_matches_member_line(spark, sf_dir):
+    """sim_ivf_member_skew must measure the member parquet itself:
+    v2 − v1 entry growth equals the kept-arrival count from the
+    verdict query, both generations clear the declared bound on the
+    fixture, and the audit is replay-stable."""
+    from projektdataengineering_spark.queries import similarity as S
+
+    rows = {
+        r["version"]: r
+        for r in S.sim_ivf_member_skew(spark, sf_dir).collect()
+    }
+    assert set(rows) == {1, 2}
+    verdict = S.dedup_embedding_incremental(spark, sf_dir)
+    n_kept = verdict.filter("keep").count()
+    assert rows[2]["n_entries"] - rows[1]["n_entries"] == n_kept
+    assert not rows[1]["needs_retrain"] and not rows[2]["needs_retrain"]
+    assert rows[2]["skew_ratio"] < S._IVF_SKEW_BOUND
+    replay = {
+        r["version"]: r
+        for r in S.sim_ivf_member_skew(spark, sf_dir).collect()
+    }
+    assert {k: tuple(v) for k, v in rows.items()} == {
+        k: tuple(v) for k, v in replay.items()
+    }
 
 
 def test_ivfpq_cell_skew_flip_and_retrain_generation(spark, sf_dir):
@@ -2926,41 +2993,61 @@ def test_ivfpq_cell_skew_flip_and_retrain_generation(spark, sf_dir):
 
 def test_ivfpq_skew_cutover_builds_generation_line(spark, sf_dir, monkeypatch):
     """Tightening the declared bound below the fixture's natural v2
-    skew forces the REAL trigger down the full cutover path: gen-1
-    centroids AND a gen-1 code-table line re-encoding the v2
-    membership appear at bumped keys, the gen-0 line stays
-    byte-untouched, pipeline_index_vacuum treats the retrain
-    generation as a live configuration (not an orphan), and a second
-    trigger call reuses both artifacts without retraining or
-    re-encoding."""
+    skew forces the REAL trigger down the full cutover path, which
+    must serve BOTH consumers of the shared quantizer under ONE
+    generation key (r17): gen-1 centroids, a gen-1 code-table line
+    re-encoding the v2 membership, AND a gen-1 MEMBER line
+    re-assigning the member index's holdings all appear at bumped
+    keys carrying the same _g1 tag; the gen-0 lines of both families
+    stay byte-untouched; pipeline_index_vacuum treats both retrain
+    generations as live configurations (not orphans); a second
+    trigger call reuses all three artifacts without retraining,
+    re-encoding or re-assigning; and the host loop is expressible:
+    auditing the cut-over generation (current_gen=1) under the
+    restored bound clears it, while auditing a generation that was
+    never installed raises."""
     import hashlib
     import os
     import shutil
+
+    import pytest as _pytest
 
     from projektdataengineering_spark.queries import maintenance as M
     from projektdataengineering_spark.queries import similarity as S
 
     v1 = S._ivfpq_code_index_path(sf_dir)
-    v2 = S._append_v2_path(v1)
+    v2 = S._ivfpq_code_v2_path(sf_dir)
     g1 = S._ivfpq_code_index_path(sf_dir, gen=1)
+    em_v1 = S._embed_index_path(sf_dir)
+    em_v2 = S._embed_index_v2_path(sf_dir)
+    mg1 = S._member_gen_path(sf_dir, 1)
     tag1, cpath1 = S._ivf_index_path(sf_dir, gen=1)
-    if os.path.isdir(g1):
-        shutil.rmtree(g1)
+    for d in (g1, mg1):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
     if os.path.exists(cpath1):
         os.unlink(cpath1)
     S._IVF_CENTROID_CACHE.pop(tag1, None)
 
     S.sim_ivfpq_index_append(spark, sf_dir)  # ensure v1+v2 on disk
+    S.dedup_embedding_index_append(spark, sf_dir)  # ensure member v1+v2
 
-    before = {p: _tree_digest(p) for p in (v1, v2)}
+    before = {p: _tree_digest(p) for p in (v1, v2, em_v1, em_v2)}
+    bound0 = S._IVF_SKEW_BOUND
     monkeypatch.setattr(S, "_IVF_SKEW_BOUND", 1.0)  # fixture skew ~1.3
     trains0, enc0 = S._IVF_TRAIN_RUNS, S._IVFPQ_ENCODE_RUNS
+    mb0 = S._MEMBER_GEN_BUILDS
     try:
         assert S.ivfpq_retrain_if_skewed(spark, sf_dir) == (True, 1)
         assert S._IVF_TRAIN_RUNS == trains0 + 1, "cutover must retrain"
         assert S._IVFPQ_ENCODE_RUNS == enc0 + 1, "cutover must re-encode"
+        assert S._MEMBER_GEN_BUILDS == mb0 + 1, "cutover must re-assign members"
         assert os.path.exists(cpath1), "gen-1 centroids at the bumped key"
         assert os.path.isdir(g1), "gen-1 code line at the bumped key"
+        assert os.path.isdir(mg1), "gen-1 MEMBER line at the bumped key"
+        # one generation key, two consumers: same _g1 tag fragment
+        gen_frag = S._gen_tag(1)
+        assert g1.endswith(gen_frag) and mg1.endswith(gen_frag)
         cells = [d for d in os.listdir(g1) if d.startswith("cell=")]
         assert len(cells) > 1, "cutover line must stay cell-partitioned"
         g1_ids = {
@@ -2972,19 +3059,58 @@ def test_ivfpq_skew_cutover_builds_generation_line(spark, sf_dir, monkeypatch):
             for r in spark.read.parquet(v2).select("vec_id").collect()
         }
         assert g1_ids == v2_ids, "gen-1 must hold exactly the v2 membership"
-        assert {p: _tree_digest(p) for p in (v1, v2)} == before, (
-            "gen-0 line must be byte-untouched by the cutover"
+        # the member cutover re-assigns exactly the member line's
+        # holdings, with the cells the gen-1 quantizer dictates
+        mg1_rows = {
+            r["vec_id"]: r["cell"]
+            for r in spark.read.parquet(mg1).select("vec_id", "cell").collect()
+        }
+        em_v2_ids = {
+            r["vec_id"]
+            for r in spark.read.parquet(em_v2).select("vec_id").collect()
+        }
+        assert set(mg1_rows) == em_v2_ids, (
+            "gen-1 member line must hold exactly the member v2 holdings"
         )
-        # second trigger call: read-or-build reuse on BOTH artifacts
+        cents1 = S._ivf_centroids(spark, sf_dir, None, gen=1)  # cache hit
+        holdings = spark.read.parquet(em_v2).select("vec_id", "vec")
+        fresh_cells = {
+            r["vec_id"]: r["cell"]
+            for r in S._ivf_assign(
+                holdings, spark.sparkContext.broadcast(cents1)
+            ).select("vec_id", "cell").collect()
+        }
+        assert mg1_rows == fresh_cells, (
+            "member cutover cells must match the gen-1 quantizer"
+        )
+        assert {p: _tree_digest(p) for p in (v1, v2, em_v1, em_v2)} == before, (
+            "gen-0 lines of BOTH families must be byte-untouched"
+        )
+        # second trigger call: read-or-build reuse on ALL artifacts
         assert S.ivfpq_retrain_if_skewed(spark, sf_dir) == (True, 1)
         assert S._IVF_TRAIN_RUNS == trains0 + 1
         assert S._IVFPQ_ENCODE_RUNS == enc0 + 1
-        # the vacuum must NOT expire the retrain generation
+        assert S._MEMBER_GEN_BUILDS == mb0 + 1
+        # the host loop (r16 ADVICE): audit the cut-over generation
+        # under the RESTORED bound — gen-1's natural skew clears it,
+        # so the loop parks at (False, 1) instead of being stuck
+        # re-answering (True, 1) forever
+        monkeypatch.setattr(S, "_IVF_SKEW_BOUND", bound0)
+        assert S.ivfpq_retrain_if_skewed(spark, sf_dir, current_gen=1) == (
+            False,
+            1,
+        )
+        # auditing a never-installed generation is a caller error
+        with _pytest.raises(FileNotFoundError):
+            S.ivfpq_retrain_if_skewed(spark, sf_dir, current_gen=7)
+        # the vacuum must NOT expire either retrain generation
         M.pipeline_index_vacuum(spark, sf_dir).collect()
-        assert os.path.isdir(g1), "retrain generation survives the vacuum"
+        assert os.path.isdir(g1), "code retrain gen survives the vacuum"
+        assert os.path.isdir(mg1), "member retrain gen survives the vacuum"
     finally:
-        if os.path.isdir(g1):
-            shutil.rmtree(g1)
+        for d in (g1, mg1):
+            if os.path.isdir(d):
+                shutil.rmtree(d)
         if os.path.exists(cpath1):
             os.unlink(cpath1)
         S._IVF_CENTROID_CACHE.pop(tag1, None)
@@ -3011,12 +3137,14 @@ def test_ivfpq_cutover_line_serves(spark, sf_dir, emb_matrix, monkeypatch):
     )
 
     g1 = S._ivfpq_code_index_path(sf_dir, gen=1)
+    mg1 = S._member_gen_path(sf_dir, 1)
     tag1, cpath1 = S._ivf_index_path(sf_dir, gen=1)
     # clean slate (r16 review): leftover gen-1 artifacts from an
     # interrupted prior run would make this test certify stale bytes
     # instead of the current cutover path
-    if os.path.isdir(g1):
-        shutil.rmtree(g1)
+    for d in (g1, mg1):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
     if os.path.exists(cpath1):
         os.unlink(cpath1)
     S._IVF_CENTROID_CACHE.pop(tag1, None)
@@ -3086,8 +3214,9 @@ def test_ivfpq_cutover_line_serves(spark, sf_dir, emb_matrix, monkeypatch):
         }
         assert disk == fresh, "cutover codes must match the shared encoder"
     finally:
-        if os.path.isdir(g1):
-            shutil.rmtree(g1)
+        for d in (g1, mg1):
+            if os.path.isdir(d):
+                shutil.rmtree(d)
         if os.path.exists(cpath1):
             os.unlink(cpath1)
         S._IVF_CENTROID_CACHE.pop(tag1, None)
