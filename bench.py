@@ -406,11 +406,25 @@ def main() -> int:
                     "budget": _SUITE_WARM_BUDGET_SF01,
                 }
             # the hygiene-free signal: stable under the host noise that
-            # degrades the wall gate (see the budget's derivation note)
-            warm_qsum = min(pass_query_sums[1:])
-            if warm_qsum > _SUITE_WARM_QUERYSUM_BUDGET_SF01:
-                headline["over_budget_qsum"] = {
-                    "warm_query_sum": warm_qsum,
+            # degrades the wall gate (see the budget's derivation note).
+            # Only CLEAN passes count: a pass with a failed query sums
+            # fewer terms, so its artificially low qsum could mask a
+            # regression the gate exists to catch (r16 ADVICE) — the
+            # failure itself stays visible via the 'failed' headline.
+            clean_qsums = [
+                s
+                for s, p in zip(pass_query_sums[1:], pass_timings[1:])
+                if all(v >= 0 for v in p.values())
+            ]
+            if clean_qsums:
+                warm_qsum = min(clean_qsums)
+                if warm_qsum > _SUITE_WARM_QUERYSUM_BUDGET_SF01:
+                    headline["over_budget_qsum"] = {
+                        "warm_query_sum": warm_qsum,
+                        "budget": _SUITE_WARM_QUERYSUM_BUDGET_SF01,
+                    }
+            else:
+                headline["qsum_gate_skipped_failures"] = {
                     "budget": _SUITE_WARM_QUERYSUM_BUDGET_SF01,
                 }
         elif pass_walls[0] > _SUITE_WARM_BUDGET_SF01:
