@@ -630,3 +630,153 @@ def pipeline_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vec_md5"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_quality_classifier — learned quality filtering as a query:
+# a fastText-style broadcast linear model scored map-side (r16 verdict
+# task #6 — the one standard LLM-pipeline stage the surface lacked)
+# ---------------------------------------------------------------------------
+
+# Model geometry. V is the hashed feature space (unigrams AND word
+# bigrams share it, the fastText trick); the WEIGHT TABLE stands in for
+# learned parameters — in production it is the trained model artifact
+# loaded from storage, here it is derived deterministically from the
+# bucket id (md5 nibbles → [-128, 127]) so the DuckDB oracle can
+# recompute the whole table and certify the scoring path end-to-end.
+# The decision rule is fastText's mean-score threshold with tau = -1/8,
+# cleared of division: keep ⇔ mean(w) > -1/8 ⇔ 8·Σw + n_feats > 0 —
+# pure integer arithmetic, bit-stable on both engines.
+_QCLS_BUCKETS = 256
+_QCLS_NUM = 8  # keep ⇔ _QCLS_NUM * logit_sum + n_feats > 0 (tau = -1/8)
+
+_QCLS_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    ), unis AS (
+      SELECT doc_id, unnest(ws) AS feat FROM toks
+    ), bis AS (
+      SELECT doc_id, ws[i] || '_' || ws[i + 1] AS feat
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM toks) b
+    ), feats AS (
+      SELECT doc_id,
+             CAST(((strpos('0123456789abcdef', substr(md5(feat || '#q'), 1, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(md5(feat || '#q'), 2, 1)) - 1))
+                  % {_QCLS_BUCKETS} AS BIGINT) AS bucket
+      FROM (SELECT * FROM unis UNION ALL SELECT * FROM bis) u
+    ), weights AS (
+      SELECT CAST(i AS BIGINT) AS bucket,
+             CAST(((strpos('0123456789abcdef', substr(md5(CAST(i AS VARCHAR) || '#w'), 1, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(md5(CAST(i AS VARCHAR) || '#w'), 2, 1)) - 1))
+                  - 128 AS BIGINT) AS w
+      FROM range({_QCLS_BUCKETS}) t(i)
+    ), scored AS (
+      SELECT f.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_feats,
+             CAST(SUM(w.w) AS BIGINT) AS logit_sum
+      FROM feats f JOIN weights w USING (bucket)
+      GROUP BY f.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(s.n_feats, 0) AS n_feats,
+           COALESCE(s.logit_sum, 0) AS logit_sum,
+           ({_QCLS_NUM} * COALESCE(s.logit_sum, 0)
+            + COALESCE(s.n_feats, 0)) > 0 AS keep
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+@query("pipeline_quality_classifier", oracle=_QCLS_SQL)
+def pipeline_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filtering as a query — the Dolma/RefinedWeb
+    pipeline stage where a trained fastText-style linear classifier
+    scores every document and gates admission: hashed unigram + word-
+    bigram features (the pipeline_feature_hash kernel, one shared
+    256-bucket space), a BROADCAST weight table standing in for the
+    trained parameters, an integer-exact logit sum per document, and
+    the mean-score threshold tau = -1/8 applied division-free
+    (keep ⇔ 8·Σw + n_feats > 0). Emits the per-document verdict
+    (doc_id, n_feats, logit_sum, keep) — featureless documents score
+    0 and fail the strict threshold, preserved by the LEFT join.
+
+    The weight table is synthetic-deterministic (md5 of the bucket id
+    → [-128, 127]) precisely so the DuckDB oracle can rebuild the
+    SAME model and hash-certify the scoring path — hashing, bigram
+    composition, bucket join, integer logit, verdict — end-to-end;
+    swapping in genuinely trained weights changes one 256-row table,
+    not the plan.
+
+    Plan shape: ONE map-side explode of the concatenated unigram ∪
+    bigram feature array (JVM split / transform — no Python in the hot
+    path), one md5 per feature, a BROADCAST hash join against the
+    V-row weight table (model parameters ship to executors once — the
+    production posture for a 10⁶-bucket fastText model at ~8 MB), and
+    the featureless-document spine unioned in as zero-contribution
+    rows so ONE partial→final aggregate keyed by doc_id is the plan's
+    only real exchange — no join back to the spine (the first cut's
+    LEFT SortMergeJoin between two O(docs) sides was pure overhead).
+    At 100 TB everything upstream of that exchange is embarrassingly
+    parallel scan work ∝ token count."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), " "), lambda w: w != "").alias("ws"),
+    )
+    bigrams = F.when(
+        F.size("ws") >= 2,
+        F.expr(
+            "transform(sequence(1, size(ws) - 1),"
+            " i -> concat(ws[i - 1], '_', ws[i]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = toks.select(
+        "doc_id", F.explode(F.concat(F.col("ws"), bigrams)).alias("feat")
+    )
+    pos = lambda h, i: F.expr(
+        f"locate(substr({h}, {i}, 1), '0123456789abcdef') - 1"
+    )
+    hashed = feats.select(
+        "doc_id",
+        (
+            (pos("md5(concat(feat, '#q'))", 1) * 16
+             + pos("md5(concat(feat, '#q'))", 2))
+            % _QCLS_BUCKETS
+        ).cast("long").alias("bucket"),
+    )
+    weights = spark.range(_QCLS_BUCKETS).select(
+        F.col("id").cast("long").alias("bucket"),
+        (
+            (pos("md5(concat(cast(id as string), '#w'))", 1) * 16
+             + pos("md5(concat(cast(id as string), '#w'))", 2))
+            - 128
+        ).cast("long").alias("w"),
+    )
+    contrib = hashed.join(F.broadcast(weights), "bucket").select(
+        "doc_id", F.lit(1).cast("long").alias("cnt"), "w"
+    )
+    spine0 = docs.select(
+        "doc_id",
+        F.lit(0).cast("long").alias("cnt"),
+        F.lit(0).cast("long").alias("w"),
+    )
+    return (
+        contrib.unionByName(spine0)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_feats"),
+            F.sum("w").cast("long").alias("logit_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            "logit_sum",
+            (
+                F.lit(_QCLS_NUM) * F.col("logit_sum") + F.col("n_feats") > 0
+            ).alias("keep"),
+        )
+    )
