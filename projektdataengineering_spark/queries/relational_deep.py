@@ -1236,3 +1236,78 @@ def agg_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("profit")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q3 shape: shipping-priority top-k — segment-filtered customer semi-
+# reduction, date-split order/lineitem join, revenue rollup, global top-10
+# ---------------------------------------------------------------------------
+
+_Q3_CUT = "1998-06-01"
+
+_SHIP_PRIORITY_SQL = f"""
+    SELECT l.l_orderkey,
+           CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS revenue,
+           o.o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '{_Q3_CUT}'
+      AND l.l_shipdate > TIMESTAMP '{_Q3_CUT}'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+"""
+
+
+@query("join_shipping_priority", oracle=_SHIP_PRIORITY_SQL)
+def join_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (reference: the canonical shipping-priority
+    report, adapted to the fixture schema — no o_shippriority column,
+    so o_orderpriority plays the reported priority): the 10
+    highest-revenue orders from BUILDING-segment customers that were
+    placed before the cut date but still had lineitems shipping after
+    it. Revenue is the exact-decimal Σ extendedprice·(1−discount)
+    (SQL_REVENUE — order-independent), and l_orderkey in the sort key
+    is the unique tiebreaker the ranked-output discipline requires
+    (it is the grouping key; o_orderdate/o_orderpriority are
+    functionally dependent on it).
+
+    Plan shape: the segment filter cuts customer ~5× and the ~300
+    surviving keys BROADCAST into orders as a semi-reduction before
+    anything big moves; the date predicates push into both parquet
+    scans (PushedFilters on o_orderdate and l_shipdate — each side is
+    pre-cut before the only big-big edge, the orderkey join); the
+    rollup is keyed by the join key itself, so AQE coalesces one
+    exchange; the global top-10 is TakeOrderedAndProject (per-
+    partition heaps + one 10-row merge — never a full sort). At 100×
+    the same plan holds: both date cuts and the segment semi-join are
+    scan-side, and nothing but (orderkey, revenue) rows reach the
+    final exchange."""
+    cut = F.lit(_Q3_CUT).cast("timestamp")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cut)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "semi")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cut)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue_expr()).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
