@@ -473,55 +473,78 @@ _R15_WINDOW = frozenset((
     "sim_minhash_lsh", "sink_python_stream", "split_train_test",
     "stream_embedding_delta",
 ))
+# Round-16's recorded window (CORRECTNESS_r16.json keys — on disk,
+# 50 hash-pass, zero rows-only, zero errors: seventh consecutive
+# perfect window. It proved the 5 round-16 additions, the whole
+# round-16 _RECHECK population, and the entire stale r10 tier — after
+# it the 40 r11 rows are the stalest, front-loaded into round 17).
+_R16_WINDOW = frozenset((
+    "agg_bloom_membership", "agg_countmin_freq", "agg_custdist_outer",
+    "agg_product_profit", "agg_quantile_sketch", "dedup_cluster_cc",
+    "dedup_embedding_incremental", "dedup_embedding_index_append",
+    "filter_pareto_frontier", "graph_bfs_hops", "graph_triangle_count",
+    "join_disjunctive_pushdown", "join_lateral_topn",
+    "multimodal_image_phash", "multimodal_video_frames",
+    "pipeline_ab_lift", "pipeline_attribution",
+    "pipeline_cohort_matrix", "pipeline_compaction_apply",
+    "pipeline_dataset_datasheet", "pipeline_event_transitions",
+    "pipeline_feature_scale", "pipeline_file_skipping",
+    "pipeline_gdpr_erasure", "pipeline_index_vacuum",
+    "pipeline_kfold_assign", "pipeline_mad_outliers",
+    "pipeline_merge_vacuum", "pipeline_resample_ohlc",
+    "pipeline_target_encode", "pipeline_vocab_growth",
+    "pipeline_zorder_apply", "sample_priority", "scan_binary_files",
+    "scan_gzip_roundtrip", "scan_python_stream",
+    "scan_python_stream_parallel", "sim_cosine_ivf",
+    "sim_cosine_ivf_reuse", "sim_cosine_ivfpq",
+    "sim_cosine_ivfpq_reuse", "sim_ivfpq_cell_skew",
+    "sim_ivfpq_index_append", "sink_python_stream",
+    "sql_recursive_reachability", "stream_attribution",
+    "stream_embedding_delta", "stream_ohlc_native",
+    "stream_stream_left_join", "udtf_python_native",
+))
 _DRIVER_VERIFIED = (
     _R01_WINDOW | _R03_WINDOW | _R04_WINDOW | _R05_WINDOW | _R06_WINDOW
     | _R07_WINDOW | _R08_WINDOW | _R10_WINDOW | _R11_WINDOW | _R12_WINDOW
-    | _R13_WINDOW | _R14_WINDOW | _R15_WINDOW
+    | _R13_WINDOW | _R14_WINDOW | _R15_WINDOW | _R16_WINDOW
 )
 
 # Verified in an earlier round, but the implementation, oracle, or an
 # upstream seam changed afterwards — their old driver row no longer
 # certifies the current code, so they re-enter the window right after
-# the never-verified block.  Round-16 population (every round-15
-# recheck drew a green r15 row and dropped out); entries are added
-# here as round-16 work changes the seams they certify:
-# * sim_ivfpq_index_append / dedup_embedding_index_append — the v2
-#   generation path is now keyed by the arrival-batch geometry
-#   (_append_v2_path, r15 ADVICE: a twin-constant retune must rebuild
-#   v2, not reuse a stale one) — values unchanged, the index-version
-#   addressing these rows certify changed;
-# * sim_cosine_ivf / sim_cosine_ivf_reuse / sim_cosine_ivfpq /
-#   sim_cosine_ivfpq_reuse / dedup_embedding_incremental — the
-#   coarse-quantizer chain (_ivf_index_path, _ivf_centroids) gained
-#   the ``gen`` retrain-generation parameter for the skew trigger —
-#   defaults preserve the historical tags exactly, but the
-#   trainer/index seam changed (the r15 ``k``-parameter precedent);
-# * scan_python_stream / scan_python_stream_parallel /
-#   sink_python_stream — _load_hwm now treats an existing-but-EMPTY
-#   hwm file as corruption (raises) instead of offset 0 (r15 ADVICE:
-#   truncation-to-empty is the common external-corruption mode) —
-#   values unchanged, the restart seam changed;
-# * pipeline_merge_vacuum — _build_vtable's shared-pool check is now a
-#   full-content filecmp raising an explicit exception instead of a
-#   size-only bare assert (r15 ADVICE) — values unchanged, the
-#   pool-integrity seam its byte-identity promise rests on changed;
-# * stream_embedding_delta — sits on the same coarse-quantizer chain
-#   (_ivf_centroids / _corpus_cell_index) as the five ivf-family rows
-#   above, so the ``gen`` seam change re-enters it too (r16 review:
-#   it was the one consumer of the changed trainer seam left out).
+# the never-verified block.  Round-17 population (every round-16
+# recheck drew a green r16 row and dropped out); entries are added
+# here as round-17 work changes the seams they certify:
+# * dedup_neardup_index_append — the v2 generation path is now keyed
+#   by the family's batch-split constant (_neardup_v2_path, r16
+#   verdict task: a split retune must rebuild v2, never reuse a stale
+#   one) — values unchanged, the addressing seam changed;
+# * dedup_embedding_index_append — its v2 key now folds the
+#   fresh-quarter split position on top of the twin geometry
+#   (_einc_batch_tag, r16 ADVICE) — values unchanged, the v2 line
+#   this row certifies lives at a new key;
+# * sim_ivfpq_index_append — its v2 path is now derived through the
+#   canonical _ivfpq_code_v2_path helper (same key value, but the
+#   addressing seam every consumer shares changed);
+# * sim_ivfpq_cell_skew — the oracle's quantizer chain was refactored
+#   into the shared _quantizer_assignment_parts and the acted-on
+#   trigger gained the current-generation parameter + the
+#   two-consumer cutover (r16 ADVICE / verdict task #3);
+# * pipeline_index_vacuum — now derives every retained v2 path from
+#   its appender module's helper, guards non-directory line members,
+#   and the retained embedding v2 lives at the new split-tagged key.
 _RECHECK: tuple[str, ...] = (
-    "sim_ivfpq_index_append", "dedup_embedding_index_append",
-    "sim_cosine_ivf", "sim_cosine_ivf_reuse", "sim_cosine_ivfpq",
-    "sim_cosine_ivfpq_reuse", "dedup_embedding_incremental",
-    "scan_python_stream", "scan_python_stream_parallel",
-    "sink_python_stream", "pipeline_merge_vacuum",
-    "stream_embedding_delta",
+    "dedup_neardup_index_append", "dedup_embedding_index_append",
+    "sim_ivfpq_index_append", "sim_ivfpq_cell_skew",
+    "pipeline_index_vacuum",
 )
 
 
 def _latest_row_round(name: str) -> int:
     """Most recent round whose on-disk driver artifact holds this
     query's correctness row (0 = never verified)."""
+    if name in _R16_WINDOW:
+        return 16
     if name in _R15_WINDOW:
         return 15
     if name in _R14_WINDOW:
