@@ -72,6 +72,9 @@ PROBE_QUERIES = [
     ("agg_custdist_outer", "Q13 shape: null-preserving outer-join count distribution"),
     ("join_disjunctive_pushdown", "Q19 shape: OR-of-ANDs pushed to both scans"),
     ("agg_product_profit", "Q9 shape: 5-table profit rollup, part-filter semi-reduction first"),
+    # round 17
+    ("join_shipping_priority", "Q3 shape: segment semi-reduction + date-split join + top-10"),
+    ("sim_ivf_member_skew", "member-line occupancy audit (counts-only scans)"),
 ]
 
 # Heavy families probed one decade past bench scale (sf0.1 → sf1) when
@@ -177,6 +180,7 @@ HEAVY_QUERIES = [
     ("pipeline_merge_vacuum", "layout (round 15, executed snapshot expiry over the merge generations, reuse path)"),
     ("pipeline_index_vacuum", "maintenance (round 16, generation GC over the three append-family indexes, reuse path)"),
     ("sim_ivfpq_cell_skew", "similarity (round 16, occupancy audit of the persisted code-table generations)"),
+    ("pipeline_quality_classifier", "mlprep (round 17, fastText-style broadcast linear quality gate)"),
 ]
 
 
