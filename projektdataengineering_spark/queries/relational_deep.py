@@ -1311,3 +1311,145 @@ def join_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q5 shape: local-supplier volume — the CYCLIC join graph (customer and
+# supplier must share a nation) the rest of the sweep doesn't have
+# ---------------------------------------------------------------------------
+
+_LOCAL_VOLUME_SQL = f"""
+    SELECT n.n_name,
+           CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+"""
+
+
+@query("join_local_supplier_volume", oracle=_LOCAL_VOLUME_SQL)
+def join_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — revenue by nation for orders where the
+    customer and the line's supplier share a nation inside one region
+    and one order-date year. This is the sweep's one CYCLIC join
+    graph: the c_nationkey = s_nationkey edge closes a cycle through
+    two independent dimension chains, which is exactly the case where
+    join ORDER matters most (break the cycle late and the
+    intermediate explodes).
+
+    Plan shape: region → nation → supplier collapse into one
+    broadcast-decorated supplier dim BEFORE touching facts (the
+    region filter prunes nation 5× and supplier with it); the
+    date-pruned orders join lineitem on orderkey (the only big-big
+    edge, predicate pushed to the orders scan); the supplier dim
+    broadcasts onto l_suppkey; and the cycle-closing customer match
+    rides ONE broadcast join with a compound condition (o_custkey =
+    c_custkey AND c_nationkey = s_nationkey) — the customer table
+    never shuffles, and the nation equality never materializes the
+    mismatched pairs. Revenue is the exact-decimal helper; the final
+    rollup exchanges ≤ |nation| rows per partition."""
+    cut_lo = F.lit("1996-01-01").cast("timestamp")
+    cut_hi = F.lit("1997-01-01").cast("timestamp")
+    region = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= cut_lo) & (F.col("o_orderdate") < cut_hi)
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(cust),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(revenue_expr()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 shape: the pure scan-aggregate forecast — every predicate lives in
+# the parquet scan, the plan is one map-side pass + a 1-row reduce
+# ---------------------------------------------------------------------------
+
+_FORECAST_SQL = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+@query("agg_forecast_revenue", oracle=_FORECAST_SQL)
+def agg_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — the revenue-increase forecast: one fact table,
+    a ship-date year, a discount band and a quantity cap, summing
+    extendedprice × discount exactly (DECIMAL(18,2) × DECIMAL(18,2) is
+    an exact product, so the sum is order-independent — the discount
+    values are 2-dp doubles and compare bit-identically on both
+    engines). The simplest optimizer shape in the sweep, and the
+    purest pushdown check: ALL FOUR predicates must reach the parquet
+    scan as PushedFilters — at 100 TB with date-partitioned or
+    z-ordered layout this query reads one year's row groups and
+    nothing else, and the whole plan is a map-side
+    filter-project-partial-sum with a 1-row final reduce (no shuffle
+    wider than one row per task)."""
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(money("l_extendedprice") * money("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )

@@ -712,3 +712,57 @@ def test_embedding_incremental_probes_persisted_index(spark, sf_dir):
     # the persisted member lists are read as a real parquet scan
     idx = S._embed_index_path(sf_dir)
     assert any(idx in fl for fl in df.inputFiles()), (idx, df.inputFiles())
+
+
+def test_quality_classifier_broadcasts_model_single_agg_exchange(facts_of):
+    """pipeline_quality_classifier: the weight table must enter as a
+    broadcast (model parameters ship once — never a shuffle of the
+    feature stream), the spine must arrive via the zero-contribution
+    union (no SMJ back to documents), and the per-doc aggregate must
+    ride the two branches' existing doc_id partitioning — exactly the
+    two repartition exchanges, none for the aggregate itself."""
+    f = facts_of("pipeline_quality_classifier")
+    assert f.broadcast_joins == 1, f.nodes
+    assert f.sort_merge_joins == 0 and f.cartesian_like == 0, f.nodes
+    assert f.count("Union") == 1, f.nodes
+    assert f.shuffles == 2, f.nodes
+    assert f.count("HashAggregate") == 2, f.nodes
+
+
+def test_forecast_revenue_pushes_every_predicate(facts_of):
+    """agg_forecast_revenue (Q6): all three predicate columns must
+    reach the parquet scan, the read schema must hold exactly the four
+    touched columns, and the plan must be one partial→final aggregate
+    around the single 1-row exchange."""
+    f = facts_of("agg_forecast_revenue")
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert any(frag in p for p in f.pushed_filters), (frag, f.pushed_filters)
+    (cols,) = f.read_schemas
+    assert sorted(cols) == [
+        "l_discount", "l_extendedprice", "l_quantity", "l_shipdate"
+    ], cols
+    assert f.count("HashAggregate") == 2 and f.shuffles == 1, f.nodes
+
+
+def test_local_supplier_volume_cycle_closes_broadcast_side(facts_of):
+    """join_local_supplier_volume (Q5): the cyclic join graph must
+    close entirely on broadcast sides (region→nation→supplier collapse
+    + the compound-condition customer join — the fact side never
+    shuffles for a dimension), with the region equality and the order
+    date window pushed to their scans."""
+    f = facts_of("join_local_supplier_volume")
+    assert f.cartesian_like == 0, f.nodes
+    assert f.broadcast_joins >= 3, f.nodes
+    assert any("r_name" in p for p in f.pushed_filters), f.pushed_filters
+    assert any("o_orderdate" in p for p in f.pushed_filters), f.pushed_filters
+
+
+def test_shipping_priority_top10_is_take_ordered(facts_of):
+    """join_shipping_priority (Q3): both date cuts must be pushed and
+    the global top-10 must plan as TakeOrderedAndProject, never a
+    range-partitioned total sort."""
+    f = facts_of("join_shipping_priority")
+    assert f.count("TakeOrderedAndProject") == 1, f.nodes
+    assert f.cartesian_like == 0, f.nodes
+    assert any("o_orderdate" in p for p in f.pushed_filters), f.pushed_filters
+    assert any("l_shipdate" in p for p in f.pushed_filters), f.pushed_filters
