@@ -113,6 +113,69 @@ def _vacuum_index_line(v1_path: str, v2_path: str) -> int:
     return expired
 
 
+def commit_generation_cutover(sf_dir: str, live_gen: int) -> int:
+    """The host-side COMMIT of a skew-triggered retrain cutover — the
+    last verb of the audit → retrain → serve → commit loop: once every
+    probe session serves generation ``live_gen``, the SUPERSEDED
+    retrain generations (1 .. live_gen − 1) of BOTH consumer lines
+    (the IVFADC code table and the embedding member lists) are
+    expired. ``pipeline_index_vacuum`` deliberately treats every
+    completed ``_g*`` line as a live configuration because the vacuum
+    cannot know which generation probes serve; only the host's commit
+    carries that knowledge, so generation retirement is a separate
+    verb taking the live generation explicitly (the retention caveat
+    encoded at _vacuum_index_line).
+
+    Deliberately NOT expired: the gen-0 line (v1 + v2) — retiring the
+    original corpus index is the corpus-version retirement decision,
+    owned by the same policy that rebuilds v1 on the next fixture
+    fingerprint, not by a cutover commit; crashed ``.tmp.`` stages —
+    those are ``pipeline_index_vacuum``'s orphans; and every sibling
+    line (other fingerprints / hyperparameters / batch tags).
+    Idempotent (a second commit finds nothing below live_gen) and
+    safe to crash-resume (deletion order is irrelevant; the live
+    generation is never touched). Returns the number of expired
+    directories. Pinned by
+    tests/test_operators.py::test_commit_generation_cutover_expires_superseded.
+
+    Scale shape: driver-side O(generations) directory metadata — at
+    100 TB this is one catalog transaction flipping the manifest's
+    live-generation pointer and unlinking the superseded snapshots."""
+    import re
+
+    from .similarity import (
+        _embed_index_path,
+        _ivf_index_path,
+        _ivfpq_code_index_path,
+    )
+
+    _, cents0 = _ivf_index_path(sf_dir)
+    lines = [
+        os.path.split(_ivfpq_code_index_path(sf_dir)),
+        os.path.split(_embed_index_path(sf_dir)),
+        # the gen-keyed centroid .npy: the gen tag is inserted before
+        # the extension (centroids_{tag}_g{n}-{geom}.npy)
+        (os.path.dirname(cents0), os.path.basename(cents0)[: -len(".npy")]),
+    ]
+    expired = 0
+    for parent, base in lines:
+        if not os.path.isdir(parent):
+            continue
+        pat = re.compile(re.escape(base) + r"_g(\d+)-")
+        for d in sorted(os.listdir(parent)):
+            m = pat.match(d)
+            if not m or ".tmp." in d:
+                continue
+            if int(m.group(1)) < live_gen:
+                full = os.path.join(parent, d)
+                if os.path.isdir(full):
+                    shutil.rmtree(full)
+                else:
+                    os.unlink(full)
+                expired += 1
+    return expired
+
+
 def _index_vacuum_oracle() -> str:
     """Retained-generation audit oracle: each family's v1/v2 entry
     counts and id sums recomputed FROM THE RAW TABLES through the same

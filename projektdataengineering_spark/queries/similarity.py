@@ -2533,7 +2533,8 @@ def _gen_tag(gen: int) -> str:
     _append_v2_path closes for the v2 append (r16 review). Advancing
     past gen=1 (a skew event on a retrain line itself) is the engine
     host's cutover-commit loop: it bumps the live generation it
-    audits, and the superseded line becomes the vacuum's to expire."""
+    audits, and the superseded line is commit_generation_cutover's
+    (maintenance.py) to expire."""
     return f"_g{gen}-{_batch_geometry_tag()}"
 
 
@@ -3448,7 +3449,7 @@ def sim_ivfpq_cell_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict row is metadata-sized, and the retrain it gates is the
     ordinary O(N) training pass under a new key — never an in-place
     clobber, so mid-flight probes keep a consistent generation and the
-    superseded one is pipeline_index_vacuum's to expire."""
+    superseded one is commit_generation_cutover's to expire."""
     import os
 
     v1_path = _ivfpq_code_index_path(sf_dir)
@@ -3581,8 +3582,8 @@ def ivf_retrain_generation(
     always addresses centroids trained on the membership its folded
     geometry declares. The live generation's centroids and code
     tables are never touched: cutover is a new index line, and the
-    superseded line is pipeline_index_vacuum's to expire once the
-    cutover commits."""
+    superseded line is commit_generation_cutover's (maintenance.py) to
+    expire once the cutover commits."""
     members = _cutover_members(spark, sf_dir).localCheckpoint(eager=False)
     return _ivf_centroids(spark, sf_dir, members, k=k, gen=gen)
 
@@ -3612,7 +3613,7 @@ def _ivf_member_gen_index(
     recomputed, so the cutover re-assigns exactly what the index
     holds (one O(holdings) map-side pass — no re-verdicting, no
     re-signing); the serving line is never clobbered, and the
-    superseded one is pipeline_index_vacuum's to expire once the
+    superseded one is commit_generation_cutover's to expire once the
     cutover commits."""
     global _MEMBER_GEN_BUILDS
     import os
@@ -3649,8 +3650,10 @@ def ivfpq_retrain_if_skewed(
     REUSED: codes quantize raw subvectors (not cell residuals), so
     the books are independent of the coarse partition that skewed.
     The superseded line is the engine host's to expire once the
-    cutover commits (the pipeline_index_vacuum retention decision — a
-    retrain generation is a live configuration, never an orphan).
+    cutover commits — via commit_generation_cutover(live_gen)
+    (maintenance.py), the verb that knows which generation probes
+    serve (a retrain generation is a live configuration to the
+    vacuum, never an orphan).
 
     ``current_gen`` is the host loop's live generation (r16 ADVICE:
     with gen hard-coded the loop could never advance past 1): gen 0

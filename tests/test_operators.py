@@ -2863,6 +2863,78 @@ def test_index_vacuum_removes_exactly_orphans(spark, sf_dir):
                 shutil.rmtree(p)
 
 
+def test_commit_generation_cutover_expires_superseded(spark, sf_dir):
+    """commit_generation_cutover: the host's cutover commit must expire
+    EXACTLY the superseded retrain generations (1..live-1) of both
+    consumer lines AND the matching gen-keyed centroids — never the
+    live generation, never the gen-0 line (v1/v2 — corpus-version
+    retirement is a different decision), never crashed .tmp. stages
+    (the vacuum's orphans), never sibling lines — and a second commit
+    must find nothing (idempotence)."""
+    import os
+    import shutil
+
+    from projektdataengineering_spark.queries import maintenance as M
+    from projektdataengineering_spark.queries import similarity as S
+
+    # materialize the gen-0 lines so the parents exist
+    S.sim_ivfpq_index_append(spark, sf_dir)
+    S.dedup_embedding_index_append(spark, sf_dir)
+
+    pq_v1 = S._ivfpq_code_index_path(sf_dir)
+    pq_v2 = S._ivfpq_code_v2_path(sf_dir)
+    em_v1 = S._embed_index_path(sf_dir)
+    em_v2 = S._embed_index_v2_path(sf_dir)
+    _, cents0 = S._ivf_index_path(sf_dir)
+    cents_stem = cents0[: -len(".npy")]
+
+    # plant generation artifacts by copy (the commit verb's contract is
+    # path arithmetic — training real gen-2 lines would test the same
+    # rmtree): superseded g1, live g2, a crashed g1 stage, a decoy line
+    plants = {
+        "pq_g1": S._ivfpq_code_index_path(sf_dir, gen=1),
+        "pq_g2": S._ivfpq_code_index_path(sf_dir, gen=2),
+        "em_g1": S._member_gen_path(sf_dir, 1),
+        "em_g2": S._member_gen_path(sf_dir, 2),
+        "pq_g1_tmp": f"{S._ivfpq_code_index_path(sf_dir, gen=1)}.tmp.777.feedface",
+        "decoy": os.path.join(os.path.dirname(pq_v1), "codes_decoytag_g1-e9-o9-a9"),
+    }
+    cents_g1 = f"{cents_stem}{S._gen_tag(1)}.npy"
+    cents_g2 = f"{cents_stem}{S._gen_tag(2)}.npy"
+    for p in plants.values():
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+        shutil.copytree(pq_v1, p)
+    for c in (cents_g1, cents_g2):
+        with open(c, "w") as fh:
+            fh.write("stub centroids\n")
+    before = {p: _tree_digest(p) for p in (pq_v1, pq_v2, em_v1, em_v2)}
+
+    try:
+        n = M.commit_generation_cutover(sf_dir, live_gen=2)
+        # expired: pq g1, em g1, cents g1 — exactly three
+        assert n == 3, n
+        assert not os.path.exists(plants["pq_g1"]), "superseded code gen"
+        assert not os.path.exists(plants["em_g1"]), "superseded member gen"
+        assert not os.path.exists(cents_g1), "superseded centroids"
+        assert os.path.isdir(plants["pq_g2"]), "live code gen must survive"
+        assert os.path.isdir(plants["em_g2"]), "live member gen must survive"
+        assert os.path.exists(cents_g2), "live centroids must survive"
+        assert os.path.isdir(plants["pq_g1_tmp"]), "crashed stage is the vacuum's"
+        assert os.path.isdir(plants["decoy"]), "sibling line must survive"
+        assert {p: _tree_digest(p) for p in (pq_v1, pq_v2, em_v1, em_v2)} == before, (
+            "gen-0 lines must be byte-untouched by the commit"
+        )
+        assert M.commit_generation_cutover(sf_dir, live_gen=2) == 0, "idempotent"
+    finally:
+        for p in plants.values():
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+        for c in (cents_g1, cents_g2):
+            if os.path.exists(c):
+                os.unlink(c)
+
+
 def test_v2_keys_fold_each_family_batch_definition(sf_dir, monkeypatch):
     """Every append-family v2 key must fold that family's COMPLETE
     arrival-batch definition (r16 ADVICE + verdict task): retuning the
