@@ -174,6 +174,20 @@ _WARM_BUDGETS_SF01 = {
     # one keyed exchange; the pin catches a regression to joining
     # orders before the part semi-reduction)
     "agg_product_profit": 4.0,
+    # round 17 additions (measured warm sf0.1 in the A/B: classifier
+    # 0.44 s — one explode + broadcast weight join + one doc-keyed
+    # aggregate riding the branches' partitioning; member skew 0.25 s
+    # — two counts-only member-line scans; shipping_priority 0.60 s,
+    # local_supplier_volume 0.84 s, forecast 0.30 s. The classifier
+    # pin catches a regression to shuffling the feature stream against
+    # the weight table or re-introducing the spine SortMergeJoin; the
+    # member-skew pin catches a regression to re-running the quantizer
+    # or re-reading vectors instead of the pruned cell column.)
+    "pipeline_quality_classifier": 2.5,
+    "sim_ivf_member_skew": 2.0,
+    "join_shipping_priority": 2.5,
+    "join_local_supplier_volume": 3.0,
+    "agg_forecast_revenue": 1.5,
 }
 
 # Suite-level WARM budget (r13 verdict task #2): the r12→r13 driver

@@ -412,10 +412,12 @@ def main() -> int:
             "qsum gate also now reads CLEAN passes only (r16 ADVICE): "
             "a pass with a failed query sums fewer terms and could "
             "otherwise slide under the budget while masking the "
-            "regression. (The Q5/Q6 shapes landed after this A/B; "
-            "their decade-probe rows above put them at 0.84/0.30 s "
-            "— the driver's own r17 bench is the 263-query "
-            "record.)\n"
+            "regression. A THIRD invocation on the final 263-query "
+            "tree (Q5/Q6 + the round-17 warm pins added) read warm "
+            "wall 221.2 s / warm query-sum 198.5 s, zero failures, "
+            "zero breaches — the committed BENCH_full.json carries "
+            "this full-registry record, and every r17 addition "
+            "cleared its new pin with 3-9x headroom.\n"
         )
         out.append(
             "\n**r16 query-sum gate derivation (r15 verdict task #5):** "
