@@ -135,7 +135,16 @@ def commit_generation_cutover(sf_dir: str, live_gen: int) -> int:
     Idempotent (a second commit finds nothing below live_gen) and
     safe to crash-resume (deletion order is irrelevant; the live
     generation is never touched). Returns the number of expired
-    directories. Pinned by
+    directories.
+
+    GUARDED (r17 ADVICE): the commit refuses to unlink anything
+    unless the gen-``live_gen`` artifacts it claims are serving —
+    code line, member line AND centroids — all exist on disk; a host
+    bug passing ``live_gen = N + 1`` before the cutover installed
+    that generation would otherwise silently expire the
+    currently-serving line, in the one verb documented as safe to
+    crash-resume (the never-installed check is the same discipline
+    ivfpq_retrain_if_skewed applies on the audit side). Pinned by
     tests/test_operators.py::test_commit_generation_cutover_expires_superseded.
 
     Scale shape: driver-side O(generations) directory metadata — at
@@ -147,7 +156,27 @@ def commit_generation_cutover(sf_dir: str, live_gen: int) -> int:
         _embed_index_path,
         _ivf_index_path,
         _ivfpq_code_index_path,
+        _member_gen_path,
     )
+
+    if live_gen >= 1:
+        live_lines = {
+            "code": _ivfpq_code_index_path(sf_dir, gen=live_gen),
+            "member": _member_gen_path(sf_dir, live_gen),
+            "centroids": _ivf_index_path(sf_dir, gen=live_gen)[1],
+        }
+        missing = {
+            name: p
+            for name, p in live_lines.items()
+            if not (os.path.isdir(p) or os.path.isfile(p))
+        }
+        if missing:
+            raise FileNotFoundError(
+                f"refusing to commit cutover to generation {live_gen}: "
+                f"its serving artifacts are not installed ({missing}); "
+                "a commit now would expire the generation probes "
+                "actually serve"
+            )
 
     _, cents0 = _ivf_index_path(sf_dir)
     lines = [

@@ -649,6 +649,62 @@ def pipeline_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pure integer arithmetic, bit-stable on both engines.
 _QCLS_BUCKETS = 256
 _QCLS_NUM = 8  # keep ⇔ _QCLS_NUM * logit_sum + n_feats > 0 (tau = -1/8)
+_QCLS_MODEL_VERSION = 1  # bump when the (synthetic) training recipe changes
+
+_QCLS_MODEL_BUILDS = 0  # tests assert a second scoring call skips the build
+
+
+def _qcls_model_path() -> str:
+    """Persisted model-artifact location for the quality classifier's
+    weight table — the index read-or-build keying discipline
+    (similarity._embed_index_path): every constant that shapes the
+    parameters (model version, bucket count, threshold numerator) is
+    folded into the key, so retuning the model geometry lands a NEW
+    artifact instead of silently reusing a stale one. No source
+    fingerprint: the model is trained OFFLINE (here: derived
+    deterministically), so the artifact is corpus-independent — it
+    ships once per model version, the production posture where the
+    fastText .bin is a release artifact, not a per-dataset build."""
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+        "qcls_model",
+        f"weights_v{_QCLS_MODEL_VERSION}_b{_QCLS_BUCKETS}_n{_QCLS_NUM}",
+    )
+
+
+def _qcls_weights(spark: SparkSession) -> DataFrame:
+    """Read-or-build the classifier's weight table as a persisted
+    parquet model artifact (r17 verdict task #6): first call derives
+    the parameters (md5 of the bucket id → [-128, 127] — the stand-in
+    for offline training) and installs them by staged write + atomic
+    rename; every later call is an ordinary parquet read, pinned by a
+    builds-counter test (a second scoring call must not re-derive).
+    Swapping in genuinely trained weights = writing a new artifact at
+    a bumped _QCLS_MODEL_VERSION; the scoring plan never changes."""
+    global _QCLS_MODEL_BUILDS
+    import os
+
+    from .layout import _atomic_dir_write
+
+    path = _qcls_model_path()
+    if not os.path.isdir(path):
+        pos = lambda h, i: F.expr(
+            f"locate(substr({h}, {i}, 1), '0123456789abcdef') - 1"
+        )
+        weights = spark.range(_QCLS_BUCKETS).select(
+            F.col("id").cast("long").alias("bucket"),
+            (
+                (pos("md5(concat(cast(id as string), '#w'))", 1) * 16
+                 + pos("md5(concat(cast(id as string), '#w'))", 2))
+                - 128
+            ).cast("long").alias("w"),
+        )
+        _atomic_dir_write(lambda p: weights.coalesce(1).write.parquet(p), path)
+        _QCLS_MODEL_BUILDS += 1
+    return spark.read.parquet(path)
 
 _QCLS_SQL = f"""
     WITH toks AS (
@@ -700,12 +756,18 @@ def pipeline_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, n_feats, logit_sum, keep) — featureless documents score
     0 and fail the strict threshold, preserved by the LEFT join.
 
-    The weight table is synthetic-deterministic (md5 of the bucket id
-    → [-128, 127]) precisely so the DuckDB oracle can rebuild the
-    SAME model and hash-certify the scoring path — hashing, bigram
-    composition, bucket join, integer logit, verdict — end-to-end;
-    swapping in genuinely trained weights changes one 256-row table,
-    not the plan.
+    The weight table SHIPS AS A PERSISTED MODEL ARTIFACT — a
+    version-keyed parquet installed once by staged write + atomic
+    rename and reused by every later scoring call (_qcls_weights;
+    builds-counter pinned) — the production posture where the trained
+    model is a release artifact loaded from storage, not a per-query
+    derivation. Its parameters are synthetic-deterministic (md5 of
+    the bucket id → [-128, 127]) precisely so the DuckDB oracle can
+    rebuild the SAME model and hash-certify the scoring path —
+    hashing, bigram composition, bucket join, integer logit,
+    verdict — end-to-end; swapping in genuinely trained weights
+    writes one new 256-row artifact at a bumped version, not a plan
+    change.
 
     Plan shape: ONE map-side explode of the concatenated unigram ∪
     bigram feature array (JVM split / transform — no Python in the hot
@@ -727,13 +789,16 @@ def pipeline_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.filter(F.split(F.col("text"), " "), lambda w: w != "").alias("ws"),
     )
-    bigrams = F.when(
-        F.size("ws") >= 2,
-        F.expr(
-            "transform(sequence(1, size(ws) - 1),"
-            " i -> concat(ws[i - 1], '_', ws[i]))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # TOTAL bigram expression (r17 ADVICE): slice the tail to
+    # max(size-1, 0) elements and pair each with its predecessor via
+    # the transform index — no branch ever indexes past the array, so
+    # correctness does not lean on lazy evaluation of a F.when arm
+    # (sequence(1, size-1) on a 1-token doc yields the DESCENDING
+    # [1, 0] and ws[i] walks out of range under ANSI semantics)
+    bigrams = F.expr(
+        "transform(slice(ws, 2, greatest(size(ws) - 1, 0)),"
+        " (w, i) -> concat(ws[i], '_', w))"
+    )
     feats = toks.select(
         "doc_id", F.explode(F.concat(F.col("ws"), bigrams)).alias("feat")
     )
@@ -748,14 +813,7 @@ def pipeline_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _QCLS_BUCKETS
         ).cast("long").alias("bucket"),
     )
-    weights = spark.range(_QCLS_BUCKETS).select(
-        F.col("id").cast("long").alias("bucket"),
-        (
-            (pos("md5(concat(cast(id as string), '#w'))", 1) * 16
-             + pos("md5(concat(cast(id as string), '#w'))", 2))
-            - 128
-        ).cast("long").alias("w"),
-    )
+    weights = _qcls_weights(spark)
     contrib = hashed.join(F.broadcast(weights), "bucket").select(
         "doc_id", F.lit(1).cast("long").alias("cnt"), "w"
     )
