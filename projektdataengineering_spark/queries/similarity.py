@@ -423,7 +423,9 @@ _EXACT_TOP3_ORACLE = """
 """
 
 
-def _exact_top3_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _exact_top3_per_query(
+    spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
+) -> DataFrame:
     """EXACT cosine top-3 neighbors per query — the certification
     baseline for the ANN paths, bit-matching DuckDB's all-pairs replay.
 
@@ -435,10 +437,20 @@ def _exact_top3_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's list_reduce evaluation order exactly, and the final
     row_number over the fold value decides rk — so the emitted
     (id_q, rk, id_n_exact) rows agree with the oracle bit for bit.
-    Exact-side size is guard-railed by _collect_broadcast_matrix."""
+    Exact-side size is guard-railed by _collect_broadcast_matrix.
+
+    ``emb`` overrides the membership frame ((vec_id, embedding) rows;
+    default = the corpus table): the retrain-generation serving query
+    certifies against the SERVING membership (corpus ∪ twins), and its
+    oracle replays the same all-pairs fold over that union — one
+    baseline kernel, parameterized by membership, so the two
+    certification surfaces cannot drift."""
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if emb is None:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
     right = _collect_broadcast_matrix(emb, 64, TOPK_BROADCAST_MAX_CELLS)
     ids_r = np.asarray(right["vec_id"].to_numpy(), dtype=np.int64)
     mat_r = np.stack([np.asarray(v, dtype=np.float64) for v in right["embedding"]])
@@ -3606,15 +3618,22 @@ def _ivf_member_gen_index(
     spark: SparkSession, sf_dir: str, cents_bc, gen: int
 ) -> DataFrame:
     """Read-or-build the gen-keyed MEMBER line: the member line's
-    CURRENT holdings — the v2 generation's (vec_id, vec) rows, i.e.
-    corpus ∪ the kept arrivals — re-assigned rank-1 under the
+    CURRENT holdings — the SERVING generation's (vec_id, vec) rows,
+    i.e. corpus ∪ the kept arrivals — re-assigned rank-1 under the
     gen-keyed quantizer and installed as a NEW line (staged write +
-    atomic rename). The holdings are read FROM the v2 parquet, not
-    recomputed, so the cutover re-assigns exactly what the index
-    holds (one O(holdings) map-side pass — no re-verdicting, no
-    re-signing); the serving line is never clobbered, and the
-    superseded one is commit_generation_cutover's to expire once the
-    cutover commits."""
+    atomic rename). The holdings are read FROM the serving line's
+    parquet (gen 1 reads the v2 append line; gen N ≥ 2 reads the
+    gen-(N−1) member line a previous cutover installed — r17 ADVICE:
+    always reading v2 would re-assign the ORIGINAL holdings and drop
+    whatever membership later generations carry), not recomputed, so
+    the cutover re-assigns exactly what the index holds (one
+    O(holdings) map-side pass — no re-verdicting, no re-signing); the
+    serving line is never clobbered, and the superseded one is
+    commit_generation_cutover's to expire once the cutover commits.
+    Cutting over to gen N ≥ 2 without an installed gen-(N−1) member
+    line is a caller error and raises — the audit half
+    (ivfpq_retrain_if_skewed) enforces the same never-installed
+    check on its side."""
     global _MEMBER_GEN_BUILDS
     import os
 
@@ -3622,10 +3641,19 @@ def _ivf_member_gen_index(
 
     path = _member_gen_path(sf_dir, gen)
     if not os.path.isdir(path):
-        v2_path = _embed_index_v2_path(sf_dir)
-        if not os.path.isdir(v2_path):
-            dedup_embedding_index_append(spark, sf_dir)
-        holdings = spark.read.parquet(v2_path).select("vec_id", "vec")
+        if gen >= 2:
+            serving_path = _member_gen_path(sf_dir, gen - 1)
+            if not os.path.isdir(serving_path):
+                raise FileNotFoundError(
+                    f"generation {gen - 1} was never cut over: no member "
+                    f"line at {serving_path}; cannot derive gen-{gen} "
+                    "holdings"
+                )
+        else:
+            serving_path = _embed_index_v2_path(sf_dir)
+            if not os.path.isdir(serving_path):
+                dedup_embedding_index_append(spark, sf_dir)
+        holdings = spark.read.parquet(serving_path).select("vec_id", "vec")
         rows = _ivf_assign(holdings, cents_bc).select("vec_id", "vec", "cell")
         _atomic_dir_write(lambda p: rows.write.parquet(p), path)
         _MEMBER_GEN_BUILDS += 1
@@ -3635,8 +3663,13 @@ def _ivf_member_gen_index(
 def ivfpq_retrain_if_skewed(
     spark: SparkSession, sf_dir: str, current_gen: int = 0
 ) -> tuple[bool, int]:
-    """Audit generation ``current_gen``'s post-append line and, iff
-    the skew bound is breached, run the FULL CUTOVER to generation
+    """Audit generation ``current_gen``'s post-append lines for BOTH
+    consumers of the shared quantizer — the IVFADC CODE table AND the
+    embedding MEMBER lists (r17 ADVICE: the two lines hold different
+    memberships — corpus ∪ twins vs corpus ∪ keepers — so a
+    member-line-only breach must also trigger; sim_ivf_member_skew's
+    verdict is genuinely acted on here) — and, iff EITHER line
+    breaches the skew bound, run the FULL CUTOVER to generation
     ``current_gen + 1`` for BOTH consumers of the shared quantizer:
     retrain the coarse quantizer on the CURRENT membership (corpus ∪
     accumulated appends) under the bumped generation key, re-encode
@@ -3672,18 +3705,30 @@ def ivfpq_retrain_if_skewed(
     import os
 
     if current_gen == 0:
-        audit_path = _ivfpq_code_v2_path(sf_dir)
-        if not os.path.isdir(audit_path):
+        audit_paths = {
+            "code": _ivfpq_code_v2_path(sf_dir),
+            "member": _embed_index_v2_path(sf_dir),
+        }
+        if not os.path.isdir(audit_paths["code"]):
             sim_ivfpq_index_append(spark, sf_dir)
+        if not os.path.isdir(audit_paths["member"]):
+            dedup_embedding_index_append(spark, sf_dir)
     else:
-        audit_path = _ivfpq_code_index_path(sf_dir, gen=current_gen)
-        if not os.path.isdir(audit_path):
-            raise FileNotFoundError(
-                f"generation {current_gen} was never cut over: no code "
-                f"line at {audit_path}; audit the live generation"
-            )
-    row = _occupancy_audit(2, _cell_masses(spark, audit_path)).collect()[0]
-    if not row["needs_retrain"]:
+        audit_paths = {
+            "code": _ivfpq_code_index_path(sf_dir, gen=current_gen),
+            "member": _member_gen_path(sf_dir, current_gen),
+        }
+        for line, p in audit_paths.items():
+            if not os.path.isdir(p):
+                raise FileNotFoundError(
+                    f"generation {current_gen} was never cut over: no "
+                    f"{line} line at {p}; audit the live generation"
+                )
+    breached = any(
+        _occupancy_audit(2, _cell_masses(spark, p)).collect()[0]["needs_retrain"]
+        for p in audit_paths.values()
+    )
+    if not breached:
         return False, current_gen
     gen = current_gen + 1
     # reuse short-circuit BEFORE any broadcast (r16 review): a repeated
@@ -3712,3 +3757,129 @@ def ivfpq_retrain_if_skewed(
     )
     _ivf_member_gen_index(spark, sf_dir, bc_c, gen)
     return True, gen
+
+
+def _gen_serving_oracle() -> str:
+    """Exact-top-3 oracle over the SERVING membership (corpus ∪ the
+    planted twins): the _EXACT_TOP3_ORACLE all-pairs fold applied to
+    the same union the v2 append installs and a gen-1 cutover
+    re-indexes — twin construction identical to _EMBED_DUP_ORACLE's
+    (1-based list index ↔ Spark's 0-based transform index), fold
+    arithmetic identical to the corpus-only baseline, so the one
+    difference between this certification surface and
+    sim_cosine_ivfpq_reuse's is exactly the membership."""
+    from .dedup import _TWIN_AMPLITUDE, _TWIN_EVERY, _TWIN_OFFSET
+
+    return f"""
+    WITH base AS (SELECT vec_id, embedding AS emb FROM embeddings),
+    twins AS (
+      SELECT vec_id + {_TWIN_OFFSET} AS vec_id,
+             list_transform(range(1, len(emb) + 1),
+                i -> emb[i] * (1.0 + {_TWIN_AMPLITUDE}
+                               * (((i - 1) % 7) - 3) / 3.0)) AS emb
+      FROM base WHERE vec_id % {_TWIN_EVERY} = 0
+    ),
+    serving AS (
+      SELECT vec_id, emb FROM base
+      UNION ALL SELECT vec_id, emb FROM twins
+    ),
+    e AS (
+      SELECT vec_id, emb,
+             sqrt(list_reduce(
+               list_transform(emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               (p, q) -> p + q)) AS nrm
+      FROM serving
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_q, b.vec_id AS id_n_exact,
+             list_reduce(
+               list_transform(range(1, len(a.emb) + 1),
+                              i -> CAST(a.emb[i] AS DOUBLE)
+                                   * CAST(b.emb[i] AS DOUBLE)),
+               (p, q) -> p + q) / (a.nrm * b.nrm) AS cos_sim
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT id_q, id_n_exact,
+             ROW_NUMBER() OVER (PARTITION BY id_q
+                                ORDER BY cos_sim DESC, id_n_exact) AS rk
+      FROM pairs
+    )
+    SELECT id_q, CAST(rk AS BIGINT) AS rk, id_n_exact,
+           CAST(1 AS BIGINT) AS generation, TRUE AS recall_ok
+    FROM ranked WHERE rk <= 3
+    """
+
+
+@query("sim_ivfpq_gen_serving", oracle=_gen_serving_oracle())
+def sim_ivfpq_gen_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrain-generation SERVING path, hash-certified (r17
+    verdict task #3) — the one verb of the audit → retrain → cutover →
+    vacuum loop that previously had only a pytest pin: probe the GEN-1
+    cutover line (gen-keyed centroids from ivf_retrain_generation, the
+    gen-keyed cell-partitioned code table, and the gen-keyed member
+    line — the complete configuration a committed cutover serves)
+    through the SHARED ADC kernel (_ivfpq_adc_rank — the same per-cell
+    ADC + exact JVM re-rank + global top-3 every IVFADC query runs),
+    and certify recall against the exact baseline over the SERVING
+    membership (corpus ∪ the planted twins — what the gen-1 line
+    actually holds), under the same _PQ_RECALL_BOUND as
+    sim_cosine_ivfpq_reuse. Emits the exact top-3 rows stamped with
+    the generation and ``recall_ok`` — a broken gen-keyed retrain,
+    encoder, cell routing, or member install collapses recall and
+    flips every row → hash fails.
+
+    The gen-1 line is installed read-or-build through the CUTOVER'S
+    OWN builders (ivf_retrain_generation → _ivfpq_code_index(gen=1,
+    members) → _ivf_member_gen_index — the one producer chain allowed
+    to train under a gen key), deterministically rather than behind
+    the skew audit: the registered query certifies that a committed
+    cutover SERVES correctly, independent of whether the fixture's
+    skew would have triggered one (the trigger wiring is
+    ivfpq_retrain_if_skewed's own pytest surface). Second run = pure
+    probe work on the persisted gen line (builds-counter pinned for
+    the member half; centroid/code read-or-build shared with the
+    trigger path).
+
+    Scale shape: identical to sim_cosine_ivfpq_reuse — the exact
+    baseline leg is the certification harness (broadcast-guarded,
+    fixture-scale only); the serving leg is nprobe/K probe work
+    against a cell-partitioned parquet line built once per cutover.
+    At 100 TB a generation cutover re-encodes the membership once
+    (the O(N) pass a skewed quantizer costs anyway) and every probe
+    session after the commit pays exactly what gen-0 probes paid."""
+    members = _cutover_members(spark, sf_dir).localCheckpoint(eager=False)
+    cents = ivf_retrain_generation(spark, sf_dir, gen=1)
+    bc_c = spark.sparkContext.broadcast(cents)
+    e_corpus = _embeddings_normed(spark, sf_dir).select("vec_id", "vec")
+    books = _pq_codebooks(spark, sf_dir, e_corpus.localCheckpoint(eager=False))
+    bc_b = spark.sparkContext.broadcast(books)
+    member_codes = _ivfpq_code_index(
+        spark, sf_dir, bc_c, bc_b, gen=1, members=members
+    )
+    _ivf_member_gen_index(spark, sf_dir, bc_c, 1)  # complete gen-1 config
+    probes = _ivf_assign(members, bc_c).select(
+        F.explode("probes").alias("cell"),
+        F.lit(1).alias("role"),
+        "vec_id",
+        F.lit(None).cast("array<int>").alias("codes"),
+        "vec",
+    )
+    ann = _ivfpq_adc_rank(member_codes, probes, members, bc_b)
+    # the exact baseline feeds BOTH _recall_certified legs (the recall
+    # flag and the output spine); unlike the corpus-only certification
+    # queries the membership here is a computed union, which defeats
+    # the planner's subtree reuse — materialize once (the ivfpq_top3
+    # `assigned` discipline) so the all-pairs Python stage cannot run
+    # per branch
+    exact = _exact_top3_per_query(
+        spark, sf_dir,
+        emb=members.select("vec_id", F.col("vec").alias("embedding")),
+    ).localCheckpoint(eager=False)
+    return _recall_certified(exact, ann, _PQ_RECALL_BOUND).select(
+        "id_q",
+        "rk",
+        "id_n_exact",
+        F.lit(1).cast("bigint").alias("generation"),
+        "recall_ok",
+    )

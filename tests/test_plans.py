@@ -131,6 +131,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "sim_cosine_pq",  # 1-row recall-ok certification broadcast (PQ)
         "sim_cosine_ivfpq",  # 1-row recall-ok certification broadcast (IVFADC)
         "sim_cosine_ivfpq_reuse",  # same certification broadcast, persisted codes
+        "sim_ivfpq_gen_serving",  # same certification broadcast, gen-1 cutover line
         "agg_heavy_hitters_mg",  # 1-row corpus-total certification broadcast
         "stream_heavy_hitters",  # 1-row corpus-total certification broadcast
         "sample_priority",  # 1-row tau threshold broadcast (DLT estimator)
@@ -159,6 +160,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         # regression to in-plan re-encoding fails here
         "sim_cosine_ivfpq": 3,
         "sim_cosine_ivfpq_reuse": 3,  # same legs on the persisted code index
+        "sim_ivfpq_gen_serving": 3,  # same legs on the gen-1 cutover line
         "er_mutual_best": 3,  # JW verdict re-read across union branches (name-domain sized)
     }
     for name, qd in REGISTRY.items():
