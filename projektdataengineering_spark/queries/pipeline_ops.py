@@ -1137,6 +1137,126 @@ def pipeline_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Training-shard geometry: fixed token budget per shipped shard. A
+# plan literal (folded into the oracle text), so driver re-runs hash
+# identically; production tunes it to the dataloader's shard size.
+_SHARD_TOKENS = 4096
+
+
+@query(
+    "pipeline_shuffle_shard",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), o AS (
+      SELECT doc_id, n_toks,
+             CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) AS BIGINT)
+               AS shuffle_pos,
+             CAST(SUM(n_toks) OVER (ORDER BY h, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM t
+    )
+    SELECT doc_id, shuffle_pos, n_toks,
+           (cum - n_toks) // {_SHARD_TOKENS} AS shard_id,
+           (cum - n_toks) % {_SHARD_TOKENS} AS shard_offset
+    FROM o
+    """,
+)
+def pipeline_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle → fixed-size training shards — the
+    SHIP stage that closes the dedup → filter → mix → pack → ship
+    pipeline (r17 verdict task #4): after curation, a pretraining
+    corpus leaves the engine as a deterministically shuffled sequence
+    of fixed-token-budget shards, and the dataloader contract is the
+    manifest emitted here — per document: its global shuffle position,
+    token span, and the (shard_id, shard_offset) where its tokens
+    begin (documents straddle shard boundaries, exactly like
+    pipeline_sequence_pack's packing — the downstream reader
+    concatenates in shuffle_pos order and cuts every _SHARD_TOKENS
+    tokens).
+
+    The shuffle order is md5(doc_id) — the engine's one sampling
+    currency (split_train_test / pipeline_lang_balance): deterministic
+    and engine-portable (the oracle replays it as a single global
+    window), uniform (md5 is an avalanche map, so adjacent input docs
+    land far apart — the decorrelation a training shuffle exists for),
+    and accretion-stable (adding documents perturbs positions but
+    never reorders two survivors' relative md5 order).
+
+    Scale shape — the reason this is NOT the oracle's single global
+    window: a global ROW_NUMBER/running-sum over one partition is the
+    canonical 100-TB straggler. The plan is a DISTRIBUTED PREFIX SUM:
+    docs hash into 256 ORDERED md5-prefix ranges (the first two hex
+    chars of the shuffle key — range-partitioning the shuffle space),
+    each range computes its local rank + running token sum in
+    parallel (one exchange on the bucket key), and a 256-row
+    per-bucket total frame — aggregated map-side, cumulated over the
+    tiny bucket list, broadcast back — converts local ranks to global
+    positions. Global order ≡ (bucket, h, doc_id) ≡ (h, doc_id)
+    because the bucket is a prefix of h. At 1000 executors the only
+    data-sized exchange is the bucket repartition; the single-row
+    window the oracle runs never exists in the plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_toks"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    ).withColumn("bucket", F.substring("h", 1, 2))
+    w_rank = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    w_sum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = t.select(
+        "doc_id",
+        "n_toks",
+        "bucket",
+        F.row_number().over(w_rank).cast("bigint").alias("rn"),
+        F.sum("n_toks").over(w_sum).cast("bigint").alias("cum"),
+    )
+    # per-bucket totals: 256 rows — the exclusive cumulative over the
+    # ORDERED bucket list is window-over-tiny-frame work, then ships
+    # back as a broadcast (the scalar-broadcast discipline, not a
+    # data-sized exchange)
+    w_base = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bases = (
+        t.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("b_rows"),
+            F.sum("n_toks").cast("bigint").alias("b_toks"),
+        )
+        .select(
+            "bucket",
+            F.coalesce(F.sum("b_rows").over(w_base), F.lit(0))
+            .cast("bigint")
+            .alias("base_rows"),
+            F.coalesce(F.sum("b_toks").over(w_base), F.lit(0))
+            .cast("bigint")
+            .alias("base_toks"),
+        )
+    )
+    start = F.col("base_toks") + F.col("cum") - F.col("n_toks")
+    return (
+        local.join(F.broadcast(bases), "bucket")
+        .select(
+            "doc_id",
+            (F.col("base_rows") + F.col("rn")).cast("bigint").alias("shuffle_pos"),
+            "n_toks",
+            start.alias("start"),
+        )
+        .select(
+            "doc_id",
+            "shuffle_pos",
+            "n_toks",
+            F.expr(f"start div {_SHARD_TOKENS}").alias("shard_id"),
+            (F.col("start") % _SHARD_TOKENS).cast("bigint").alias("shard_offset"),
+        )
+    )
+
+
 @query(
     "pipeline_incremental_rollup",
     oracle="""
