@@ -503,46 +503,65 @@ _R16_WINDOW = frozenset((
     "stream_embedding_delta", "stream_ohlc_native",
     "stream_stream_left_join", "udtf_python_native",
 ))
+# Round-17's recorded window (CORRECTNESS_r17.json keys, 50/50 green:
+# the five round-17 additions, the round-17 _RECHECK population, and
+# the entire stale r11 tier — after it the 45 r12 rows are the
+# stalest, front-loaded into round 18).
+_R17_WINDOW = frozenset((
+    "agg_distinct", "agg_forecast_revenue", "agg_groupby_multi",
+    "agg_sketch_overlap", "dedup_embedding_index_append",
+    "dedup_exact", "dedup_neardup_index_append",
+    "dedup_substring_spans", "er_mutual_best", "filter_compound",
+    "filter_highwater", "graph_jaccard_neighbors", "graph_pagerank",
+    "join_anti", "join_asof", "join_bloom_prefiltered",
+    "join_broadcast", "join_full_outer", "join_fuzzy_levenshtein",
+    "join_inner_equi", "join_left_outer", "join_local_supplier_volume",
+    "join_multiway", "join_range_bucketized", "join_semi",
+    "join_semireduced", "join_shipping_priority", "join_skew_salted",
+    "join_theta_range", "pipeline_boilerplate_blocks",
+    "pipeline_bpe_pair_counts", "pipeline_debounce",
+    "pipeline_embedding_quantize", "pipeline_filter_cascade",
+    "pipeline_incremental_rollup", "pipeline_index_vacuum",
+    "pipeline_quality_classifier", "pipeline_scd2_history",
+    "pipeline_sequence_pack", "pipeline_substring_cut",
+    "pipeline_time_interpolate", "project_conditional",
+    "scan_project_cast", "sim_cosine_topk", "sim_ivf_member_skew",
+    "sim_ivfpq_cell_skew", "sim_ivfpq_index_append",
+    "stream_dedup_within_watermark", "stream_stream_full_outer",
+    "stream_stream_join",
+))
 _DRIVER_VERIFIED = (
     _R01_WINDOW | _R03_WINDOW | _R04_WINDOW | _R05_WINDOW | _R06_WINDOW
     | _R07_WINDOW | _R08_WINDOW | _R10_WINDOW | _R11_WINDOW | _R12_WINDOW
     | _R13_WINDOW | _R14_WINDOW | _R15_WINDOW | _R16_WINDOW
+    | _R17_WINDOW
 )
 
 # Verified in an earlier round, but the implementation, oracle, or an
 # upstream seam changed afterwards — their old driver row no longer
 # certifies the current code, so they re-enter the window right after
-# the never-verified block.  Round-17 population (every round-16
-# recheck drew a green r16 row and dropped out); entries are added
-# here as round-17 work changes the seams they certify:
-# * dedup_neardup_index_append — the v2 generation path is now keyed
-#   by the family's batch-split constant (_neardup_v2_path, r16
-#   verdict task: a split retune must rebuild v2, never reuse a stale
-#   one) — values unchanged, the addressing seam changed;
-# * dedup_embedding_index_append — its v2 key now folds the
-#   fresh-quarter split position on top of the twin geometry
-#   (_einc_batch_tag, r16 ADVICE) — values unchanged, the v2 line
-#   this row certifies lives at a new key;
-# * sim_ivfpq_index_append — its v2 path is now derived through the
-#   canonical _ivfpq_code_v2_path helper (same key value, but the
-#   addressing seam every consumer shares changed);
-# * sim_ivfpq_cell_skew — the oracle's quantizer chain was refactored
-#   into the shared _quantizer_assignment_parts and the acted-on
-#   trigger gained the current-generation parameter + the
-#   two-consumer cutover (r16 ADVICE / verdict task #3);
-# * pipeline_index_vacuum — now derives every retained v2 path from
-#   its appender module's helper, guards non-directory line members,
-#   and the retained embedding v2 lives at the new split-tagged key.
+# the never-verified block.  Round-18 population (every round-17
+# recheck drew a green r17 row and dropped out); entries are added
+# here as round-18 work changes the seams they certify:
+# * pipeline_quality_classifier — two same-round changes (memory
+#   discipline: batch a family's seam changes into one recheck):
+#   (a) the bigram feature expression was made total (r17 ADVICE —
+#   sequence(1, size-1) no longer produced for 1-token docs instead
+#   of relying on lazy F.when shielding an out-of-range ws[i]), and
+#   (b) the weight table now ships as a fingerprint-keyed parquet
+#   model artifact (read-or-build + builds-counter discipline,
+#   r17 verdict task #6) instead of inline derivation.  Values and
+#   oracle unchanged — the r17 row certified the inline-weights code.
 _RECHECK: tuple[str, ...] = (
-    "dedup_neardup_index_append", "dedup_embedding_index_append",
-    "sim_ivfpq_index_append", "sim_ivfpq_cell_skew",
-    "pipeline_index_vacuum",
+    "pipeline_quality_classifier",
 )
 
 
 def _latest_row_round(name: str) -> int:
     """Most recent round whose on-disk driver artifact holds this
     query's correctness row (0 = never verified)."""
+    if name in _R17_WINDOW:
+        return 17
     if name in _R16_WINDOW:
         return 16
     if name in _R15_WINDOW:

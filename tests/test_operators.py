@@ -3292,3 +3292,300 @@ def test_ivfpq_cutover_line_serves(spark, sf_dir, emb_matrix, monkeypatch):
         if os.path.exists(cpath1):
             os.unlink(cpath1)
         S._IVF_CENTROID_CACHE.pop(tag1, None)
+
+
+def test_qcls_model_artifact_reuse(spark, sf_dir):
+    """r17 verdict task #6: the quality classifier's weight table must
+    ship as a persisted model artifact — first scoring call installs
+    it (builds-counter +1), a second call reuses the parquet (counter
+    stable), and the artifact's parameters are exactly the
+    deterministic derivation the oracle replays."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from projektdataengineering_spark.queries import mlprep as ML
+
+    path = ML._qcls_model_path()
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    b0 = ML._QCLS_MODEL_BUILDS
+    out1 = {
+        r["doc_id"]: (r["n_feats"], r["logit_sum"], r["keep"])
+        for r in ML.pipeline_quality_classifier(spark, sf_dir).collect()
+    }
+    assert ML._QCLS_MODEL_BUILDS == b0 + 1, "first call must install"
+    assert os.path.isdir(path), "artifact parquet at the version key"
+    out2 = {
+        r["doc_id"]: (r["n_feats"], r["logit_sum"], r["keep"])
+        for r in ML.pipeline_quality_classifier(spark, sf_dir).collect()
+    }
+    assert ML._QCLS_MODEL_BUILDS == b0 + 1, "second call must reuse"
+    assert out1 == out2
+    # artifact parameters == the documented derivation (md5 nibbles)
+    pos = lambda h, i: F.expr(
+        f"locate(substr({h}, {i}, 1), '0123456789abcdef') - 1"
+    )
+    fresh = {
+        r["bucket"]: r["w"]
+        for r in spark.range(ML._QCLS_BUCKETS)
+        .select(
+            F.col("id").cast("long").alias("bucket"),
+            (
+                (pos("md5(concat(cast(id as string), '#w'))", 1) * 16
+                 + pos("md5(concat(cast(id as string), '#w'))", 2))
+                - 128
+            ).cast("long").alias("w"),
+        )
+        .collect()
+    }
+    stored = {
+        r["bucket"]: r["w"] for r in spark.read.parquet(path).collect()
+    }
+    assert stored == fresh and len(stored) == ML._QCLS_BUCKETS
+
+
+def test_qcls_bigram_expression_total(spark):
+    """r17 ADVICE: the bigram feature expression must be TOTAL — no
+    branch may index past the array on short docs, so it survives
+    ANSI-strict evaluation (the old sequence(1, size-1) arm produced
+    the descending [1, 0] on 1-token docs and leaned on lazy F.when
+    shielding the out-of-range ws[i])."""
+    from pyspark.sql import functions as F
+
+    expr = (
+        "transform(slice(ws, 2, greatest(size(ws) - 1, 0)),"
+        " (w, i) -> concat(ws[i], '_', w))"
+    )
+    df = spark.createDataFrame(
+        [(1, []), (2, ["solo"]), (3, ["a", "b"]), (4, ["a", "b", "c"])],
+        "doc_id int, ws array<string>",
+    )
+    ansi0 = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        rows = {
+            r["doc_id"]: r["bg"]
+            for r in df.select("doc_id", F.expr(expr).alias("bg")).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi0)
+    assert rows == {1: [], 2: [], 3: ["a_b"], 4: ["a_b", "b_c"]}
+
+
+def test_commit_generation_cutover_refuses_missing_live_gen(spark, sf_dir):
+    """r17 ADVICE (medium): the cutover commit must verify the claimed
+    live generation's artifacts (code line, member line, centroids)
+    exist BEFORE unlinking anything — a host bug passing live_gen=N+1
+    pre-install must raise and delete nothing, not silently expire the
+    serving generation."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from projektdataengineering_spark.queries import maintenance as M
+    from projektdataengineering_spark.queries import similarity as S
+
+    S.sim_ivfpq_index_append(spark, sf_dir)
+    pq_v1 = S._ivfpq_code_index_path(sf_dir)
+    g1 = S._ivfpq_code_index_path(sf_dir, gen=1)
+    g3_code = S._ivfpq_code_index_path(sf_dir, gen=3)
+    g3_member = S._member_gen_path(sf_dir, 3)
+    _, g3_cents = S._ivf_index_path(sf_dir, gen=3)
+    for p in (g1, g3_code, g3_member):
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+    if os.path.exists(g3_cents):
+        os.unlink(g3_cents)
+    shutil.copytree(pq_v1, g1)  # a superseded line the bug would sweep
+    try:
+        with _pytest.raises(FileNotFoundError):
+            M.commit_generation_cutover(sf_dir, live_gen=3)
+        assert os.path.isdir(g1), "guard must fire before any unlink"
+        # partial install (code line only) must still refuse
+        shutil.copytree(pq_v1, g3_code)
+        with _pytest.raises(FileNotFoundError):
+            M.commit_generation_cutover(sf_dir, live_gen=3)
+        assert os.path.isdir(g1), "partial live gen must not commit"
+    finally:
+        for p in (g1, g3_code):
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+
+
+def test_member_gen_index_follows_serving_line(spark, sf_dir):
+    """r17 ADVICE: a gen-N≥2 member cutover must derive its holdings
+    from the SERVING gen-(N−1) member line, not the original v2 —
+    and building gen 2 with no gen-1 line installed is a caller error
+    (the previous cutover never committed)."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from projektdataengineering_spark.queries import similarity as S
+
+    g1 = S._member_gen_path(sf_dir, 1)
+    g2 = S._member_gen_path(sf_dir, 2)
+    tag1, cpath1 = S._ivf_index_path(sf_dir, gen=1)
+    for d in (g1, g2):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    cents = S.ivf_retrain_generation(spark, sf_dir, gen=1)
+    bc = spark.sparkContext.broadcast(cents)
+    try:
+        with _pytest.raises(FileNotFoundError):
+            S._ivf_member_gen_index(spark, sf_dir, bc, 2)
+        assert not os.path.isdir(g2), "failed gen-2 build must not install"
+        S._ivf_member_gen_index(spark, sf_dir, bc, 1)
+        S._ivf_member_gen_index(spark, sf_dir, bc, 2)
+        ids1 = {
+            r["vec_id"]
+            for r in spark.read.parquet(g1).select("vec_id").collect()
+        }
+        ids2 = {
+            r["vec_id"]
+            for r in spark.read.parquet(g2).select("vec_id").collect()
+        }
+        assert ids2 == ids1, "gen-2 holdings come from the gen-1 line"
+    finally:
+        for d in (g1, g2):
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+        if os.path.exists(cpath1):
+            os.unlink(cpath1)
+        S._IVF_CENTROID_CACHE.pop(tag1, None)
+
+
+def test_retrain_trigger_audits_member_line(spark, sf_dir, monkeypatch):
+    """r17 ADVICE: ivfpq_retrain_if_skewed must audit BOTH consumers of
+    the shared quantizer — a breach on the MEMBER line alone (the code
+    line clearing the bound) must trigger the cutover, because the two
+    lines hold different memberships."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from projektdataengineering_spark.queries import similarity as S
+
+    S.sim_ivfpq_index_append(spark, sf_dir)
+    S.dedup_embedding_index_append(spark, sf_dir)
+    member_v2 = S._embed_index_v2_path(sf_dir)
+    g1 = S._ivfpq_code_index_path(sf_dir, gen=1)
+    mg1 = S._member_gen_path(sf_dir, 1)
+    tag1, cpath1 = S._ivf_index_path(sf_dir, gen=1)
+    for d in (g1, mg1):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    if os.path.exists(cpath1):
+        os.unlink(cpath1)
+    S._IVF_CENTROID_CACHE.pop(tag1, None)
+
+    real = S._cell_masses
+
+    def member_hotspot(spark_, path):
+        m = real(spark_, path)
+        if path == member_v2:
+            n = spark_.read.parquet(path).count()
+            hot = m.orderBy(F.desc("mass"), "cell").first()["cell"]
+            m = m.withColumn(
+                "mass",
+                F.when(F.col("cell") == hot, F.col("mass") + F.lit(n))
+                .otherwise(F.col("mass")),
+            )
+        return m
+
+    monkeypatch.setattr(S, "_cell_masses", member_hotspot)
+    try:
+        # code line clears the real bound; only the member line breaches
+        code_clears = not S._occupancy_audit(
+            2, real(spark, S._ivfpq_code_v2_path(sf_dir))
+        ).collect()[0]["needs_retrain"]
+        assert code_clears, "precondition: fixture code skew under bound"
+        assert S.ivfpq_retrain_if_skewed(spark, sf_dir) == (True, 1)
+        assert os.path.isdir(g1) and os.path.isdir(mg1), (
+            "member-only breach must run the full two-consumer cutover"
+        )
+    finally:
+        for d in (g1, mg1):
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+        if os.path.exists(cpath1):
+            os.unlink(cpath1)
+        S._IVF_CENTROID_CACHE.pop(tag1, None)
+
+
+def test_shuffle_shard_prefix_sum_matches_global_window(spark, sf_dir):
+    """pipeline_shuffle_shard's distributed prefix sum (256 md5-prefix
+    ranges + broadcast bucket bases) must equal the single global
+    window it replaces — computed here directly at fixture scale —
+    and shard geometry must be seamless: ordering documents by
+    shuffle_pos, each doc starts exactly where the previous one's
+    token span ended."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from projektdataengineering_spark.catalog import load_table
+    from projektdataengineering_spark.queries import pipeline_ops as P
+
+    out = {
+        r["doc_id"]: (
+            r["shuffle_pos"], r["n_toks"], r["shard_id"], r["shard_offset"]
+        )
+        for r in P.pipeline_shuffle_shard(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    t = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_toks"),
+    ).select(
+        "doc_id",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+        "n_toks",
+        (F.sum("n_toks").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ) - F.col("n_toks")).cast("bigint").alias("start"),
+    )
+    replay = {
+        r["doc_id"]: (
+            r["pos"], r["n_toks"],
+            r["start"] // P._SHARD_TOKENS, r["start"] % P._SHARD_TOKENS,
+        )
+        for r in t.collect()
+    }
+    assert out == replay
+    # seamlessness: token spans tile the shard space with no gap/overlap
+    ordered = sorted(out.values())
+    cum = 0
+    for pos, n_toks, shard_id, shard_offset in ordered:
+        assert shard_id * P._SHARD_TOKENS + shard_offset == cum
+        cum += n_toks
+
+
+def test_gen_serving_reuses_persisted_lines(spark, sf_dir):
+    """sim_ivfpq_gen_serving: after the gen-1 configuration is
+    installed, a second invocation must be pure probe work — no
+    retrain, no re-encode, no member rebuild (the read-or-build
+    discipline the registered serving query inherits from the cutover
+    builders)."""
+    from projektdataengineering_spark.queries import similarity as S
+
+    n1 = S.sim_ivfpq_gen_serving(spark, sf_dir).count()
+    trains0, enc0, mb0 = (
+        S._IVF_TRAIN_RUNS, S._IVFPQ_ENCODE_RUNS, S._MEMBER_GEN_BUILDS,
+    )
+    n2 = S.sim_ivfpq_gen_serving(spark, sf_dir).count()
+    assert (S._IVF_TRAIN_RUNS, S._IVFPQ_ENCODE_RUNS, S._MEMBER_GEN_BUILDS) == (
+        trains0, enc0, mb0,
+    ), "second serving call must not rebuild any gen-1 artifact"
+    assert n1 == n2 > 0
+    recall_flags = {
+        r["recall_ok"]
+        for r in S.sim_ivfpq_gen_serving(spark, sf_dir)
+        .select("recall_ok").distinct().collect()
+    }
+    assert recall_flags == {True}, "gen-1 line must clear the IVFADC bound"

@@ -77,6 +77,9 @@ PROBE_QUERIES = [
     ("join_local_supplier_volume", "Q5 shape: cyclic join graph closed by one compound broadcast"),
     ("agg_forecast_revenue", "Q6 shape: pure scan-agg, all predicates pushed"),
     ("sim_ivf_member_skew", "member-line occupancy audit (counts-only scans)"),
+    # round 18
+    ("pipeline_shuffle_shard", "distributed prefix-sum shuffle→shard manifest"),
+    ("sim_ivfpq_gen_serving", "gen-1 cutover line served through the ADC kernel"),
 ]
 
 # Heavy families probed one decade past bench scale (sf0.1 → sf1) when
@@ -183,6 +186,14 @@ HEAVY_QUERIES = [
     ("pipeline_index_vacuum", "maintenance (round 16, generation GC over the three append-family indexes, reuse path)"),
     ("sim_ivfpq_cell_skew", "similarity (round 16, occupancy audit of the persisted code-table generations)"),
     ("pipeline_quality_classifier", "mlprep (round 17, fastText-style broadcast linear quality gate)"),
+    # round 18 (r17 verdict task #7): the r17 TPC-H trio gets sf1 rows —
+    # the TPC-H side tables are UNSCALED at sf1 (hardlinked from sf0.1),
+    # so expected slopes ~0; the rows close the evidence gap the other
+    # shapes carry, they do not measure data growth
+    ("join_shipping_priority", "relational_deep (round 17, Q3 shape — side tables unscaled at sf1)"),
+    ("join_local_supplier_volume", "relational_deep (round 17, Q5 shape — side tables unscaled at sf1)"),
+    ("agg_forecast_revenue", "relational_deep (round 17, Q6 shape — side tables unscaled at sf1)"),
+    ("pipeline_shuffle_shard", "pipeline_ops (round 18, distributed prefix-sum shard manifest — documents ARE scaled at sf1)"),
 ]
 
 
