@@ -188,6 +188,17 @@ _WARM_BUDGETS_SF01 = {
     "join_shipping_priority": 2.5,
     "join_local_supplier_volume": 3.0,
     "agg_forecast_revenue": 1.5,
+    # round 18 additions (measured warm sf0.1 in the A/B:
+    # shuffle_shard 0.36/0.66 s — one bucket-keyed exchange + a
+    # 256-row broadcast base frame; the pin catches a regression to a
+    # single-partition global window. gen_serving 3.63/5.38 s — the
+    # exact all-pairs certification leg over corpus ∪ twins dominates,
+    # the same cost class as the other ANN recall certifications; the
+    # pin catches a regression to re-running the all-pairs baseline
+    # per certification branch (the pre-checkpoint plan) or to
+    # re-encoding the gen-1 line per call.)
+    "pipeline_shuffle_shard": 2.0,
+    "sim_ivfpq_gen_serving": 9.0,
 }
 
 # Suite-level WARM budget (r13 verdict task #2): the r12→r13 driver

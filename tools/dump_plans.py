@@ -432,6 +432,70 @@ HEADLINERS: list[tuple[str, str]] = [
         "collapsing to a 1-row verdict with the skew ratio and the "
         "retrain boolean computed as single IEEE ops.",
     ),
+    # round 17 (these five were hand-appended to PLANS.md in r17;
+    # folded into the generator in r18 so the tool stays the one
+    # producer of the file)
+    (
+        "sim_ivf_member_skew",
+        "Round-17 member-line occupancy audit: the code-line audit's "
+        "counts-only partial-aggregated scan applied to the embedding "
+        "member index — one scan per generation reading only the cell "
+        "column, a metadata-sized verdict row out.",
+    ),
+    (
+        "pipeline_quality_classifier",
+        "Round-17 learned quality gate: one map-side explode of the "
+        "unigram ∪ bigram feature array, a BROADCAST hash join "
+        "against the weight-table model artifact, and the "
+        "featureless-doc spine unioned in as zero-contribution rows "
+        "so ONE doc-keyed partial→final aggregate is the plan's only "
+        "real exchange — zero join shuffles.",
+    ),
+    (
+        "join_shipping_priority",
+        "Round-17 TPC-H Q3 shape: both date predicates in "
+        "PushedFilters, BUILDING-segment keys broadcast as a LeftSemi "
+        "reduction BEFORE the fact edge, exact-decimal revenue rollup "
+        "on the join key, TakeOrderedAndProject top-10 (per-partition "
+        "heaps — never a global sort).",
+    ),
+    (
+        "join_local_supplier_volume",
+        "Round-17 TPC-H Q5 shape — the sweep's one CYCLIC join graph: "
+        "region→nation→supplier collapsed into one broadcast dim "
+        "before facts move; the date-pruned orders⋈lineitem edge is "
+        "the only big-big join, and the c_nationkey=s_nationkey cycle "
+        "closes in a single compound-condition broadcast join — "
+        "customer never shuffles.",
+    ),
+    (
+        "agg_forecast_revenue",
+        "Round-17 TPC-H Q6 shape: all four predicates reach the "
+        "parquet scan as PushedFilters; the plan is map-side "
+        "filter-project-partial-sum with a 1-row reduce — the purest "
+        "pushdown check in the sweep.",
+    ),
+    # round 18
+    (
+        "pipeline_shuffle_shard",
+        "Round-18 shuffle-to-shards manifest: a distributed prefix "
+        "sum — local rank + running token sum inside 256 ordered "
+        "md5-prefix ranges (one bucket-keyed exchange), plus a "
+        "256-row cumulated bucket-base frame broadcast back. The "
+        "single-partition global window the oracle replays never "
+        "appears in the plan (the tiny base-frame window runs over "
+        "256 rows, not the data).",
+    ),
+    (
+        "sim_ivfpq_gen_serving",
+        "Round-18 retrain-generation serving probe: the shared ADC "
+        "kernel against the gen-1 cell-partitioned code line (coarse "
+        "assign + per-cell ADC + exact JVM re-rank + top-3), the "
+        "exact all-pairs baseline over corpus ∪ twins materialized "
+        "ONCE (lazy localCheckpoint) so neither certification branch "
+        "re-runs the Python all-pairs stage, and the 1-row recall "
+        "verdict broadcast back onto the exact spine.",
+    ),
 ]
 
 

@@ -431,6 +431,27 @@ def main() -> int:
             "cleared its new pin with 3-9x headroom.\n"
         )
         out.append(
+            "\n**r18 same-code A/B (two fresh bench invocations of the "
+            "identical 265-query tree, build host, measured while "
+            "closing round 18):** warm walls 217.58 / 240.09 s, warm "
+            "query-sums 195.46 / 213.94 s (~10% spread moving both "
+            "signals together — the ordinary shallow host-drift band, "
+            "between r16's calm and r15's ±17% episodes), hygiene "
+            "22.1 / 26.1 s, zero failures and zero pin, suite-gate or "
+            "qsum-gate breaches in either run. Relative to the "
+            "committed r17 record (warm 195.6 s / qsum 176.3 s, 263 "
+            "queries), the two round-18 additions cost ~4.0 s of "
+            "query-sum in the min-warm pass (sim_ivfpq_gen_serving "
+            "3.63 s — the exact all-pairs certification leg over "
+            "corpus ∪ twins, the same cost class as the other ANN "
+            "recall certifications; pipeline_shuffle_shard 0.36 s), "
+            "and the residual ~15 s is broad shallow drift "
+            "concentrated in untouched files (scan_gzip_roundtrip, "
+            "scalar_variant, stream_* stateful twins — the usual "
+            "suspects of the measured drift band). The committed "
+            "BENCH_full.json carries the min-warm pass of the A/B.\n"
+        )
+        out.append(
             "\n**r16 query-sum gate derivation (r15 verdict task #5):** "
             "under the r15 host-noise regime (±17% same-code wall "
             "swings) the 300 s warm-wall gate lost discrimination, so "
