@@ -605,8 +605,19 @@ def _bigram_model_qbits(inst: DataFrame) -> DataFrame:
     bin() length, the quarter-bit remainder from exact fourth-power
     comparisons in DECIMAL(38,0) — see the _QBITS_SQL comment below
     for the derivation). Shared by pipeline_perplexity_filter (one
-    corpus model) and pipeline_dsir_select (target + pool models)."""
-    pc = inst.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_n"))
+    corpus model) and pipeline_dsir_select (target + pool models).
+
+    The pair-count table is lazily localCheckpoint'd: wc and the final
+    join both derive from pc, so without the lineage cut the token
+    explode + pair aggregate ran twice per model (r18 interleaved A/B:
+    perplexity_filter 1.09 → 0.96 s, dsir_select 1.96 → 1.69 s
+    warm-min at sf0.1 — guide §1.2/§5; pc is vocab²-bounded, so the
+    materialization is small at any corpus scale)."""
+    pc = (
+        inst.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .localCheckpoint(eager=False)
+    )
     wc = pc.groupBy("w1").agg(F.sum("pair_n").cast("bigint").alias("w1_n"))
 
     a = F.col("w1_n")
@@ -923,10 +934,20 @@ def pipeline_bigram_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     no positional self-join), then three count aggregates over the
     pair-TYPE table (≪ token count), one broadcast-able 1-row type
     count, and a distributed TakeOrdered {_KN_TOPK}. Only (token,
-    token, counts) ever shuffles."""
+    token, counts) ever shuffles. The pair-type table is lazily
+    localCheckpoint'd: hist, bwd, tt and the probe side all derive
+    from pc, and without the lineage cut the token explode + pair
+    aggregate subtree planned FOUR times (r18 plan audit: 4× Scan→
+    Generate→HashAggregate branches; the interleaved A/B measured
+    1.38 → 0.86 s warm-min at sf0.1 — guide §1.2 "don't compute
+    things you throw away" / §5 reuse-vs-recompute)."""
     docs = load_documents_wide(spark, sf_dir)
     bg = _bigram_instances(docs, with_doc_id=False)
-    pc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    pc = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .localCheckpoint(eager=False)
+    )
     hist = pc.groupBy("w1").agg(
         F.sum("c12").cast("long").alias("c1"),
         F.count(F.lit(1)).cast("long").alias("n1p_fwd"),

@@ -188,6 +188,11 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
 
     cands = emb.mapInPandas(topk_blocks, schema="id_a long, id_b long")
+    # rescore stays on the interpreted fold EXPRESSIONS here: the block
+    # prune leaves only ~50 survivors per block, and the r18 A/B showed
+    # the Arrow fold kernel's extra Python stage costs more than it
+    # saves at that volume (0.91 → 1.03 s) — contrast the candidate-
+    # volume sites (_exact_top3_per_query, _ivfpq_adc_rank) where it won
     ea = emb.select(
         F.col("vec_id").alias("id_a"),
         _as_double(F.col("embedding")).alias("va"),
@@ -300,6 +305,41 @@ def _lsh_candidate_pairs(e: DataFrame, n_rows: int | None = None) -> DataFrame:
         .filter(F.col("id_q") != F.col("id_n"))
         .distinct()  # a pair may collide in several tables — count once
     )
+
+
+def _cos_fold_col(va, vb):
+    """EXACT left-fold cosine as an Arrow-vectorized column: bit-identical
+    to ``_dot(va, vb) / (_norm(va) * _norm(vb))`` — the accumulator walks
+    the 64 dimensions in order with one IEEE double add/mul per step, but
+    VECTORIZED ACROSS ROWS (numpy column-wise fold), so a batch of pairs
+    costs 3×64 vector ops instead of per-row interpreted HOF evaluation
+    (guide §4.2: hand whole batches to native code; the r18 interleaved
+    A/B measured the exact-top3 rescore at 1.40 → 0.97 s and the unrolled
+    64-term JVM expression chain at 2× WORSE than the HOF — codegen does
+    not help giant nested Add trees, Arrow does). np.sqrt and the final
+    division are correctly-rounded IEEE, matching the JVM's, so every
+    emitted double is the same bits as the fold expressions produced and
+    the DuckDB list_reduce oracle replays unchanged."""
+
+    @F.pandas_udf("double")
+    def _cos_fold(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        ma = np.stack([np.asarray(v, dtype=np.float64) for v in a])
+        mb = np.stack([np.asarray(v, dtype=np.float64) for v in b])
+        n = len(a)
+        dot = np.zeros(n)
+        na = np.zeros(n)
+        nb = np.zeros(n)
+        for i in range(ma.shape[1]):
+            ai = ma[:, i]
+            bi = mb[:, i]
+            dot = dot + ai * bi
+            na = na + ai * ai
+            nb = nb + bi * bi
+        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+    return _cos_fold(va, vb)
 
 
 def _pair_cosine(e: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -485,24 +525,23 @@ def _exact_top3_per_query(
                 )
 
     cands = emb.mapInPandas(cand_blocks, schema="id_q long, id_n_exact long")
+    # rescore with the Arrow left-fold kernel — bit-identical to the
+    # _dot/_norm fold expressions it replaced (see _cos_fold_col)
     ea = emb.select(
         F.col("vec_id").alias("id_q"),
         _as_double(F.col("embedding")).alias("vq"),
-    ).select("id_q", "vq", _norm(F.col("vq")).alias("nrm_q"))
+    )
     eb = emb.select(
         F.col("vec_id").alias("id_n_exact"),
         _as_double(F.col("embedding")).alias("vn"),
-    ).select("id_n_exact", "vn", _norm(F.col("vn")).alias("nrm_n"))
+    )
     rescored = (
         cands.join(ea, "id_q")
         .join(eb, "id_n_exact")
         .select(
             "id_q",
             "id_n_exact",
-            (
-                _dot(F.col("vq"), F.col("vn"))
-                / (F.col("nrm_q") * F.col("nrm_n"))
-            ).alias("cos_fold"),
+            _cos_fold_col(F.col("vq"), F.col("vn")).alias("cos_fold"),
         )
     )
     w = Window.partitionBy("id_q").orderBy(
@@ -1407,8 +1446,11 @@ def _ivfpq_adc_rank(
         .join(b, "id_n")
         .select(
             "id_q", "id_n",
-            (_dot(F.col("vq"), F.col("vn"))
-             / (_norm(F.col("vq")) * _norm(F.col("vn")))).alias("cos_sim"),
+            # Arrow left-fold kernel — bit-identical to the _dot/_norm
+            # fold expressions it replaced (see _cos_fold_col); the ADC
+            # shortlist is the engine's largest fold-rescored pair set,
+            # so the vectorization matters most here
+            _cos_fold_col(F.col("vq"), F.col("vn")).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("id_q").orderBy(F.col("cos_sim").desc(), F.col("id_n"))

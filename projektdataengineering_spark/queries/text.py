@@ -335,39 +335,33 @@ def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     float discipline: when a monotone transform of the textbook metric
     is integer-representable, ship the transform, not the float).
 
-    Scale shape: zero-shuffle map-side compute — the per-doc histogram
-    never materializes; collisions come from an O(n log n) sorted-run
-    fold (array_sort + one aggregate() pass whose accumulator carries
-    (prev char, run length, running Σc(c−1)) — appending to a run of
-    length r adds 2r), distinct chars from array_distinct. The oracle
-    takes the vectorized UNNEST+GROUP BY road to the same integers.
-    Only (doc_id, 4 scalars) survive the map stage.
+    Scale shape: explode + two hash aggregates — the oracle's own
+    vectorized UNNEST+GROUP BY road, whole-stage-codegen'd end to end.
+    The (doc_id, ch) aggregate does PARTIAL map-side aggregation, so
+    the first exchange carries per-partition histograms (≤ docs ×
+    charset rows of 3 narrow columns), never the exploded character
+    stream; the second exchange carries (doc_id, 3 scalars). An
+    earlier formulation computed the same integers with a zero-shuffle
+    array_sort + aggregate() sorted-run fold, but higher-order
+    functions are interpreted (no codegen): the r18 interleaved A/B
+    measured the fold at 2.58 s vs 0.72 s for this shape at sf0.1
+    (guide §4.1 — prefer codegen'd built-ins; the two tiny
+    metadata-sized exchanges cost less than leaving codegen).
 
     Unicode: F.split(text, "") splits at CODE POINT boundaries (Java
     regex is code-point aware — surrogate pairs stay whole), matching
     DuckDB's string_split(text, '') even for non-BMP input; pinned by
     tests/test_properties.py::test_char_split_is_codepoint_safe_cross_engine."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    chars = F.split(F.col("text"), "")
-    fold = F.aggregate(
-        F.array_sort(chars),
-        F.struct(
-            F.lit("").alias("prev"),
-            F.lit(0).cast("long").alias("run"),
-            F.lit(0).cast("long").alias("coll"),
-        ),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
-            (acc["coll"] + F.when(x == acc["prev"], 2 * acc["run"]).otherwise(F.lit(0).cast("long"))).alias("coll"),
-        ),
-        lambda acc: acc["coll"],
+    cnt = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    s = docs.select(
-        "doc_id",
-        F.size(chars).cast("bigint").alias("n_cp"),
-        F.size(F.array_distinct(chars)).cast("bigint").alias("distinct_chars"),
-        fold.alias("coll"),
+    s = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_cp"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_chars"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("bigint").alias("coll"),
     ).filter(F.col("n_cp") >= 2)
     ppm = F.expr("(coll * 1000000) div (n_cp * (n_cp - 1))")
     return s.select(
