@@ -256,9 +256,11 @@ def bloom_probe_condition(
     to lambda variables, because Catalyst's project-collapse would
     otherwise inline the md5 into every one of the 2·k position
     references (measured 3.6 s → 2.0 s at sf0.1 for the probe alone);
-    lanes stay plain BIGINT arithmetic on the bound halves. Shared by
-    join_bloom_prefiltered and join_semireduced, whose driver rows
-    certify zero false negatives end-to-end."""
+    lanes stay plain BIGINT arithmetic on the bound halves. This is
+    the PORTABLE (DuckDB-replayable) probe; the runtime-filter joins
+    moved to the bloom_fast_* xxhash64 family in r18 (see below) —
+    use this form only where an oracle must replay the bit
+    positions."""
     tests = " AND ".join(
         f"((shiftright(element_at({bw_col}, CAST((((s.x + {j} * s.y)"
         f" % 4294967296) % {m_bits}) div 63 AS INT) + 1), "
@@ -287,3 +289,66 @@ def bloom_dense_words(df, key_col: str, m_bits: int, k_hashes: int) -> list[int]
         ).collect()
     }
     return [int(words.get(w, 0)) for w in range(m_bits // 63 + 1)]
+
+
+# ---------------------------------------------------------------------------
+# Fast (engine-internal) Bloom lane family — xxhash64 positions
+# ---------------------------------------------------------------------------
+#
+# The md5 family above exists for PORTABILITY: agg_bloom_membership's
+# DuckDB oracle replays every bit position, so the hash must be
+# expressible in both engines.  The runtime-filter JOINS
+# (join_bloom_prefiltered, join_semireduced) have no such constraint —
+# their oracles run the PLAIN join and the hash-match certifies zero
+# false negatives for WHATEVER lane family built the filter (bit_or
+# only adds bits; the theorem is hash-agnostic).  For those, md5 was
+# pure overhead: the r18 decomposition measured the md5 probe pass at
+# 1.68 s vs 0.46 s for the whole join it was pruning (sf0.1), with the
+# md5 itself plus the interpreted transform() variable-binding trick
+# (needed to stop Catalyst re-inlining the digest per lane) as the
+# cost.  xxhash64 is a native codegen'd expression cheap enough to run
+# ONCE PER LANE — no digest splitting, no binding, the whole probe
+# predicate stays inside WholeStageCodegen — measured 0.30 s for the
+# same probe (5.6x) with the same ~21% survivor selectivity.
+
+
+def bloom_fast_words(df, key_sql: str, m_bits: int, k_hashes: int) -> list[int]:
+    """Dense Bloom word list (63-bit words, same layout as
+    bloom_dense_words) with bit positions pmod(xxhash64(key, j), m)
+    for lane j — build-side twin of bloom_fast_probe_condition; the
+    two must agree on ``key_sql``'s TYPE (xxhash64 hashes the typed
+    value, so e.g. bigint on one side and string on the other would
+    silently disagree — pass the same expression text to both)."""
+    pos = [
+        F.expr(f"pmod(xxhash64({key_sql}, {j}), {m_bits})")
+        for j in range(k_hashes)
+    ]
+    w = (
+        df.select(F.explode(F.array(*pos)).alias("p"))
+        .select(
+            F.expr("CAST(p div 63 AS INT)").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 63 AS INT))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    words = {r["w"]: r["bits"] for r in w.collect()}
+    return [int(words.get(i, 0)) for i in range(m_bits // 63 + 1)]
+
+
+def bloom_fast_probe_condition(
+    key_sql: str, bw_col: str, m_bits: int, k_hashes: int
+) -> str:
+    """SQL predicate testing a probe row against a bloom_fast_words
+    table planted as a literal array column ``bw_col`` — k codegen'd
+    xxhash64 lanes, no HOF binding (each lane is an independent cheap
+    hash, so there is no shared digest to protect from Catalyst's
+    project-collapse the way the md5 family must)."""
+    tests = []
+    for j in range(k_hashes):
+        pos = f"pmod(xxhash64({key_sql}, {j}), {m_bits})"
+        tests.append(
+            f"((shiftright(element_at({bw_col}, CAST({pos} div 63 AS INT) + 1), "
+            f"CAST({pos} % 63 AS INT)) & 1) = 1)"
+        )
+    return " AND ".join(tests)

@@ -720,9 +720,9 @@ def join_bloom_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """High-value orders ⋈ lineitem with a BLOOM RUNTIME FILTER doing
     the semi-join reduction by hand: the filter is built from the
     selective build side (orders > {_BLOOM_JOIN_THRESH}, ~5%) with the
-    engine's own portable Bloom (operators/sketches.bloom_filter_words
-    — the agg_bloom_membership primitive, whose docstring declares
-    exactly this use), its ≤ m/63-word bitmap is read back through the
+    engine's own Bloom word layout (operators/sketches.bloom_fast_words
+    — same 63-bit words as the portable agg_bloom_membership
+    primitive), its ≤ m/63-word bitmap is read back through the
     HWM scalar pattern and planted as PLAN LITERALS (the round-1
     hyperplane discipline), and the probe side discards lineitem rows
     whose {_BLOOM_JOIN_K} bits aren't all set MAP-SIDE — before the
@@ -738,27 +738,32 @@ def join_bloom_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
     optimizer can't see through (JDBC pushdown, pre-partitioned
     probes) and pins its correctness contract in the driver gate.
     Plan shape: one tiny build-side aggregate (the word table), then a
-    map-side probe filter + one broadcast hash join on the survivors."""
-    from ..operators.sketches import bloom_dense_words, bloom_probe_condition
+    map-side probe filter + one broadcast hash join on the survivors.
+
+    Lane family (r18): the ENGINE-INTERNAL xxhash64 lanes
+    (operators/sketches.bloom_fast_*) — this query's oracle runs the
+    PLAIN join, so the filter needs no cross-engine hash and the md5
+    portability family was pure overhead (measured 5.6x on the probe
+    pass; rationale with the builders). Zero false negatives stays a
+    theorem for any lane family."""
+    from ..operators.sketches import bloom_fast_probe_condition, bloom_fast_words
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
     hot = orders.filter(F.col("o_totalprice") > _BLOOM_JOIN_THRESH)
-    dense = bloom_dense_words(
+    dense = bloom_fast_words(
         hot, "o_orderkey", m_bits=_BLOOM_JOIN_M, k_hashes=_BLOOM_JOIN_K
     )
-    bw = F.array(*[F.lit(v) for v in dense])
+    bw = F.lit(dense).cast("array<bigint>")
 
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_extendedprice")
         .withColumn("bw", bw)
     )
-    # probe condition (one md5 per row, digest bound via transform —
-    # the rationale lives with the shared builder in operators/sketches)
-    cond = bloom_probe_condition(
-        "CAST(l_orderkey AS STRING)", "bw", _BLOOM_JOIN_M, _BLOOM_JOIN_K
+    cond = bloom_fast_probe_condition(
+        "l_orderkey", "bw", _BLOOM_JOIN_M, _BLOOM_JOIN_K
     )
     pruned = li.filter(F.expr(cond)).drop("bw")
     return (
@@ -1007,7 +1012,7 @@ def join_semireduced(spark: SparkSession, sf_dir: str) -> DataFrame:
     join — the oracle runs the PLAIN filtered join and the hash match
     proves it. The exchange-level reduction itself is pinned by
     tests/test_operators.py (pruned input counts strictly below the
-    unpruned filtered inputs) and tests/test_plans.py (both md5 probe
+    unpruned filtered inputs) and tests/test_plans.py (both probe
     filters sit below the shuffle join; no broadcast join planned).
 
     Scale notes: this is two bounded build passes (each Bloom is a
@@ -1018,8 +1023,14 @@ def join_semireduced(spark: SparkSession, sf_dir: str) -> DataFrame:
     — expressing it explicitly keeps the reduction under the
     correctness gate and available against sinks the optimizer can't
     reason about. The join is hinted SHUFFLE_MERGE so the plan stays
-    the honest big-big shape the operator exists for."""
-    from ..operators.sketches import bloom_dense_words, bloom_probe_condition
+    the honest big-big shape the operator exists for.
+
+    Lane family (r18): xxhash64 (operators/sketches.bloom_fast_*) —
+    like join_bloom_prefiltered, the oracle runs the PLAIN filtered
+    join, so the portable md5 lanes were pure probe-side overhead
+    (two md5 passes + two interpreted transform() bindings; the fast
+    lanes keep both probe predicates inside WholeStageCodegen)."""
+    from ..operators.sketches import bloom_fast_probe_condition, bloom_fast_words
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
@@ -1032,10 +1043,10 @@ def join_semireduced(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     returned = li.filter(F.col("l_returnflag") == "R").drop("l_returnflag")
 
-    o_words = bloom_dense_words(
+    o_words = bloom_fast_words(
         urgent, "o_orderkey", m_bits=_SEMIRED_M, k_hashes=_SEMIRED_K
     )
-    l_words = bloom_dense_words(
+    l_words = bloom_fast_words(
         returned.select("l_orderkey").distinct(),
         "l_orderkey",
         m_bits=_SEMIRED_M,
@@ -1043,22 +1054,22 @@ def join_semireduced(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li_pruned = (
-        returned.withColumn("bw", F.array(*[F.lit(v) for v in o_words]))
+        returned.withColumn("bw", F.lit(o_words).cast("array<bigint>"))
         .filter(
             F.expr(
-                bloom_probe_condition(
-                    "CAST(l_orderkey AS STRING)", "bw", _SEMIRED_M, _SEMIRED_K
+                bloom_fast_probe_condition(
+                    "l_orderkey", "bw", _SEMIRED_M, _SEMIRED_K
                 )
             )
         )
         .drop("bw")
     )
     o_pruned = (
-        urgent.withColumn("bw", F.array(*[F.lit(v) for v in l_words]))
+        urgent.withColumn("bw", F.lit(l_words).cast("array<bigint>"))
         .filter(
             F.expr(
-                bloom_probe_condition(
-                    "CAST(o_orderkey AS STRING)", "bw", _SEMIRED_M, _SEMIRED_K
+                bloom_fast_probe_condition(
+                    "o_orderkey", "bw", _SEMIRED_M, _SEMIRED_K
                 )
             )
         )

@@ -30,6 +30,8 @@ first when their corpus outgrows substring match.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -91,18 +93,32 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     # that artifact (measured: bm25 sf1 3.7→2.8 s, hybrid 5.6→2.9 s)
     from ..catalog import load_documents_wide
 
-    base = (
+    # ONE tokenize pass (r18, guide §1.2/§2.2): the per-doc TF table is
+    # the sufficient statistic for everything downstream — dl = Σtf per
+    # doc (== size(split) on non-null text), df = row count per token
+    # (tokc is distinct per (doc, token), so no countDistinct over the
+    # raw token stream), tf = the filtered rows themselves.  Before,
+    # the corpus was split/exploded FOUR times per call (stats collect,
+    # df aggregate, tf aggregate, dl join).  The lazy localCheckpoint
+    # cuts the lineage so the stats collect, the term pick and the
+    # final job all read the materialized TF table; its size is
+    # Σ per-doc distinct terms ≪ token instances, and the first
+    # exchange it absorbs carries map-side-partial (doc, token)
+    # aggregates, never the exploded stream.
+    tokc = (
         load_documents_wide(spark, sf_dir)
-        .select("doc_id", F.split("text", " ").alias("t"))
-        .withColumn("dl", F.size("t"))
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
-    s = base.agg(
+    dld = tokc.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    s = dld.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total")
     ).collect()[0]
     n, total = int(s["n"]), int(s["total"])
 
-    tok = base.select("doc_id", F.explode("t").alias("token"))
-    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    dfreq = tokc.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     qrows = (
         dfreq.orderBy(F.abs(4 * F.col("df") - F.lit(n)), "token")
         .limit(_BM25_N_TERMS)
@@ -120,11 +136,7 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t, df in terms.items()
     }
 
-    tf = (
-        tok.filter(F.col("token").isin(list(terms)))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    tf = tokc.filter(F.col("token").isin(list(terms)))
     idf_map = F.create_map(
         *[x for t, b in idf_bits.items() for x in (F.lit(t), F.lit(b))]
     )
@@ -133,7 +145,7 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(10 * tf * {total} + 3 * {total} + 9 * dl * {n})"
     )
     return (
-        tf.join(base.select("doc_id", "dl"), "doc_id")
+        tf.join(dld, "doc_id")
         .withColumn("contrib", idf_map[F.col("token")] * term_ppm)
         .groupBy("doc_id")
         .agg(F.sum("contrib").cast("long").alias("score_ppm"))
@@ -266,11 +278,15 @@ def pipeline_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scored = _bm25_scored(spark, sf_dir)
     wl = Window.orderBy(F.desc("score_ppm"), F.asc("doc_id"))
+    # 50-row lexical list, lazily localCheckpoint'd (r18, guide §1.2):
+    # the seed collect AND the final fusion both consume it, so without
+    # the lineage cut the whole BM25 chain computed twice per call
     lex = (
         scored.orderBy(F.desc("score_ppm"), F.asc("doc_id"))
         .limit(_HYBRID_POOL)
         .withColumn("rank_lex", F.row_number().over(wl).cast("long"))
         .select("doc_id", "rank_lex")
+        .localCheckpoint(eager=False)
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -304,24 +320,36 @@ def pipeline_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nrm_c = math.sqrt(nrm_c_sq)
 
-    cvec = F.array(*[F.lit(v) for v in cent])
-    dot = F.aggregate(
-        F.zip_with(F.col("embedding"), cvec, lambda x, y: x.cast("double") * y),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
-    )
-    nrm_v = F.sqrt(
-        F.aggregate(
-            F.col("embedding"),
-            F.lit(0.0),
-            lambda acc, x: acc + x.cast("double") * x.cast("double"),
-        )
-    )
+    # Arrow-vectorized cosine-to-centroid (r18, guide §4.2): same IEEE
+    # left-fold order as the zip_with/aggregate expressions it replaced
+    # (one add/mul per dimension, accumulators walk dims in order;
+    # np.sqrt and the final division are correctly-rounded IEEE), but
+    # vectorized across rows instead of interpreted per row — the
+    # corpus-wide map pass is the hybrid query's dense-leg cost at any
+    # scale.  Bit-identical ranking proven vs the expression form at
+    # sf0.001/0.01/0.1 before the swap (same discipline as
+    # similarity._cos_fold_col).
+    cent_arr = np.array(cent, dtype=np.float64)
+
+    @F.pandas_udf("double")
+    def _cos_c(e: pd.Series) -> pd.Series:
+        if len(e) == 0:
+            return pd.Series([], dtype="float64")
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in e])
+        k = len(e)
+        dot = np.zeros(k)
+        nv = np.zeros(k)
+        for j in range(m.shape[1]):
+            x = m[:, j]
+            dot = dot + x * cent_arr[j]
+            nv = nv + x * x
+        return pd.Series(dot / (np.sqrt(nv) * nrm_c))
+
     wd = Window.orderBy(F.desc("cos_c"), F.asc("doc_id"))
     dense = (
         emb.select(
             F.col("vec_id").alias("doc_id"),
-            (dot / (nrm_v * F.lit(nrm_c))).alias("cos_c"),
+            _cos_c(F.col("embedding")).alias("cos_c"),
         )
         .orderBy(F.desc("cos_c"), F.asc("doc_id"))
         .limit(_HYBRID_POOL)

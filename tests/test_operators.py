@@ -1997,15 +1997,17 @@ def test_merge_apply_cow_copy_and_idempotence(spark, tmp_path):
 
 def test_semireduced_prunes_both_exchange_inputs(spark, sf_dir):
     """join_semireduced: each side's Bloom (built from the OTHER side's
-    filtered keys) must strictly shrink what reaches that side's
-    exchange, and the pruned join must return exactly the plain join's
-    aggregate (zero false negatives — bit_or only adds bits)."""
+    filtered keys, r18: the xxhash64 fast-lane family the query
+    actually plants) must strictly shrink what reaches that side's
+    exchange, must pass EVERY build-side key (zero false negatives —
+    the subset property, asserted directly), and the pruned join must
+    return exactly the plain join's aggregate."""
     from pyspark.sql import functions as F
 
     from projektdataengineering_spark.catalog import load_table
     from projektdataengineering_spark.operators.sketches import (
-        bloom_dense_words,
-        bloom_probe_condition,
+        bloom_fast_probe_condition,
+        bloom_fast_words,
     )
     from projektdataengineering_spark.queries.joins import (
         _SEMIRED_K,
@@ -2023,19 +2025,17 @@ def test_semireduced_prunes_both_exchange_inputs(spark, sf_dir):
         .filter(F.col("l_returnflag") == "R")
         .select("l_orderkey")
     )
-    o_words = bloom_dense_words(urgent, "o_orderkey", _SEMIRED_M, _SEMIRED_K)
-    l_words = bloom_dense_words(
+    o_words = bloom_fast_words(urgent, "o_orderkey", _SEMIRED_M, _SEMIRED_K)
+    l_words = bloom_fast_words(
         returned.distinct(), "l_orderkey", _SEMIRED_M, _SEMIRED_K
     )
 
     def pruned_count(df, key, words):
         return (
-            df.withColumn("bw", F.array(*[F.lit(v) for v in words]))
+            df.withColumn("bw", F.lit(words).cast("array<bigint>"))
             .filter(
                 F.expr(
-                    bloom_probe_condition(
-                        f"CAST({key} AS STRING)", "bw", _SEMIRED_M, _SEMIRED_K
-                    )
+                    bloom_fast_probe_condition(key, "bw", _SEMIRED_M, _SEMIRED_K)
                 )
             )
             .count()
@@ -2045,6 +2045,15 @@ def test_semireduced_prunes_both_exchange_inputs(spark, sf_dir):
     o_in, o_kept = urgent.count(), pruned_count(urgent, "o_orderkey", l_words)
     assert li_kept < li_in, (li_kept, li_in)
     assert o_kept < o_in, (o_kept, o_in)
+
+    # subset property: a filter passes every key it was built from
+    # (probing urgent's own keys against urgent's own filter keeps all)
+    n_urgent = urgent.count()
+    assert pruned_count(urgent, "o_orderkey", o_words) == n_urgent
+    n_ret = returned.distinct().count()
+    assert (
+        pruned_count(returned.distinct(), "l_orderkey", l_words) == n_ret
+    )
 
     # zero false negatives: the reduced join aggregates to exactly the
     # plain join's totals

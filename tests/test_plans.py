@@ -680,10 +680,12 @@ def test_image_phash_python_runs_once_behind_checkpoint(facts_of):
 
 
 def test_semireduced_probes_below_a_shuffle_join(facts_of, spark, sf_dir):
-    """join_semireduced: BOTH md5 probe filters run map-side below the
-    join (the whole point — survivors only reach the exchanges), the
-    join is a shuffle join (sort-merge via hint, never broadcast), and
-    nothing cartesian appears."""
+    """join_semireduced: BOTH Bloom probe filters run map-side below
+    the join (the whole point — survivors only reach the exchanges),
+    the join is a shuffle join (sort-merge via hint, never broadcast),
+    and nothing cartesian appears. r18: the probes are the xxhash64
+    fast-lane family (codegen'd, no HOF binding), so the plan marker
+    is the xxhash64 lane expression, not the md5 '#bloom' salt."""
     f = facts_of("join_semireduced")
     assert f.cartesian_like == 0, f.nodes
     assert f.broadcast_joins == 0, f.nodes
@@ -691,7 +693,7 @@ def test_semireduced_probes_below_a_shuffle_join(facts_of, spark, sf_dir):
     from projektdataengineering_spark.plans import explain_string
 
     s = explain_string(REGISTRY["join_semireduced"].fn(spark, sf_dir), "formatted")
-    assert s.count("#bloom") >= 2, "both probe conditions must be planned"
+    assert s.count("xxhash64") >= 2, "both probe conditions must be planned"
 
 
 def test_corpus_build_does_not_force_cluster_broadcast(spark, sf_dir):
