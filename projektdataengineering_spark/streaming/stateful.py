@@ -544,6 +544,219 @@ def cdc_apply_stream(keyed: DataFrame, horizon: str | None = None) -> DataFrame:
     )
 
 
+# Bucketed CDC apply: identical per-key state machine to
+# cdc_apply_stream (below) — tombstones close generations, upserts
+# extend them, O(1) scalars per key — but the keyed-state granularity
+# is a HASH BUCKET of keys (the dedup/attribution posture, r19):
+# applyInPandasWithState pays one Python/Arrow round-trip per GROUP
+# per micro-batch, and the sf0.1 profile put the per-key form's whole
+# cost there (1500 key groups; state allUpdatesTimeMs 12.6 s of a
+# 10.1 s drain wall vs ~0.2 s of actual fold arithmetic). A bucket's
+# state holds its keys' scalars as parallel arrays; keys remain fully
+# independent (the fold groups by key inside the bucket).
+#
+# Horizon semantics are the EAGER form (the bucketed-dedup contract):
+# expired keys (max_ts + horizon < watermark) are swept at the START of
+# every bucket invocation, so a re-arrival after expiry is ALWAYS a
+# fresh history — deterministic under replay, stricter than the per-key
+# twin's lazy Spark timeout (which fires only in a batch where the key
+# has no data). Idle buckets are swept by a bucket-level event-time
+# timeout armed at the bucket's earliest key deadline.
+CDC_BUCKETS = 64
+CDC_BUCKETED_STATE_SCHEMA = (
+    "keys array<string>, n_tombs array<long>, gens array<long>, "
+    "last_ets array<string>, alives array<boolean>, n_seens array<long>, "
+    "max_us array<long>"
+)
+
+
+def _make_cdc_apply_bucketed(horizon: "pd.Timedelta | None"):
+    horizon_us = None if horizon is None else int(horizon.value // 1_000)
+
+    def _fold(key, pdf_iter, state: GroupState):
+        if state.exists:
+            ks, tombs, gens, lets, alvs, seens, maxs = state.get
+            st = {
+                k: [int(t), int(g), le, bool(a), int(s), int(m)]
+                for k, t, g, le, a, s, m in zip(
+                    ks, tombs, gens, lets, alvs, seens, maxs
+                )
+            }
+        else:
+            st = {}
+        # eager horizon sweep (watermark read only under a horizon:
+        # NoTimeout mode supports non-watermarked streams)
+        if horizon_us is not None:
+            wm_us = state.getCurrentWatermarkMs() * 1_000
+            if wm_us > 0:
+                for k in [
+                    k for k, v in st.items() if v[5] + horizon_us < wm_us
+                ]:
+                    del st[k]
+
+        out = None
+        if not state.hasTimedOut:
+            frames = [pdf for pdf in pdf_iter if len(pdf)]
+            if frames:
+                batch = pd.concat(frames).sort_values(["ts", "event_id"])
+                us = batch["ts"].astype("int64") // 1_000  # ns → µs
+                okeys, otomb, oalive, olet, ogen, oseen = [], [], [], [], [], []
+                for k, idx in batch.groupby("key", sort=True).indices.items():
+                    et = batch["event_type"].to_numpy()[idx]
+                    is_del = et == "error"
+                    b_dels = int(is_del.sum())
+                    k_max = int(us.to_numpy()[idx].max())
+                    ent = st.get(k)
+                    if ent is None:
+                        ent = st[k] = [0, 0, "", True, 0, k_max]
+                    else:
+                        ent[5] = max(ent[5], k_max)
+                    if b_dels:
+                        # live rows after the batch's last tombstone open
+                        # the new generation (the per-key fold's rule)
+                        last_del_pos = int(is_del.nonzero()[0][-1])
+                        ent[1] = int((~is_del[last_del_pos + 1 :]).sum())
+                    else:
+                        ent[1] += len(idx)
+                    ent[0] += b_dels
+                    ent[4] += len(idx)
+                    ent[2] = str(et[-1])
+                    ent[3] = not bool(is_del[-1])
+                    okeys.append(k)
+                    otomb.append(ent[0])
+                    oalive.append(ent[3])
+                    olet.append(ent[2])
+                    ogen.append(ent[1])
+                    oseen.append(ent[4])
+                out = pd.DataFrame(
+                    {
+                        "key": okeys,
+                        "n_tombstones": otomb,
+                        "alive": oalive,
+                        "last_event_type": olet,
+                        "gen_events": ogen,
+                        "n_seen": oseen,
+                    }
+                )
+
+        if not st:
+            state.remove()
+            return iter(())
+        ks = sorted(st)
+        state.update((
+            ks,
+            [st[k][0] for k in ks],
+            [st[k][1] for k in ks],
+            [st[k][2] for k in ks],
+            [st[k][3] for k in ks],
+            [st[k][4] for k in ks],
+            [st[k][5] for k in ks],
+        ))
+        if horizon_us is not None:
+            deadline_ms = (min(v[5] for v in st.values()) + horizon_us) // 1_000
+            state.setTimeoutTimestamp(
+                max(deadline_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        return iter(() if out is None else (out,))
+
+    return _fold
+
+
+def cdc_apply_stream_bucketed(
+    keyed: DataFrame, horizon: str | None = None
+) -> DataFrame:
+    """Bucketed twin of cdc_apply_stream for high-cardinality key
+    spaces: input carries (bucket int, key string, ts timestamp,
+    event_id long, event_type string); state granularity is the bucket
+    (see the module comment above for the round-trip economics and the
+    eager-sweep horizon contract). Output schema and update-mode
+    emissions are IDENTICAL to the per-key operator — one row per
+    touched key per micro-batch, same state-machine values."""
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        _make_cdc_apply_bucketed(pd.Timedelta(horizon) if horizon else None),
+        outputStructType=CDC_OUTPUT_SCHEMA,
+        stateStructType=CDC_BUCKETED_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if horizon
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
+# Bucketed streaming EWMA: same recurrence as ewma_stream (below),
+# bucket-granular state for the same round-trip economics as the CDC
+# twin (sf0.1 profile: 1500 per-user groups were the whole cost).
+EWMA_BUCKETS = 64
+EWMA_BUCKETED_STATE_SCHEMA = (
+    "user_ids array<long>, s array<double>, n array<long>"
+)
+
+
+def make_ewma_fold_bucketed(alpha: float):
+    """Bucketed twin of make_ewma_fold: per-user (smoothed value, count)
+    pairs live as parallel arrays in the bucket's state; the fold sorts
+    the bucket's rows by (user_id, ts, event_id) and walks each user's
+    slice with the IDENTICAL scalar IEEE recurrence — same arithmetic,
+    same within-batch ordering contract (globally sorted is strictly
+    stronger than the per-key fold's per-chunk sort), so the final
+    state per user is bit-equal to the per-key operator's."""
+
+    def _fold(key, pdf_iter, state: GroupState):
+        if state.exists:
+            uids, svals, ns = state.get
+            st = {int(u): [v, int(c)] for u, v, c in zip(uids, svals, ns)}
+        else:
+            st = {}
+        frames = [pdf.dropna(subset=["value"]) for pdf in pdf_iter]
+        frames = [pdf for pdf in frames if len(pdf)]
+        if not frames:
+            if not st:
+                state.remove()
+                return iter(())
+            # arrays unchanged; keep state as-is (re-update for safety)
+            us = sorted(st)
+            state.update((us, [st[u][0] for u in us], [st[u][1] for u in us]))
+            return iter(())
+        batch = pd.concat(frames).sort_values(["user_id", "ts", "event_id"])
+        ou, on, os_ = [], [], []
+        vals_all = batch["value"].to_numpy()
+        for u, idx in batch.groupby("user_id", sort=True).indices.items():
+            u = int(u)
+            ent = st.get(u)
+            s = ent[0] if ent is not None else None
+            n = ent[1] if ent is not None else 0
+            for x in vals_all[idx]:
+                s = x if s is None else alpha * x + (1.0 - alpha) * s
+            n += len(idx)
+            st[u] = [float(s), n]
+            ou.append(u)
+            on.append(n)
+            os_.append(float(s))
+        us = sorted(st)
+        state.update((us, [st[u][0] for u in us], [st[u][1] for u in us]))
+        return iter(
+            (pd.DataFrame({"user_id": ou, "n_events": on, "last_ewma": os_}),)
+        )
+
+    return _fold
+
+
+def ewma_stream_bucketed(keyed: DataFrame, alpha: float = 0.25) -> DataFrame:
+    """Apply the bucketed stateful EWMA to a streaming DataFrame with
+    columns (bucket int, user_id long, ts timestamp, event_id long,
+    value double). Emissions per touched user are identical to
+    ewma_stream's."""
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        make_ewma_fold_bucketed(alpha),
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_BUCKETED_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # Streaming conversion attribution: the per-user state is just the
 # (first, last) non-purchase channel seen so far — O(1) forever — and
 # every purchase emits its credit the moment it arrives, carrying the

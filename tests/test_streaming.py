@@ -529,6 +529,141 @@ def test_stream_cdc_state_machine_across_batches(spark, tmp_path):
     assert not mid["alive"] and mid["gen_events"] == 0 and mid["n_tombstones"] == 1
 
 
+def test_stream_cdc_bucketed_state_machine_across_batches(spark, tmp_path):
+    """The r19 BUCKETED CDC fold (cdc_apply_stream_bucketed) must run the
+    identical per-key state machine as the per-key reference across
+    ordered micro-batches — generation carry-over, tombstone at a
+    boundary, post-tombstone re-insert — with keys sharing one state
+    bucket kept fully independent."""
+    import os
+    import time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from projektdataengineering_spark.streaming.stateful import (
+        cdc_apply_stream_bucketed,
+    )
+
+    def rows(eid0, ts0, spec):
+        return pd.DataFrame(
+            {
+                "key": [k for k, _ in spec],
+                "ts": [pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=ts0 + i) for i in range(len(spec))],
+                "event_id": [eid0 + i for i in range(len(spec))],
+                "event_type": [t for _, t in spec],
+            }
+        )
+
+    # same fixture as the per-key test — u1/u2 land in ONE bucket
+    b1 = rows(0, 0, [("u1", "click"), ("u2", "view"), ("u1", "view"), ("u2", "error")])
+    b2 = rows(10, 100, [("u1", "error"), ("u1", "purchase"), ("u2", "click"), ("u2", "view")])
+    src = tmp_path / "cdc_bucketed_src"
+    src.mkdir()
+    now = time.time()
+    for i, b in enumerate([b1, b2]):
+        f = src / f"batch{i + 1}.parquet"
+        b.astype({"ts": "datetime64[us]"}).to_parquet(f)
+        os.utime(f, (now - 40 + 20 * i, now - 40 + 20 * i))
+
+    stream = (
+        spark.readStream.schema("key string, ts timestamp, event_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("bucket", F.lit(0).cast("int"))
+    )
+    q = (
+        cdc_apply_stream_bucketed(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("cdc_bucketed_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cdc_bucketed"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = spark.table("cdc_bucketed_out").toPandas()
+    final = {r["key"]: r for _, r in out.sort_values("n_seen").iterrows()}
+    u1, u2 = final["u1"], final["u2"]
+    # identical assertions to the per-key reference test
+    assert (u1["n_tombstones"], u1["alive"], u1["gen_events"], u1["n_seen"]) == (1, True, 1, 4)
+    assert u1["last_event_type"] == "purchase"
+    assert (u2["n_tombstones"], u2["alive"], u2["gen_events"], u2["n_seen"]) == (1, True, 2, 4)
+    mid = out[(out["key"] == "u2") & (out["n_seen"] == 2)].iloc[0]
+    assert not mid["alive"] and mid["gen_events"] == 0 and mid["n_tombstones"] == 1
+
+
+def test_stream_ewma_bucketed_equals_per_key_across_batches(spark, tmp_path):
+    """The r19 bucketed EWMA fold must carry (s, n) across micro-batches
+    and produce bit-equal finals to the per-key reference operator on
+    the same two-batch ordered stream (bucket co-residence must not mix
+    users' state)."""
+    import os
+    import time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from projektdataengineering_spark.streaming.stateful import (
+        ewma_stream,
+        ewma_stream_bucketed,
+    )
+
+    def rows(eid0, ts0, spec):
+        return pd.DataFrame(
+            {
+                "user_id": [u for u, _ in spec],
+                "ts": [pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=ts0 + i) for i in range(len(spec))],
+                "event_id": [eid0 + i for i in range(len(spec))],
+                "value": [v for _, v in spec],
+            }
+        )
+
+    b1 = rows(0, 0, [(1, 10.0), (2, 5.0), (1, None), (1, 7.0)])
+    b2 = rows(10, 100, [(2, 1.0), (1, 3.0), (3, 2.5), (2, None)])
+    src = tmp_path / "ewma_bucketed_src"
+    src.mkdir()
+    now = time.time()
+    for i, b in enumerate([b1, b2]):
+        f = src / f"batch{i + 1}.parquet"
+        b.astype({"ts": "datetime64[us]"}).to_parquet(f)
+        os.utime(f, (now - 40 + 20 * i, now - 40 + 20 * i))
+
+    def read():
+        return (
+            spark.readStream.schema("user_id long, ts timestamp, event_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+
+    def drain(df, name):
+        q = (
+            df.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        pdf = spark.table(name).toPandas()
+        return {
+            int(r["user_id"]): (int(r["n_events"]), r["last_ewma"])
+            for _, r in pdf.sort_values("n_events").iterrows()  # last wins
+        }
+
+    per_key = drain(ewma_stream(read(), alpha=0.25), "ewma_ref_out")
+    bucketed = drain(
+        ewma_stream_bucketed(
+            read().withColumn("bucket", F.lit(0).cast("int")), alpha=0.25
+        ),
+        "ewma_bucketed_out",
+    )
+    assert per_key == bucketed
+    assert per_key[1] == (3, 0.25 * 3.0 + 0.75 * (0.25 * 7.0 + 0.75 * 10.0))
+
+
 def test_attribution_stream_carries_touch_state_across_batches(spark, tmp_path):
     """stream_attribution's fold: the (first, last) touch state must
     carry across micro-batches — a purchase in batch 2 credits a
