@@ -187,6 +187,22 @@ def _fake_features(payload: bytes) -> tuple[float, int]:
     return total / len(payload), max(range(16), key=lambda i: (hist[i], -i))
 
 
+def _intensity_features(vals) -> tuple[float, int]:
+    """(mean, 16-bin histogram argmax) over an array of 0..255
+    intensities — the one featurizer body shared by the decode path
+    (_decoded_features) and the fused frame path (sample_frames with
+    features=True), so the two can never drift arithmetically."""
+    import numpy as np
+
+    if vals.size == 0:
+        return 0.0, 0
+    vals = vals.reshape(-1).astype(np.int64)
+    hist = np.bincount(vals >> 4, minlength=16)[:16]
+    # ties toward the smaller bin, matching _fake_features' key order
+    argmax = int(np.argmax(hist))
+    return float(vals.mean()), argmax
+
+
 def _decoded_features(payload: bytes, modality: str) -> tuple[float, int]:
     """REAL featurizer: decode the blob, then the same (mean, 16-bin
     histogram argmax) summary computed over DECODED values — pixel
@@ -201,11 +217,7 @@ def _decoded_features(payload: bytes, modality: str) -> tuple[float, int]:
         return 0.0, 0
     if modality == "audio/wav":  # int16 amplitude → 0..255 intensity
         vals = np.minimum(np.abs(vals.astype(np.int64)), 32767) * 255 // 32767
-    vals = vals.reshape(-1).astype(np.int64)
-    hist = np.bincount(vals >> 4, minlength=16)[:16]
-    # ties toward the smaller bin, matching _fake_features' key order
-    argmax = int(np.argmax(hist))
-    return float(vals.mean()), argmax
+    return _intensity_features(vals)
 
 
 def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
@@ -330,22 +342,29 @@ def _fake_frames(payload: bytes, n_frames: int, frame_bytes: int = 64) -> list[b
     return out
 
 
-def _real_frames(payload: bytes, modality: str, n_frames: int) -> list[bytes]:
+def _real_frames(
+    payload: bytes, modality: str, n_frames: int
+) -> "list[tuple[bytes, object]]":
     """REAL frame sampler: decode the video, pick n_frames at a uniform
     stride (repeating the last frame when the clip is shorter), and
     re-encode each sampled frame as a standalone PNG — the decoded-video
-    → image-corpus expansion, every byte passing through real codecs."""
+    → image-corpus expansion, every byte passing through real codecs.
+    Returns (png_bytes, decoded_frame_array) per sampled frame so a
+    fused consumer can featurize the pixels while they are in memory."""
     from .codecs import png_encode
 
     frames = decode_media(payload, modality)  # (n, h, w, 3)
     total = len(frames)
-    return [
-        png_encode(frames[min((k * total) // n_frames, total - 1)])
-        for k in range(n_frames)
-    ]
+    picked = [frames[min((k * total) // n_frames, total - 1)] for k in range(n_frames)]
+    return [(png_encode(fr), fr) for fr in picked]
 
 
-def sample_frames(df: DataFrame, n_frames: int, fake: bool = True) -> DataFrame:
+FRAME_FEATURES_SCHEMA = FRAME_SCHEMA + ", feat_mean double, feat_argmax int"
+
+
+def sample_frames(
+    df: DataFrame, n_frames: int, fake: bool = True, features: bool = False
+) -> DataFrame:
     """Video frame sampling via mapInPandas: each input blob expands to
     n_frames rows (doc_id, frame_idx, frame payload) — the 1→N
     expansion that turns a video corpus into an image corpus for
@@ -354,11 +373,27 @@ def sample_frames(df: DataFrame, n_frames: int, fake: bool = True) -> DataFrame:
     (production swaps the decode for pyav keyframe striding behind the
     same decode_media dispatch).
 
+    ``features=True`` (real path only) additionally emits
+    (feat_mean, feat_argmax) computed from the DECODED frame pixels
+    while they are in memory — the guide §4.2 fusion (r19): a separate
+    extract_features pass would re-decode every frame PNG row-by-row in
+    Python just to recompute values this kernel already held. The PNG
+    encode→decode roundtrip is lossless and unit-pinned
+    (tests/test_multimodal.py), and the featurizer body is the SAME
+    _intensity_features the decode path runs, so the fused columns are
+    bit-identical to extract_features(fake=False) over the emitted
+    payloads — asserted by test_sample_frames_fused_features_match.
+
     Scale: output rows = input rows × n_frames and output bytes can
     EXCEED input bytes (decoded frames vs compressed video) — the one
     media stage where you must repartition AFTER expansion; metadata
     stays per-frame so column pruning spares the bytes downstream."""
     import hashlib
+
+    import numpy as np
+
+    if features and fake:
+        raise ValueError("features=True requires the real path (fake=False)")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -366,15 +401,18 @@ def sample_frames(df: DataFrame, n_frames: int, fake: bool = True) -> DataFrame:
                 "doc_id": [], "modality": [], "frame_idx": [],
                 "payload": [], "n_bytes": [], "checksum": [],
             }
+            if features:
+                rows["feat_mean"] = []
+                rows["feat_argmax"] = []
             for doc_id, modality, payload in zip(
                 pdf["doc_id"], pdf["modality"], pdf["payload"]
             ):
                 frames = (
-                    _fake_frames(payload, n_frames)
+                    [(fr, None) for fr in _fake_frames(payload, n_frames)]
                     if fake
                     else _real_frames(payload, modality, n_frames)
                 )
-                for k, fr in enumerate(frames):
+                for k, (fr, arr) in enumerate(frames):
                     rows["doc_id"].append(doc_id)
                     # the real path re-encodes sampled frames as PNGs —
                     # the output modality reflects the frame container
@@ -383,9 +421,15 @@ def sample_frames(df: DataFrame, n_frames: int, fake: bool = True) -> DataFrame:
                     rows["payload"].append(fr)
                     rows["n_bytes"].append(len(fr))
                     rows["checksum"].append(hashlib.sha256(fr).hexdigest())
+                    if features:
+                        mean, argmax = _intensity_features(np.asarray(arr))
+                        rows["feat_mean"].append(mean)
+                        rows["feat_argmax"].append(argmax)
             yield pd.DataFrame(rows)
 
-    return df.mapInPandas(run, schema=FRAME_SCHEMA)
+    return df.mapInPandas(
+        run, schema=FRAME_FEATURES_SCHEMA if features else FRAME_SCHEMA
+    )
 
 
 def attach_wav_payload(

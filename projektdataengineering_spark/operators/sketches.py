@@ -315,12 +315,18 @@ def bloom_dense_words(df, key_col: str, m_bits: int, k_hashes: int) -> list[int]
 def bloom_fast_words(df, key_sql: str, m_bits: int, k_hashes: int) -> list[int]:
     """Dense Bloom word list (63-bit words, same layout as
     bloom_dense_words) with bit positions pmod(xxhash64(key, j), m)
-    for lane j — build-side twin of bloom_fast_probe_condition; the
-    two must agree on ``key_sql``'s TYPE (xxhash64 hashes the typed
-    value, so e.g. bigint on one side and string on the other would
-    silently disagree — pass the same expression text to both)."""
+    for lane j — build-side twin of bloom_fast_probe_condition.
+
+    Type contract (r18 ADVICE, hardened r19): xxhash64 hashes the TYPED
+    value, so a build/probe type mismatch (int vs bigint) would silently
+    yield false negatives — i.e. wrong join results. Both the builder
+    and the probe therefore CAST the key to BIGINT themselves instead
+    of trusting the two call sites to agree; numeric join keys of any
+    width hash identically on both sides by construction. (Keys must be
+    integral — a string key nulls under the cast and would need its own
+    lane family.)"""
     pos = [
-        F.expr(f"pmod(xxhash64({key_sql}, {j}), {m_bits})")
+        F.expr(f"pmod(xxhash64(CAST({key_sql} AS BIGINT), {j}), {m_bits})")
         for j in range(k_hashes)
     ]
     w = (
@@ -343,10 +349,25 @@ def bloom_fast_probe_condition(
     table planted as a literal array column ``bw_col`` — k codegen'd
     xxhash64 lanes, no HOF binding (each lane is an independent cheap
     hash, so there is no shared digest to protect from Catalyst's
-    project-collapse the way the md5 family must)."""
+    project-collapse the way the md5 family must). Key is cast BIGINT
+    to match the builder (see bloom_fast_words' type contract).
+
+    Known, measured cost shape (r19, closing the r18 ADVICE note):
+    ``pos`` is interpolated twice per lane (word index and bit offset),
+    and whole-stage codegen's subexpression elimination does NOT dedupe
+    it — the generated filter evaluates 2·k hashLong calls per row
+    (verified via debugCodegen: two XXH64.hashLong sites per lane).
+    Left as-is deliberately: a hashLong is a few ns, so the waste is
+    k extra hashes per probed row (~0.1 s over the 6M-row sf0.1 probe),
+    while every single-evaluation rewrite reintroduces a worse cost —
+    a lambda binding forces the whole predicate OUT of codegen into
+    interpreted HOF evaluation (the exact md5-family pathology r18
+    removed, 5.6× slower), and a pre-projected pos array is re-inlined
+    by filter pushdown unless marked non-deterministic, which blocks
+    the probe filter's own placement below the exchange."""
     tests = []
     for j in range(k_hashes):
-        pos = f"pmod(xxhash64({key_sql}, {j}), {m_bits})"
+        pos = f"pmod(xxhash64(CAST({key_sql} AS BIGINT), {j}), {m_bits})"
         tests.append(
             f"((shiftright(element_at({bw_col}, CAST({pos} div 63 AS INT) + 1), "
             f"CAST({pos} % 63 AS INT)) & 1) = 1)"

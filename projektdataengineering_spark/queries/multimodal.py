@@ -213,11 +213,15 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     Motion-JPEG whose frames are baseline JPEGs from the pure-Python
     T.81 codec (operators/jpeg.py, round 7) — then the 1→N
     video→image expansion a training curriculum runs:
-    sample_frames(fake=False) decodes the container (RIFF walk + DIB
-    un-flip or full JPEG entropy-decode/IDCT per frame), strides 2
-    frames per clip (source frames 0 and 2 of 4) and re-encodes each
-    as a standalone PNG, and extract_features(fake=False) featurizes
-    the DECODED pixels of every sampled frame.
+    sample_frames(fake=False, features=True) decodes the container
+    (RIFF walk + DIB un-flip or full JPEG entropy-decode/IDCT per
+    frame), strides 2 frames per clip (source frames 0 and 2 of 4),
+    re-encodes each as a standalone PNG, and featurizes the DECODED
+    pixels of every sampled frame in the same kernel (r19 fusion —
+    bit-identical to the extract_features(fake=False) composition it
+    replaced; the PNG roundtrip stays unit-pinned in
+    tests/test_multimodal.py and the fused-vs-recomposed equality is
+    asserted there too).
 
     HASH-CHECKED since round 9 (the last rows-only query graduated,
     split by codec losslessness):
@@ -248,18 +252,19 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     clips = attach_avi_payload(
         docs, width=_VID_W, n_frames=_VID_N_FRAMES, codec="mixed"
     )
-    frames = sample_frames(clips, n_frames=_VID_SAMPLED, fake=False)
-    feats = extract_features(
-        frames.select(
-            (F.col("doc_id") * 10 + F.col("frame_idx")).alias("doc_id"),
-            "modality", "payload", "n_bytes", "checksum",
-        ),
-        fake=False,
-    ).select(
-        (F.col("doc_id") / 10).cast("long").alias("doc_id"),
-        F.pmod("doc_id", F.lit(10)).cast("int").alias("frame_idx"),
-        "feat_mean", "feat_argmax",
-    )
+    # Fused frame features (r19, guide §4.2): the sampling kernel
+    # featurizes each frame's DECODED pixels while they are in memory
+    # (sample_frames features=True) instead of a second mapInPandas
+    # pass re-decoding every frame PNG row-by-row in Python. The PNG
+    # roundtrip is lossless and the featurizer body is shared
+    # (_intensity_features), so the columns are bit-identical to the
+    # previous extract_features(fake=False) composition — asserted in
+    # tests/test_multimodal.py and re-proved by the oracle hash. Plan:
+    # one Python stage fewer (BatchEvalPython/MapInPandas 3 → 2 on the
+    # feature path); per-frame PNG *decode* work leaves the query.
+    feats = sample_frames(
+        clips, n_frames=_VID_SAMPLED, fake=False, features=True
+    ).select("doc_id", "frame_idx", "feat_mean", "feat_argmax")
 
     def src_stats(batches):
         # source-byte twin of the oracle's hex arithmetic: numpy over

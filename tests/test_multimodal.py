@@ -107,6 +107,43 @@ def test_real_video_pipeline_decodes_and_samples(spark, sf_dir):
     assert one["modality"] == "image/png"
 
 
+def test_sample_frames_fused_features_match(spark, sf_dir):
+    """The r19 fused frame featurizer (sample_frames features=True)
+    must be BIT-identical to the two-pass composition it replaced:
+    extract_features(fake=False) re-decoding the emitted frame PNGs.
+    Mixed codec so both the lossless DIB path and the lossy MJPG path
+    are covered (the fusion must not change either — PNG roundtrip is
+    lossless, so featurizing pre-encode pixels equals featurizing the
+    decoded PNG)."""
+    from projektdataengineering_spark.catalog import load_table
+    from projektdataengineering_spark.operators.multimodal import (
+        attach_avi_payload,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    src = attach_avi_payload(docs, width=16, n_frames=4, codec="mixed")
+
+    fused = {
+        (r["doc_id"], r["frame_idx"]): (r["feat_mean"], r["feat_argmax"])
+        for r in sample_frames(src, n_frames=2, fake=False, features=True)
+        .select("doc_id", "frame_idx", "feat_mean", "feat_argmax")
+        .collect()
+    }
+    frames = sample_frames(src, n_frames=2, fake=False)
+    recomposed = {
+        (r["doc_id"] // 10, r["doc_id"] % 10): (r["feat_mean"], r["feat_argmax"])
+        for r in extract_features(
+            frames.selectExpr(
+                "doc_id * 10 + frame_idx AS doc_id",
+                "modality", "payload", "n_bytes", "checksum",
+            ),
+            fake=False,
+        ).collect()
+    }
+    assert fused == recomposed and len(fused) == 20
+
+
 def test_png_codec_roundtrip_all_filters():
     """Vendored PNG codec: encode→decode is identity for grey/RGB/RGBA,
     and the decoder reconstructs scanlines under EVERY filter type

@@ -154,8 +154,13 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
     # ArrowEvalPython), and _recall_certified's two consumers of the
     # exact frame plan that subtree TWICE (executed once — the
     # bit-identical exchanges dedupe via ReusedExchange at runtime;
-    # verified in the r18 A/B where a localCheckpoint "dedupe" made the
-    # queries 20% SLOWER because there was nothing left to dedupe). So
+    # indirectly evidenced in the r18 A/B where a localCheckpoint
+    # "dedupe" made the queries 20% SLOWER, and PROVEN at runtime in
+    # r19: the executed isFinalPlan=true dumps show "ReusedExchange
+    # [Reuses operator id: N]" pointing at the exact-leg exchange, with
+    # exactly ONE executed ArrowEvalPython per distinct rescore —
+    # plans/r19/sim_cosine_pq_executed_before.txt and
+    # sim_ivfpq_gen_serving_executed_before.txt). So
     # each certification query's audited count grew by 2 (both planned
     # copies of the exact rescore) and the IVFADC family by 3 (+ the
     # ADC-shortlist rescore, the biggest fold site). The gate still
@@ -163,7 +168,11 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
     python_stage_budget = {
         "sim_cosine_ann_lsh": 6,  # LSH probe + exact baseline + recall legs + 2× fold rescore
         "sim_cosine_pq": 6,  # PQ encode + ADC + re-rank + exact baseline + 2× fold rescore
-        "multimodal_video_frames": 4,  # AVI decode + frame stride + PNG feats
+        # AVI pack + fused stride+featurize + src-stats — the separate
+        # PNG-decode feature pass left the plan in r19 (fused into the
+        # sampling kernel; MapInPandas 4 → 3,
+        # plans/r19/multimodal_video_frames_{before,after}.txt)
+        "multimodal_video_frames": 3,
         "sim_cosine_ivf": 5,  # IVF probe + exact baseline + recall legs + 2× fold rescore
         "sim_cosine_ivf_reuse": 5,  # same legs on the persisted index
         # coarse probe assign + per-cell ADC + exact baseline — the

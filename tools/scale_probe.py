@@ -190,6 +190,11 @@ HEAVY_QUERIES = [
     # the TPC-H side tables are UNSCALED at sf1 (hardlinked from sf0.1),
     # so expected slopes ~0; the rows close the evidence gap the other
     # shapes carry, they do not measure data growth
+    # round 19 (r18 verdict item 7): the blocked-ER shape's scaling row —
+    # the block-key histogram showed NO skew at sf0.1 (max/median block
+    # 1.25, top block 1.0% of pair work; salting not warranted), so the
+    # slope here measures the uniform Σn² block pair growth
+    ("join_fuzzy_jaro", "joins (round 19, blocked Jaro-Winkler ER — verdict-join on the distinct-name-pair domain)"),
     ("join_shipping_priority", "relational_deep (round 17, Q3 shape — side tables unscaled at sf1)"),
     ("join_local_supplier_volume", "relational_deep (round 17, Q5 shape — side tables unscaled at sf1)"),
     ("agg_forecast_revenue", "relational_deep (round 17, Q6 shape — side tables unscaled at sf1)"),
