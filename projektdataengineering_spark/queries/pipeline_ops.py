@@ -603,26 +603,36 @@ def _signature_of(docs: DataFrame) -> DataFrame:
     `_portable_signature` below and the corpus/batch split of
     `dedup_incremental_neardup` (queries/dedup.py), which signs the
     two sides SEPARATELY so the corpus side can come from the
-    persisted index instead of recomputation."""
-    # size(toks) >= 2 ⟺ size(gs) > 0, but a predicate on gs would be
-    # pushed down with the whole gram pipeline re-inlined into it and
-    # computed twice (see similarity.sim_ngram_jaccard's comment).
+    persisted index instead of recomputation.
+
+    Shape (r19, the text_char_diversity playbook — guide §4.1): the
+    lane mins run as explode + ONE codegen'd hash aggregate (4 min()
+    columns) instead of 4 interpreted transform()+array_min HOF passes
+    over the gram array — higher-order functions never enter
+    whole-stage codegen, so the md5 work sat inside 8 interpreted
+    loops. Every caller repartitions by doc_id first, so the groupBy
+    reuses that exchange (plan: zero added Exchange; partial
+    aggregation bounds any future unpartitioned caller's shuffle at
+    ~1 row per doc per map partition). min() over md5 hex strings is
+    binary ordering, identical to array_min — value-equality asserted
+    in tests/test_operators.py and by every signature oracle.
+
+    size(toks) >= 2 ⟺ size(gs) > 0, but a predicate on gs would be
+    pushed down with the whole gram pipeline re-inlined into it and
+    computed twice (see similarity.sim_ngram_jaccard's comment);
+    explode of a non-empty gs keeps exactly the same doc set."""
     toked = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
         F.size("toks") >= 2
     )
     g = toked.select(
-        "doc_id", F.array_distinct(token_ngrams("toks", 2)).alias("gs")
+        "doc_id", F.explode(F.array_distinct(token_ngrams("toks", 2))).alias("g")
     )
-    def lane(i: int):
-        # factory closure, NOT a defaulted two-param lambda — Spark
-        # treats `lambda s, i=i` as an (element, index) function and
-        # the array index silently overwrites the lane constant (the
-        # _minhash_lane pitfall)
-        return F.array_min(
-            F.transform("gs", lambda s: F.md5(F.concat(s, F.lit(f"#{i}"))))
-        ).alias(f"m{i}")
-
-    return g.select("doc_id", *[lane(i) for i in range(_PORTABLE_LANES)])
+    return g.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("g"), F.lit(f"#{i}")))).alias(f"m{i}")
+            for i in range(_PORTABLE_LANES)
+        ]
+    )
 
 
 def _portable_signature(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3598,3 +3598,48 @@ def test_gen_serving_reuses_persisted_lines(spark, sf_dir):
         .select("recall_ok").distinct().collect()
     }
     assert recall_flags == {True}, "gen-1 line must clear the IVFADC bound"
+
+
+def test_signature_kernel_matches_hof_reference(spark):
+    """The r19 explode+aggregate signature kernel (_signature_of) must
+    be value-identical to the interpreted HOF formulation it replaced
+    (4x transform+array_min): min() over md5 hex is the same binary
+    string ordering as array_min, and explode keeps exactly the
+    size(toks)>=2 doc set (a >=2-token doc always has >=1 gram)."""
+    from pyspark.sql import functions as F
+
+    from projektdataengineering_spark.functions import token_ngrams
+    from projektdataengineering_spark.queries.pipeline_ops import (
+        _PORTABLE_LANES,
+        _signature_of,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha beta"),
+            (2, "one"),                      # < 2 tokens: no signature
+            (3, "x y"),                      # single gram
+            (4, "repeat repeat repeat"),     # duplicate grams collapse
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+
+    def hof_reference(d):
+        toked = d.select("doc_id", F.split("text", " ").alias("toks")).filter(
+            F.size("toks") >= 2
+        )
+        g = toked.select(
+            "doc_id", F.array_distinct(token_ngrams("toks", 2)).alias("gs")
+        )
+
+        def lane(i):
+            return F.array_min(
+                F.transform("gs", lambda s: F.md5(F.concat(s, F.lit(f"#{i}"))))
+            ).alias(f"m{i}")
+
+        return g.select("doc_id", *[lane(i) for i in range(_PORTABLE_LANES)])
+
+    new = sorted(map(tuple, _signature_of(docs).collect()))
+    ref = sorted(map(tuple, hof_reference(docs).collect()))
+    assert new == ref and len(new) == 3
