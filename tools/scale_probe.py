@@ -110,6 +110,12 @@ HEAVY_QUERIES = [
     ("stream_native_tumbling", "streaming"),
     ("stream_dedup_stateful", "streaming"),
     ("stream_stream_join", "streaming"),
+    # r19 skew audit (r18 verdict item 7): block-key histogram at sf0.1
+    # showed NO skew (max/median (brand,type) block 1.25 vs the 10×
+    # salting threshold; top block 1.0% of record-pair work, 0.8% of
+    # the distinct-name UDF pair work) — salting not warranted; this
+    # row's slopes are the uniform Σn² block growth (part is unscaled
+    # at sf1, hence the ~0 heavy-decade slope)
     ("join_fuzzy_jaro", "entity resolution (round 6)"),
     ("pipeline_bpe_train", "corpus_ops (round 6, iterative)"),
     ("pipeline_ewma_smooth", "timeseries (round 6, applyInPandas)"),
@@ -190,11 +196,6 @@ HEAVY_QUERIES = [
     # the TPC-H side tables are UNSCALED at sf1 (hardlinked from sf0.1),
     # so expected slopes ~0; the rows close the evidence gap the other
     # shapes carry, they do not measure data growth
-    # round 19 (r18 verdict item 7): the blocked-ER shape's scaling row —
-    # the block-key histogram showed NO skew at sf0.1 (max/median block
-    # 1.25, top block 1.0% of pair work; salting not warranted), so the
-    # slope here measures the uniform Σn² block pair growth
-    ("join_fuzzy_jaro", "joins (round 19, blocked Jaro-Winkler ER — verdict-join on the distinct-name-pair domain)"),
     ("join_shipping_priority", "relational_deep (round 17, Q3 shape — side tables unscaled at sf1)"),
     ("join_local_supplier_volume", "relational_deep (round 17, Q5 shape — side tables unscaled at sf1)"),
     ("agg_forecast_revenue", "relational_deep (round 17, Q6 shape — side tables unscaled at sf1)"),
